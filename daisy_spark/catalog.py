@@ -1,0 +1,119 @@
+"""Table registry: name -> path, format, engine semantics.
+
+The reference's tables are IStorage implementations whose engine choice
+(MergeTree / ReplacingMergeTree / SummingMergeTree / ...) carries
+*merge-time semantics* (reference: src/Storages/MergeTree/
+registerStorageMergeTree.cpp:943-960).  In a Spark-first design the data
+lives in partitioned Parquet and the engine semantics become *read-time
+normalization rules* applied by :mod:`daisy_spark.operators.final` when a
+query asks for ``FINAL``.
+
+A :class:`TableSpec` records what the CREATE TABLE would have said:
+engine kind, ORDER BY key (the dedup/merge key), version column,
+sign column, partition expression, and TTL.  The Daisy conventions
+(`_time DateTime64(3)` auto-column, time-granularity partitioning —
+reference: src/Server/RestRouterHandlers/TableRestRouterHandler.cpp:55-58,
+309-333) are captured by ``time_column`` / ``partition_granularity``.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: tables the test-data driver generates (TESTDATA.md)
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass
+class TableSpec:
+    name: str
+    path: str
+    fmt: str = "parquet"
+    # engine semantics (read-time normalization under FINAL)
+    engine: str = "MergeTree"  # MergeTree|Replacing|Summing|Aggregating|Collapsing|VersionedCollapsing
+    order_by: tuple[str, ...] = ()  # dedup/merge key
+    version_column: str | None = None  # ReplacingMergeTree(version)
+    sign_column: str | None = None  # CollapsingMergeTree(sign)
+    summed_columns: tuple[str, ...] = ()  # SummingMergeTree cols ((), = all numeric)
+    # Daisy time conventions
+    time_column: str | None = None  # `_time`-equivalent event-time column
+    partition_granularity: str | None = None  # M | D | H | m (TableRestRouterHandler.cpp:55-58)
+    ttl: str | None = None  # e.g. "30 days" on time_column
+    options: dict[str, str] = field(default_factory=dict)
+
+
+class Catalog:
+    """In-memory registry mapping table names to specs + temp views."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.tables: dict[str, TableSpec] = {}
+
+    def register(self, spec: TableSpec, view: bool = True) -> None:
+        self.tables[spec.name] = spec
+        if view:
+            self.load(spec.name).createOrReplaceTempView(spec.name)
+
+    def load(self, name: str) -> DataFrame:
+        spec = self.tables[name]
+        reader = self.spark.read.format(spec.fmt)
+        if spec.options:
+            reader = reader.options(**spec.options)
+        return normalize_nanos(spec.name, reader.load(spec.path))
+
+    def register_dir(self, sf_dir: str, view: bool = True) -> None:
+        """Register every known test table found under ``sf_dir``."""
+        for name in TESTDATA_TABLES:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            if os.path.exists(path):
+                time_col = "ts" if name == "events" else None
+                self.register(
+                    TableSpec(name=name, path=path, time_column=time_col),
+                    view=view,
+                )
+
+
+#: columns stored as TIMESTAMP(NANOS) in the driver's parquet, which Spark
+#: reads as long (spark.sql.legacy.parquet.nanosAsLong) — normalized to
+#: µs-precision timestamps here, matching DuckDB's read of the same files.
+NANOS_TS_COLUMNS = {"events": ("ts",)}
+
+
+def normalize_nanos(name: str, df: DataFrame) -> DataFrame:
+    for col in NANOS_TS_COLUMNS.get(name, ()):
+        if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+            df = df.withColumn(
+                col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
+            )
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return normalize_nanos(name, spark.read.parquet(path))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all test tables from ``sf_dir`` as DataFrames (no views)."""
+    out: dict[str, DataFrame] = {}
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = load_table(spark, sf_dir, name)
+    return out

@@ -1,0 +1,697 @@
+"""Headline query suite: one entry per implemented operator (SURVEY §2).
+
+Each query is ``(spark, sf_dir) -> DataFrame`` and has a matching ANSI-SQL
+oracle in ``ORACLE_SQL`` that DuckDB runs over the same parquet.  Column
+names/aliases match exactly between the two (the driver hash-compares
+values after sorting columns by name).
+
+Determinism rules applied throughout:
+- every float aggregate is rounded (sums to 2dp, avgs/ratios to 6dp) so
+  summation-order differences between engines can't flip the hash;
+- every ORDER BY ... LIMIT has a total tiebreaker;
+- timestamps in output are formatted to strings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from daisy_spark.catalog import load_table
+from daisy_spark.functions import scalar as S
+from daisy_spark.functions import timeseries as TS
+from daisy_spark.operators import joins as J
+from daisy_spark.operators import modifiers as M
+
+_t = load_table
+
+
+# --------------------------------------------------------------------------
+# Scans / filters / aggregations (SURVEY §2.1, §2.2, §2.4)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + groupBy agg (flagship).
+
+    Covers: parquet scan w/ pushdown, WHERE, groupBy sum/avg/count.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight filter + single sum (predicate pushdown)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+ORACLE_FORECAST = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_events_top_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference benchmark shape (benchmark/clickhouse/queries.sql): GROUP BY
+    ORDER BY count DESC LIMIT top-k."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.countDistinct("user_id").alias("uniq_users"),
+        )
+        .orderBy(F.col("cnt").desc(), "event_type")
+        .limit(10)
+    )
+
+
+ORACLE_EVENTS_TOP = """
+SELECT event_type, count(*) AS cnt, round(avg(value), 6) AS avg_value,
+       count(DISTINCT user_id) AS uniq_users
+FROM events
+GROUP BY event_type
+ORDER BY cnt DESC, event_type
+LIMIT 10
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daisy time-series convention: toStartOfHour bucketing on the _time
+    column (TableRestRouterHandler.cpp granularity 'H')."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(S.to_start_of_hour(F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("hour")
+    )
+
+
+ORACLE_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       count(*) AS cnt, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1
+ORDER BY hour
+"""
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# --------------------------------------------------------------------------
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + top-k with tiebreakers."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+ORACLE_SHIPPING = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, orderdate
+ORDER BY revenue DESC, orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join; dims broadcast (region/nation/
+    supplier stay broadcastable at any SF)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .filter(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+ORACLE_REGION_REV = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q_any_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANY LEFT JOIN (HashJoin.h:76): customer -> first order by date."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    joined = J.any_join(
+        c.select("c_custkey", "c_name"),
+        o.select("c_custkey", "o_orderkey", "o_orderdate"),
+        on=["c_custkey"],
+        how="left",
+        right_order=[F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+    )
+    return joined.select(
+        "c_custkey",
+        "c_name",
+        F.col("o_orderkey").alias("first_orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_orderdate"),
+    ).orderBy("c_custkey")
+
+
+ORACLE_ANY_JOIN = """
+SELECT c_custkey, c_name, o_orderkey AS first_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS first_orderdate
+FROM customer
+LEFT JOIN (
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+    FROM orders
+) o ON c_custkey = o.o_custkey AND o.rn = 1
+ORDER BY c_custkey
+"""
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI (ASTTablesInSelectQuery.h:82-83): customers
+    with orders vs without, as one labeled union."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    with_orders = c.join(o, on="c_custkey", how="left_semi").select(
+        "c_custkey", F.lit("has_orders").alias("status")
+    )
+    without = c.join(o, on="c_custkey", how="left_anti").select(
+        "c_custkey", F.lit("no_orders").alias("status")
+    )
+    return with_orders.unionByName(without).orderBy("c_custkey")
+
+
+ORACLE_SEMI_ANTI = """
+SELECT c_custkey, 'has_orders' AS status FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+UNION ALL
+SELECT c_custkey, 'no_orders' AS status FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF JOIN (HashJoin.h:83, asof.h): for each purchase, the latest
+    click at-or-before it by the same user."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.col("ts").alias("p_ts")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("click_value"),
+    )
+    out = J.asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="p_ts",
+        right_ts="c_ts",
+        direction="backward",
+        how="left",
+        right_cols=["click_value"],
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("click_value"), 6).alias("click_value"),
+    ).orderBy("event_id")
+
+
+ORACLE_ASOF = """
+SELECT p.user_id, p.event_id, round(c.click_value, 6) AS click_value
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts, value AS click_value FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Modifiers (SURVEY §2.4, §2.6)
+# --------------------------------------------------------------------------
+
+def q_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT 2 BY customer (LimitByTransform.cpp): two priciest orders per
+    customer."""
+    o = _t(spark, sf_dir, "orders")
+    return M.limit_by(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        n=2,
+        by=["o_custkey"],
+        order=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+    ).orderBy("o_custkey", F.col("o_totalprice").desc(), "o_orderkey")
+
+
+ORACLE_LIMIT_BY = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+) WHERE rn <= 2
+ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+"""
+
+
+def q_with_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... WITH TOTALS (TotalsHavingStep.cpp): grand-total row with
+    NULL keys appended."""
+    e = _t(spark, sf_dir, "events")
+    return M.with_totals(
+        e,
+        ["event_type"],
+        {
+            "cnt": F.count(F.lit(1)),
+            "sum_value": F.round(F.sum("value"), 2),
+        },
+    ).orderBy(F.col("event_type").asc_nulls_last())
+
+
+ORACLE_WITH_TOTALS = """
+SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), ())
+ORDER BY event_type ASC NULLS LAST
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY WITH ROLLUP (RollupStep.cpp)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_last(),
+            F.col("o_orderpriority").asc_nulls_last(),
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS LAST, o_orderpriority ASC NULLS LAST
+"""
+
+
+def q_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY WITH FILL (FillingTransform.cpp): daily event counts with
+    missing days materialized as zero."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    filled = M.with_fill_timestamp(daily, "day", step_seconds=86400)
+    return filled.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+    ).orderBy("day")
+
+
+ORACLE_WITH_FILL = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS cnt
+    FROM events GROUP BY 1
+), grid AS (
+    SELECT unnest(generate_series(
+        (SELECT min(day) FROM daily), (SELECT max(day) FROM daily),
+        INTERVAL 1 DAY)) AS day
+)
+SELECT strftime(grid.day, '%Y-%m-%d') AS day, coalesce(daily.cnt, 0) AS cnt
+FROM grid LEFT JOIN daily ON grid.day = daily.day
+ORDER BY day
+"""
+
+
+def q_sample_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE by key-hash (MergeTreeDataSelectExecutor.cpp:578): repeatable
+    ~50% sample of users; oracle-checkable only in aggregate terms, so we
+    check the invariant: every user is either fully in or fully out."""
+    e = _t(spark, sf_dir, "events")
+    sampled = M.sample_by_key(e, fraction=0.5, key_cols=["user_id"])
+    return (
+        sampled.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(
+            e.groupBy("user_id").agg(F.count(F.lit(1)).alias("total")),
+            on="user_id",
+        )
+        .filter(F.col("cnt") == F.col("total"))
+        .agg(F.count(F.lit(1)).alias("fully_sampled_users"))
+    )
+
+
+# oracle: the invariant is that sampled user partitions are complete; the
+# count of fully-sampled users must equal the count of sampled users — but
+# the exact hash differs from DuckDB's, so this query is rows-only checked.
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (DistinctTransform.cpp)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct().orderBy(
+        "o_orderstatus", "o_orderpriority"
+    )
+
+
+ORACLE_DISTINCT = """
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Window functions (SURVEY §2.5)
+# --------------------------------------------------------------------------
+
+def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/row_number/lag + aggregate-over-window with a rows frame
+    (WindowTransform.cpp, 01591_window_functions.sql)."""
+    o = _t(spark, sf_dir, "orders")
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(w_rank).alias("price_rank"),
+            F.row_number().over(w_rank).alias("price_rn"),
+            F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_spend"),
+            F.lag("o_orderkey", 1).over(
+                Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+            ).alias("prev_orderkey"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+ORACLE_WINDOW = """
+SELECT o_custkey, o_orderkey,
+       rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+       row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rn,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+       lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Arrays / higher-order functions (SURVEY §2.8 arrays)
+# --------------------------------------------------------------------------
+
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY JOIN + HOF parity: split document text into tokens, explode
+    (arrayJoin), filter short tokens (arrayFilter), count per token."""
+    d = _t(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda t: F.length(t) >= 5)).alias("token"),
+    )
+    return (
+        tokens.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.countDistinct("doc_id").alias("docs"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(20)
+    )
+
+
+ORACLE_ARRAY_OPS = """
+SELECT token, count(*) AS cnt, count(DISTINCT doc_id) AS docs
+FROM (
+    SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> len(t) >= 5)) AS token
+    FROM documents
+)
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 20
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONExtract family (FunctionsJSON.h) on the events props column."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .filter(F.col("k") > 50)
+        .orderBy("event_id")
+    )
+
+
+ORACLE_JSON = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Time-series aggregates (SURVEY §2.4 funnel family)
+# --------------------------------------------------------------------------
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """retention(click, purchase, error) per user
+    (AggregateFunctionRetention.h)."""
+    e = _t(spark, sf_dir, "events")
+    r = TS.retention(
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+        F.col("event_type") == "error",
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            r[0].alias("r_click"),
+            r[1].alias("r_click_purchase"),
+            r[2].alias("r_click_error"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_RETENTION = """
+SELECT user_id,
+       max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS r_click,
+       max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS r_click_purchase,
+       max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS r_click_error
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel(1 day)(ts, click, view, purchase) per user
+    (AggregateFunctionWindowFunnel.h).
+
+    Oracle expressed with min-over-qualifying-chain SQL: level k is reached
+    iff there exist t1<=t2<=...<=tk with tk - t1 <= window.
+    """
+    e = _t(spark, sf_dir, "events")
+    funnel = TS.window_funnel(
+        86400,
+        F.col("ts"),
+        F.col("event_type") == "click",
+        F.col("event_type") == "view",
+        F.col("event_type") == "purchase",
+    )
+    return e.groupBy("user_id").agg(funnel.alias("funnel_level")).orderBy("user_id")
+
+
+def q_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deltaSum of value in time order per user (AggregateFunctionDeltaSum.h)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.round(TS.delta_sum(F.col("ts"), F.col("value")), 6).alias("delta_sum"))
+        .orderBy("user_id")
+    )
+
+
+ORACLE_DELTA_SUM = """
+SELECT user_id, round(sum(CASE WHEN d > 0 THEN d ELSE 0 END), 6) AS delta_sum
+FROM (
+    SELECT user_id, value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS d
+    FROM events
+)
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def q_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rate(): (last-first)/(t_last-t_first) per user (boundingRatio)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.round(TS.rate(F.col("ts"), F.col("value")), 6).alias("rate"))
+        .orderBy("user_id")
+    )
+
+
+ORACLE_RATE = """
+SELECT user_id,
+       round((arg_max(value, ts) - arg_min(value, ts))
+             / (epoch_us(max(ts)) - epoch_us(min(ts))) * 1000000.0, 6) AS rate
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "revenue_forecast": q_revenue_forecast,
+    "events_top_types": q_events_top_types,
+    "events_hourly": q_events_hourly,
+    "shipping_priority": q_shipping_priority,
+    "region_revenue": q_region_revenue,
+    "any_join": q_any_join,
+    "semi_anti_join": q_semi_anti_join,
+    "asof_join": q_asof_join,
+    "limit_by": q_limit_by,
+    "with_totals": q_with_totals,
+    "rollup": q_rollup,
+    "with_fill": q_with_fill,
+    "sample_by_key": q_sample_by_key,
+    "distinct": q_distinct,
+    "window_functions": q_window_functions,
+    "array_ops": q_array_ops,
+    "json_extract": q_json_extract,
+    "retention": q_retention,
+    "window_funnel": q_window_funnel,
+    "delta_sum": q_delta_sum,
+    "rate": q_rate,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "pricing_summary": ORACLE_PRICING,
+    "revenue_forecast": ORACLE_FORECAST,
+    "events_top_types": ORACLE_EVENTS_TOP,
+    "events_hourly": ORACLE_EVENTS_HOURLY,
+    "shipping_priority": ORACLE_SHIPPING,
+    "region_revenue": ORACLE_REGION_REV,
+    "any_join": ORACLE_ANY_JOIN,
+    "semi_anti_join": ORACLE_SEMI_ANTI,
+    "asof_join": ORACLE_ASOF,
+    "limit_by": ORACLE_LIMIT_BY,
+    "with_totals": ORACLE_WITH_TOTALS,
+    "rollup": ORACLE_ROLLUP,
+    "with_fill": ORACLE_WITH_FILL,
+    "distinct": ORACLE_DISTINCT,
+    "window_functions": ORACLE_WINDOW,
+    "array_ops": ORACLE_ARRAY_OPS,
+    "json_extract": ORACLE_JSON,
+    "retention": ORACLE_RETENTION,
+    "delta_sum": ORACLE_DELTA_SUM,
+    "rate": ORACLE_RATE,
+    # sample_by_key, window_funnel: non-SQL-expressible -> rows-only check
+}
