@@ -72,6 +72,7 @@ class Catalog:
 
     def load(self, name: str) -> DataFrame:
         spec = self.tables[name]
+        _ensure_nanos_readable(self.spark)
         reader = self.spark.read.format(spec.fmt)
         if spec.options:
             reader = reader.options(**spec.options)
@@ -95,17 +96,35 @@ class Catalog:
 NANOS_TS_COLUMNS = {"events": ("ts",)}
 
 
+def _ensure_nanos_readable(spark: SparkSession) -> None:
+    """Make TIMESTAMP(NANOS) parquet columns readable on ANY session.
+
+    Spark has no nanosecond timestamp type; without this conf a read of the
+    driver's ``events.parquet`` dies with PARQUET_TYPE_ILLEGAL.  The conf is
+    runtime-settable, so set it here rather than relying on the caller's
+    session factory (the correctness driver builds a vanilla session).
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # already set read-only / unsupported build — reads will tell
+
+
 def normalize_nanos(name: str, df: DataFrame) -> DataFrame:
     for col in NANOS_TS_COLUMNS.get(name, ()):
         if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+            # integer division: epoch-ns ~1.7e18 exceeds double's exact range,
+            # float division would land ~12% of timestamps 1µs off the
+            # oracle's exact truncation
             df = df.withColumn(
-                col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
+                col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
             )
     return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
+    _ensure_nanos_readable(spark)
     return normalize_nanos(name, spark.read.parquet(path))
 
 

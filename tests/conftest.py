@@ -5,16 +5,24 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from daisy_spark.session import get_spark  # noqa: E402
-
 SF_DIR = os.environ.get("DAISY_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(
-        "daisy_spark_tests",
-        extra_conf={"spark.sql.shuffle.partitions": "8"},
+    # Deliberately a VANILLA session (not daisy_spark.session.get_spark):
+    # the correctness driver builds its own bare SparkSession, so every
+    # conf the engine needs (e.g. nanosAsLong for the events parquet) must
+    # be set at runtime by the catalog/query layer, and the tests must
+    # prove that works.  Only test-speed knobs here.
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.appName("daisy_spark_tests")
+        .master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
     )
     s.sparkContext.setLogLevel("ERROR")
     yield s
