@@ -6,15 +6,11 @@ Architecture (Spark-first, NOT a port):
 
 - ``session``    SparkSession factory + settings shim
 - ``catalog``    table registry (name -> path, schema, engine semantics)
-- ``types``     reference type-name <-> Spark type mapping
-- ``functions`` scalar / aggregate / time-series function library
-- ``operators`` macro-operators Spark lacks natively (ASOF join, ANY join,
+- ``functions``  scalar / aggregate / time-series function library
+- ``operators``  macro-operators Spark lacks natively (ASOF join, ANY join,
                  FINAL normalization, LIMIT BY, WITH FILL, WITH TOTALS,
-                 dedup, similarity search, text analysis, multimodal)
-- ``sources``   batch readers/writers for the reference's formats
-- ``plans``     SQL dialect front-end (pipe syntax, SELECT STREAM, function
-                 name mapping) -> Spark SQL
-- ``streaming`` Structured Streaming ingest with idempotent-key dedup
+                 topK, dedup, similarity search, text analysis, multimodal)
+- ``queries`` / ``queries_llm``  the oracle-checked query suite
 
 Everything declarative goes through the DataFrame API so Catalyst handles
 pushdown, pruning, join strategy, and AQE; Python-side logic is restricted

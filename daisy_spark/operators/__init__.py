@@ -8,9 +8,10 @@ optimizes through it (pushdown, pruning, join strategy, AQE).
                   ROLLUP/CUBE/totals helpers (SURVEY §2.4, §2.6)
 - ``final``      engine-semantics-on-read: Replacing/Summing/Collapsing/
                   VersionedCollapsing normalization (SURVEY §2.1)
+- ``topk``       shuffle-efficient exact top-K by frequency
 - ``dedup``      exact + MinHash-LSH + SimHash + n-gram-Jaccard +
                   embedding-cosine near-duplicate detection
-- ``similarity`` brute-force & LSH-bucketed ANN over embedding columns
+- ``similarity`` brute-force, IVF, and LSH-bucketed ANN over embeddings
 - ``text``       language-ID, quality scoring, token counting, fingerprints
-- ``multimodal`` binary-column decode/feature plumbing (libs stubbed)
+- ``multimodal`` binary-column decode/feature plumbing (codecs stubbed)
 """

@@ -1,0 +1,446 @@
+"""Deduplication operators for large-scale document corpora.
+
+The reference deduplicates at storage level (ReplacingMergeTree merge-time
+row dedup — reference: src/Storages/MergeTree/registerStorageMergeTree.cpp);
+a training-data pipeline additionally needs *content* dedup: exact,
+MinHash-LSH, SimHash, and embedding-cosine near-duplicate detection.
+
+Everything here is pure DataFrame composition over JVM-side expressions
+(``xxhash64``, higher-order array functions) — no Python UDFs, no
+``collect()``, and critically **never an all-pairs cartesian product**:
+
+- exact dedup is one hash-groupBy (map-side combine, one shuffle);
+- MinHash near-dup shuffles on *(band, band-hash)* buckets, so candidate
+  generation is proportional to the number of colliding docs, not n²;
+- SimHash buckets on 16-bit signature bands the same way;
+- embedding near-dup buckets on random-hyperplane sign bands.
+
+At 100 TB the only scale hazard is a degenerate bucket (e.g. millions of
+copies of the empty document); ``max_bucket_size`` caps the join fan-out
+per bucket, trading recall on pathological buckets for bounded work —
+the same trade ES/Spark dedup pipelines make in practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame,
+    content_cols: list[str],
+    id_col: str,
+) -> DataFrame:
+    """Keep one row per distinct content (lowest ``id_col`` wins).
+
+    One hash-aggregate: groupBy the content hash with ``min_by`` — partial
+    aggregation runs map-side, so the shuffle carries one row per distinct
+    content per input partition, not the full corpus.
+    """
+    key = F.sha2(F.concat_ws("\x1f", *content_cols), 256).alias("_content_key")
+    keep = df.select(key, F.col(id_col)).groupBy("_content_key").agg(
+        F.min(id_col).alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def exact_dedup_stats(df: DataFrame, content_cols: list[str]) -> DataFrame:
+    """Single-row summary: total rows, distinct contents, duplicate rows."""
+    key = F.sha2(F.concat_ws("\x1f", *content_cols), 256)
+    return df.select(key.alias("k")).agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.countDistinct("k").alias("distinct_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("k")).alias("dup_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash-LSH
+# ---------------------------------------------------------------------------
+
+
+def with_shingles(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "shingles",
+    k: int = 3,
+) -> DataFrame:
+    """Distinct word k-gram shingles of ``text_col`` (whitespace tokens).
+
+    Computed with a single higher-order expression per row — no explode,
+    no shuffle.  Docs shorter than k words get their whole token list as
+    one shingle so they can still match exact copies of themselves.
+    """
+    toks = f"split({text_col}, ' +')"
+    grams = (
+        f"transform(sequence(0, greatest(size({toks}) - {k}, 0)), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, {k})))"
+    )
+    return df.withColumn(out_col, F.expr(f"array_distinct({grams})"))
+
+
+def with_minhash_signature(
+    df: DataFrame,
+    shingle_col: str = "shingles",
+    out_col: str = "minhash",
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signature: per hash-seed i, min over shingles of
+    ``xxhash64(shingle, i)``.
+
+    One expression, fully JVM-side; the per-row cost is
+    ``num_hashes * |shingles|`` hash evaluations inside whole-stage
+    codegen — no shuffle, no UDF.
+    """
+    sig = (
+        f"transform(sequence(0, {num_hashes - 1}), "
+        f"i -> array_min(transform({shingle_col}, s -> xxhash64(s, i))))"
+    )
+    return df.withColumn(out_col, F.expr(sig))
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "minhash",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """LSH banding: docs sharing any (band, band-hash) bucket become
+    candidate pairs ``(id1, id2)`` with ``id1 < id2``.
+
+    Scale shape: explode to ``bands`` rows/doc, shuffle once on the bucket
+    key, self-join *within* buckets only.  ``max_bucket_size`` drops
+    degenerate buckets (fan-out is quadratic in bucket size).
+    """
+    banded = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"named_struct('band', b, "
+                f"'bh', xxhash64(slice({sig_col}, b * {rows_per_band} + 1, {rows_per_band}))))"
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("_n"))
+        banded = banded.join(
+            sizes.filter(F.col("_n") <= max_bucket_size).drop("_n"),
+            on=["band", "bh"],
+            how="left_semi",
+        )
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.bh") == F.col(f"b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    shingled: DataFrame,
+    id_col: str,
+    shingle_col: str = "shingles",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs only.
+
+    Two hash joins against the shingled corpus (shuffle on doc id) — never
+    an all-pairs comparison.  Output: ``id1, id2, jaccard`` above threshold.
+    """
+    s1 = shingled.select(
+        F.col(id_col).alias("id1"), F.col(shingle_col).alias("_s1")
+    )
+    s2 = shingled.select(
+        F.col(id_col).alias("id2"), F.col(shingle_col).alias("_s2")
+    )
+    j = (
+        F.size(F.array_intersect("_s1", "_s2"))
+        / F.size(F.array_union("_s1", "_s2"))
+    ).alias("jaccard")
+    return (
+        candidates.join(s1, "id1")
+        .join(s2, "id2")
+        .select("id1", "id2", j)
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """End-to-end near-duplicate pairs: shingle → MinHash → banded LSH →
+    exact-Jaccard verify.  With 64 hashes / 16 bands of 4, detection
+    probability at J=0.7 is 1-(1-0.7⁴)¹⁶ ≈ 0.986 and ≈ 1-4e-8 at J=0.9.
+    """
+    shingled = with_shingles(df, text_col, k=shingle_k).select(id_col, "shingles")
+    # signatures feed both self-join sides + the bucket-size guard; persist
+    # rather than recompute 64×|shingles| hashes per consumer
+    sig = with_minhash_signature(shingled, num_hashes=num_hashes).persist()
+    cand = minhash_candidates(
+        sig,
+        id_col,
+        bands=bands,
+        rows_per_band=num_hashes // bands,
+        max_bucket_size=max_bucket_size,
+    )
+    return jaccard_verify(cand, shingled, id_col, threshold=threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+#: SimHash banding: 8 bands of 8 bits.  Pigeonhole: any pair with Hamming
+#: distance ≤ 7 shares at least one exact band, so candidate recall is
+#: GUARANTEED up to 7 flipped bits (near-dup docs in practice sit ≤ 5).
+SIMHASH_BANDS = 8
+SIMHASH_BAND_BITS = 8
+
+
+def with_simhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_col: str = "simhash",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash per ``id_col``: each token votes ±1 on each bit of
+    its xxhash64; the signature keeps the sign of each bit-sum.
+
+    Returns ``(id_col, out_col, out_col + '_h')`` — the banded signature
+    array (eight 8-bit values) and the packed 64-bit hash for Hamming
+    distance via xor/bit_count.
+
+    Scale shape: one explode to token rows (each token hashed ONCE), then
+    a single groupBy(id) with 64 flat ``sum`` columns — all inside
+    whole-stage codegen with map-side partial aggregation, so the shuffle
+    carries one 64-counter row per doc per input partition.  (A nested
+    higher-order-function formulation is 100× slower: Catalyst interprets
+    deep lambda chains instead of compiling them.)
+    """
+    toks = f"filter(split({text_col}, ' +'), t -> t != '')"
+    tok = df.select(
+        F.col(id_col), F.explode_outer(F.expr(toks)).alias("_t")
+    ).withColumn("_h", F.xxhash64("_t"))
+    aggs = [
+        F.sum(
+            F.when(F.col("_h").isNull(), F.lit(0)).otherwise(
+                F.shiftright("_h", i).bitwiseAND(F.lit(1))
+            )
+        ).alias(f"_b{i}")
+        for i in range(bits)
+    ] + [F.count("_t").alias("_n")]
+    counts = tok.groupBy(id_col).agg(*aggs)
+    # bit i set iff strictly more tokens vote 1 than 0 on bit i
+    bit_cols = ", ".join(f"if(2 * _b{i} > _n, 1L, 0L)" for i in range(bits))
+    nbands, bb = SIMHASH_BANDS, SIMHASH_BAND_BITS
+    band_expr = (
+        f"transform(sequence(0, {nbands - 1}), b -> "
+        f"aggregate(sequence(0, {bb - 1}), 0L, "
+        f"(acc, i) -> acc + shiftleft(element_at(_sh_bits, b * {bb} + i + 1), i)))"
+    )
+    packed = (
+        f"aggregate(sequence(0, {nbands - 1}), 0L, "
+        f"(acc, b) -> acc | shiftleft(element_at({out_col}, b + 1), b * {bb}))"
+    )
+    return (
+        counts.withColumn("_sh_bits", F.expr(f"array({bit_cols})"))
+        .withColumn(out_col, F.expr(band_expr))
+        .withColumn(f"{out_col}_h", F.expr(packed))
+        .select(id_col, out_col, f"{out_col}_h")
+    )
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    simhash_col: str = "simhash",
+    max_hamming: int = 7,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Candidate pairs within SimHash Hamming radius ``max_hamming``, via
+    the Manku/Google multi-block scheme: a pair within radius r leaves at
+    least (bands - r) bands untouched, so matching on every combination of
+    (bands - r) bands GUARANTEES recall up to r.  Tighter radii buy wider
+    join keys (r=5 ⇒ C(8,3)=56 probes of 24-bit keys); the default r=7
+    probes the 8 single bands — 8-bit keys, so on huge corpora buckets get
+    big and ``max_bucket_size`` (or :func:`minhash_dedup_pairs`, whose
+    keys are 64-bit) is the scale valve.
+
+    Scale shape: explode to |combos| rows/doc, one shuffle on the combo
+    key, join within buckets; ``max_bucket_size`` bounds degenerate-bucket
+    fan-out.
+    """
+    import itertools
+
+    nb, bb = SIMHASH_BANDS, SIMHASH_BAND_BITS
+    r_clean = max(nb - max_hamming, 1)
+    combos = list(itertools.combinations(range(nb), r_clean))
+    combo_structs = ", ".join(
+        f"named_struct('cid', {cid}, 'key', "
+        + " | ".join(
+            f"shiftleft(element_at({simhash_col}, {band + 1}), {j * bb})"
+            for j, band in enumerate(combo)
+        )
+        + ")"
+        for cid, combo in enumerate(combos)
+    )
+    banded = df.select(
+        F.col(id_col),
+        F.col(f"{simhash_col}_h").alias("_h"),
+        F.explode(F.expr(f"array({combo_structs})")).alias("bb"),
+    ).select(id_col, "_h", F.col("bb.cid").alias("cid"), F.col("bb.key").alias("key"))
+
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("cid", "key").agg(F.count(F.lit(1)).alias("_n"))
+        banded = banded.join(
+            sizes.filter(F.col("_n") <= max_bucket_size).drop("_n"),
+            on=["cid", "key"],
+            how="left_semi",
+        )
+
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+            F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 7,
+    jaccard_threshold: float = 0.9,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """SimHash-bucketed near-dup pairs, verified with exact shingle Jaccard
+    (precision is exact; recall guaranteed within the Hamming radius by
+    the multi-block candidate scheme).  SimHash's Hamming radius tracks
+    only very similar docs — use it for J ≳ 0.9 duplicates; MinHash-LSH
+    is the right tool for looser thresholds.
+
+    The signature frame is persisted: it is consumed three times (both
+    join sides + the bucket-size guard), and at corpus scale you would
+    materialize signatures to a table once anyway.
+    """
+    hashed = with_simhash(df, text_col, id_col).persist()
+    cand = simhash_candidates(hashed, id_col, max_hamming=max_hamming)
+    shingled = with_shingles(df, text_col, k=shingle_k).select(id_col, "shingles")
+    return jaccard_verify(
+        cand.select("id1", "id2"), shingled, id_col, threshold=jaccard_threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup (cosine)
+# ---------------------------------------------------------------------------
+
+
+def embedding_dedup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    planes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int | None = 10000,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine ≥ threshold) via random-
+    hyperplane LSH buckets + exact cosine verify on candidates.
+
+    Hyperplane components are derived deterministically from xxhash64 so
+    the operator needs no driver-side randomness and is reproducible
+    across runs/partitions.  Pairs at cosine ≥ 0.95 (angle ≤ 18°) collide
+    on at least one 4-bit band with prob ≈ 1-(1-0.9⁴)⁴ ≈ 0.92; raise
+    ``planes``/``bands`` for tighter recall.
+    """
+    from daisy_spark.operators.similarity import with_hyperplane_signature
+
+    rows_per_band = planes // bands
+    sig = with_hyperplane_signature(df, vec_col, planes=planes).select(
+        F.col(id_col), F.col(vec_col), F.col("_hp_sig")
+    )
+    banded = sig.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> named_struct('band', b, "
+                f"'bv', aggregate(sequence(0, {rows_per_band - 1}), 0L, "
+                f"(acc, i) -> acc + shiftleft(element_at(_hp_sig, b * {rows_per_band} + i + 1), i))))"
+            )
+        ).alias("bb"),
+    ).select(id_col, vec_col, F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "bv").agg(F.count(F.lit(1)).alias("_n"))
+        banded = banded.join(
+            sizes.filter(F.col("_n") <= max_bucket_size).drop("_n"),
+            on=["band", "bv"],
+            how="left_semi",
+        )
+
+    a, b = banded.alias("a"), banded.alias("b")
+    dot = (
+        f"aggregate(zip_with(a.{vec_col}, b.{vec_col}, (x, y) -> cast(x as double) * y), "
+        "cast(0 as double), (acc, x) -> acc + x)"
+    )
+    norm = (
+        lambda side: f"sqrt(aggregate(transform({side}.{vec_col}, x -> cast(x as double) * x), "
+        "cast(0 as double), (acc, x) -> acc + x))"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+            F.expr(f"{dot} / ({norm('a')} * {norm('b')})").alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )

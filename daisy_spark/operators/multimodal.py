@@ -1,0 +1,160 @@
+"""Multimodal (image/audio/video) column handling.
+
+Design: media payloads are opaque ``binary`` columns with a typed metadata
+struct beside them — the lakehouse-standard layout (one row per asset,
+bytes inline for small assets or a URI for large ones).  Heavy per-asset
+work (decode, resize, frame-sample, feature-extract) runs as Arrow-batched
+``mapInPandas`` so the Python worker sees columnar batches, never one row
+at a time, and the operator parallelizes per input partition with no
+shuffle.
+
+The actual codecs (PIL/libav/...) are NOT available in this environment,
+so the decode kernels are stubbed: :func:`register_codec` installs real
+ones; the default ``"stub"`` codec produces deterministic pseudo-metadata
+from the byte content, keeping every piece of Spark-side plumbing (schema,
+batching, partitioning, UDF signatures) real and testable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: decoded-asset metadata schema appended by decode_metadata()
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+Codec = Callable[[bytes], dict[str, Any]]
+
+
+def _stub_codec(payload: bytes) -> dict[str, Any]:
+    """Deterministic fake decode: metadata derived purely from the bytes.
+
+    Replace via register_codec('image', real_fn) when PIL/av is present.
+    """
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "format": "stub",
+        # fake-but-deterministic dimensions so downstream logic is testable
+        "width": (n % 640) + 1,
+        "height": (n % 480) + 1,
+        "n_frames": 1,
+    }
+
+
+_CODECS: dict[str, Codec] = {"stub": _stub_codec}
+
+
+def register_codec(name: str, fn: Codec) -> None:
+    _CODECS[name] = fn
+
+
+def get_codec(name: str) -> Codec:
+    if name not in _CODECS:
+        raise NotImplementedError(
+            f"codec {name!r} not installed in this environment; "
+            f"register_codec({name!r}, fn) with a real decoder "
+            f"(available: {sorted(_CODECS)})"
+        )
+    return _CODECS[name]
+
+
+def decode_metadata(
+    df: DataFrame,
+    binary_col: str,
+    codec: str = "stub",
+    out_col: str = "media",
+) -> DataFrame:
+    """Append a decoded-metadata struct for each asset via mapInPandas.
+
+    The Python worker receives Arrow record batches; per-batch we run the
+    codec over a pandas Series (vectorizable for real codecs that accept
+    buffers).  Output schema = input schema + the metadata struct, so the
+    operator composes with any upstream/downstream DataFrame logic.
+    """
+    fn = get_codec(codec)
+    in_schema = df.schema
+    out_schema = T.StructType(
+        list(in_schema.fields) + [T.StructField(out_col, MEDIA_META_SCHEMA)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                fn(bytes(b)) if b is not None else None
+                for b in pdf[binary_col]
+            ]
+            out = pdf.copy()
+            out[out_col] = metas
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    binary_col: str,
+    every_n: int = 10,
+    codec: str = "stub",
+) -> DataFrame:
+    """Explode a video asset into sampled frame rows (id columns carried
+    through; frame payloads produced by the codec — stub yields empty
+    bytes with deterministic frame indices).
+
+    Scale shape: mapInPandas emits multiple rows per input row; partition
+    count is preserved, so a repartition upstream sizes the decode tasks.
+    """
+    get_codec(codec)  # fail fast if missing
+    id_fields = [f for f in df.schema.fields if f.name != binary_col]
+    out_schema = T.StructType(
+        id_fields
+        + [
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+    id_names = [f.name for f in id_fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = get_codec(codec)
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = row[binary_col]
+                meta = fn(bytes(payload)) if payload is not None else None
+                n_frames = meta["n_frames"] if meta else 0
+                for i in range(0, n_frames, every_n):
+                    rows.append(
+                        {**{c: row[c] for c in id_names}, "frame_idx": i, "frame": b""}
+                    )
+            yield pd.DataFrame(
+                rows, columns=id_names + ["frame_idx", "frame"]
+            ) if rows else pd.DataFrame(columns=id_names + ["frame_idx", "frame"])
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def media_profile(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """Per-asset metadata row — the hash-checkable core of the decode path
+    (byte length is codec-independent truth; stub dims are deterministic).
+    """
+    meta = decode_metadata(df.select(id_col, binary_col), binary_col)
+    return meta.select(
+        F.col(id_col),
+        F.col("media.n_bytes").alias("n_bytes"),
+        F.col("media.width").alias("width"),
+        F.col("media.height").alias("height"),
+    )

@@ -1,0 +1,237 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, mirroring how a 100-TB training-data pipeline would run ANN:
+
+- :func:`cosine_topk` — exact brute-force top-k.  Correct baseline; the
+  query side must be small (it is broadcast), the corpus side streams
+  through a single narrow pass (no corpus shuffle — the only wide step is
+  the final per-query top-k, which carries ≤ ``k`` rows per partition per
+  query after partial aggregation).
+- :func:`ivf_topk` — IVF-style: restrict the search to the corpus cells
+  whose centroid is nearest the query (probe=1 default).  Cells come from
+  a label/cluster column (k-means assignment upstream); centroids are one
+  aggregation over the corpus.
+- :func:`with_hyperplane_signature` — random-hyperplane sign bits, the
+  building block for LSH-bucketed ANN and embedding dedup
+  (:func:`daisy_spark.operators.dedup.embedding_dedup_pairs`).
+
+All vector math is JVM-side higher-order expressions (``zip_with`` +
+``aggregate`` folds) inside whole-stage codegen — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * y), "
+        "cast(0 as double), (acc, x) -> acc + x)"
+    )
+
+
+def _norm(a: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({a}, x -> cast(x as double) * x), "
+        "cast(0 as double), (acc, x) -> acc + x))"
+    )
+
+
+def cosine_expr(a: str, b: str) -> F.Column:
+    """Cosine similarity between two array columns as a single expression."""
+    return F.expr(f"{_dot(a, b)} / ({_norm(a)} * {_norm(b)})")
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact brute-force cosine top-k of ``corpus`` for each query row.
+
+    ``queries`` is broadcast (must be small — the point of a top-k scan);
+    the corpus is read once with no shuffle, and the row_number window
+    partitions by query id so the final top-k shuffle moves only candidate
+    rows, never vectors-of-the-corpus × queries.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec")
+        )
+    )
+    scored = corpus.join(q).select(
+        F.col("_qid").alias(query_id),
+        F.col(corpus_id),
+        cosine_expr("_qvec", corpus_vec).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )
+
+
+def cluster_centroids(
+    corpus: DataFrame, vec_col: str, cell_col: str
+) -> DataFrame:
+    """Per-cell mean vector (the IVF coarse quantizer), one aggregation.
+
+    posexplode → groupBy(cell, dim) avg → re-assemble the array ordered by
+    dimension.  The shuffle carries (cells × dims) rows — trivial.
+    """
+    exploded = corpus.select(
+        F.col(cell_col), F.posexplode(vec_col).alias("pos", "v")
+    )
+    per_dim = exploded.groupBy(cell_col, "pos").agg(
+        F.avg(F.col("v").cast("double")).alias("c")
+    )
+    return per_dim.groupBy(cell_col).agg(
+        F.expr(
+            "transform(array_sort(collect_list(named_struct('pos', pos, 'c', c))), "
+            "s -> s.c)"
+        ).alias("centroid")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    cell_col: str,
+    k: int = 10,
+    n_probe: int = 1,
+) -> DataFrame:
+    """IVF ANN: route each query to its ``n_probe`` nearest cell centroids,
+    then exact top-k *within those cells only*.
+
+    At scale the corpus is hash-partitioned (or bucketed) by ``cell_col``;
+    the probe join is a broadcast of (queries × n_probe) cell keys, so the
+    scan prunes to the probed cells instead of the whole corpus.
+    """
+    cents = cluster_centroids(corpus, corpus_vec, cell_col)
+    q = queries.select(
+        F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec")
+    )
+    # queries × centroids is (|Q| × cells) — both tiny; broadcast centroids
+    probe_w = Window.partitionBy("_qid").orderBy(
+        F.col("_csim").desc(), F.col(cell_col)
+    )
+    probes = (
+        q.join(F.broadcast(cents))
+        .select(
+            "_qid", "_qvec", cell_col, cosine_expr("_qvec", "centroid").alias("_csim")
+        )
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .filter(F.col("_pr") <= n_probe)
+        .select("_qid", "_qvec", cell_col)
+    )
+    scored = corpus.join(F.broadcast(probes), on=cell_col).select(
+        F.col("_qid").alias(query_id),
+        F.col(corpus_id),
+        F.col(cell_col),
+        cosine_expr("_qvec", corpus_vec).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, cell_col, "cosine", "rank")
+    )
+
+
+def with_hyperplane_signature(
+    df: DataFrame,
+    vec_col: str,
+    planes: int = 16,
+    out_col: str = "_hp_sig",
+) -> DataFrame:
+    """Random-hyperplane LSH sign bits (array<long> of 0/1, length
+    ``planes``).
+
+    Plane components are pseudo-random in [-1, 1], derived from
+    ``xxhash64(plane, dim)`` — deterministic, identical on every executor,
+    no driver-side RNG or broadcast needed.  sign(q·p) agreement
+    probability is 1 - angle/π, the standard SRP-LSH guarantee.
+    """
+    comp = "((pmod(xxhash64(p, i), 2001) - 1000) / 1000.0)"
+    sig = (
+        f"transform(sequence(0, {planes - 1}), p -> "
+        f"if(aggregate(sequence(0, size({vec_col}) - 1), cast(0 as double), "
+        f"(acc, i) -> acc + cast(element_at({vec_col}, i + 1) as double) * {comp}) "
+        f">= 0, 1L, 0L))"
+    )
+    return df.withColumn(out_col, F.expr(sig))
+
+
+def lsh_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int = 10,
+    planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: candidates share ≥1 signature band
+    with the query; exact cosine re-ranks candidates.
+
+    Unlike :func:`ivf_topk` this needs no cluster column — the corpus
+    shuffles once on (band, band-value) and each query touches only its
+    colliding buckets.
+    """
+    rows_per_band = planes // bands
+    band_expr = (
+        f"transform(sequence(0, {bands - 1}), b -> named_struct('band', b, "
+        f"'bv', aggregate(sequence(0, {rows_per_band - 1}), 0L, "
+        f"(acc, i) -> acc + shiftleft(element_at(_hp_sig, b * {rows_per_band} + i + 1), i))))"
+    )
+
+    def banded(df: DataFrame, idc: str, vecc: str) -> DataFrame:
+        return (
+            with_hyperplane_signature(df, vecc, planes=planes)
+            .select(F.col(idc), F.col(vecc), F.explode(F.expr(band_expr)).alias("bb"))
+            .select(
+                idc, vecc, F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv")
+            )
+        )
+
+    qb = F.broadcast(
+        banded(queries, query_id, query_vec)
+        .withColumnRenamed(query_id, "_qid")
+        .withColumnRenamed(query_vec, "_qvec")
+    )
+    cand = (
+        banded(corpus, corpus_id, corpus_vec)
+        .join(qb, on=["band", "bv"])
+        .select("_qid", "_qvec", corpus_id, corpus_vec)
+        .dropDuplicates(["_qid", corpus_id])
+    )
+    scored = cand.select(
+        F.col("_qid").alias(query_id),
+        F.col(corpus_id),
+        cosine_expr("_qvec", corpus_vec).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )

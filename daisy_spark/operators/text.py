@@ -1,0 +1,162 @@
+"""Text analysis for training-data pipelines: tokenization, language ID,
+quality scoring, fingerprinting.
+
+The reference ships string/search functions (reference: src/Functions/
+FunctionsStringSearch.h, FunctionsTokens...); a data-curation pipeline
+layers corpus-level text analytics on top.  Everything here is built-in
+``pyspark.sql.functions`` / SQL expressions — per-row work stays inside
+whole-stage codegen, so these run at scan speed over 100 TB with no
+shuffle at all (the operators add columns; any aggregation is the
+caller's).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish word/number/punctuation splitter: letter runs (with optional
+#: leading apostrophe contraction), digit runs, or single non-space symbols.
+TOKEN_REGEX = r"'?[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Tiny per-language stopword lists for the n-gram/stopword-voting
+#: language heuristic.  Deliberately small + deterministic, so the same
+#: logic is expressible in plain SQL for the correctness oracle.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "to"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "les", "des", "est"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+
+
+def tokens(text_col: str) -> Column:
+    """Whitespace tokens (the corpus-standard split)."""
+    return F.expr(f"filter(split({text_col}, ' +'), t -> t != '')")
+
+
+def bpe_tokens(text_col: str) -> Column:
+    """Regex sub-word-ish tokens (letters / digits / single symbols).
+
+    The pattern is passed as a Column literal, not spliced into SQL text —
+    SQL string parsing would swallow the ``\\s`` escape.
+    """
+    return F.regexp_extract_all(F.expr(text_col), F.lit(TOKEN_REGEX), F.lit(0))
+
+
+def token_count(text_col: str) -> Column:
+    return F.size(tokens(text_col))
+
+
+def bpe_token_count(text_col: str) -> Column:
+    return F.size(bpe_tokens(text_col))
+
+
+def stopword_ratio(text_col: str, stopwords: tuple[str, ...]) -> Column:
+    sw = ", ".join(f"'{w}'" for w in stopwords)
+    return F.expr(
+        f"size(filter(split({text_col}, ' +'), t -> array_contains(array({sw}), t))) "
+        f"/ cast(greatest(size(filter(split({text_col}, ' +'), t -> t != '')), 1) as double)"
+    )
+
+
+def punct_ratio(text_col: str) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    stripped = f"regexp_replace({text_col}, '[A-Za-z0-9\\\\s]', '')"
+    return F.expr(
+        f"length({stripped}) / cast(greatest(length({text_col}), 1) as double)"
+    )
+
+
+def avg_token_length(text_col: str) -> Column:
+    return F.expr(
+        f"aggregate(filter(split({text_col}, ' +'), t -> t != ''), "
+        "cast(0 as double), (acc, t) -> acc + length(t), "
+        f"acc -> acc / greatest(size(filter(split({text_col}, ' +'), t -> t != '')), 1))"
+    )
+
+
+def quality_score(text_col: str, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    """Heuristic document quality in [0, 1]: rewards mid-length docs,
+    reasonable average word length, and some stopword presence; penalizes
+    punctuation soup.  (The C4/Gopher-style rule-based filter family.)
+    """
+    n = token_count(text_col)
+    len_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    awl = avg_token_length(text_col)
+    awl_score = F.when((awl >= 2.0) & (awl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.3))
+    sw_score = F.least(
+        stopword_ratio(text_col, stopwords) * F.lit(5.0), F.lit(1.0)
+    )
+    punct_pen = F.lit(1.0) - F.least(punct_ratio(text_col) * F.lit(2.0), F.lit(1.0))
+    return F.round(
+        (len_score * 0.3 + awl_score * 0.3 + sw_score * 0.2 + punct_pen * 0.2), 6
+    )
+
+
+def _lang_score_sql(text_col: str, words: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"size(filter(split({text_col}, ' +'), "
+        f"t -> array_contains(array({in_list}), t)))"
+    )
+
+
+def lang_scores(text_col: str) -> dict[str, Column]:
+    """Stopword-voting score per candidate language."""
+    return {
+        lang: F.expr(_lang_score_sql(text_col, words))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text_col: str) -> Column:
+    """argmax language with deterministic tie-break (alphabetical order of
+    language code; 'und' when no marker hits)."""
+    pairs = ", ".join(
+        f"named_struct('lang', '{lang}', "
+        f"'score', cast({_lang_score_sql(text_col, words)} as bigint))"
+        for lang, words in sorted(LANG_MARKERS.items())
+    )
+    # array_sort on (score desc, lang asc): flip score sign, sort asc
+    return F.expr(
+        f"if(array_max(transform(array({pairs}), p -> p.score)) = 0, 'und', "
+        f"array_sort(array({pairs}), (a, b) -> "
+        "case when a.score > b.score then -1 when a.score < b.score then 1 "
+        "when a.lang < b.lang then -1 when a.lang > b.lang then 1 else 0 end)[0].lang)"
+    )
+
+
+def doc_fingerprint(text_col: str, modulus: int = 2147483647) -> Column:
+    """Order-sensitive document fingerprint over whitespace tokens:
+    sum over positions i of (i+1)·(len(tᵢ)·7919 + ascii(tᵢ[0])), mod p.
+
+    Position-weighted so token order matters (unlike a bag hash), and
+    expressed with only arithmetic every SQL engine shares — the
+    correctness oracle recomputes it exactly.  Collisions are acceptable
+    for its purpose: a cheap shard-stable grouping key for candidate
+    dedup / reservoir sampling.
+    """
+    toks = f"filter(split({text_col}, ' +'), t -> t != '')"
+    # sequence(1, 0) would count DOWN in Spark, so guard the empty doc
+    return F.expr(
+        f"if(size({toks}) = 0, 0L, "
+        f"pmod(aggregate(zip_with({toks}, sequence(1, size({toks})), "
+        f"(t, i) -> cast(i as bigint) * (length(t) * 7919 + ascii(substring(t, 1, 1)))), "
+        f"0L, (acc, x) -> acc + x), {modulus}))"
+    )
+
+
+def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per doc with the standard curation metrics attached."""
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        bpe_token_count(text_col).alias("n_bpe_tokens"),
+        F.round(avg_token_length(text_col), 6).alias("avg_token_len"),
+        F.round(stopword_ratio(text_col, LANG_MARKERS["en"]), 6).alias("stopword_ratio"),
+        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("pred_lang"),
+        doc_fingerprint(text_col).alias("fingerprint"),
+    )

@@ -695,3 +695,9 @@ ORACLE_SQL: dict[str, str] = {
     "rate": ORACLE_RATE,
     # sample_by_key, window_funnel: non-SQL-expressible -> rows-only check
 }
+
+# LLM-data-pipeline query suite (dedup / similarity / text / multimodal)
+from daisy_spark.queries_llm import ORACLE_SQL_LLM, QUERIES_LLM  # noqa: E402
+
+QUERIES.update(QUERIES_LLM)
+ORACLE_SQL.update(ORACLE_SQL_LLM)

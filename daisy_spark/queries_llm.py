@@ -1,0 +1,363 @@
+"""Correctness queries for the LLM-data-pipeline operators (dedup /
+similarity / text / multimodal) over the ``documents`` and ``embeddings``
+test tables.
+
+Same contract as :mod:`daisy_spark.queries`: each entry is
+``(spark, sf_dir) -> DataFrame`` with a DuckDB oracle in
+``ORACLE_SQL_LLM`` whose column names match exactly.
+
+Oracle note: the near-dup oracles are *all-pairs* SQL — fine for the
+driver's sf0.01 check (500 docs), never how the Spark side works (banded
+LSH buckets, no cartesian product; see operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from daisy_spark.catalog import load_table
+from daisy_spark.operators import dedup as D
+from daisy_spark.operators import multimodal as MM
+from daisy_spark.operators import similarity as SIM
+from daisy_spark.operators import text as TX
+
+_t = load_table
+
+# Shared DuckDB fragments: tokens + distinct word-3-gram shingles,
+# matching operators.dedup.with_shingles exactly.
+_DUCK_SHINGLES = """
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split_regex(text, ' +'), t -> t != '') AS w
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(w[i + 1:i + 3], ' ')
+                          for i in range(0, greatest(len(w) - 3, 0) + 1)]) AS shingles
+    FROM toks
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup summary (operators/dedup.py exact_dedup_stats):
+    one hash-groupBy, map-side combined."""
+    d = _t(spark, sf_dir, "documents")
+    return D.exact_dedup_stats(d, ["text"])
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT count(*) AS total_docs,
+       count(DISTINCT text) AS distinct_docs,
+       count(*) - count(DISTINCT text) AS dup_docs
+FROM documents
+"""
+
+
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs at Jaccard ≥ 0.7 (banded candidates +
+    exact shingle-Jaccard verify; detection prob ≈ 0.986 at J=0.7, ≈ 1 at
+    the J≥0.9 pairs the test corpus plants)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(
+        d, text_col="text", id_col="doc_id", threshold=0.7
+    )
+    return pairs.select(
+        "id1", "id2", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id1", "id2")
+
+
+ORACLE_DEDUP_NEAR = _DUCK_SHINGLES + """
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+             / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+      / len(list_distinct(a.shingles || b.shingles)) >= 0.7
+ORDER BY id1, id2
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-bucketed near-dup pairs at J ≥ 0.9 (SimHash's honest
+    operating range: Hamming ≤ 7 recall is guaranteed by the multi-block
+    probes; J ≥ 0.9 pairs sit within that radius at the driver's sf0.01 —
+    at larger SFs a few J≥0.9 pairs land at Hamming 8+ and are missed,
+    the inherent SimHash trade), exact-Jaccard verified for precision."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.simhash_dedup_pairs(
+        d, text_col="text", id_col="doc_id", max_hamming=7, jaccard_threshold=0.9
+    )
+    return pairs.select(
+        "id1", "id2", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id1", "id2")
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.95) via hyperplane-LSH buckets
+    + exact cosine verify."""
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = D.embedding_dedup_pairs(
+        e, vec_col="embedding", id_col="vec_id", threshold=0.95
+    )
+    return pairs.select(
+        "id1", "id2", F.round("cosine", 6).alias("cosine")
+    ).orderBy("id1", "id2")
+
+
+ORACLE_DEDUP_EMBEDDING = """
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95
+ORDER BY id1, id2
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors (the exact ANN
+    baseline; corpus scanned once, queries broadcast)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    corpus = e.filter(F.col("vec_id") >= 5)
+    out = SIM.cosine_topk(
+        q, corpus, query_id="qid", corpus_id="vec_id",
+        query_vec="embedding", corpus_vec="embedding", k=10,
+    )
+    return out.select(
+        "qid", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    ).orderBy("qid", "rank")
+
+
+ORACLE_ANN_TOPK = """
+WITH scored AS (
+    SELECT q.vec_id AS qid, c.vec_id,
+           list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos_raw
+    FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id >= 5
+), ranked AS (
+    SELECT qid, vec_id, cos_raw,
+           row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT qid, vec_id, round(cos_raw, 6) AS cosine, rank
+FROM ranked WHERE rank <= 10
+ORDER BY qid, rank
+"""
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: nearest-centroid probe (cells = label clusters), exact
+    top-5 within the probed cell only — the 100-TB path where the probe
+    join prunes the corpus scan."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    corpus = e.filter(F.col("vec_id") >= 5)
+    out = SIM.ivf_topk(
+        q, corpus, query_id="qid", corpus_id="vec_id",
+        query_vec="embedding", corpus_vec="embedding",
+        cell_col="label", k=5, n_probe=1,
+    )
+    return out.select(
+        "qid", "vec_id", F.col("label"),
+        F.round("cosine", 6).alias("cosine"), "rank",
+    ).orderBy("qid", "rank")
+
+
+ORACLE_ANN_IVF = """
+WITH dims AS (
+    SELECT label, pos, avg(v::DOUBLE) AS c
+    FROM (SELECT label, unnest(embedding) AS v,
+                 unnest(range(1, len(embedding) + 1)) AS pos
+          FROM embeddings WHERE vec_id >= 5)
+    GROUP BY label, pos
+), cents AS (
+    SELECT label, list(c ORDER BY pos) AS centroid FROM dims GROUP BY label
+), probe AS (
+    SELECT qid, label FROM (
+        SELECT q.vec_id AS qid, c.label,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.centroid) DESC,
+                            c.label) AS pr
+        FROM embeddings q JOIN cents c ON q.vec_id < 5
+    ) WHERE pr = 1
+), scored AS (
+    SELECT p.qid, c.vec_id, c.label,
+           list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos_raw
+    FROM probe p
+    JOIN embeddings q ON q.vec_id = p.qid
+    JOIN embeddings c ON c.label = p.label AND c.vec_id >= 5
+), ranked AS (
+    SELECT qid, vec_id, label, cos_raw,
+           row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT qid, vec_id, label, round(cos_raw, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5
+ORDER BY qid, rank
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (approximate recall — rows-only checked; the exact
+    baselines above are the hash-checked correctness anchors)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    corpus = e.filter(F.col("vec_id") >= 5)
+    out = SIM.lsh_ann_topk(
+        q, corpus, query_id="qid", corpus_id="vec_id",
+        query_vec="embedding", corpus_vec="embedding", k=10,
+    )
+    return out.select(
+        "qid", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    ).orderBy("qid", "rank")
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts (whitespace + BPE-ish regex), length/stopword/punct
+    ratios, quality score — per document."""
+    d = _t(spark, sf_dir, "documents")
+    return TX.text_profile(d, "text", "doc_id").select(
+        "doc_id", "n_tokens", "n_bpe_tokens", "avg_token_len",
+        "stopword_ratio", "punct_ratio", "quality",
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_STATS = r"""
+WITH toks AS (
+    SELECT doc_id, text,
+           list_filter(string_split_regex(text, ' +'), t -> t != '') AS w
+    FROM documents
+), m AS (
+    SELECT doc_id, text, w,
+           len(w) AS n_tokens,
+           len(regexp_extract_all(text, '''?[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS n_bpe_tokens,
+           list_sum([len(t) for t in w])::DOUBLE / greatest(len(w), 1) AS awl,
+           len(list_filter(w, t -> list_contains(['the','and','of','is','to'], t)))::DOUBLE
+               / greatest(len(w), 1) AS swr,
+           length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
+               / greatest(length(text), 1) AS pr
+    FROM toks
+)
+SELECT doc_id, n_tokens, n_bpe_tokens,
+       round(awl, 6) AS avg_token_len,
+       round(swr, 6) AS stopword_ratio,
+       round(pr, 6) AS punct_ratio,
+       round(least(n_tokens / 100.0, 1.0) * 0.3
+             + (CASE WHEN awl >= 2.0 AND awl <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.3
+             + least(swr * 5.0, 1.0) * 0.2
+             + (1.0 - least(pr * 2.0, 1.0)) * 0.2, 6) AS quality
+FROM m
+ORDER BY doc_id
+"""
+
+
+def q_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID (stopword voting, deterministic tie-break) + order-
+    sensitive document fingerprint."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.lang_id("text").alias("pred_lang"),
+        TX.doc_fingerprint("text").alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+ORACLE_LANG_FINGERPRINT = """
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split_regex(text, ' +'), t -> t != '') AS w
+    FROM documents
+), scores AS (
+    SELECT doc_id, w,
+       len(list_filter(w, t -> list_contains(['der','die','und','das','ist'], t))) AS s_de,
+       len(list_filter(w, t -> list_contains(['the','and','of','is','to'], t))) AS s_en,
+       len(list_filter(w, t -> list_contains(['el','la','de','que','los'], t))) AS s_es,
+       len(list_filter(w, t -> list_contains(['le','la','les','des','est'], t))) AS s_fr
+    FROM toks
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+            WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS pred_lang,
+       CASE WHEN len(w) = 0 THEN 0
+            ELSE list_sum([(i + 1) * (len(w[i + 1]) * 7919 + ascii(w[i + 1][1]))
+                           for i in range(0, len(w))]) % 2147483647
+       END AS fingerprint
+FROM scores
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Multimodal
+# --------------------------------------------------------------------------
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing: text payload → binary → Arrow-batched
+    mapInPandas stub codec → typed metadata (byte length is real; the fake
+    dims are deterministic functions of it, so the whole pandas path is
+    hash-checked)."""
+    d = _t(spark, sf_dir, "documents")
+    with_bin = d.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return MM.media_profile(with_bin, "payload", "doc_id").orderBy("doc_id")
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       (octet_length(encode(text)) % 640 + 1)::INT AS width,
+       (octet_length(encode(text)) % 480 + 1)::INT AS height
+FROM documents
+ORDER BY doc_id
+"""
+
+
+QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_near": q_dedup_near,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
+    "ann_lsh": q_ann_lsh,
+    "text_stats": q_text_stats,
+    "lang_fingerprint": q_lang_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+}
+
+ORACLE_SQL_LLM: dict[str, str] = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_near": ORACLE_DEDUP_NEAR,
+    "dedup_simhash": ORACLE_DEDUP_NEAR.replace("0.7", "0.9"),
+    "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
+    "ann_topk": ORACLE_ANN_TOPK,
+    "ann_ivf": ORACLE_ANN_IVF,
+    # ann_lsh: approximate recall -> rows-only check
+    "text_stats": ORACLE_TEXT_STATS,
+    "lang_fingerprint": ORACLE_LANG_FINGERPRINT,
+    "multimodal_meta": ORACLE_MULTIMODAL,
+}
