@@ -135,9 +135,39 @@ def sequence_count(pattern_conds: list[int], ts: Column, *conds: Column) -> Colu
     return F.aggregate(events, init, step).getField("cnt").alias("sequence_count")
 
 
+def delta_sum_df(df, ts, x, group_cols: list[str], out_col: str = "delta_sum"):
+    """deltaSum as a DataFrame transform — the scale path.
+
+    lag() over (group, time) then sum of positive diffs: the window sort
+    spills to disk under skew instead of building a per-key in-memory
+    array the way the collect_list fold does.  One shuffle on the group
+    key, reused by both the window and the final groupBy (no second
+    exchange in the plan).
+
+    Returns one row per group: ``group_cols + [out_col]``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(_c(ts))
+    d = _c(x).cast("double") - F.lag(_c(x).cast("double")).over(w)
+    return (
+        df.withColumn("__d", d)
+        .groupBy(*group_cols)
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__d") > 0, F.col("__d"))), F.lit(0.0)
+            ).alias(out_col)
+        )
+    )
+
+
 def delta_sum(ts: Column, x: Column) -> Column:
     """Sum of positive deltas of x in time order (AggregateFunctionDeltaSum.h
-    sums positive differences between consecutive values)."""
+    sums positive differences between consecutive values).
+
+    Aggregate-column form (collect_list fold) — fine for bounded groups;
+    for skew-prone keys prefer :func:`delta_sum_df`, whose window sort
+    spills instead of buffering the group in memory."""
     vals = F.array_sort(
         F.collect_list(F.struct(_c(ts).alias("t"), _c(x).cast("double").alias("v")))
     )
@@ -161,11 +191,61 @@ def rate(ts: Column, x: Column) -> Column:
     return F.when(dt > 0, (mx.getField("v") - mn.getField("v")) / dt).alias("rate")
 
 
+def histogram_df(df, x, nbins: int, group_cols: list[str] | None = None):
+    """Equal-width histogram as a two-pass DataFrame transform — the scale
+    path: pass 1 aggregates min/max per group (tiny, broadcast back);
+    pass 2 buckets each row arithmetically and counts per (group, bin).
+    No row buffer anywhere — both passes are plain hash aggregations with
+    map-side combine, so a single global histogram over 100 TB works.
+
+    Returns ``group_cols + [bin, lower, upper, height]`` with all
+    ``nbins`` bins present (zero-height bins included).
+    """
+    group_cols = group_cols or []
+    v = _c(x).cast("double")
+    bounds = df.groupBy(*group_cols).agg(
+        F.min(v).alias("__mn"), F.max(v).alias("__mx")
+    )
+    joined = (
+        df.join(F.broadcast(bounds), on=group_cols)
+        if group_cols
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    width = (F.col("__mx") - F.col("__mn")) / nbins
+    bin_ = F.when(F.col("__mx") == F.col("__mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((v - F.col("__mn")) / width).cast("int"), F.lit(nbins - 1)
+        )
+    )
+    counts = (
+        joined.withColumn("__bin", bin_)
+        .groupBy(*group_cols, "__mn", "__mx", "__bin")
+        .agg(F.count(F.lit(1)).alias("height"))
+    )
+    # materialize empty bins so the output shape is stable
+    grid = bounds.select(
+        *group_cols, "__mn", "__mx",
+        F.explode(F.sequence(F.lit(0), F.lit(nbins - 1))).alias("__bin"),
+    )
+    out = grid.join(counts, on=group_cols + ["__mn", "__mx", "__bin"], how="left")
+    width2 = (F.col("__mx") - F.col("__mn")) / nbins
+    return out.select(
+        *group_cols,
+        F.col("__bin").alias("bin"),
+        (F.col("__mn") + F.col("__bin") * width2).alias("lower"),
+        (F.col("__mn") + (F.col("__bin") + 1) * width2).alias("upper"),
+        F.coalesce(F.col("height"), F.lit(0)).cast("double").alias("height"),
+    )
+
+
 def histogram(nbins: int, x: Column) -> Column:
     """Adaptive histogram approximated by equal-width bins over [min,max]:
     array<struct<lower,upper,height>> (reference uses adaptive centroids —
     AggregateFunctionHistogram.h; equal-width is the deterministic,
-    oracle-checkable variant)."""
+    oracle-checkable variant).
+
+    Aggregate-column form collects the group's values — bounded groups
+    only; for global/huge-group histograms use :func:`histogram_df`."""
     xs = F.collect_list(_c(x).cast("double"))
     mn, mx = F.array_min(xs), F.array_max(xs)
     width = (mx - mn) / nbins

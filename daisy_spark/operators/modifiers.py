@@ -42,10 +42,37 @@ def limit_by(
     )
 
 
-def limit_with_ties(df: DataFrame, n: int, order: Sequence[Column]) -> DataFrame:
-    """LIMIT n WITH TIES: keep all rows tying with row n on the sort key."""
-    w = Window.orderBy(*order)
-    return df.withColumn("__rk", F.rank().over(w)).filter(F.col("__rk") <= n).drop("__rk")
+def limit_with_ties(
+    df: DataFrame,
+    n: int,
+    order: Sequence[Column],
+    tie_cols: Sequence[Column] | None = None,
+) -> DataFrame:
+    """LIMIT n WITH TIES: keep all rows tying with row n on the sort key.
+
+    Scale shape: a global-window rank would funnel every row through ONE
+    task.  Instead take the distributed top-n (TakeOrderedAndProject),
+    keep its distinct sort-key tuples (≤ n rows, broadcast), and
+    semi-join: a row survives iff its key tuple appears among the top-n
+    tuples — exactly WITH TIES semantics, fully parallel.
+
+    ``tie_cols`` are the plain key expressions for tie equality; they
+    default to ``order`` (valid when ``order`` entries are plain
+    ascending columns — pass ``tie_cols`` explicitly when sorting with
+    ``.desc()`` wrappers, which cannot be re-projected).
+    """
+    ties = list(tie_cols) if tie_cols is not None else list(order)
+    top_keys = (
+        df.orderBy(*order)
+        .limit(n)
+        .select(*[t.alias(f"__t{i}") for i, t in enumerate(ties)])
+        .distinct()
+    )
+    cond = None
+    for i, t in enumerate(ties):
+        c = t.eqNullSafe(F.col(f"__t{i}"))
+        cond = c if cond is None else (cond & c)
+    return df.join(F.broadcast(top_keys), cond, "left_semi")
 
 
 def limit_offset(df: DataFrame, limit: int, offset: int = 0) -> DataFrame:
@@ -64,16 +91,21 @@ def with_totals(
     NULL group keys (reference emits an extra totals block;
     TotalsHavingStep.cpp).  `totals_mode` interplay with HAVING defaults to
     after_having_exclusive = totals computed over all rows.
+
+    Single pass via GROUPING SETS ((cols...), ()) — one scan, one
+    aggregation (the naive groupBy + separate df.agg() reads the input
+    twice; at 100 TB that is two full scans).  HAVING applies to detail
+    rows only; the totals row (grouping_id = all-ones) passes through.
     """
     agg_exprs = [c.alias(name) for name, c in aggs.items()]
-    grouped = df.groupBy(*group_cols).agg(*agg_exprs)
-    if having is not None:
-        grouped = grouped.filter(having)
-    totals = df.agg(*agg_exprs).select(
-        *[F.lit(None).cast(df.schema[c].dataType).alias(c) for c in group_cols],
-        *[F.col(name) for name in aggs],
+    cols = list(group_cols)
+    grouped = df.groupingSets([cols, []], *cols).agg(
+        *agg_exprs, F.grouping_id(*cols).alias("__gid")
     )
-    return grouped.unionByName(totals)
+    total_gid = (1 << len(cols)) - 1
+    if having is not None:
+        grouped = grouped.filter((F.col("__gid") == total_gid) | having)
+    return grouped.drop("__gid")
 
 
 def rollup_agg(df: DataFrame, group_cols: Sequence[str], aggs: dict[str, Column]) -> DataFrame:

@@ -607,13 +607,15 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """deltaSum of value in time order per user (AggregateFunctionDeltaSum.h)."""
+    """deltaSum of value in time order per user (AggregateFunctionDeltaSum.h),
+    window form: lag + sum of positive diffs — spills under skew instead of
+    buffering each user's events (the collect_list fold variant is
+    TS.delta_sum, kept for bounded groups)."""
     e = _t(spark, sf_dir, "events")
-    return (
-        e.groupBy("user_id")
-        .agg(F.round(TS.delta_sum(F.col("ts"), F.col("value")), 6).alias("delta_sum"))
-        .orderBy("user_id")
-    )
+    out = TS.delta_sum_df(e, F.col("ts"), F.col("value"), ["user_id"])
+    return out.select(
+        "user_id", F.round("delta_sum", 6).alias("delta_sum")
+    ).orderBy("user_id")
 
 
 ORACLE_DELTA_SUM = """
