@@ -9,10 +9,12 @@ stays inside whole-stage codegen.
 Semantics notes reproduced from the reference:
 
 - ``intDiv`` truncates toward zero and raises on division by zero
-  (src/Functions/intDiv.cpp); float ``divide`` returns inf/nan.
+  (src/Functions/intDiv.cpp) — Spark 4's default ANSI mode raises too,
+  so that is parity; float ``divide`` returns inf/nan.
 - ``modulo`` follows C semantics (sign of dividend), same as Spark ``%``.
-- Integer arithmetic wraps on overflow in the reference; Spark throws
-  under ANSI mode — we run with ANSI off so Spark also wraps.
+- Integer arithmetic wraps on overflow in the reference; under Spark's
+  default ANSI mode overflow raises instead — documented divergence
+  (disable ANSI per-session if wrap semantics are required).
 - Logical functions treat any non-zero number as true
   (src/Functions/FunctionsLogical.cpp) — ``to_bool`` encodes that.
 - ``toStartOf*`` family = date_trunc buckets
@@ -60,8 +62,14 @@ def divide(a, b):
 
 
 def int_div(a, b):
-    """Integer division truncating toward zero (src/Functions/intDiv.cpp)."""
-    return (_c(a) - pymod(_c(a), _c(b))) / _c(b)
+    """Integer division truncating toward zero (src/Functions/intDiv.cpp).
+
+    Spark's integral ``div`` stays in long arithmetic — no double
+    round-trip, exact over the full 64-bit range — and truncates toward
+    zero like the reference.  Division by zero raises under Spark's
+    default ANSI mode, matching the reference's behavior.
+    """
+    return F.call_function("div", _c(a).cast("long"), _c(b).cast("long"))
 
 
 def pymod(a, b):
@@ -668,13 +676,38 @@ def xx_hash64(*xs):
 
 
 def city_hash64(*xs):
-    """Reference cityHash64; we expose Spark's xxhash64 under the same
-    name (hash values differ — documented; only used for bucketing)."""
+    """Reference cityHash64 — NOT bit-compatible: Spark has no CityHash,
+    so this is xxhash64 under the reference's name.  Distribution
+    properties match (uniform 64-bit), so bucketing/sampling/sharding
+    semantics hold, but raw hash VALUES differ from the reference —
+    anything persisting or comparing hash values across systems must not
+    rely on this.  A loud warning is emitted once per process."""
+    _warn_hash_alias("cityHash64")
     return F.xxhash64(*[_c(x) for x in xs])
 
 
 def sip_hash64(*xs):
+    """Reference sipHash64 — NOT bit-compatible (same caveat as
+    :func:`city_hash64`): xxhash64 stands in; values differ from the
+    reference, distributions match."""
+    _warn_hash_alias("sipHash64")
     return F.xxhash64(*[_c(x) for x in xs])
+
+
+_WARNED_HASH_ALIASES: set[str] = set()
+
+
+def _warn_hash_alias(name: str) -> None:
+    if name not in _WARNED_HASH_ALIASES:
+        _WARNED_HASH_ALIASES.add(name)
+        import warnings
+
+        warnings.warn(
+            f"{name} is implemented as xxhash64: hash VALUES differ from the "
+            "reference engine (distributions match). Do not compare or "
+            "persist raw hashes across systems.",
+            stacklevel=3,
+        )
 
 
 def half_md5(x):

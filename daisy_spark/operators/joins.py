@@ -83,7 +83,17 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be backward|forward")
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"asof_join supports how='inner'|'left', got {how!r}"
+        )
     rcols = right_cols or [c for c in right.columns if c not in on and c != right_ts]
+    collisions = set(rcols) & set(left.columns)
+    if collisions:
+        raise ValueError(
+            f"right_cols collide with left columns: {sorted(collisions)}; "
+            "rename the right side before joining"
+        )
 
     # tag: right rows must sort BEFORE left rows at equal timestamps for
     # non-strict backward (>=), AFTER for strict (>)
