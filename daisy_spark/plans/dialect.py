@@ -1,0 +1,899 @@
+"""Reference-dialect SQL -> Spark SQL translator.
+
+The reference is a SQL database (entry: src/Interpreters/executeQuery.cpp);
+its dialect is ClickHouse-21.5-shaped plus streaming extensions (pipe
+queries — src/Parsers/parseQueryPipe.cpp; SELECT STREAM).  Spark SQL
+already shares most of the ANSI surface, so the translator is a
+token-level rewriter, not a full parser:
+
+- function-name mapping (reference name -> Spark SQL template), applied
+  recursively through nested calls/subqueries;
+- type-name mapping inside CAST / to<Type> casts (UInt64 -> BIGINT, ...);
+- clause rewrites Spark lacks as syntax:
+    * ``LIMIT n BY cols``     -> row_number window wrapper
+    * ``GROUP BY .. WITH TOTALS`` -> GROUPING SETS ((cols), ())
+    * ``FROM t FINAL``        -> finalized view name (``t__final``)
+    * ``SAMPLE 0.x``          -> TABLESAMPLE (x PERCENT)
+    * ``PREWHERE``            -> merged into WHERE (pushdown is
+                                 Catalyst's job, which is the PREWHERE
+                                 optimization done declaratively)
+    * pipe queries ``q | WHERE .. | SELECT ..`` -> nested subqueries
+    * ``SELECT STREAM``       -> stripped + flagged (streaming handled by
+                                 daisy_spark.streaming)
+    * ``SETTINGS k=v``        -> stripped + returned (session shim)
+- everything else passes through untouched, so Catalyst sees ordinary
+  Spark SQL and all pushdown/pruning/join planning applies.
+
+Deliberately unsupported (raise DialectError with the operator-API
+alternative): ASOF/ANY JOIN SQL syntax, parametric aggregates that have
+no single-expression Spark form (topK, windowFunnel, sequenceMatch —
+available via daisy_spark.functions/operators), scalar WITH aliases.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+__all__ = ["translate", "sql", "DialectError", "TranslateResult"]
+
+
+class DialectError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<ws>\s+)
+    | (?P<comment>--[^\n]*|/\*.*?\*/)
+    | (?P<str>'(?:[^'\\]|\\.|'')*')
+    | (?P<qid>`(?:[^`]|``)*`|"(?:[^"\\]|\\.)*")
+    | (?P<num>[0-9]+(?:\.[0-9]*)?(?:[eE][+-]?[0-9]+)?|\.[0-9]+)
+    | (?P<id>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<op>==|!=|<>|<=|>=|\|\||->|::)
+    | (?P<punct>.)
+    """,
+    re.X | re.S,
+)
+
+
+def tokenize(sql_text: str) -> list[str]:
+    out: list[str] = []
+    for m in _TOKEN_RE.finditer(sql_text):
+        if m.lastgroup in ("ws", "comment"):
+            continue
+        out.append(m.group())
+    return out
+
+
+def _is_ident(tok: str) -> bool:
+    return bool(re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", tok))
+
+
+def _kw(tok: str) -> str:
+    return tok.upper() if _is_ident(tok) else tok
+
+
+def _match_paren(toks: list[str], i: int) -> int:
+    """Index of the ')' matching the '(' at position i."""
+    depth = 0
+    for j in range(i, len(toks)):
+        if toks[j] == "(":
+            depth += 1
+        elif toks[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+    raise DialectError("unbalanced parentheses")
+
+
+def _split_top(toks: list[str], sep: str) -> list[list[str]]:
+    parts, cur, depth = [], [], 0
+    for t in toks:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if depth == 0 and t == sep:
+            parts.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    parts.append(cur)
+    return parts
+
+
+def _emit(toks: list[str]) -> str:
+    """Tokens -> SQL text (space-joined is always valid SQL)."""
+    return " ".join(toks)
+
+
+# ---------------------------------------------------------------------------
+# Type mapping (reference type names -> Spark SQL types)
+# ---------------------------------------------------------------------------
+
+TYPE_MAP = {
+    "UINT8": "SMALLINT", "UINT16": "INT", "UINT32": "BIGINT",
+    "UINT64": "BIGINT", "INT8": "TINYINT", "INT16": "SMALLINT",
+    "INT32": "INT", "INT64": "BIGINT", "FLOAT32": "FLOAT",
+    "FLOAT64": "DOUBLE", "STRING": "STRING", "BOOL": "BOOLEAN",
+    "DATE": "DATE", "DATETIME": "TIMESTAMP", "DATETIME64": "TIMESTAMP",
+    "UUID": "STRING",
+}
+
+
+def _map_type(toks: list[str], i: int) -> tuple[str, int]:
+    """Translate a type expression starting at i; returns (sql, next_i)."""
+    t = toks[i]
+    up = _kw(t)
+    if up == "NULLABLE" and i + 1 < len(toks) and toks[i + 1] == "(":
+        close = _match_paren(toks, i + 1)
+        inner, _ = _map_type(toks, i + 2)
+        return inner, close + 1
+    if up == "LOWCARDINALITY" and i + 1 < len(toks) and toks[i + 1] == "(":
+        close = _match_paren(toks, i + 1)
+        inner, _ = _map_type(toks, i + 2)
+        return inner, close + 1
+    if up == "ARRAY" and i + 1 < len(toks) and toks[i + 1] == "(":
+        close = _match_paren(toks, i + 1)
+        inner, _ = _map_type(toks, i + 2)
+        return f"ARRAY<{inner}>", close + 1
+    if up == "FIXEDSTRING" and i + 1 < len(toks) and toks[i + 1] == "(":
+        close = _match_paren(toks, i + 1)
+        return "STRING", close + 1
+    if up == "DECIMAL" and i + 1 < len(toks) and toks[i + 1] == "(":
+        close = _match_paren(toks, i + 1)
+        return "DECIMAL(" + _emit(toks[i + 2 : close]) + ")", close + 1
+    if up == "DATETIME64" and i + 1 < len(toks) and toks[i + 1] == "(":
+        close = _match_paren(toks, i + 1)
+        return "TIMESTAMP", close + 1
+    if up in TYPE_MAP:
+        return TYPE_MAP[up], i + 1
+    return t, i + 1  # pass through Spark-native types
+
+
+# ---------------------------------------------------------------------------
+# Function mapping
+# ---------------------------------------------------------------------------
+# Template syntax: {0},{1},... positional args, {*} = all args comma-joined.
+# A callable receives the already-translated arg strings.
+
+def _multi_if(args: list[str]) -> str:
+    if len(args) % 2 == 0:
+        raise DialectError("multiIf needs odd number of args")
+    parts = ["CASE"]
+    for k in range(0, len(args) - 1, 2):
+        parts.append(f"WHEN {args[k]} THEN {args[k + 1]}")
+    parts.append(f"ELSE {args[-1]} END")
+    return " ".join(parts)
+
+
+_FMT_MAP = {
+    "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm",
+    "%S": "ss", "%F": "yyyy-MM-dd", "%T": "HH:mm:ss",
+}
+
+
+def _format_datetime(args: list[str]) -> str:
+    """formatDateTime(t, '%Y-%m-%d') — translate C-style specifiers to
+    Java patterns when the format is a literal."""
+    if len(args) != 2 or not args[1].startswith("'"):
+        raise DialectError("formatDateTime requires a literal format string")
+    fmt = args[1][1:-1]
+    for k, v in _FMT_MAP.items():
+        fmt = fmt.replace(k, v)
+    return f"date_format({args[0]}, '{fmt}')"
+
+
+FUNC_MAP: dict[str, object] = {
+    # arithmetic / comparison / logic
+    "plus": "({0} + {1})", "minus": "({0} - {1})", "multiply": "({0} * {1})",
+    "divide": "(CAST({0} AS DOUBLE) / {1})", "intDiv": "({0} div {1})",
+    "modulo": "({0} % {1})", "negate": "(-{0})",
+    "equals": "({0} = {1})", "notEquals": "({0} <> {1})",
+    "less": "({0} < {1})", "greater": "({0} > {1})",
+    "lessOrEquals": "({0} <= {1})", "greaterOrEquals": "({0} >= {1})",
+    "and": "({0} AND {1})", "or": "({0} OR {1})", "not": "(NOT {0})",
+    "xor": "({0} <> {1})",
+    # conditionals
+    "multiIf": _multi_if, "ifNull": "coalesce({0}, {1})",
+    "nullIf": "nullif({0}, {1})", "assumeNotNull": "{0}",
+    "ifNotFinite": "(CASE WHEN isnan({0}) OR {0} = double('inf') OR {0} = double('-inf') THEN {1} ELSE {0} END)",
+    "isNull": "({0} IS NULL)", "isNotNull": "({0} IS NOT NULL)",
+    "isNaN": "isnan({0})",
+    "empty": "(coalesce(length({0}), 0) = 0)",
+    "notEmpty": "(coalesce(length({0}), 0) > 0)",
+    # type conversion
+    "toString": "CAST({0} AS STRING)",
+    "toUInt8": "CAST({0} AS SMALLINT)", "toUInt16": "CAST({0} AS INT)",
+    "toUInt32": "CAST({0} AS BIGINT)", "toUInt64": "CAST({0} AS BIGINT)",
+    "toInt8": "CAST({0} AS TINYINT)", "toInt16": "CAST({0} AS SMALLINT)",
+    "toInt32": "CAST({0} AS INT)", "toInt64": "CAST({0} AS BIGINT)",
+    "toFloat32": "CAST({0} AS FLOAT)", "toFloat64": "CAST({0} AS DOUBLE)",
+    "toDate": "CAST({0} AS DATE)", "toDateTime": "CAST({0} AS TIMESTAMP)",
+    "toDateTime64": lambda a: f"CAST({a[0]} AS TIMESTAMP)",
+    "parseDateTimeBestEffort": "CAST({0} AS TIMESTAMP)",
+    "toUnixTimestamp": "unix_timestamp({0})",
+    "toUnixTimestamp64Milli": "unix_millis({0})",
+    "toUnixTimestamp64Micro": "unix_micros({0})",
+    "fromUnixTimestamp64Milli": "timestamp_millis({0})",
+    "fromUnixTimestamp64Micro": "timestamp_micros({0})",
+    # date/time parts
+    "toYear": "year({0})", "toQuarter": "quarter({0})", "toMonth": "month({0})",
+    "toDayOfMonth": "day({0})", "toDayOfYear": "dayofyear({0})",
+    "toDayOfWeek": "(weekday({0}) + 1)",  # reference: Monday=1..Sunday=7
+    "toHour": "hour({0})", "toMinute": "minute({0})", "toSecond": "second({0})",
+    "toStartOfYear": "date_trunc('YEAR', {0})",
+    "toStartOfQuarter": "date_trunc('QUARTER', {0})",
+    "toStartOfMonth": "date_trunc('MONTH', {0})",
+    "toStartOfWeek": "date_trunc('WEEK', {0})",
+    "toStartOfDay": "date_trunc('DAY', {0})",
+    "toStartOfHour": "date_trunc('HOUR', {0})",
+    "toStartOfMinute": "date_trunc('MINUTE', {0})",
+    "toStartOfFiveMinute": "timestamp_seconds(floor(unix_timestamp({0}) / 300) * 300)",
+    "toStartOfFifteenMinutes": "timestamp_seconds(floor(unix_timestamp({0}) / 900) * 900)",
+    "toYYYYMM": "CAST(date_format({0}, 'yyyyMM') AS INT)",
+    "toYYYYMMDD": "CAST(date_format({0}, 'yyyyMMdd') AS INT)",
+    "now": "current_timestamp()", "today": "current_date()",
+    "yesterday": "date_sub(current_date(), 1)",
+    "addSeconds": "({0} + make_interval(0, 0, 0, 0, 0, 0, {1}))",
+    "addMinutes": "({0} + make_interval(0, 0, 0, 0, 0, {1}, 0))",
+    "addHours": "({0} + make_interval(0, 0, 0, 0, {1}, 0, 0))",
+    "addDays": "({0} + make_interval(0, 0, 0, {1}, 0, 0, 0))",
+    "addWeeks": "({0} + make_interval(0, 0, {1}, 0, 0, 0, 0))",
+    "addMonths": "({0} + make_interval(0, {1}, 0, 0, 0, 0, 0))",
+    "addYears": "({0} + make_interval({1}, 0, 0, 0, 0, 0, 0))",
+    "subtractDays": "({0} - make_interval(0, 0, 0, {1}, 0, 0, 0))",
+    "dateDiff": "timestampdiff({0}, {1}, {2})",
+    "formatDateTime": _format_datetime,
+    "timeSlot": "timestamp_seconds(floor(unix_timestamp({0}) / 1800) * 1800)",
+    # strings
+    "lowerUTF8": "lower({0})", "upperUTF8": "upper({0})",
+    "char_length": "length({0})", "lengthUTF8": "length({0})",
+    "trimBoth": "trim({0})", "trimLeft": "ltrim({0})", "trimRight": "rtrim({0})",
+    "startsWith": "startswith({0}, {1})", "endsWith": "endswith({0}, {1})",
+    "position": "locate({1}, {0})",
+    "positionCaseInsensitive": "locate(lower({1}), lower({0}))",
+    "match": "({0} RLIKE {1})", "like": "({0} LIKE {1})",
+    "notLike": "({0} NOT LIKE {1})", "ilike": "(lower({0}) LIKE lower({1}))",
+    "replaceAll": "replace({0}, {1}, {2})",
+    "replaceRegexpAll": "regexp_replace({0}, {1}, {2})",
+    "extract": "regexp_extract({0}, {1}, 1)",
+    "extractAll": "regexp_extract_all({0}, {1}, 1)",
+    "splitByChar": "split({1}, {0})",
+    "splitByString": "split({1}, {0})",
+    "arrayStringConcat": "array_join({0}, {1})",
+    "leftPad": "lpad({0}, {1}, {2})", "rightPad": "rpad({0}, {1}, {2})",
+    "countSubstrings": "(size(split({0}, {1})) - 1)",
+    "base64Encode": "base64({0})", "base64Decode": "CAST(unbase64({0}) AS STRING)",
+    "hex": "hex({0})", "unhex": "unhex({0})",
+    # JSON (props-style extraction; FunctionsJSON.h)
+    "JSONExtractString": "get_json_object({0}, concat('$.', {1}))",
+    "JSONExtractInt": "CAST(get_json_object({0}, concat('$.', {1})) AS BIGINT)",
+    "JSONExtractFloat": "CAST(get_json_object({0}, concat('$.', {1})) AS DOUBLE)",
+    "JSONExtractBool": "CAST(get_json_object({0}, concat('$.', {1})) AS BOOLEAN)",
+    "JSONExtractRaw": "get_json_object({0}, concat('$.', {1}))",
+    "JSONHas": "(get_json_object({0}, concat('$.', {1})) IS NOT NULL)",
+    "visitParamExtractString": "get_json_object({0}, concat('$.', {1}))",
+    "visitParamExtractInt": "CAST(get_json_object({0}, concat('$.', {1})) AS BIGINT)",
+    # arrays / higher-order (lambda-first in the reference, array-first in Spark)
+    "has": "array_contains({0}, {1})", "indexOf": "array_position({0}, {1})",
+    "arrayJoin": "explode({0})",
+    "arrayMap": "transform({1}, {0})", "arrayFilter": "filter({1}, {0})",
+    "arrayExists": "exists({1}, {0})", "arrayAll": "forall({1}, {0})",
+    "arrayCount": "size(filter({1}, {0}))",
+    "arraySum": lambda a: (
+        f"aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        if len(a) == 1
+        else f"aggregate(transform({a[1]}, {a[0]}), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    ),
+    "arrayDistinct": "array_distinct({0})", "arraySort": "array_sort({0})",
+    "arrayReverse": "reverse({0})", "arrayConcat": "concat({*})",
+    "arraySlice": "slice({0}, {1}, {2})", "arrayFlatten": "flatten({0})",
+    "arrayUniq": "size(array_distinct({0}))",
+    "arrayIntersect": "array_intersect({0}, {1})",
+    "arrayEnumerate": "sequence(1, size({0}))",
+    "emptyArrayToSingle": "(CASE WHEN size({0}) = 0 THEN array(NULL) ELSE {0} END)",
+    "range": "sequence(0, {0} - 1)",
+    # maps / tuples
+    "mapKeys": "map_keys({0})", "mapValues": "map_values({0})",
+    "tuple": "struct({*})", "tupleElement": "{0}.col{1}",
+    # hashing (values differ from reference — see functions.scalar)
+    "cityHash64": "xxhash64({*})", "sipHash64": "xxhash64({*})",
+    "xxHash64": "xxhash64({*})", "halfMD5": "xxhash64({*})",
+    "MD5": "md5({0})", "SHA256": "sha2({0}, 256)", "SHA1": "sha1({0})",
+    # aggregates
+    "count": "count({*})", "countIf": "count_if({0})",
+    "sumIf": "sum(CASE WHEN {1} THEN {0} END)",
+    "avgIf": "avg(CASE WHEN {1} THEN {0} END)",
+    "minIf": "min(CASE WHEN {1} THEN {0} END)",
+    "maxIf": "max(CASE WHEN {1} THEN {0} END)",
+    "any": "any_value({0})", "anyLast": "any_value({0})",
+    "argMax": "max_by({0}, {1})", "argMin": "min_by({0}, {1})",
+    "avgWeighted": "(sum({0} * {1}) / sum({1}))",
+    "uniq": "approx_count_distinct({*})",
+    "uniqCombined": "approx_count_distinct({*})",
+    "uniqHLL12": "approx_count_distinct({*})",
+    "uniqExact": "count(DISTINCT {*})",
+    "groupArray": "collect_list({0})", "groupUniqArray": "collect_set({0})",
+    "groupBitAnd": "bit_and({0})", "groupBitOr": "bit_or({0})",
+    "groupBitXor": "bit_xor({0})",
+    "median": "median({0})",
+    "stddevPop": "stddev_pop({0})", "stddevSamp": "stddev_samp({0})",
+    "varPop": "var_pop({0})", "varSamp": "var_samp({0})",
+    "covarPop": "covar_pop({0}, {1})", "covarSamp": "covar_samp({0}, {1})",
+    "corr": "corr({0}, {1})", "skewPop": "skewness({0})",
+    "kurtPop": "kurtosis({0})",
+    "sumMap": "map_from_arrays({0}, {1})",  # see aggregates.sum_map for the real op
+    # misc
+    "e": "exp(1)", "pi": "pi()", "sqrt": "sqrt({0})", "cbrt": "cbrt({0})",
+    "toTypeName": "typeof({0})", "generateUUIDv4": "uuid()",
+    "rand": "CAST(rand() * 4294967296 AS BIGINT)",
+    "rand64": "CAST(rand() * 9.223372036854776e18 AS BIGINT)",
+    "bar": "repeat('█', CAST(least({0} / {2} * {3}, {3}) AS INT))",
+    "least": "least({*})", "greatest": "greatest({*})",
+    "intHash64": "xxhash64({0})", "farmHash64": "xxhash64({*})",
+    "IPv4NumToString": (
+        "concat(CAST(shiftright({0}, 24) % 256 AS STRING), '.', "
+        "CAST(shiftright({0}, 16) % 256 AS STRING), '.', "
+        "CAST(shiftright({0}, 8) % 256 AS STRING), '.', CAST({0} % 256 AS STRING))"
+    ),
+    "IPv4StringToNum": (
+        "(CAST(split({0}, '\\\\.')[0] AS BIGINT) * 16777216 + "
+        "CAST(split({0}, '\\\\.')[1] AS BIGINT) * 65536 + "
+        "CAST(split({0}, '\\\\.')[2] AS BIGINT) * 256 + "
+        "CAST(split({0}, '\\\\.')[3] AS BIGINT))"
+    ),
+}
+
+#: parametric aggregates fn(params)(args)
+PARAMETRIC_MAP: dict[str, object] = {
+    "quantile": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
+    "quantileExact": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    "quantileTDigest": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
+    "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
+    "quantilesExact": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
+    "uniqUpTo": lambda p, a: f"least(count(DISTINCT {', '.join(a)}), {p[0]} + 1)",
+    "groupArraySample": lambda p, a: f"slice(shuffle(collect_list({a[0]})), 1, {p[0]})",
+}
+
+#: recognizably-reference functions with NO sound SQL translation; the
+#: error points at the DataFrame-level implementation.
+UNSUPPORTED_FUNCS = {
+    "topK": "daisy_spark.operators.topk.top_k_df",
+    "windowFunnel": "daisy_spark.functions.timeseries.window_funnel",
+    "sequenceMatch": "daisy_spark.functions.timeseries.sequence_match",
+    "sequenceCount": "daisy_spark.functions.timeseries.sequence_count",
+    "retention": "daisy_spark.functions.timeseries.retention",
+    "histogram": "daisy_spark.functions.timeseries.histogram_df",
+    "neighbor": "window lag/lead via daisy_spark.queries window examples",
+    "runningDifference": "window lag via delta_sum_df",
+}
+
+
+# ---------------------------------------------------------------------------
+# Expression translation (recursive token walk)
+# ---------------------------------------------------------------------------
+
+#: identifiers that must never be parsed as function names even when a
+#: '(' follows (e.g. ``x IN (1, 2)``, ``EXISTS (SELECT ...)``)
+_SQL_KEYWORDS = {
+    "IN", "AND", "OR", "NOT", "AS", "ON", "BY", "OVER", "CASE", "WHEN",
+    "THEN", "ELSE", "END", "BETWEEN", "LIKE", "RLIKE", "ILIKE", "IS",
+    "NULL", "EXISTS", "ALL", "ANY", "SOME", "VALUES", "JOIN", "UNION",
+    "FROM", "WHERE", "SELECT", "HAVING", "LIMIT", "OFFSET", "DISTINCT",
+    "INTERVAL", "ROWS", "RANGE", "PARTITION", "ORDER", "GROUP", "ASC",
+    "DESC", "NULLS", "FIRST", "LAST", "USING", "INNER", "LEFT", "RIGHT",
+    "FULL", "CROSS", "SEMI", "ANTI", "WITH",
+}
+
+
+def _translate_expr(toks: list[str]) -> list[str]:
+    out: list[str] = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        t = toks[i]
+        up = _kw(t)
+        # subquery
+        if t == "(" :
+            close = _match_paren(toks, i)
+            inner = toks[i + 1 : close]
+            if inner and _kw(inner[0]) in ("SELECT", "WITH"):
+                out += ["(", _translate_query_text(inner), ")"]
+            else:
+                out += ["("] + _translate_expr(inner) + [")"]
+            i = close + 1
+            continue
+        # CAST(x AS Type)
+        if up == "CAST" and i + 1 < n and toks[i + 1] == "(":
+            close = _match_paren(toks, i + 1)
+            inner = toks[i + 2 : close]
+            # find top-level AS
+            depth = 0
+            as_idx = None
+            for j, tk in enumerate(inner):
+                if tk == "(":
+                    depth += 1
+                elif tk == ")":
+                    depth -= 1
+                elif depth == 0 and _kw(tk) == "AS":
+                    as_idx = j
+            if as_idx is None:
+                out += ["CAST", "("] + _translate_expr(inner) + [")"]
+            else:
+                expr = _translate_expr(inner[:as_idx])
+                typ, _ = _map_type(inner[as_idx + 1 :], 0)
+                out += ["CAST", "("] + expr + ["AS", typ, ")"]
+            i = close + 1
+            continue
+        # function call?
+        if _is_ident(t) and up not in _SQL_KEYWORDS and i + 1 < n and toks[i + 1] == "(":
+            close = _match_paren(toks, i + 1)
+            raw_args = toks[i + 2 : close]
+            arg_parts = (
+                [] if not raw_args else _split_top(raw_args, ",")
+            )
+            args = [_emit(_translate_expr(p)) for p in arg_parts if p]
+            # parametric: name(params)(args)
+            if close + 1 < n and toks[close + 1] == "(":
+                close2 = _match_paren(toks, close + 1)
+                raw2 = toks[close + 2 : close2]
+                args2 = [
+                    _emit(_translate_expr(p))
+                    for p in (_split_top(raw2, ",") if raw2 else [])
+                    if p
+                ]
+                if t in PARAMETRIC_MAP:
+                    out.append(PARAMETRIC_MAP[t](args, args2))  # type: ignore[operator]
+                    i = close2 + 1
+                    continue
+                if t in UNSUPPORTED_FUNCS:
+                    raise DialectError(
+                        f"{t} has no single-expression Spark SQL form; "
+                        f"use {UNSUPPORTED_FUNCS[t]}"
+                    )
+            if t in UNSUPPORTED_FUNCS:
+                raise DialectError(
+                    f"{t} has no single-expression Spark SQL form; "
+                    f"use {UNSUPPORTED_FUNCS[t]}"
+                )
+            tmpl = FUNC_MAP.get(t)
+            if tmpl is None:
+                # pass through (Spark-native or user function)
+                out += [t, "("] + ([",".join(args)] if args else []) + [")"]
+            elif callable(tmpl):
+                out.append(tmpl(args))
+            else:
+                s = str(tmpl)
+                s = s.replace("{*}", ", ".join(args) if args else "*")
+                for k, a in enumerate(args):
+                    s = s.replace("{" + str(k) + "}", a)
+                out.append(s)
+            i = close + 1
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Clause-level rewriting
+# ---------------------------------------------------------------------------
+
+_CLAUSE_STARTS = [
+    ("GROUP", "BY"), ("ORDER", "BY"), ("LIMIT",), ("HAVING",), ("WHERE",),
+    ("PREWHERE",), ("FROM",), ("SETTINGS",), ("OFFSET",), ("WINDOW",),
+]
+
+
+@dataclass
+class _Select:
+    select: list[str] = field(default_factory=list)
+    distinct: bool = False
+    from_: list[str] = field(default_factory=list)
+    prewhere: list[str] = field(default_factory=list)
+    where: list[str] = field(default_factory=list)
+    group_by: list[str] = field(default_factory=list)
+    with_totals: bool = False
+    with_rollup: bool = False
+    with_cube: bool = False
+    having: list[str] = field(default_factory=list)
+    order_by: list[str] = field(default_factory=list)
+    limit: list[str] = field(default_factory=list)
+    limit_by: tuple[str, list[str]] | None = None  # (n, by-cols)
+    offset: list[str] = field(default_factory=list)
+    settings: list[str] = field(default_factory=list)
+    is_stream: bool = False
+
+
+def _parse_select(toks: list[str]) -> _Select:
+    q = _Select()
+    i = 0
+    n = len(toks)
+    if i < n and _kw(toks[i]) == "SELECT":
+        i += 1
+    else:
+        raise DialectError(f"expected SELECT, got {toks[i] if toks else '<eof>'}")
+    if i < n and _kw(toks[i]) == "STREAM":
+        q.is_stream = True
+        i += 1
+    if i < n and _kw(toks[i]) == "DISTINCT":
+        q.distinct = True
+        i += 1
+
+    def clause_at(j: int) -> str | None:
+        u = _kw(toks[j])
+        if u in ("FROM", "PREWHERE", "WHERE", "HAVING", "SETTINGS", "OFFSET"):
+            return u
+        if u in ("GROUP", "ORDER") and j + 1 < n and _kw(toks[j + 1]) == "BY":
+            return u + " BY"
+        if u == "LIMIT":
+            return u
+        return None
+
+    cur = "SELECT"
+    bucket: dict[str, list[str]] = {"SELECT": []}
+    depth = 0
+    while i < n:
+        t = toks[i]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        cl = clause_at(i) if depth == 0 else None
+        if cl:
+            cur = cl
+            bucket.setdefault(cur, [])
+            i += 2 if cl in ("GROUP BY", "ORDER BY") else 1
+            continue
+        bucket.setdefault(cur, []).append(t)
+        i += 1
+
+    q.select = bucket.get("SELECT", [])
+    q.from_ = bucket.get("FROM", [])
+    q.prewhere = bucket.get("PREWHERE", [])
+    q.where = bucket.get("WHERE", [])
+    gb = bucket.get("GROUP BY", [])
+    # WITH TOTALS / ROLLUP / CUBE suffixes
+    while len(gb) >= 2 and _kw(gb[-2]) == "WITH":
+        suffix = _kw(gb[-1])
+        if suffix == "TOTALS":
+            q.with_totals = True
+        elif suffix == "ROLLUP":
+            q.with_rollup = True
+        elif suffix == "CUBE":
+            q.with_cube = True
+        else:
+            break
+        gb = gb[:-2]
+    q.group_by = gb
+    q.having = bucket.get("HAVING", [])
+    q.order_by = bucket.get("ORDER BY", [])
+    q.offset = bucket.get("OFFSET", [])
+    q.settings = bucket.get("SETTINGS", [])
+    lim = bucket.get("LIMIT", [])
+    if lim:
+        # LIMIT n BY cols | LIMIT n | LIMIT o, n
+        depth = 0
+        by_idx = None
+        for j, tk in enumerate(lim):
+            if tk == "(":
+                depth += 1
+            elif tk == ")":
+                depth -= 1
+            elif depth == 0 and _kw(tk) == "BY":
+                by_idx = j
+                break
+        if by_idx is not None:
+            q.limit_by = (_emit(lim[:by_idx]), lim[by_idx + 1 :])
+            # a second LIMIT may follow the BY cols
+            rest = q.limit_by[1]
+            for j, tk in enumerate(rest):
+                if _kw(tk) == "LIMIT":
+                    q.limit = rest[j + 1 :]
+                    q.limit_by = (q.limit_by[0], rest[:j])
+                    break
+        else:
+            q.limit = lim
+    return q
+
+
+def _translate_from(toks: list[str]) -> list[str]:
+    """FROM clause: FINAL -> __final view, SAMPLE -> TABLESAMPLE, GLOBAL
+    stripped, ASOF/ANY join syntax rejected, subqueries recursed."""
+    out: list[str] = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        t = toks[i]
+        up = _kw(t)
+        if t == "(":
+            close = _match_paren(toks, i)
+            inner = toks[i + 1 : close]
+            if inner and _kw(inner[0]) in ("SELECT", "WITH"):
+                out += ["(", _translate_query_text(inner), ")"]
+            else:
+                out += ["("] + _translate_expr(inner) + [")"]
+            i = close + 1
+            continue
+        if up == "GLOBAL":
+            i += 1  # GLOBAL JOIN/IN -> Catalyst picks broadcast itself
+            continue
+        if up in ("ASOF", "ANY") and i + 1 < n and _kw(toks[i + 1]) in (
+            "JOIN", "LEFT", "RIGHT", "INNER",
+        ):
+            raise DialectError(
+                f"{up} JOIN SQL syntax is not translated; use "
+                "daisy_spark.operators.joins."
+                + ("asof_join" if up == "ASOF" else "any_join")
+            )
+        if up == "FINAL":
+            if not out:
+                raise DialectError("FINAL with no preceding table")
+            out[-1] = out[-1] + "__final"
+            i += 1
+            continue
+        if up == "SAMPLE":
+            if i + 1 >= n:
+                raise DialectError("SAMPLE needs a fraction")
+            frac = toks[i + 1]
+            try:
+                f = float(frac)
+            except ValueError as exc:
+                raise DialectError(f"unsupported SAMPLE argument {frac!r}") from exc
+            if f <= 1.0:
+                out += ["TABLESAMPLE", "(", str(f * 100), "PERCENT", ")"]
+            else:
+                out += ["TABLESAMPLE", "(", str(int(f)), "ROWS", ")"]
+            i += 2
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _render(q: _Select) -> str:
+    sel = "SELECT " + ("DISTINCT " if q.distinct else "") + _emit(
+        _translate_expr(q.select)
+    )
+    parts = [sel]
+    if q.from_:
+        parts.append("FROM " + _emit(_translate_from(q.from_)))
+    wheres = []
+    if q.prewhere:
+        wheres.append("( " + _emit(_translate_expr(q.prewhere)) + " )")
+    if q.where:
+        wheres.append("( " + _emit(_translate_expr(q.where)) + " )")
+    if wheres:
+        parts.append("WHERE " + " AND ".join(wheres))
+    if q.group_by:
+        keys = _emit(_translate_expr(q.group_by))
+        if q.with_totals:
+            parts.append(f"GROUP BY GROUPING SETS (({keys}), ())")
+        elif q.with_rollup:
+            parts.append(f"GROUP BY {keys} WITH ROLLUP")
+        elif q.with_cube:
+            parts.append(f"GROUP BY {keys} WITH CUBE")
+        else:
+            parts.append("GROUP BY " + keys)
+    if q.having:
+        parts.append("HAVING " + _emit(_translate_expr(q.having)))
+    if q.order_by:
+        parts.append("ORDER BY " + _emit(_translate_expr(q.order_by)))
+    if q.limit:
+        parts.append("LIMIT " + _emit(_translate_expr(q.limit)))
+    if q.offset:
+        parts.append("OFFSET " + _emit(_translate_expr(q.offset)))
+    return " ".join(parts)
+
+
+def _render_with_limit_by(q: _Select) -> str:
+    """LIMIT n BY cols -> row_number window wrapper (LimitByTransform.cpp
+    semantics: dedup-to-n per key after ORDER BY, before final LIMIT)."""
+    assert q.limit_by is not None
+    n_expr, by_cols = q.limit_by
+    if not q.order_by:
+        raise DialectError(
+            "LIMIT BY requires ORDER BY for deterministic results on Spark"
+        )
+    by_sql = _emit(_translate_expr(by_cols))
+    ord_sql = _emit(_translate_expr(q.order_by))
+    inner = _Select(
+        select=q.select, distinct=q.distinct, from_=q.from_,
+        prewhere=q.prewhere, where=q.where, group_by=q.group_by,
+        with_totals=q.with_totals, with_rollup=q.with_rollup,
+        with_cube=q.with_cube, having=q.having,
+    )
+    inner_sql = _render(inner)
+    out = (
+        f"SELECT * EXCEPT (__rn) FROM ("
+        f"SELECT __q.*, row_number() OVER "
+        f"(PARTITION BY {by_sql} ORDER BY {ord_sql}) AS __rn "
+        f"FROM ( {inner_sql} ) AS __q"
+        f") WHERE __rn <= {n_expr}"
+    )
+    out += f" ORDER BY {ord_sql}"
+    if q.limit:
+        out += " LIMIT " + _emit(_translate_expr(q.limit))
+    return out
+
+
+def _translate_select_tokens(toks: list[str]) -> tuple[str, dict[str, str]]:
+    # fully parenthesized query part: ( SELECT ... )
+    if toks and toks[0] == "(" and _match_paren(toks, 0) == len(toks) - 1:
+        return "( " + _translate_query_text(toks[1:-1]) + " )", {}
+    q = _parse_select(toks)
+    settings = _parse_settings(q.settings)
+    sql_text = _render_with_limit_by(q) if q.limit_by else _render(q)
+    return sql_text, settings
+
+
+def _parse_settings(toks: list[str]) -> dict[str, str]:
+    if not toks:
+        return {}
+    out = {}
+    for part in _split_top(toks, ","):
+        if len(part) >= 3 and part[1] == "=":
+            out[part[0]] = _emit(part[2:])
+    return out
+
+
+def _translate_query_text(toks: list[str]) -> str:
+    """UNION-aware, WITH-aware entry for a (sub)query token list."""
+    # WITH cte AS (SELECT ...), ... SELECT ...
+    if toks and _kw(toks[0]) == "WITH":
+        i = 1
+        rendered = ["WITH"]
+        n = len(toks)
+        while i < n:
+            # name AS ( query )
+            if (
+                i + 2 < n
+                and _is_ident(toks[i])
+                and _kw(toks[i + 1]) == "AS"
+                and toks[i + 2] == "("
+            ):
+                close = _match_paren(toks, i + 2)
+                rendered += [
+                    toks[i], "AS", "(",
+                    _translate_query_text(toks[i + 3 : close]), ")",
+                ]
+                i = close + 1
+                if i < n and toks[i] == ",":
+                    rendered.append(",")
+                    i += 1
+                continue
+            break
+        if i >= n or _kw(toks[i]) != "SELECT":
+            raise DialectError(
+                "only CTE-style WITH (name AS (SELECT ...)) is supported; "
+                "scalar WITH aliases are not translated"
+            )
+        body = _translate_query_text(toks[i:])
+        return " ".join(rendered) + " " + body
+
+    # split top-level UNION
+    parts: list[list[str]] = []
+    seps: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    i = 0
+    n = len(toks)
+    while i < n:
+        t = toks[i]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if depth == 0 and _kw(t) == "UNION":
+            mode = "DISTINCT"
+            if i + 1 < n and _kw(toks[i + 1]) in ("ALL", "DISTINCT"):
+                mode = _kw(toks[i + 1])
+                i += 1
+            parts.append(cur)
+            seps.append("UNION " + mode)
+            cur = []
+        else:
+            cur.append(t)
+        i += 1
+    parts.append(cur)
+    rendered_parts = []
+    for p in parts:
+        sql_text, _ = _translate_select_tokens(p)
+        rendered_parts.append(sql_text)
+    out = rendered_parts[0]
+    for sep, nxt in zip(seps, rendered_parts[1:]):
+        out += f" {sep} {nxt}"
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pipe queries (parseQueryPipe.cpp): q | WHERE e | SELECT ...
+# ---------------------------------------------------------------------------
+
+def _translate_pipe(stages: list[list[str]]) -> tuple[str, dict[str, str]]:
+    first, settings = _translate_select_tokens(stages[0])
+    prev = first
+    all_settings = dict(settings)
+    for k, stage in enumerate(stages[1:], start=1):
+        if not stage:
+            raise DialectError("empty pipe stage")
+        head = _kw(stage[0])
+        if head == "WHERE":
+            cond = _emit(_translate_expr(stage[1:]))
+            prev = f"SELECT * FROM ( {prev} ) AS __p{k} WHERE {cond}"
+        elif head == "SELECT":
+            q = _parse_select(stage)
+            if q.from_:
+                raise DialectError(
+                    "pipe SELECT stage must not have FROM (the pipe is its input)"
+                )
+            q.from_ = ["(", *tokenize(prev), ")", "AS", f"__p{k}"]
+            # re-render: from_ holds raw tokens of the built subquery
+            all_settings.update(_parse_settings(q.settings))
+            prev = _render_with_limit_by(q) if q.limit_by else _render(q)
+        else:
+            raise DialectError(
+                f"pipe stage must start with SELECT or WHERE, got {stage[0]!r}"
+            )
+    return prev, all_settings
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+@dataclass
+class TranslateResult:
+    spark_sql: str
+    settings: dict[str, str]
+    is_stream: bool
+
+
+def translate(query: str) -> TranslateResult:
+    """Reference-dialect SQL -> Spark SQL (+ extracted SETTINGS, stream flag)."""
+    toks = tokenize(query.strip().rstrip(";"))
+    if not toks:
+        raise DialectError("empty query")
+    is_stream = False
+    # detect SELECT STREAM anywhere at top level (strip in parse)
+    for j, t in enumerate(toks):
+        if _kw(t) == "STREAM" and j > 0 and _kw(toks[j - 1]) == "SELECT":
+            is_stream = True
+            toks = toks[:j] + toks[j + 1 :]
+            break
+    stages = _split_top(toks, "|")
+    if len(stages) > 1:
+        sql_text, settings = _translate_pipe(stages)
+    elif _kw(toks[0]) in ("SELECT", "WITH"):
+        sql_text = _translate_query_text(toks)
+        settings = {}
+        # settings were parsed per-select; re-extract from last select for
+        # the single-query case
+        if _kw(toks[0]) == "SELECT":
+            _, settings = _translate_select_tokens(toks)
+            sql_text = _translate_query_text(toks)
+    else:
+        raise DialectError(f"unsupported statement start: {toks[0]!r}")
+    return TranslateResult(sql_text, settings, is_stream)
+
+
+def sql(spark, query: str):
+    """Run reference-dialect SQL on a SparkSession (tables must be
+    registered as views, e.g. via Catalog.register_dir)."""
+    res = translate(query)
+    if res.settings:
+        from daisy_spark.session import apply_settings
+
+        apply_settings(spark, res.settings)
+    if res.is_stream:
+        raise DialectError(
+            "SELECT STREAM requires a streaming source; use "
+            "daisy_spark.streaming with the translated query: " + res.spark_sql
+        )
+    return spark.sql(res.spark_sql)

@@ -336,6 +336,81 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# SQL dialect front-end (plans/dialect.py)
+# --------------------------------------------------------------------------
+
+def _register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...]) -> None:
+    for t in tables:
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def q_dialect_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipe-syntax query (reference: src/Parsers/parseQueryPipe.cpp) with
+    reference-dialect functions, translated to Spark SQL and executed —
+    the SQL front-end's flagship path."""
+    from daisy_spark.plans import sql as dsql
+
+    _register_views(spark, sf_dir, ("events",))
+    return dsql(
+        spark,
+        """
+        SELECT event_type, count() AS cnt, round(avg(value), 6) AS avg_value,
+               uniqExact(user_id) AS uniq_users
+        FROM events GROUP BY event_type
+        | WHERE cnt > 0
+        | SELECT event_type, cnt, avg_value, uniq_users
+          ORDER BY cnt DESC, event_type LIMIT 10
+        """,
+    )
+
+
+ORACLE_DIALECT_PIPE = """
+SELECT event_type, cnt, avg_value, uniq_users FROM (
+    SELECT event_type, count(*) AS cnt, round(avg(value), 6) AS avg_value,
+           count(DISTINCT user_id) AS uniq_users
+    FROM events GROUP BY event_type
+) WHERE cnt > 0
+ORDER BY cnt DESC, event_type
+LIMIT 10
+"""
+
+
+def q_dialect_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-dialect SQL: toStartOfHour/countIf/JSONExtractInt +
+    LIMIT n BY rewrite, via the translator."""
+    from daisy_spark.plans import sql as dsql
+
+    _register_views(spark, sf_dir, ("events",))
+    return dsql(
+        spark,
+        """
+        SELECT toString(toStartOfHour(ts)) AS hour,
+               countIf(event_type = 'purchase') AS purchases,
+               round(sumIf(value, JSONExtractInt(props, 'k') > 50), 2) AS hot_value
+        FROM events
+        GROUP BY hour
+        ORDER BY purchases DESC, hour
+        LIMIT 3 BY purchases
+        """,
+    )
+
+
+ORACLE_DIALECT_SQL = """
+SELECT hour, purchases, hot_value FROM (
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           count(*) FILTER (event_type = 'purchase') AS purchases,
+           round(sum(value) FILTER (CAST(json_extract_string(props, '$.k') AS BIGINT) > 50), 2) AS hot_value,
+           row_number() OVER (PARTITION BY count(*) FILTER (event_type = 'purchase')
+                              ORDER BY count(*) FILTER (event_type = 'purchase') DESC,
+                                       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')) AS rn
+    FROM events
+    GROUP BY date_trunc('hour', ts)
+) WHERE rn <= 3
+ORDER BY purchases DESC, hour
+"""
+
+
 QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_near": q_dedup_near,
@@ -347,6 +422,8 @@ QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "lang_fingerprint": q_lang_fingerprint,
     "multimodal_meta": q_multimodal_meta,
+    "dialect_pipe": q_dialect_pipe,
+    "dialect_sql": q_dialect_sql,
 }
 
 ORACLE_SQL_LLM: dict[str, str] = {
@@ -360,4 +437,6 @@ ORACLE_SQL_LLM: dict[str, str] = {
     "text_stats": ORACLE_TEXT_STATS,
     "lang_fingerprint": ORACLE_LANG_FINGERPRINT,
     "multimodal_meta": ORACLE_MULTIMODAL,
+    "dialect_pipe": ORACLE_DIALECT_PIPE,
+    "dialect_sql": ORACLE_DIALECT_SQL,
 }

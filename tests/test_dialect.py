@@ -1,0 +1,248 @@
+"""SQL dialect front-end: reference-dialect queries run through
+translate() + spark.sql() and are checked against DuckDB running the
+equivalent ANSI SQL on the same parquet."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+
+from daisy_spark.plans.dialect import DialectError, translate
+from daisy_spark.plans import sql as dsql
+
+SF_DIR = os.environ.get("DAISY_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def views(spark):
+    from daisy_spark.catalog import load_table
+
+    for t in ("events", "orders", "customer", "lineitem", "documents"):
+        load_table(spark, SF_DIR, t).createOrReplaceTempView(t)
+    return spark
+
+
+def _norm(rows):
+    out = []
+    for r in rows:
+        vals = []
+        for v in r:
+            if isinstance(v, float):
+                vals.append("NaN" if math.isnan(v) else round(v, 6))
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+def check(spark, duck, ch_sql, duck_sql):
+    got = _norm([tuple(r) for r in dsql(spark, ch_sql).collect()])
+    want = _norm(duck.execute(duck_sql).fetchall())
+    assert got == want, f"first diff: {[p for p in zip(got, want) if p[0] != p[1]][:3]}"
+
+
+# --------------------------------------------------------------------------
+# translate() unit checks
+# --------------------------------------------------------------------------
+
+def test_function_mapping():
+    out = translate(
+        "SELECT toStartOfHour(ts) AS h, countIf(x > 1) AS c FROM t GROUP BY h"
+    ).spark_sql
+    assert "date_trunc('HOUR', ts)" in out
+    assert "count_if" in out
+
+
+def test_with_totals_rewrite():
+    out = translate("SELECT k, count() FROM t GROUP BY k WITH TOTALS").spark_sql
+    assert "GROUPING SETS" in out
+
+
+def test_settings_extracted():
+    res = translate("SELECT 1 FROM t SETTINGS max_threads = 4")
+    assert res.settings == {"max_threads": "4"}
+    assert "SETTINGS" not in res.spark_sql
+
+
+def test_stream_flag():
+    res = translate("SELECT STREAM count() FROM t")
+    assert res.is_stream
+
+
+def test_asof_join_rejected():
+    with pytest.raises(DialectError, match="asof_join"):
+        translate("SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t")
+
+
+def test_unsupported_parametric_points_to_operator():
+    with pytest.raises(DialectError, match="topk"):
+        translate("SELECT topK(5)(x) FROM t")
+
+
+def test_final_suffix():
+    out = translate("SELECT * FROM kv FINAL").spark_sql
+    assert "kv__final" in out
+
+
+def test_cast_type_mapping():
+    out = translate("SELECT CAST(x AS UInt64) FROM t").spark_sql
+    assert "AS BIGINT" in out
+
+
+def test_prewhere_merged():
+    out = translate("SELECT a FROM t PREWHERE b = 1 WHERE c = 2").spark_sql
+    assert "PREWHERE" not in out and "WHERE" in out and "AND" in out
+
+
+# --------------------------------------------------------------------------
+# End-to-end vs DuckDB
+# --------------------------------------------------------------------------
+
+def test_events_aggregation(views, duck):
+    check(
+        views,
+        duck,
+        """
+        SELECT toStartOfHour(ts) AS hour,
+               countIf(event_type = 'purchase') AS purchases,
+               uniqExact(user_id) AS users,
+               round(avgIf(value, value > 0), 6) AS avg_pos
+        FROM events GROUP BY hour ORDER BY hour
+        """,
+        """
+        SELECT date_trunc('hour', ts)::TIMESTAMP AS hour,
+               count(*) FILTER (event_type = 'purchase') AS purchases,
+               count(DISTINCT user_id) AS users,
+               round(avg(value) FILTER (value > 0), 6) AS avg_pos
+        FROM events GROUP BY 1 ORDER BY hour
+        """,
+    )
+
+
+def test_limit_by(views, duck):
+    check(
+        views,
+        duck,
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 2 BY o_custkey
+        """,
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+          SELECT *, row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) rn FROM orders
+        ) WHERE rn <= 2
+        """,
+    )
+
+
+def test_with_totals_end_to_end(views, duck):
+    check(
+        views,
+        duck,
+        "SELECT event_type, count() AS cnt FROM events GROUP BY event_type WITH TOTALS",
+        "SELECT event_type, count(*) AS cnt FROM events GROUP BY GROUPING SETS ((event_type), ())",
+    )
+
+
+def test_pipe_query(views, duck):
+    check(
+        views,
+        duck,
+        """
+        SELECT event_type, count() AS cnt, uniqExact(user_id) AS users
+        FROM events GROUP BY event_type
+        | WHERE cnt > 10
+        | SELECT event_type, cnt, users ORDER BY cnt DESC, event_type LIMIT 5
+        """,
+        """
+        SELECT event_type, cnt, users FROM (
+          SELECT event_type, count(*) AS cnt, count(DISTINCT user_id) AS users
+          FROM events GROUP BY event_type
+        ) WHERE cnt > 10 ORDER BY cnt DESC, event_type LIMIT 5
+        """,
+    )
+
+
+def test_json_and_string_functions(views, duck):
+    check(
+        views,
+        duck,
+        """
+        SELECT event_id, JSONExtractInt(props, 'k') AS k
+        FROM events WHERE JSONExtractInt(props, 'k') > 90 ORDER BY event_id
+        """,
+        """
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+        ORDER BY event_id
+        """,
+    )
+
+
+def test_quantile_and_subquery(views, duck):
+    check(
+        views,
+        duck,
+        """
+        SELECT o_orderstatus, round(quantileExact(0.5)(o_totalprice), 4) AS med
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        """
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS med
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+    )
+
+
+def test_union_and_arith(views, duck):
+    check(
+        views,
+        duck,
+        """
+        SELECT 'hi' AS src, intDiv(count(), 2) AS half FROM orders
+        UNION ALL
+        SELECT 'lo' AS src, modulo(count(), 7) AS half FROM customer
+        """,
+        """
+        SELECT 'hi' AS src, count(*) // 2 AS half FROM orders
+        UNION ALL
+        SELECT 'lo' AS src, count(*) % 7 AS half FROM customer
+        """,
+    )
+
+
+def test_array_hof_translation(views, duck):
+    check(
+        views,
+        duck,
+        """
+        SELECT doc_id,
+               arrayCount(t -> length(t) >= 5, splitByChar(' ', text)) AS long_toks
+        FROM documents ORDER BY doc_id LIMIT 50
+        """,
+        """
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), t -> len(t) >= 5)) AS long_toks
+        FROM documents ORDER BY doc_id LIMIT 50
+        """,
+    )
+
+
+def test_multi_if_and_sample_parse(views):
+    df = dsql(
+        views,
+        "SELECT multiIf(value > 100, 'big', value > 10, 'mid', 'small') AS b, count() AS c "
+        "FROM events GROUP BY b ORDER BY b",
+    )
+    assert [r.b for r in df.collect()] == ["big", "mid", "small"]
+    # SAMPLE translates and runs (row count is probabilistic; just executes)
+    n = dsql(views, "SELECT count() AS c FROM events SAMPLE 0.5").collect()[0].c
+    assert 0 <= n
