@@ -10,6 +10,10 @@ Architecture (Spark-first, NOT a port):
 - ``operators``  macro-operators Spark lacks natively (ASOF join, ANY join,
                  FINAL normalization, LIMIT BY, WITH FILL, WITH TOTALS,
                  topK, dedup, similarity search, text analysis, multimodal)
+- ``plans``      SQL dialect front-end (reference SQL / pipe syntax ->
+                 Spark SQL)
+- ``streaming``  batch + Structured Streaming ingest with idempotent-key
+                 dedup and granularity partitioning
 - ``queries`` / ``queries_llm``  the oracle-checked query suite
 
 Everything declarative goes through the DataFrame API so Catalyst handles

@@ -1,0 +1,168 @@
+"""Ingest: batch + Structured Streaming with idempotent-key dedup.
+
+The reference is a "streaming warehouse": rows arrive via REST/Kafka, get
+a ``_time`` column defaulted to now (rawstore schema —
+src/Server/RestRouterHandlers/RawstoreTableRestRouterHandler.cpp:87-92),
+land in granularity-partitioned storage (partition exprs ``toYYYYMMDD
+(_time)`` etc — TableRestRouterHandler.cpp:55-58), and are committed
+idempotently: each block carries an idempotent key and replays of
+already-seen keys are dropped (StorageDistributedMergeTree.cpp:1080-1196,
+buildIdempotentKeysIndex).
+
+Spark-first mapping:
+
+- batch ingest      = DataFrame -> partitioned parquet append, with an
+                      anti-join against already-ingested ``_idem`` keys
+                      (exactly-once on replay, the reference's contract);
+- streaming ingest  = readStream -> withWatermark + dropDuplicates on the
+                      idempotent key (Spark's state store plays the role
+                      of the reference's in-memory key index, with the
+                      watermark as its ``max_idempotent_ids`` retention
+                      analog) -> foreachBatch partitioned append with
+                      checkpointing (restart-safe offsets).
+
+Partition columns follow the reference granularities: M/D/H/m.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: reference granularity -> partition column expression over _time
+#: (TableRestRouterHandler.cpp:55-58); thunks because building a Column
+#: requires an active SparkSession
+GRANULARITY_EXPRS = {
+    "M": lambda: F.date_format("_time", "yyyyMM").cast("int"),
+    "D": lambda: F.date_format("_time", "yyyyMMdd").cast("int"),
+    "H": lambda: F.date_format("_time", "yyyyMMddHH"),
+    "m": lambda: F.date_format("_time", "yyyyMMddHHmm"),
+}
+
+IDEM_COL = "_idem"
+TIME_COL = "_time"
+PARTITION_COL = "_part"
+
+
+def with_ingest_columns(
+    df: DataFrame,
+    time_col: str | None = None,
+    idem_col: str | None = None,
+    granularity: str = "D",
+) -> DataFrame:
+    """Attach the ingest conventions: ``_time`` (defaulted to
+    current_timestamp when absent, like the rawstore DEFAULT now64(3)),
+    ``_idem`` (defaulted to a content hash when absent), and the
+    granularity partition column."""
+    if granularity not in GRANULARITY_EXPRS:
+        raise ValueError(f"granularity must be one of M/D/H/m, got {granularity!r}")
+    if time_col and time_col != TIME_COL:
+        df = df.withColumn(TIME_COL, F.col(time_col).cast("timestamp"))
+    elif TIME_COL not in df.columns:
+        df = df.withColumn(TIME_COL, F.current_timestamp())
+    if idem_col and idem_col != IDEM_COL:
+        df = df.withColumn(IDEM_COL, F.col(idem_col).cast("string"))
+    elif IDEM_COL not in df.columns:
+        df = df.withColumn(
+            IDEM_COL, F.sha2(F.to_json(F.struct(*df.columns)), 256)
+        )
+    return df.withColumn(PARTITION_COL, GRANULARITY_EXPRS[granularity]())
+
+
+@dataclass
+class IngestResult:
+    appended: int
+    deduped: int
+
+
+def ingest_batch(
+    df: DataFrame,
+    path: str,
+    time_col: str | None = None,
+    idem_col: str | None = None,
+    granularity: str = "D",
+) -> IngestResult:
+    """Exactly-once batch append: drop rows whose ``_idem`` key is already
+    present in the sink (replay-safe, the reference's idempotent-commit
+    contract), dedup within the batch, then append partitioned parquet.
+
+    Scale shape: the existing-keys read prunes to the partitions the
+    incoming batch touches (partition filter on ``_part``), and the
+    anti-join shuffles on the key — no full-sink scan.
+    """
+    spark = df.sparkSession
+    staged = with_ingest_columns(df, time_col, idem_col, granularity)
+    before = staged.count()
+    staged = staged.dropDuplicates([IDEM_COL])
+    if os.path.exists(path):
+        parts = [r[0] for r in staged.select(PARTITION_COL).distinct().collect()]
+        existing = (
+            spark.read.parquet(path)
+            .filter(F.col(PARTITION_COL).isin(parts))
+            .select(IDEM_COL)
+        )
+        staged = staged.join(existing, on=IDEM_COL, how="left_anti")
+    appended = staged.count()
+    staged.write.mode("append").partitionBy(PARTITION_COL).parquet(path)
+    return IngestResult(appended=appended, deduped=before - appended)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def ingest_stream(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    time_col: str | None = None,
+    idem_col: str | None = None,
+    granularity: str = "D",
+    watermark: str = "1 hour",
+    trigger_once: bool = False,
+):
+    """Structured Streaming ingest with idempotent-key dedup.
+
+    ``withWatermark(_time) + dropDuplicates(_idem)`` keeps the key index
+    bounded (state older than the watermark ages out — the Spark analog of
+    the reference's max_idempotent_ids ring); ``foreachBatch`` appends
+    partitioned parquet; the checkpoint makes source offsets + dedup state
+    restart-safe.  Returns the StreamingQuery.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df.write.mode("append").partitionBy(PARTITION_COL).parquet(path)
+
+    staged = with_ingest_columns(stream_df, time_col, idem_col, granularity)
+    staged = staged.withWatermark(TIME_COL, watermark).dropDuplicates([IDEM_COL])
+    writer = (
+        staged.writeStream.option("checkpointLocation", checkpoint)
+        .foreachBatch(write_batch)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def json_lines_source(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    max_files_per_trigger: int = 10,
+) -> DataFrame:
+    """File-based JSONEachRow streaming source (the reference's most
+    common ingest format — src/Formats/registerFormats.cpp JSONEachRow).
+    On a real deployment the same pipeline reads ``spark.readStream
+    .format('kafka')`` + ``from_json``; file source keeps tests hermetic.
+    """
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
