@@ -703,3 +703,9 @@ from daisy_spark.queries_llm import ORACLE_SQL_LLM, QUERIES_LLM  # noqa: E402
 
 QUERIES.update(QUERIES_LLM)
 ORACLE_SQL.update(ORACLE_SQL_LLM)
+
+# extended operator-coverage suite (FINAL, CUBE, WITH TIES, quantiles, ...)
+from daisy_spark.queries_ext import ORACLE_SQL_EXT, QUERIES_EXT  # noqa: E402
+
+QUERIES.update(QUERIES_EXT)
+ORACLE_SQL.update(ORACLE_SQL_EXT)

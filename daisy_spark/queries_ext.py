@@ -1,0 +1,476 @@
+"""Correctness queries for previously-untested operators (SURVEY §2):
+FINAL engine semantics, CUBE, LIMIT WITH TIES, quantiles, topK,
+sequenceMatch, two-pass histogram, segmentLengthSum, statistics,
+aggregate combinators, groupArray, CROSS join, sampling.
+
+Same contract as :mod:`daisy_spark.queries`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from daisy_spark.catalog import load_table
+from daisy_spark.functions import timeseries as TS
+from daisy_spark.operators import final as FIN
+from daisy_spark.operators import modifiers as M
+from daisy_spark.operators import topk as TK
+
+_t = load_table
+
+
+# --------------------------------------------------------------------------
+# FINAL engine semantics (operators/final.py)
+# --------------------------------------------------------------------------
+
+def q_final_replacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReplacingMergeTree FINAL: last version per (user_id, event_type);
+    version = (ts, event_id) for a deterministic winner."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "__v", F.struct(F.col("ts"), F.col("event_id"))
+    )
+    out = FIN.replacing_final(e, ["user_id", "event_type"], version="__v")
+    return out.select(
+        "user_id", "event_type", "event_id",
+        F.round("value", 6).alias("value"),
+    ).orderBy("user_id", "event_type")
+
+
+ORACLE_FINAL_REPLACING = """
+SELECT user_id, event_type, event_id, round(value, 6) AS value
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+
+def q_final_summing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SummingMergeTree FINAL: one row per key, declared columns summed."""
+    l = _t(spark, sf_dir, "lineitem")
+    out = FIN.summing_final(
+        l.select("l_suppkey", "l_returnflag", "l_quantity", "l_extendedprice"),
+        key=["l_suppkey", "l_returnflag"],
+        summed=["l_quantity", "l_extendedprice"],
+    )
+    return out.select(
+        "l_suppkey", "l_returnflag",
+        F.round("l_quantity", 2).alias("sum_qty"),
+        F.round("l_extendedprice", 2).alias("sum_price"),
+    ).orderBy("l_suppkey", "l_returnflag")
+
+
+ORACLE_FINAL_SUMMING = """
+SELECT l_suppkey, l_returnflag,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY l_suppkey, l_returnflag
+ORDER BY l_suppkey, l_returnflag
+"""
+
+
+def q_final_collapsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CollapsingMergeTree FINAL: +1 rows for every order, -1 cancels for
+    even orderkeys -> odd orderkeys survive."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    plus = o.withColumn("sign", F.lit(1))
+    minus = o.filter(F.col("o_orderkey") % 2 == 0).withColumn("sign", F.lit(-1))
+    out = FIN.collapsing_final(plus.unionByName(minus), ["o_orderkey"], "sign")
+    return out.agg(
+        F.count(F.lit(1)).alias("survivors"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
+ORACLE_FINAL_COLLAPSING = """
+SELECT count(*) AS survivors, sum(o_orderkey) AS key_sum
+FROM orders WHERE o_orderkey % 2 = 1
+"""
+
+
+def q_final_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VersionedCollapsingMergeTree FINAL: v1 inserts for all, v1 cancels
+    for even keys, v2 re-inserts for keys divisible by 3; latest surviving
+    version per key wins."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    v1_plus = o.withColumn("sign", F.lit(1)).withColumn("ver", F.lit(1))
+    v1_minus = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("sign", F.lit(-1)).withColumn("ver", F.lit(1))
+    )
+    v2_plus = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("sign", F.lit(1)).withColumn("ver", F.lit(2))
+    )
+    data = v1_plus.unionByName(v1_minus).unionByName(v2_plus)
+    out = FIN.versioned_collapsing_final(data, ["o_orderkey"], "sign", "ver")
+    return out.select("o_orderkey", "ver").orderBy("o_orderkey")
+
+
+ORACLE_FINAL_VERSIONED = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS ver
+FROM orders
+WHERE o_orderkey % 3 = 0 OR o_orderkey % 2 = 1
+ORDER BY o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Modifiers: CUBE, LIMIT WITH TIES, sampling
+# --------------------------------------------------------------------------
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE (CubeStep.cpp)."""
+    o = _t(spark, sf_dir, "orders")
+    out = M.cube_agg(
+        o,
+        ["o_orderstatus", "o_orderpriority"],
+        {"cnt": F.count(F.lit(1)), "sum_price": F.round(F.sum("o_totalprice"), 2)},
+    )
+    return out.orderBy(
+        F.col("o_orderstatus").asc_nulls_last(),
+        F.col("o_orderpriority").asc_nulls_last(),
+    )
+
+
+ORACLE_CUBE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS LAST, o_orderpriority ASC NULLS LAST
+"""
+
+
+def q_limit_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT 5 WITH TIES on quantity (threshold semi-join, no global
+    window)."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    out = M.limit_with_ties(
+        l, 5,
+        order=[F.col("l_quantity").desc()],
+        tie_cols=[F.col("l_quantity")],
+    )
+    return out.orderBy("l_quantity", "l_orderkey", "l_linenumber")
+
+
+ORACLE_LIMIT_TIES = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM (
+    SELECT *, rank() OVER (ORDER BY l_quantity DESC) AS rk FROM lineitem
+) WHERE rk <= 5
+ORDER BY l_quantity, l_orderkey, l_linenumber
+"""
+
+
+def q_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE fraction (Bernoulli; seed-dependent -> rows-only check plus
+    a statistical-bounds invariant in the output)."""
+    e = _t(spark, sf_dir, "events")
+    n = M.sample_fraction(e, 0.5, seed=42).count()
+    total = e.count()
+    return spark.createDataFrame(
+        [(n, total, bool(0.35 * total <= n <= 0.65 * total))],
+        "sampled LONG, total LONG, within_bounds BOOLEAN",
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregates: quantiles, topK, stats, combinators, groupArray
+# --------------------------------------------------------------------------
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantilesExact(0.25, 0.5, 0.75) per return flag."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "transform(percentile(l_extendedprice, array(0.25, 0.5, 0.75)), "
+                "x -> round(x, 4))"
+            ).alias("quartiles")
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_QUANTILES = """
+SELECT l_returnflag,
+       list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
+                      x -> round(x, 4)) AS quartiles
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topK(3) event types per user bucket (operators/topk.py two-level
+    aggregation — the SpaceSaving replacement)."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "bucket", (F.col("user_id") % 10).cast("int")
+    )
+    out = TK.top_k_df(e, "event_type", k=3, group_cols=["bucket"])
+    return out.orderBy("bucket", "rank")
+
+
+ORACLE_TOP_K = """
+SELECT bucket, value, cnt, rank FROM (
+    SELECT bucket, value, cnt,
+           row_number() OVER (PARTITION BY bucket ORDER BY cnt DESC, value) AS rank
+    FROM (
+        SELECT CAST(user_id % 10 AS INT) AS bucket, event_type AS value,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    )
+) WHERE rank <= 3
+ORDER BY bucket, rank
+"""
+
+
+def q_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequenceMatch('(?1)(?2)'): click then later purchase, per user."""
+    e = _t(spark, sf_dir, "events")
+    m = TS.sequence_match(
+        [1, 2],
+        F.col("ts"),
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    )
+    return e.groupBy("user_id").agg(m.alias("matched")).orderBy("user_id")
+
+
+ORACLE_SEQUENCE_MATCH = """
+SELECT user_id,
+       coalesce(min(ts) FILTER (event_type = 'click')
+                < max(ts) FILTER (event_type = 'purchase'), FALSE) AS matched
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass equal-width histogram of event values, 10 bins
+    (timeseries.histogram_df — no per-group row buffer)."""
+    e = _t(spark, sf_dir, "events")
+    out = TS.histogram_df(e, F.col("value"), 10)
+    return out.select(
+        "bin",
+        F.round("lower", 6).alias("lower"),
+        F.round("upper", 6).alias("upper"),
+        "height",
+    ).orderBy("bin")
+
+
+ORACLE_HISTOGRAM = """
+WITH b AS (SELECT min(value) mn, max(value) mx FROM events),
+binned AS (
+    SELECT least(CAST(floor((value - mn) / ((mx - mn) / 10)) AS INT), 9) AS bin
+    FROM events, b
+),
+grid AS (SELECT unnest(range(0, 10)) AS bin)
+SELECT grid.bin,
+       round(mn + grid.bin * (mx - mn) / 10, 6) AS lower,
+       round(mn + (grid.bin + 1) * (mx - mn) / 10, 6) AS upper,
+       CAST(coalesce(cnt, 0) AS DOUBLE) AS height
+FROM grid CROSS JOIN b
+LEFT JOIN (SELECT bin, count(*) cnt FROM binned GROUP BY bin) c
+       ON grid.bin = c.bin
+ORDER BY grid.bin
+"""
+
+
+def q_segment_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """segmentLengthSum: union length of [ts, ts+5min) activity windows
+    per user."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 300 SECOND")).alias("t"),
+    )
+    out = e.groupBy("user_id").agg(
+        F.round(TS.segment_length_sum(F.col("s"), F.col("t")), 3).alias("active_sec")
+    )
+    return out.orderBy("user_id")
+
+
+ORACLE_SEGMENT_SUM = """
+WITH seg AS (
+    SELECT user_id, ts AS s, ts + INTERVAL 300 SECOND AS t FROM events
+), w AS (
+    SELECT user_id, s, t,
+           max(t) OVER (PARTITION BY user_id ORDER BY s, t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+    FROM seg
+)
+SELECT user_id,
+       round(sum(greatest(epoch_us(t) - epoch_us(greatest(s, coalesce(prev_end, s))), 0))
+             / 1000000.0, 3) AS active_sec
+FROM w GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics family: variance/stddev/covariance/correlation."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.var_pop("value"), 4).alias("var_pop"),
+            F.round(F.var_samp("value"), 4).alias("var_samp"),
+            F.round(F.stddev_samp("value"), 4).alias("stddev_samp"),
+            F.round(F.covar_pop("value", "user_id"), 4).alias("covar_pop"),
+            F.round(F.corr("value", "user_id"), 6).alias("corr_vu"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_STATS = """
+SELECT event_type,
+       round(var_pop(value), 4) AS var_pop,
+       round(var_samp(value), 4) AS var_samp,
+       round(stddev_samp(value), 4) AS stddev_samp,
+       round(covar_pop(value, user_id), 4) AS covar_pop,
+       round(corr(value, user_id), 6) AS corr_vu
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-If combinators + argMax/argMin + avgWeighted per return flag."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_discount") > 0.05).alias("cnt_hi_disc"),
+            F.round(
+                F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), 2
+            ).alias("sum_hi_disc"),
+            F.round(
+                F.avg(F.when(F.col("l_quantity") < 10, F.col("l_extendedprice"))), 4
+            ).alias("avg_small_qty"),
+            F.max_by(
+                "l_orderkey", F.struct("l_extendedprice", "l_orderkey")
+            ).alias("argmax_price"),
+            F.min_by(
+                "l_orderkey", F.struct("l_extendedprice", "l_orderkey")
+            ).alias("argmin_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+                / F.sum("l_quantity"),
+                4,
+            ).alias("avg_weighted"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_COMBINATORS = """
+WITH ranked AS (
+    SELECT l_returnflag, l_orderkey, l_extendedprice, l_discount, l_quantity,
+           row_number() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_extendedprice DESC, l_orderkey DESC) AS rmax,
+           row_number() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_extendedprice ASC, l_orderkey ASC) AS rmin
+    FROM lineitem
+)
+SELECT l_returnflag,
+       count(*) FILTER (l_discount > 0.05) AS cnt_hi_disc,
+       round(sum(l_extendedprice) FILTER (l_discount > 0.05), 2) AS sum_hi_disc,
+       round(avg(l_extendedprice) FILTER (l_quantity < 10), 4) AS avg_small_qty,
+       max(l_orderkey) FILTER (rmax = 1) AS argmax_price,
+       max(l_orderkey) FILTER (rmin = 1) AS argmin_price,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS avg_weighted
+FROM ranked
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_group_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupUniqArray (sorted for determinism) per order status."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"))
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_GROUP_ARRAY = """
+SELECT o_orderstatus, list_sort(list(DISTINCT o_orderpriority)) AS priorities
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS JOIN region x nation."""
+    from daisy_spark.operators.joins import cross_join
+
+    r = _t(spark, sf_dir, "region").select("r_name")
+    n = _t(spark, sf_dir, "nation").select("n_name")
+    return cross_join(r, n).orderBy("r_name", "n_name")
+
+
+ORACLE_CROSS = """
+SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name
+"""
+
+
+def q_uniq_approx_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uniq/uniqCombined (HLL) sanity: approx within 5% of exact — the
+    oracle-checkable invariant for an approximate aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    got = o.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx"),
+        F.countDistinct("o_custkey").alias("exact"),
+    ).collect()[0]
+    ok = abs(got.approx - got.exact) <= 0.05 * got.exact
+    return spark.createDataFrame([(bool(ok),)], "within_5pct BOOLEAN")
+
+
+ORACLE_UNIQ = "SELECT TRUE AS within_5pct"
+
+
+QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "final_replacing": q_final_replacing,
+    "final_summing": q_final_summing,
+    "final_collapsing": q_final_collapsing,
+    "final_versioned": q_final_versioned,
+    "cube": q_cube,
+    "limit_with_ties": q_limit_with_ties,
+    "sample_fraction": q_sample_fraction,
+    "quantiles": q_quantiles,
+    "top_k": q_top_k,
+    "sequence_match": q_sequence_match,
+    "histogram": q_histogram,
+    "segment_sum": q_segment_sum,
+    "stats": q_stats,
+    "combinators": q_combinators,
+    "group_array": q_group_array,
+    "cross_join": q_cross_join,
+    "uniq_approx": q_uniq_approx_invariant,
+}
+
+ORACLE_SQL_EXT: dict[str, str] = {
+    "final_replacing": ORACLE_FINAL_REPLACING,
+    "final_summing": ORACLE_FINAL_SUMMING,
+    "final_collapsing": ORACLE_FINAL_COLLAPSING,
+    "final_versioned": ORACLE_FINAL_VERSIONED,
+    "cube": ORACLE_CUBE,
+    "limit_with_ties": ORACLE_LIMIT_TIES,
+    # sample_fraction: seed-dependent -> rows-only
+    "quantiles": ORACLE_QUANTILES,
+    "top_k": ORACLE_TOP_K,
+    "sequence_match": ORACLE_SEQUENCE_MATCH,
+    "histogram": ORACLE_HISTOGRAM,
+    "segment_sum": ORACLE_SEGMENT_SUM,
+    "stats": ORACLE_STATS,
+    "combinators": ORACLE_COMBINATORS,
+    "group_array": ORACLE_GROUP_ARRAY,
+    "cross_join": ORACLE_CROSS,
+    "uniq_approx": ORACLE_UNIQ,
+}
