@@ -867,6 +867,306 @@ def ipv4_string_to_num(x):
     )
 
 
+# --- arrays / higher-order (src/Functions/array/ — 70+ functions) -----------
+# The reference takes lambdas FIRST (arrayMap(x -> ..., arr)); the Column
+# builders here take them in Spark order (arr, fn) since Python callers pass
+# real lambdas; the SQL dialect layer handles the argument swap for SQL text.
+
+def array_(*xs):
+    return F.array(*[_c(x) for x in xs])
+
+
+def array_join_fn(x):
+    """arrayJoin — explode; only valid in a select list."""
+    return F.explode(_c(x))
+
+
+def array_map(arr, fn):
+    return F.transform(_c(arr), fn)
+
+
+def array_filter(arr, fn):
+    return F.filter(_c(arr), fn)
+
+
+def array_exists(arr, fn):
+    return F.exists(_c(arr), fn)
+
+
+def array_all(arr, fn):
+    return F.forall(_c(arr), fn)
+
+
+def array_count(arr, fn=None):
+    return F.size(F.filter(_c(arr), fn)) if fn is not None else F.size(_c(arr))
+
+
+def array_sum(arr, fn=None):
+    target = F.transform(_c(arr), fn) if fn is not None else _c(arr)
+    return F.aggregate(
+        target, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+
+
+def array_avg(arr):
+    a = _c(arr)
+    return array_sum(a) / F.greatest(F.size(a), F.lit(1))
+
+
+def array_min_(arr):
+    return F.array_min(_c(arr))
+
+
+def array_max_(arr):
+    return F.array_max(_c(arr))
+
+
+def array_uniq(arr):
+    return F.size(F.array_distinct(_c(arr)))
+
+
+def array_distinct_(arr):
+    return F.array_distinct(_c(arr))
+
+
+def array_sort_fn(arr):
+    return F.array_sort(_c(arr))
+
+
+def array_reverse_sort(arr):
+    return F.reverse(F.array_sort(_c(arr)))
+
+
+def array_reverse(arr):
+    return F.reverse(_c(arr))
+
+
+def array_concat(*arrs):
+    return F.concat(*[_c(a) for a in arrs])
+
+
+def array_slice(arr, offset, length=None):
+    a = _c(arr)
+    if length is None:
+        return F.slice(a, offset, F.size(a))
+    return F.slice(a, offset, length)
+
+
+def array_push_back(arr, x):
+    return F.concat(_c(arr), F.array(_c(x)))
+
+
+def array_push_front(arr, x):
+    return F.concat(F.array(_c(x)), _c(arr))
+
+
+def array_pop_back(arr):
+    a = _c(arr)
+    return F.slice(a, 1, F.greatest(F.size(a) - 1, F.lit(0)))
+
+
+def array_pop_front(arr):
+    a = _c(arr)
+    return F.slice(a, 2, F.greatest(F.size(a) - 1, F.lit(0)))
+
+
+def array_flatten(arr):
+    return F.flatten(_c(arr))
+
+
+def array_compact(arr):
+    """Remove consecutive duplicates (arrayCompact.cpp)."""
+    a = _c(arr)
+    return F.filter(
+        a, lambda x, i: (i == 0) | ~x.eqNullSafe(F.element_at(a, i))
+    )
+
+
+def array_difference(arr):
+    """Pairwise differences, first element 0 (arrayDifference.cpp)."""
+    a = _c(arr)
+    return F.transform(
+        a,
+        lambda x, i: F.when(i == 0, F.lit(0).cast("double")).otherwise(
+            x.cast("double") - F.element_at(a, i).cast("double")
+        ),
+    )
+
+
+def array_cum_sum(arr):
+    a = _c(arr)
+    return F.transform(
+        a,
+        lambda x, i: F.aggregate(
+            F.slice(a, 1, i + 1), F.lit(0.0), lambda acc, v: acc + v.cast("double")
+        ),
+    )
+
+
+def array_enumerate(arr):
+    return F.sequence(F.lit(1), F.size(_c(arr)))
+
+
+def array_zip(*arrs):
+    return F.arrays_zip(*[_c(a) for a in arrs])
+
+
+def array_intersect_(a, b):
+    return F.array_intersect(_c(a), _c(b))
+
+
+def array_union_(a, b):
+    return F.array_union(_c(a), _c(b))
+
+
+def array_except_(a, b):
+    return F.array_except(_c(a), _c(b))
+
+
+def has(arr, x):
+    return F.array_contains(_c(arr), _c(x))
+
+
+def has_all(a, b):
+    return F.size(F.array_except(_c(b), _c(a))) == 0
+
+
+def has_any(a, b):
+    return F.arrays_overlap(_c(a), _c(b))
+
+
+def index_of(arr, x):
+    return F.array_position(_c(arr), _c(x))
+
+
+def array_element(arr, i):
+    """arrayElement — 1-based; negative indexes from the end."""
+    return F.element_at(_c(arr), i)
+
+
+def empty_array_to_single(arr):
+    a = _c(arr)
+    return F.when(F.size(a) == 0, F.array(F.lit(None))).otherwise(a)
+
+
+def range_(n, start=None, step=None):
+    if start is None:
+        return F.sequence(F.lit(0), _c(n) - 1)
+    if step is None:
+        return F.sequence(_c(n), _c(start) - 1)  # range(start, end)
+    return F.sequence(_c(n), _c(start) - 1, _c(step))
+
+
+# --- JSON (src/Functions/FunctionsJSON.h) -----------------------------------
+
+def _json_get(j, key):
+    """Reference JSON functions take key names; build a $.key path.  A
+    Column key is concat'ed at runtime, a literal at plan time."""
+    if isinstance(key, Column):
+        return F.call_function(
+            "get_json_object", _c(j), F.concat(F.lit("$."), key)
+        )
+    return F.get_json_object(_c(j), f"$.{key}")
+
+
+def json_extract_string(j, key):
+    return _json_get(j, key)
+
+
+def json_extract_int(j, key):
+    return _json_get(j, key).cast("bigint")
+
+
+def json_extract_float(j, key):
+    return _json_get(j, key).cast("double")
+
+
+def json_extract_bool(j, key):
+    return _json_get(j, key).cast("boolean")
+
+
+def json_extract_raw(j, key):
+    return _json_get(j, key)
+
+
+def json_has(j, key):
+    return _json_get(j, key).isNotNull()
+
+
+def json_length(j):
+    """JSONLength of the top-level object."""
+    return F.size(F.from_json(_c(j), "map<string,string>"))
+
+
+def json_extract_keys(j):
+    return F.map_keys(F.from_json(_c(j), "map<string,string>"))
+
+
+def to_json_string(x):
+    return F.to_json(_c(x))
+
+
+# --- maps / tuples (src/Functions/map.cpp, tupleElement) --------------------
+
+def map_(*kvs):
+    return F.create_map(*[_c(x) for x in kvs])
+
+
+def map_keys(m):
+    return F.map_keys(_c(m))
+
+
+def map_values(m):
+    return F.map_values(_c(m))
+
+
+def map_contains(m, k):
+    return F.map_contains_key(_c(m), _c(k))
+
+
+def tuple_(*xs):
+    return F.struct(*[_c(x) for x in xs])
+
+
+def tuple_element(t, idx):
+    """tupleElement(t, N) — 1-based field access."""
+    if isinstance(idx, int):
+        return _c(t).getField(f"col{idx}")
+    return F.element_at(_c(t), idx)
+
+
+ARRAY_JSON_FUNCTIONS: dict[str, Callable] = {
+    "array": array_, "arrayJoin": array_join_fn,
+    "arrayMap": array_map, "arrayFilter": array_filter,
+    "arrayExists": array_exists, "arrayAll": array_all,
+    "arrayCount": array_count, "arraySum": array_sum, "arrayAvg": array_avg,
+    "arrayMin": array_min_, "arrayMax": array_max_, "arrayUniq": array_uniq,
+    "arrayDistinct": array_distinct_, "arraySort": array_sort_fn,
+    "arrayReverseSort": array_reverse_sort, "arrayReverse": array_reverse,
+    "arrayConcat": array_concat, "arraySlice": array_slice,
+    "arrayPushBack": array_push_back, "arrayPushFront": array_push_front,
+    "arrayPopBack": array_pop_back, "arrayPopFront": array_pop_front,
+    "arrayFlatten": array_flatten, "arrayCompact": array_compact,
+    "arrayDifference": array_difference, "arrayCumSum": array_cum_sum,
+    "arrayEnumerate": array_enumerate, "arrayZip": array_zip,
+    "arrayIntersect": array_intersect_, "arrayUnion": array_union_,
+    "arrayExcept": array_except_,
+    "has": has, "hasAll": has_all, "hasAny": has_any, "indexOf": index_of,
+    "arrayElement": array_element, "emptyArrayToSingle": empty_array_to_single,
+    "range": range_,
+    "JSONExtractString": json_extract_string, "JSONExtractInt": json_extract_int,
+    "JSONExtractFloat": json_extract_float, "JSONExtractBool": json_extract_bool,
+    "JSONExtractRaw": json_extract_raw, "JSONHas": json_has,
+    "JSONLength": json_length, "JSONExtractKeys": json_extract_keys,
+    "toJSONString": to_json_string,
+    "visitParamExtractString": json_extract_string,
+    "visitParamExtractInt": json_extract_int,
+    "map": map_, "mapKeys": map_keys, "mapValues": map_values,
+    "mapContains": map_contains,
+    "tuple": tuple_, "tupleElement": tuple_element,
+}
+
+
 def _sql(x) -> str:
     """Render a column-or-name for embedding in F.expr (names only)."""
     if isinstance(x, Column):
@@ -956,3 +1256,6 @@ FUNCTIONS: dict[str, Callable] = {
 # integer conversions registered programmatically
 for _name, _t in _INT_TYPES.items():
     FUNCTIONS[f"to{_name}"] = _to_int_builder(_t)
+
+# arrays / JSON / maps / tuples (§2.8)
+FUNCTIONS.update(ARRAY_JSON_FUNCTIONS)
