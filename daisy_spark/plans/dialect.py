@@ -853,6 +853,12 @@ class TranslateResult:
     spark_sql: str
     settings: dict[str, str]
     is_stream: bool
+    explain_mode: str | None = None  # AST | SYNTAX | PLAN | PIPELINE
+
+
+#: reference EXPLAIN kinds (src/Parsers/ASTExplainQuery.h:14-20) -> Spark
+_EXPLAIN_MODES = {"AST": "EXTENDED", "PLAN": "FORMATTED", "PIPELINE": "FORMATTED",
+                  "SYNTAX": None, "ESTIMATE": "COST"}
 
 
 def translate(query: str) -> TranslateResult:
@@ -860,6 +866,13 @@ def translate(query: str) -> TranslateResult:
     toks = tokenize(query.strip().rstrip(";"))
     if not toks:
         raise DialectError("empty query")
+    explain_mode = None
+    if _kw(toks[0]) == "EXPLAIN":
+        toks = toks[1:]
+        explain_mode = "PLAN"
+        if toks and _kw(toks[0]) in _EXPLAIN_MODES:
+            explain_mode = _kw(toks[0])
+            toks = toks[1:]
     is_stream = False
     # detect SELECT STREAM anywhere at top level (strip in parse)
     for j, t in enumerate(toks):
@@ -880,7 +893,7 @@ def translate(query: str) -> TranslateResult:
             sql_text = _translate_query_text(toks)
     else:
         raise DialectError(f"unsupported statement start: {toks[0]!r}")
-    return TranslateResult(sql_text, settings, is_stream)
+    return TranslateResult(sql_text, settings, is_stream, explain_mode)
 
 
 def sql(spark, query: str):
@@ -895,5 +908,15 @@ def sql(spark, query: str):
         raise DialectError(
             "SELECT STREAM requires a streaming source; use "
             "daisy_spark.streaming with the translated query: " + res.spark_sql
+        )
+    if res.explain_mode:
+        # EXPLAIN SYNTAX = show the translation itself (the reference shows
+        # the rewritten query); other modes defer to Spark's EXPLAIN
+        if res.explain_mode == "SYNTAX":
+            return spark.createDataFrame(
+                [(res.spark_sql,)], "explain STRING"
+            )
+        return spark.sql(
+            f"EXPLAIN {_EXPLAIN_MODES[res.explain_mode]} {res.spark_sql}"
         )
     return spark.sql(res.spark_sql)
