@@ -101,7 +101,8 @@ def read_final(df: DataFrame, spec: TableSpec) -> DataFrame:
             df, spec.order_by, spec.sign_column, spec.version_column
         )
     if kind == "Aggregating":
-        # caller must merge partial states explicitly; without states the
-        # Replacing behaviour (last row per key) is the closest contract
+        # state columns merge via functions.states.merge_states (the
+        # -State/-Merge path); without declared states the Replacing
+        # behaviour (last row per key) is the closest contract
         return replacing_final(df, spec.order_by, spec.version_column)
     raise ValueError(f"unknown engine {spec.engine}")

@@ -420,6 +420,43 @@ SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name
 """
 
 
+def q_agg_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-State/-Merge (AggregatingMergeTree): partial states at
+    (user, day) grain merged up to user grain — must equal direct
+    aggregation, which is what the oracle computes."""
+    from daisy_spark.functions import states as STX
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyyMMdd").cast("int")
+    )
+    st = STX.state_by(
+        e,
+        ["user_id", "day"],
+        {
+            "cnt": ("count", F.col("value")),
+            "total": ("sum", F.col("value")),
+            "avg_v": ("avg", F.col("value")),
+            "mx": ("max", F.col("value")),
+        },
+    )
+    merged = STX.merge_states(
+        st, ["user_id"], {"cnt": "count", "total": "sum", "avg_v": "avg", "mx": "max"}
+    )
+    return merged.select(
+        "user_id", "cnt",
+        F.round("total", 2).alias("total"),
+        F.round("avg_v", 6).alias("avg_v"),
+        F.round("mx", 6).alias("mx"),
+    ).orderBy("user_id")
+
+
+ORACLE_AGG_STATE = """
+SELECT user_id, count(value) AS cnt, round(sum(value), 2) AS total,
+       round(avg(value), 6) AS avg_v, round(max(value), 6) AS mx
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_uniq_approx_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """uniq/uniqCombined (HLL) sanity: approx within 5% of exact — the
     oracle-checkable invariant for an approximate aggregate."""
@@ -452,6 +489,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "combinators": q_combinators,
     "group_array": q_group_array,
     "cross_join": q_cross_join,
+    "agg_state_merge": q_agg_state_merge,
     "uniq_approx": q_uniq_approx_invariant,
 }
 
@@ -472,5 +510,6 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "combinators": ORACLE_COMBINATORS,
     "group_array": ORACLE_GROUP_ARRAY,
     "cross_join": ORACLE_CROSS,
+    "agg_state_merge": ORACLE_AGG_STATE,
     "uniq_approx": ORACLE_UNIQ,
 }

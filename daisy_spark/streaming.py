@@ -150,6 +150,35 @@ def ingest_stream(
     return writer.start()
 
 
+def live_view(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    query_fn,
+    name: str,
+    trigger_seconds: float | None = None,
+):
+    """LiveView / WATCH (reference: src/Storages/LiveView/StorageLiveView —
+    a continuously refreshed materialized query; WATCH streams its
+    updates).
+
+    Spark-first: a Structured Streaming query over the table directory
+    (new parquet files picked up incrementally), re-aggregated in
+    complete mode into an in-memory sink; ``SELECT * FROM <name>`` always
+    reads the freshest result — the LiveView contract.  Returns the
+    StreamingQuery (``.processAllAvailable()`` = synchronous WATCH tick;
+    ``.stop()`` = DROP VIEW).
+    """
+    src = spark.readStream.schema(schema).parquet(path)
+    out = query_fn(src)
+    writer = (
+        out.writeStream.outputMode("complete").format("memory").queryName(name)
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def json_lines_source(
     spark: SparkSession,
     path: str,

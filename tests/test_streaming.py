@@ -83,3 +83,31 @@ def test_stream_ingest_dedup_and_restart(spark, tmp_path):
 
     got2 = sorted(r["_idem"] for r in ST.read_table(spark, sink).collect())
     assert got2 == ["a", "b", "c"]
+
+
+def test_live_view_refreshes(spark, tmp_path):
+    sink = str(tmp_path / "lv")
+    df1 = spark.createDataFrame(
+        [{"_idem": "a", "v": 1, "_time": "2024-01-01 00:00:00"}]
+    ).withColumn("_time", F.col("_time").cast("timestamp"))
+    ST.ingest_batch(df1, sink)
+
+    q = ST.live_view(
+        spark,
+        sink,
+        "v LONG, _time TIMESTAMP, _idem STRING, _part INT",
+        lambda s: s.groupBy().agg(F.sum("v").alias("total")),
+        name="lv_totals",
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT total FROM lv_totals").collect()[0].total == 1
+
+        df2 = spark.createDataFrame(
+            [{"_idem": "b", "v": 41, "_time": "2024-01-01 01:00:00"}]
+        ).withColumn("_time", F.col("_time").cast("timestamp"))
+        ST.ingest_batch(df2, sink)
+        q.processAllAvailable()
+        assert spark.sql("SELECT total FROM lv_totals").collect()[0].total == 42
+    finally:
+        q.stop()
