@@ -20,6 +20,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _is_sort_order(c: Column) -> bool:
+    s = str(c)
+    return " ASC" in s or " DESC" in s
+
+
 def any_join(
     left: DataFrame,
     right: DataFrame,
@@ -33,14 +38,39 @@ def any_join(
     (HashJoin.h "Any" maps). Insert order is nondeterministic there too, so
     callers wanting determinism pass ``right_order``; default takes an
     arbitrary-but-stable first row per key.
+
+    Scale shape: when ``right_order`` is plain ascending columns (or
+    absent), the right side reduces with ONE hash aggregation —
+    ``min_by(payload-struct, order-struct)`` — which partially aggregates
+    map-side, so the shuffle carries one row per key per input partition.
+    Sort-order columns (.desc()/.asc_nulls_last()) fall back to the
+    row_number window (shuffle + per-key sort), which cannot map-side
+    combine.
     """
-    order = right_order if right_order is not None else [F.lit(1)]
-    w = Window.partitionBy(*[F.col(c) for c in on]).orderBy(*order)
-    deduped = (
-        right.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    payload_cols = [c for c in right.columns if c not in on]
+    plain = right_order is None or all(
+        not _is_sort_order(c) for c in right_order
     )
+    if plain:
+        ordk = (
+            F.struct(*right_order)
+            if right_order is not None
+            else F.lit(1)
+        )
+        payload = F.struct(*[F.col(c) for c in payload_cols])
+        deduped = right.groupBy(*[F.col(c) for c in on]).agg(
+            F.min_by(payload, ordk).alias("__p")
+        )
+        deduped = deduped.select(
+            *on, *[F.col("__p").getField(c).alias(c) for c in payload_cols]
+        )
+    else:
+        w = Window.partitionBy(*[F.col(c) for c in on]).orderBy(*right_order)
+        deduped = (
+            right.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     return left.join(deduped, on=on, how=how)
 
 

@@ -198,8 +198,12 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .filter(c.c_nationkey == s.s_nationkey)
+        # same-nation requirement folded INTO the broadcast-join condition
+        # (not a post-join filter): non-matching rows die at the probe
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -231,7 +235,9 @@ def q_any_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select("c_custkey", "o_orderkey", "o_orderdate"),
         on=["c_custkey"],
         how="left",
-        right_order=[F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        # plain ascending columns -> min_by fast path (single hash agg,
+        # map-side combined) instead of a window sort
+        right_order=[F.col("o_orderdate"), F.col("o_orderkey")],
     )
     return joined.select(
         "c_custkey",
@@ -634,7 +640,11 @@ def q_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy("user_id")
-        .agg(F.round(TS.rate(F.col("ts"), F.col("value")), 6).alias("rate"))
+        # + 0.0 normalizes IEEE negative zero (tiny negative slopes round
+        # to -0.0 on one engine and +0.0 on the other otherwise)
+        .agg(
+            (F.round(TS.rate(F.col("ts"), F.col("value")), 6) + F.lit(0.0)).alias("rate")
+        )
         .orderBy("user_id")
     )
 
@@ -642,7 +652,7 @@ def q_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_RATE = """
 SELECT user_id,
        round((arg_max(value, ts) - arg_min(value, ts))
-             / (epoch_us(max(ts)) - epoch_us(min(ts))) * 1000000.0, 6) AS rate
+             / (epoch_us(max(ts)) - epoch_us(min(ts))) * 1000000.0, 6) + 0.0 AS rate
 FROM events
 GROUP BY user_id
 ORDER BY user_id

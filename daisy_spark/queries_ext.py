@@ -322,8 +322,8 @@ def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.var_pop("value"), 4).alias("var_pop"),
             F.round(F.var_samp("value"), 4).alias("var_samp"),
             F.round(F.stddev_samp("value"), 4).alias("stddev_samp"),
-            F.round(F.covar_pop("value", "user_id"), 4).alias("covar_pop"),
-            F.round(F.corr("value", "user_id"), 6).alias("corr_vu"),
+            (F.round(F.covar_pop("value", "user_id"), 4) + F.lit(0.0)).alias("covar_pop"),
+            (F.round(F.corr("value", "user_id"), 6) + F.lit(0.0)).alias("corr_vu"),
         )
         .orderBy("event_type")
     )
@@ -334,8 +334,8 @@ SELECT event_type,
        round(var_pop(value), 4) AS var_pop,
        round(var_samp(value), 4) AS var_samp,
        round(stddev_samp(value), 4) AS stddev_samp,
-       round(covar_pop(value, user_id), 4) AS covar_pop,
-       round(corr(value, user_id), 6) AS corr_vu
+       round(covar_pop(value, user_id), 4) + 0.0 AS covar_pop,
+       round(corr(value, user_id), 6) + 0.0 AS corr_vu
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
