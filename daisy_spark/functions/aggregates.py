@@ -180,6 +180,169 @@ def sum_map(keys, values):
     )
 
 
+def _map_agg(keys, values, seed, combine):
+    """Shared builder for sumMap/minMap/maxMap: per-key fold of all (k, v)
+    pairs of the group, returned as a key-sorted entries array."""
+    pairs = F.flatten(F.collect_list(F.arrays_zip(_c(keys).alias("k"), _c(values).alias("v"))))
+    ks = F.array_sort(F.array_distinct(F.transform(pairs, lambda p: p["k"])))
+    return F.transform(
+        ks,
+        lambda k: F.struct(
+            k.alias("key"),
+            F.aggregate(
+                F.filter(pairs, lambda p: p["k"] == k),
+                seed,
+                combine,
+            ).alias("value"),
+        ),
+    )
+
+
+def min_map(keys, values):
+    """minMap(k_arr, v_arr): per-key minimum (AggregateFunctionSumMap.cpp
+    Min variant)."""
+    return _map_agg(
+        keys, values,
+        F.lit(None).cast("double"),
+        lambda a, p: F.least(F.coalesce(a, p["v"].cast("double")), p["v"].cast("double")),
+    )
+
+
+def max_map(keys, values):
+    """maxMap(k_arr, v_arr): per-key maximum."""
+    return _map_agg(
+        keys, values,
+        F.lit(None).cast("double"),
+        lambda a, p: F.greatest(F.coalesce(a, p["v"].cast("double")), p["v"].cast("double")),
+    )
+
+
+def group_array_moving_sum(x, order, window: int | None = None):
+    """groupArrayMovingSum(x) ordered by ``order`` (AggregateFunctionMoving.h).
+
+    Returns array[i] = sum of the last ``window`` values up to i (all values
+    when window is None). Reference insert-order is nondeterministic; the
+    explicit order key makes this deterministic and oracle-comparable.
+    """
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct(_c(order).alias("o"), _c(x).alias("v")))),
+        lambda s: s["v"].cast("double"),
+    )
+    if window is None:
+        # running prefix sum
+        return F.transform(
+            vals,
+            lambda v, i: F.aggregate(
+                F.slice(vals, 1, i + 1), F.lit(0.0), lambda a, b: a + b
+            ),
+        )
+    w = window
+    return F.transform(
+        vals,
+        lambda v, i: F.aggregate(
+            F.slice(vals, F.greatest(F.lit(1), i + 2 - w), F.least(i + 1, F.lit(w))),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ),
+    )
+
+
+def group_array_moving_avg(x, order, window: int | None = None):
+    """groupArrayMovingAvg — reference divides by the WINDOW SIZE (not the
+    number of accumulated values) for the leading partial windows
+    (AggregateFunctionMoving.h get() divides by window_size)."""
+    sums = group_array_moving_sum(x, order, window)
+    if window is None:
+        # whole-group window: divide by group size
+        return F.transform(sums, lambda s: s / F.size(sums))
+    return F.transform(sums, lambda s: s / F.lit(float(window)))
+
+
+def group_array_insert_at(x, pos, default=None):
+    """groupArrayInsertAt(default)(x, pos): array with x placed at index pos
+    (0-based), gaps filled with ``default``
+    (AggregateFunctionGroupArrayInsertAt.h). First writer wins per slot in
+    the reference; we take the MIN value per slot for determinism."""
+    d = F.lit(default)
+    pairs = F.array_sort(F.collect_list(F.struct(_c(pos).cast("int").alias("p"), _c(x).alias("v"))))
+    width = F.element_at(pairs, -1)["p"] + 1
+    return F.transform(
+        F.sequence(F.lit(0), width - 1),
+        lambda i: F.coalesce(
+            F.element_at(F.filter(pairs, lambda s: s["p"] == i), 1)["v"], d
+        ),
+    )
+
+
+def group_bitmap(x):
+    """groupBitmap: cardinality of the distinct-value bitmap
+    (AggregateFunctionGroupBitmap.cpp returns cardinality)."""
+    return F.countDistinct(_c(x))
+
+
+def uniq_theta(x, rsd: float = 0.05):
+    """uniqTheta (theta sketch) — approx distinct; HLL++ stands in."""
+    return F.approx_count_distinct(_c(x), rsd)
+
+
+def any_heavy(x):
+    """anyHeavy: a frequently-occurring value (heavy-hitter approximation,
+    AggregateFunctionMinMaxAny.cpp). Deterministic stand-in: the exact mode."""
+    return F.mode(_c(x))
+
+
+def top_k_weighted(x, w, k: int = 10):
+    """topKWeighted: top-k values by summed weight (exact form)."""
+    lst = F.collect_list(F.struct(_c(x).cast("string").alias("k"), _c(w).cast("long").alias("w")))
+    ks = F.array_distinct(F.transform(lst, lambda s: s["k"]))
+    entries = F.transform(
+        ks,
+        lambda k: F.struct(
+            k.alias("key"),
+            F.aggregate(
+                F.filter(lst, lambda s: s["k"] == k),
+                F.lit(0).cast("long"),
+                lambda a, s: a + s["w"],
+            ).alias("value"),
+        ),
+    )
+    ranked = F.array_sort(
+        entries,
+        lambda a, b: F.when(a.value > b.value, F.lit(-1))
+        .when(a.value < b.value, F.lit(1))
+        .when(a.key < b.key, F.lit(-1))
+        .when(a.key > b.key, F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    return F.transform(F.slice(ranked, 1, k), lambda s: s.key)
+
+
+def max_intersections(start, end):
+    """maxIntersections(start, end): max number of simultaneously
+    overlapping [start, end) intervals (AggregateFunctionMaxIntersections.h).
+
+    Sweep-line over collected ±1 deltas sorted by point; end-events sort
+    before start-events at the same point (half-open intervals)."""
+    deltas = F.flatten(
+        F.collect_list(
+            F.array(
+                F.struct(_c(start).cast("double").alias("p"), F.lit(1).alias("d")),
+                F.struct(_c(end).cast("double").alias("p"), F.lit(-1).alias("d")),
+            )
+        )
+    )
+    swept = F.array_sort(deltas)  # struct sort: by p, then d (-1 before +1)
+    return F.aggregate(
+        swept,
+        F.struct(F.lit(0).alias("cur"), F.lit(0).alias("best")),
+        lambda acc, e: F.struct(
+            (acc["cur"] + e["d"]).alias("cur"),
+            F.greatest(acc["best"], acc["cur"] + e["d"]).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
 # --- statistics --------------------------------------------------------------------
 
 def var_pop(x):
@@ -249,6 +412,90 @@ def simple_linear_regression(x, y):
     return F.struct(
         F.regr_slope(_c(y), _c(x)).alias("k"),
         F.regr_intercept(_c(y), _c(x)).alias("b"),
+    )
+
+
+def welch_ttest(x, sample_index):
+    """welchTTest(value, sample_index): Welch's two-sample t-test
+    (AggregateFunctionTTest.h / WelchTTestData). Returns
+    struct(t_stat, df) — the t statistic and Welch–Satterthwaite degrees
+    of freedom. Pure moment arithmetic: one hash aggregation, map-side
+    combinable, scale-safe. (The reference also evaluates the Student-t
+    CDF for a p-value; that requires the incomplete beta function, which
+    neither Spark SQL nor the oracle has natively — callers needing a
+    p-value apply scipy on the 2-value result, which is driver-side O(1).)
+    """
+    v = _c(x).cast("double")
+    g = _c(sample_index).cast("int")
+    n0 = F.count(F.when(g == 0, v))
+    n1 = F.count(F.when(g == 1, v))
+    m0 = F.avg(F.when(g == 0, v))
+    m1 = F.avg(F.when(g == 1, v))
+    s0 = F.var_samp(F.when(g == 0, v))
+    s1 = F.var_samp(F.when(g == 1, v))
+    se2 = s0 / n0 + s1 / n1
+    t = (m0 - m1) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (s0 / n0) * (s0 / n0) / (n0 - 1) + (s1 / n1) * (s1 / n1) / (n1 - 1)
+    )
+    return F.struct(t.alias("t_stat"), df.alias("df"))
+
+
+def student_ttest(x, sample_index):
+    """studentTTest(value, sample_index): equal-variance two-sample t-test.
+    Returns struct(t_stat, df) with pooled variance, df = n0+n1-2."""
+    v = _c(x).cast("double")
+    g = _c(sample_index).cast("int")
+    n0 = F.count(F.when(g == 0, v))
+    n1 = F.count(F.when(g == 1, v))
+    m0 = F.avg(F.when(g == 0, v))
+    m1 = F.avg(F.when(g == 1, v))
+    s0 = F.var_samp(F.when(g == 0, v))
+    s1 = F.var_samp(F.when(g == 1, v))
+    sp2 = ((n0 - 1) * s0 + (n1 - 1) * s1) / (n0 + n1 - 2)
+    t = (m0 - m1) / F.sqrt(sp2 * (F.lit(1.0) / n0 + F.lit(1.0) / n1))
+    return F.struct(t.alias("t_stat"), (n0 + n1 - 2).cast("double").alias("df"))
+
+
+def stochastic_linear_regression(x, y):
+    """stochasticLinearRegression (AggregateFunctionMLMethod.h) trains by
+    SGD in the reference; for a single feature the deterministic
+    least-squares solution is strictly better and one hash agg — alias of
+    :func:`simple_linear_regression` (struct(k, b))."""
+    return simple_linear_regression(x, y)
+
+
+def categorical_information_value(cat, outcome):
+    """categoricalInformationValue(category, outcome):
+    IV = Σ_cat (good% − bad%)·ln(good%/bad%)
+    (AggregateFunctionCategoricalInformationValue.h; outcome ∈ {0,1}).
+    Column form uses the collect+HOF fold — per-group cardinality =
+    number of categories (small); df-level two-level groupBy variant in
+    functions/stats.py scales to high-cardinality categories."""
+    c = _c(cat).cast("string")
+    o = _c(outcome).cast("int")
+    pairs = F.collect_list(F.struct(c.alias("c"), o.alias("o")))
+    cats = F.array_distinct(F.transform(pairs, lambda p: p["c"]))
+    tot1 = F.aggregate(pairs, F.lit(0), lambda a, p: a + p["o"]).cast("double")
+    tot0 = (F.size(pairs) - tot1).cast("double")
+    return F.aggregate(
+        cats,
+        F.lit(0.0),
+        lambda acc, k: acc
+        + (
+            (
+                F.size(F.filter(pairs, lambda p: (p["c"] == k) & (p["o"] == 1))) / tot1
+                - F.size(F.filter(pairs, lambda p: (p["c"] == k) & (p["o"] == 0))) / tot0
+            )
+            * (
+                F.log(
+                    F.size(F.filter(pairs, lambda p: (p["c"] == k) & (p["o"] == 1))) / tot1
+                )
+                - F.log(
+                    F.size(F.filter(pairs, lambda p: (p["c"] == k) & (p["o"] == 0))) / tot0
+                )
+            )
+        ),
     )
 
 
@@ -328,21 +575,51 @@ def top_k(x, k: int = 10):
 
 AGGREGATES = {
     "count": count, "sum": sum_, "avg": avg, "min": min_, "max": max_,
-    "any": any_, "anyLast": any_last, "argMin": arg_min, "argMax": arg_max,
-    "avgWeighted": avg_weighted,
+    "any": any_, "anyLast": any_last, "anyHeavy": any_heavy,
+    "argMin": arg_min, "argMax": arg_max,
+    "avgWeighted": avg_weighted, "sumCount": sum_count,
     "uniq": uniq, "uniqExact": uniq_exact, "uniqCombined": uniq_approx,
-    "uniqHLL12": uniq_approx, "uniqUpTo": uniq_up_to,
+    "uniqHLL12": uniq_approx, "uniqUpTo": uniq_up_to, "uniqTheta": uniq_theta,
     "quantile": quantile, "quantileExact": quantile_exact,
     "quantiles": quantiles_exact, "quantileTDigest": quantile_approx,
+    "quantileTiming": quantile_exact,
     "median": median,
     "groupArray": group_array, "groupUniqArray": group_uniq_array,
+    "groupArrayInsertAt": group_array_insert_at,
+    "groupArrayMovingSum": group_array_moving_sum,
+    "groupArrayMovingAvg": group_array_moving_avg,
     "groupBitAnd": group_bit_and, "groupBitOr": group_bit_or,
-    "groupBitXor": group_bit_xor,
+    "groupBitXor": group_bit_xor, "groupBitmap": group_bitmap,
     "varPop": var_pop, "varSamp": var_samp, "stddevPop": stddev_pop,
     "stddevSamp": stddev_samp, "covarPop": covar_pop, "covarSamp": covar_samp,
     "corr": corr, "skewPop": skew_pop, "kurtPop": kurt_pop,
     "entropy": entropy, "simpleLinearRegression": simple_linear_regression,
+    "stochasticLinearRegression": stochastic_linear_regression,
+    "welchTTest": welch_ttest, "studentTTest": student_ttest,
+    "categoricalInformationValue": categorical_information_value,
     "countIf": count_if, "sumIf": sum_if, "avgIf": avg_if,
-    "topK": top_k, "sumMap": sum_map, "sumArray": sum_array,
-    "uniqArray": uniq_array,
+    "topK": top_k, "topKWeighted": top_k_weighted,
+    "sumMap": sum_map, "minMap": min_map, "maxMap": max_map,
+    "sumArray": sum_array, "uniqArray": uniq_array,
+    "maxIntersections": max_intersections,
 }
+
+# Time-series aggregates live in functions/timeseries.py; registered here so
+# a dialect/registry consumer resolves every reference aggregate name in one
+# place. deltaSumTimestamp == our deltaSum (ours is already timestamp-ordered;
+# the reference's plain deltaSum relies on block order, which is
+# nondeterministic there — AggregateFunctionDeltaSumTimestamp.h).
+from daisy_spark.functions import timeseries as _ts  # noqa: E402
+
+AGGREGATES.update({
+    "windowFunnel": _ts.window_funnel,
+    "retention": _ts.retention,
+    "sequenceMatch": _ts.sequence_match,
+    "sequenceCount": _ts.sequence_count,
+    "deltaSum": _ts.delta_sum,
+    "deltaSumTimestamp": _ts.delta_sum,
+    "rate": _ts.rate,
+    "boundingRatio": _ts.rate,
+    "histogram": _ts.histogram,
+    "segmentLengthSum": _ts.segment_length_sum,
+})

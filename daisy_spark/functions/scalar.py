@@ -867,6 +867,267 @@ def ipv4_string_to_num(x):
     )
 
 
+def ipv6_num_to_string(x):
+    """IPv6 16-byte binary -> colon-grouped lowercase hex
+    (src/Functions/FunctionsCoding.h IPv6NumToString). Emits the full
+    8-group form (no RFC 5952 zero-run compression — documented
+    simplification; values parse back with ipv6_string_to_num)."""
+    h = F.lower(F.hex(_c(x).cast("binary")))
+    groups = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.regexp_replace(
+            F.substring(h, i * 4 + 1, 4), r"^0{1,3}", ""
+        ),
+    )
+    return F.array_join(groups, ":")
+
+
+def mac_num_to_string(x):
+    """MACNumToString: 48-bit int -> aa:bb:cc:dd:ee:ff."""
+    h = F.lower(F.lpad(F.hex(_c(x).cast("bigint")), 12, "0"))
+    return F.concat_ws(
+        ":", *[F.substring(h, i * 2 + 1, 2) for i in range(6)]
+    )
+
+
+def mac_string_to_num(x):
+    return F.conv(F.regexp_replace(_c(x), ":", ""), 16, 10).cast("bigint")
+
+
+def bitmask_to_list(x):
+    """bitmaskToList(n): comma-joined powers of two summing to n,
+    ascending (src/Functions/FunctionsCoding.h)."""
+    n = _c(x).cast("bigint")
+    # 2^i via double pow is exact for powers of two (single mantissa bit)
+    bits = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(62)),
+            lambda i: F.pow(F.lit(2.0), i).cast("bigint"),
+        ),
+        lambda b: (n.bitwiseAND(b)) != 0,
+    )
+    return F.array_join(F.transform(bits, lambda b: b.cast("string")), ",")
+
+
+def host_name():
+    """hostName() — the reference returns the server's host; here the
+    driver host (constant-folded into the plan)."""
+    import socket
+
+    return F.lit(socket.gethostname())
+
+
+def version():
+    return F.lit("daisy-spark-0.2")
+
+
+# --- bitmaps (registerFunctionsBitmap) ---------------------------------------
+# Representation: a bitmap IS a sorted de-duplicated array<long> — the
+# roaring-bitmap physical encoding is a compression detail of the reference
+# (AggregateFunctionGroupBitmap.cpp); set semantics are what queries observe.
+
+def bitmap_build(arr):
+    return F.array_sort(F.array_distinct(_c(arr)))
+
+
+def bitmap_and(a, b):
+    return F.array_sort(F.array_intersect(_c(a), _c(b)))
+
+
+def bitmap_or(a, b):
+    return F.array_sort(F.array_union(_c(a), _c(b)))
+
+
+def bitmap_xor(a, b):
+    return F.array_sort(
+        F.array_union(F.array_except(_c(a), _c(b)), F.array_except(_c(b), _c(a)))
+    )
+
+
+def bitmap_andnot(a, b):
+    return F.array_sort(F.array_except(_c(a), _c(b)))
+
+
+def bitmap_cardinality(a):
+    return F.size(F.array_distinct(_c(a)))
+
+
+def bitmap_contains(a, v):
+    return F.array_contains(_c(a), v)
+
+
+def bitmap_has_any(a, b):
+    return F.arrays_overlap(_c(a), _c(b))
+
+
+def bitmap_has_all(a, b):
+    return F.size(F.array_except(_c(b), _c(a))) == 0
+
+
+# --- geo (registerFunctionsGeo) ----------------------------------------------
+
+def great_circle_distance(lon1, lat1, lon2, lat2):
+    """greatCircleDistance in meters — haversine on the reference's sphere
+    radius 6371 km (src/Functions/greatCircleDistance.cpp)."""
+    rlat1, rlat2 = F.radians(_c(lat1)), F.radians(_c(lat2))
+    dlat = rlat2 - rlat1
+    dlon = F.radians(_c(lon2)) - F.radians(_c(lon1))
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    return F.lit(2.0 * 6371000.0) * F.asin(F.sqrt(a))
+
+
+def point_in_polygon(x, y, polygon):
+    """pointInPolygon((x,y), poly) — ray casting over the closed ring given
+    as array<struct<x,y>> (src/Functions/pointInPolygon.cpp). A HOF fold
+    over the edges; JVM-side, no UDF."""
+    px, py = _c(x).cast("double"), _c(y).cast("double")
+    poly = _c(polygon)
+    n = F.size(poly)
+    crossings = F.aggregate(
+        F.sequence(F.lit(0), n - 1),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            (
+                ((F.element_at(poly, i + 1)["y"] > py)
+                 != (F.element_at(poly, ((i + 1) % n) + 1)["y"] > py))
+                & (
+                    px
+                    < (F.element_at(poly, ((i + 1) % n) + 1)["x"]
+                       - F.element_at(poly, i + 1)["x"])
+                    * (py - F.element_at(poly, i + 1)["y"])
+                    / (F.element_at(poly, ((i + 1) % n) + 1)["y"]
+                       - F.element_at(poly, i + 1)["y"])
+                    + F.element_at(poly, i + 1)["x"]
+                )
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return (crossings % 2) == 1
+
+
+def geohash_encode(lon, lat, precision: int = 12):
+    """geohashEncode(lon, lat, p) — base32 interleaved bisection
+    (src/Functions/geohashEncode.cpp), as a pure HOF fold: 5·p bisection
+    steps carried in a struct accumulator, then base32 lookup per 5-bit
+    group. JVM-side, no UDF."""
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    p = int(precision)
+    nbits = 5 * p
+    init = F.struct(
+        F.lit(-90.0).alias("lat_lo"), F.lit(90.0).alias("lat_hi"),
+        F.lit(-180.0).alias("lon_lo"), F.lit(180.0).alias("lon_hi"),
+        F.array().cast("array<int>").alias("bits"),
+    )
+    lon_c, lat_c = _c(lon).cast("double"), _c(lat).cast("double")
+
+    def step(acc, i):
+        is_lon = (i % 2) == 0  # even bit index: longitude
+        mid_lon = (acc["lon_lo"] + acc["lon_hi"]) / 2
+        mid_lat = (acc["lat_lo"] + acc["lat_hi"]) / 2
+        lon_hi_bit = lon_c >= mid_lon
+        lat_hi_bit = lat_c >= mid_lat
+        bit = F.when(is_lon, lon_hi_bit.cast("int")).otherwise(
+            lat_hi_bit.cast("int")
+        )
+        return F.struct(
+            F.when(~is_lon & lat_hi_bit, mid_lat).otherwise(acc["lat_lo"]).alias("lat_lo"),
+            F.when(~is_lon & ~lat_hi_bit, mid_lat).otherwise(acc["lat_hi"]).alias("lat_hi"),
+            F.when(is_lon & lon_hi_bit, mid_lon).otherwise(acc["lon_lo"]).alias("lon_lo"),
+            F.when(is_lon & ~lon_hi_bit, mid_lon).otherwise(acc["lon_hi"]).alias("lon_hi"),
+            F.concat(acc["bits"], F.array(bit)).alias("bits"),
+        )
+
+    folded = F.aggregate(F.sequence(F.lit(0), F.lit(nbits - 1)), init, step)
+    chars = F.transform(
+        F.sequence(F.lit(0), F.lit(p - 1)),
+        lambda g: F.substring(
+            F.lit(alphabet),
+            F.aggregate(
+                F.slice(folded["bits"], g * 5 + 1, 5),
+                F.lit(0),
+                lambda a, b: a * 2 + b,
+            ) + 1,
+            1,
+        ),
+    )
+    return F.array_join(chars, "")
+
+
+# --- string distance (ngramDistance — src/Functions/FunctionsStringSimilarity.cpp)
+
+def ngram_set(x, n: int = 4):
+    """Distinct character n-grams of a string (reference uses 4-grams)."""
+    s = _c(x).cast("string")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(0))),
+            lambda i: F.substring(s, i, n),
+        )
+    )
+
+
+def ngram_distance(a, b, n: int = 4):
+    """ngramDistance(a, b) in [0,1]: 1 − 2·|A∩B| / (|A|+|B|) over distinct
+    4-gram sets (set-based variant of the reference's multiset symmetric
+    difference — documented simplification, same 0=identical/1=disjoint
+    contract)."""
+    ga, gb = ngram_set(a, n), ngram_set(b, n)
+    inter = F.size(F.array_intersect(ga, gb)).cast("double")
+    denom = (F.size(ga) + F.size(gb)).cast("double")
+    return F.when(denom == 0, F.lit(0.0)).otherwise(1.0 - 2.0 * inter / denom)
+
+
+def ngram_search(a, b, n: int = 4):
+    """ngramSearch(haystack, needle): share of needle's n-grams present in
+    haystack (asymmetric)."""
+    ga, gb = ngram_set(a, n), ngram_set(b, n)
+    return F.when(F.size(gb) == 0, F.lit(1.0)).otherwise(
+        F.size(F.array_intersect(ga, gb)).cast("double") / F.size(gb)
+    )
+
+
+# --- neighbor / running (block-local in the reference; deterministic
+#     window forms here — src/Functions/{neighbor,runningDifference}.cpp) ----
+
+def neighbor(x, offset: int, order_by, partition_by: list | None = None, default=None):
+    """neighbor(x, offset) — value at row offset away. The reference's form
+    is block-local ("approximate" per its own docs); ours is the exact
+    window version and therefore needs an explicit order column."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*(partition_by or [])).orderBy(_c(order_by))
+    if offset >= 0:
+        return F.lead(_c(x), offset, default).over(w)
+    return F.lag(_c(x), -offset, default).over(w)
+
+
+def running_difference(x, order_by, partition_by: list | None = None):
+    """runningDifference(x): x − previous x in order; 0 for the first row
+    (matches the reference's first-row-in-block behavior)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*(partition_by or [])).orderBy(_c(order_by))
+    return _c(x) - F.lag(_c(x), 1, None).over(w)
+
+
+def running_accumulate(x, order_by, partition_by: list | None = None):
+    """runningAccumulate(state): running sum in order (the reference
+    accumulates an aggregation state; sum is its overwhelming use)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*(partition_by or []))
+        .orderBy(_c(order_by))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return F.sum(_c(x)).over(w)
+
+
 # --- arrays / higher-order (src/Functions/array/ — 70+ functions) -----------
 # The reference takes lambdas FIRST (arrayMap(x -> ..., arr)); the Column
 # builders here take them in Spark order (arr, fn) since Python callers pass
@@ -1251,6 +1512,20 @@ FUNCTIONS: dict[str, Callable] = {
     "formatReadableSize": format_readable_size,
     "rand": rand, "rand64": rand64, "generateUUIDv4": generate_uuid_v4,
     "IPv4NumToString": ipv4_num_to_string, "IPv4StringToNum": ipv4_string_to_num,
+    "IPv6NumToString": ipv6_num_to_string,
+    "MACNumToString": mac_num_to_string, "MACStringToNum": mac_string_to_num,
+    "bitmaskToList": bitmask_to_list,
+    "hostName": host_name, "version": version,
+    "bitmapBuild": bitmap_build, "bitmapAnd": bitmap_and,
+    "bitmapOr": bitmap_or, "bitmapXor": bitmap_xor,
+    "bitmapAndnot": bitmap_andnot, "bitmapCardinality": bitmap_cardinality,
+    "bitmapContains": bitmap_contains, "bitmapHasAny": bitmap_has_any,
+    "bitmapHasAll": bitmap_has_all,
+    "greatCircleDistance": great_circle_distance,
+    "pointInPolygon": point_in_polygon, "geohashEncode": geohash_encode,
+    "ngramDistance": ngram_distance, "ngramSearch": ngram_search,
+    "neighbor": neighbor, "runningDifference": running_difference,
+    "runningAccumulate": running_accumulate,
 }
 
 # integer conversions registered programmatically

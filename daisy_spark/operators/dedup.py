@@ -86,22 +86,82 @@ def with_shingles(
 
 def with_minhash_signature(
     df: DataFrame,
+    id_col: str,
     shingle_col: str = "shingles",
     out_col: str = "minhash",
     num_hashes: int = 64,
 ) -> DataFrame:
-    """MinHash signature: per hash-seed i, min over shingles of
-    ``xxhash64(shingle, i)``.
+    """MinHash signature per ``id_col``: each shingle is string-hashed
+    ONCE (``xxhash64(s)``); the ``num_hashes`` hash family is derived
+    from that base hash with cheap long-pair hashes ``xxhash64(h, i)``.
 
-    One expression, fully JVM-side; the per-row cost is
-    ``num_hashes * |shingles|`` hash evaluations inside whole-stage
-    codegen — no shuffle, no UDF.
+    Returns ``(id_col, out_col)``.
+
+    Scale shape: one explode to shingle rows, then a single
+    ``groupBy(id)`` with ``num_hashes`` flat ``min`` columns — all inside
+    whole-stage codegen with map-side partial aggregation, so the shuffle
+    carries one signature row per doc per input partition.  (The nested
+    higher-order formulation — ``transform(seq, i ->
+    array_min(transform(shingles, s -> xxhash64(s, i))))`` — both
+    re-hashes every shingle STRING ``num_hashes`` times and runs
+    interpreted rather than compiled; same trap as SimHash, see
+    :func:`with_simhash`.)
     """
-    sig = (
-        f"transform(sequence(0, {num_hashes - 1}), "
-        f"i -> array_min(transform({shingle_col}, s -> xxhash64(s, i))))"
+    ex = (
+        df.select(F.col(id_col), F.explode_outer(F.col(shingle_col)).alias("_s"))
+        .withColumn("_h", F.xxhash64("_s"))
     )
-    return df.withColumn(out_col, F.expr(sig))
+    aggs = [
+        F.min(F.xxhash64("_h", F.lit(i))).alias(f"_m{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        ex.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias(out_col),
+        )
+    )
+
+
+def _bucket_pairs(
+    banded: DataFrame,
+    bucket_cols: list[str],
+    payload,
+    max_bucket_size: int | None,
+):
+    """Shared LSH bucket → candidate-pair expansion.
+
+    ONE hash aggregation collects each bucket's member list (map-side
+    combinable), the size guard is a free filter on that same
+    aggregation (no second shuffle, unlike a count + semi-join guard),
+    and the quadratic pair expansion happens inside the bucket row via a
+    sorted HOF — bounded by ``max_bucket_size``, never all-pairs.
+    Returns one row per (bucket, pair): struct column ``p`` with fields
+    ``a``/``b`` (payload structs, ``a < b`` by sort order).
+    """
+    buckets = banded.groupBy(*bucket_cols).agg(
+        F.collect_list(payload).alias("_raw")
+    )
+    guard = F.size("_raw") >= 2
+    if max_bucket_size is not None:
+        guard = guard & (F.size("_raw") <= max_bucket_size)
+    pairs = (
+        buckets.filter(guard)
+        # sort ONCE per bucket; the pair HOF must not re-sort per element
+        .withColumn("_ms", F.array_sort("_raw"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ms, (a, i) -> "
+                    "transform(slice(_ms, i + 2, size(_ms)), "
+                    "b -> struct(a, b))))"
+                )
+            ).alias("p")
+        )
+    )
+    return pairs
 
 
 def minhash_candidates(
@@ -115,9 +175,11 @@ def minhash_candidates(
     """LSH banding: docs sharing any (band, band-hash) bucket become
     candidate pairs ``(id1, id2)`` with ``id1 < id2``.
 
-    Scale shape: explode to ``bands`` rows/doc, shuffle once on the bucket
-    key, self-join *within* buckets only.  ``max_bucket_size`` drops
-    degenerate buckets (fan-out is quadratic in bucket size).
+    Scale shape: explode to ``bands`` rows/doc, ONE shuffle onto the
+    bucket key (collect bucket members + size guard in the same
+    aggregation), in-row pair expansion, then one distinct — two
+    shuffles end-to-end.  ``max_bucket_size`` drops degenerate buckets
+    (fan-out is quadratic in bucket size).
     """
     banded = df.select(
         F.col(id_col),
@@ -130,29 +192,12 @@ def minhash_candidates(
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
-    if max_bucket_size is not None:
-        sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("_n"))
-        banded = banded.join(
-            sizes.filter(F.col("_n") <= max_bucket_size).drop("_n"),
-            on=["band", "bh"],
-            how="left_semi",
-        )
-
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col(f"a.band") == F.col(f"b.band"))
-            & (F.col(f"a.bh") == F.col(f"b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id1"),
-            F.col(f"b.{id_col}").alias("id2"),
-        )
-        .distinct()
+    pairs = _bucket_pairs(
+        banded, ["band", "bh"], F.col(id_col), max_bucket_size
     )
+    return pairs.select(
+        F.col("p.a").alias("id1"), F.col("p.b").alias("id2")
+    ).distinct()
 
 
 def jaccard_verify(
@@ -164,8 +209,11 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact shingle-set Jaccard on candidate pairs only.
 
-    Two hash joins against the shingled corpus (shuffle on doc id) — never
-    an all-pairs comparison.  Output: ``id1, id2, jaccard`` above threshold.
+    The candidate-pair set is broadcast (LSH banding + the bucket-size
+    guard keep it bounded), so the two joins against the shingled corpus
+    stream map-side — the corpus is scanned, never shuffled, which is the
+    shape that survives a 100 TB corpus.  Output: ``id1, id2, jaccard``
+    above threshold.
     """
     s1 = shingled.select(
         F.col(id_col).alias("id1"), F.col(shingle_col).alias("_s1")
@@ -177,9 +225,9 @@ def jaccard_verify(
         F.size(F.array_intersect("_s1", "_s2"))
         / F.size(F.array_union("_s1", "_s2"))
     ).alias("jaccard")
+    half = s1.join(F.broadcast(candidates), "id1")  # |candidates| rows
     return (
-        candidates.join(s1, "id1")
-        .join(s2, "id2")
+        s2.join(F.broadcast(half), "id2")
         .select("id1", "id2", j)
         .filter(F.col("jaccard") >= threshold)
     )
@@ -199,10 +247,12 @@ def minhash_dedup_pairs(
     exact-Jaccard verify.  With 64 hashes / 16 bands of 4, detection
     probability at J=0.7 is 1-(1-0.7⁴)¹⁶ ≈ 0.986 and ≈ 1-4e-8 at J=0.9.
     """
-    shingled = with_shingles(df, text_col, k=shingle_k).select(id_col, "shingles")
-    # signatures feed both self-join sides + the bucket-size guard; persist
-    # rather than recompute 64×|shingles| hashes per consumer
-    sig = with_minhash_signature(shingled, num_hashes=num_hashes).persist()
+    # shingles feed the signature AND both verify sides; persist rather
+    # than re-shingle the corpus per consumer
+    shingled = (
+        with_shingles(df, text_col, k=shingle_k).select(id_col, "shingles").persist()
+    )
+    sig = with_minhash_signature(shingled, id_col, num_hashes=num_hashes).persist()
     cand = minhash_candidates(
         sig,
         id_col,
@@ -251,11 +301,11 @@ def with_simhash(
         F.col(id_col), F.explode_outer(F.expr(toks)).alias("_t")
     ).withColumn("_h", F.xxhash64("_t"))
     aggs = [
-        F.sum(
-            F.when(F.col("_h").isNull(), F.lit(0)).otherwise(
-                F.shiftright("_h", i).bitwiseAND(F.lit(1))
-            )
-        ).alias(f"_b{i}")
+        # plain bit sums — no per-row null branch (a when() guard per bit
+        # per token row measured 4× slower).  Tokenless docs (explode_outer
+        # null) give null sums; `if(2*null > _n)` is falsy, so their bits
+        # are 0 exactly as the guarded form produced.
+        F.sum(F.shiftright("_h", i).bitwiseAND(F.lit(1))).alias(f"_b{i}")
         for i in range(bits)
     ] + [F.count("_t").alias("_n")]
     counts = tok.groupBy(id_col).agg(*aggs)
@@ -319,6 +369,10 @@ def simhash_candidates(
         F.explode(F.expr(f"array({combo_structs})")).alias("bb"),
     ).select(id_col, "_h", F.col("bb.cid").alias("cid"), F.col("bb.key").alias("key"))
 
+    # SimHash buckets are FAT (8-bit keys ⇒ ≤256 buckets per combo), so
+    # pair expansion stays in the codegen'd self-join — the in-row HOF
+    # expansion used for MinHash (_bucket_pairs) runs interpreted and
+    # measured slower here on exactly those fat buckets.
     if max_bucket_size is not None:
         sizes = banded.groupBy("cid", "key").agg(F.count(F.lit(1)).alias("_n"))
         banded = banded.join(
@@ -365,7 +419,9 @@ def simhash_dedup_pairs(
     """
     hashed = with_simhash(df, text_col, id_col).persist()
     cand = simhash_candidates(hashed, id_col, max_hamming=max_hamming)
-    shingled = with_shingles(df, text_col, k=shingle_k).select(id_col, "shingles")
+    shingled = (
+        with_shingles(df, text_col, k=shingle_k).select(id_col, "shingles").persist()
+    )
     return jaccard_verify(
         cand.select("id1", "id2"), shingled, id_col, threshold=jaccard_threshold
     )

@@ -719,3 +719,9 @@ from daisy_spark.queries_ext import ORACLE_SQL_EXT, QUERIES_EXT  # noqa: E402
 
 QUERIES.update(QUERIES_EXT)
 ORACLE_SQL.update(ORACLE_SQL_EXT)
+
+# statistical tests, map aggregates, moving windows, coding/geo scalars
+from daisy_spark.queries_stats import ORACLE_SQL_STATS, QUERIES_STATS  # noqa: E402
+
+QUERIES.update(QUERIES_STATS)
+ORACLE_SQL.update(ORACLE_SQL_STATS)
