@@ -75,6 +75,42 @@ def limit_with_ties(
     return df.join(F.broadcast(top_keys), cond, "left_semi")
 
 
+def groups_frame_agg(
+    df: DataFrame,
+    agg: Column,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    start: int,
+    end: int,
+    out_col: str,
+) -> DataFrame:
+    """GROUPS window frame (WindowDescription.h:30-38) — Spark has only
+    ROWS/RANGE, but GROUPS remaps EXACTLY onto RANGE over the dense_rank
+    of the order key: peer rows share a dense_rank value, so
+    ``RANGE BETWEEN |start| PRECEDING AND end FOLLOWING`` on that integer
+    index includes precisely the peer groups of the GROUPS frame.
+
+    Both windows share the partition key, so the plan keeps ONE exchange
+    + sort (the second window reuses the first's ordering).
+
+    ``start``/``end`` use frame offsets (negative = preceding), e.g.
+    GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING -> start=-1, end=1.
+    """
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy(*partition_by).orderBy(*order_by)
+    w2 = (
+        Window.partitionBy(*partition_by)
+        .orderBy("__grp_idx")
+        .rangeBetween(start, end)
+    )
+    return (
+        df.withColumn("__grp_idx", F.dense_rank().over(w1))
+        .withColumn(out_col, agg.over(w2))
+        .drop("__grp_idx")
+    )
+
+
 def limit_offset(df: DataFrame, limit: int, offset: int = 0) -> DataFrame:
     """LIMIT offset, n — driverless pagination via offset()+limit()."""
     out = df.offset(offset) if offset else df

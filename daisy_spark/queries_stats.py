@@ -331,7 +331,48 @@ ORDER BY b.event_id
 """
 
 
+# --- GROUPS window frame (emulated; SURVEY §2.5) ----------------------------
+
+def q_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum(value) OVER (PARTITION BY event_type ORDER BY user_id
+    GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) via the dense_rank→RANGE
+    remap (operators.modifiers.groups_frame_agg). One output row per
+    peer group (every row of a group carries the same frame sum)."""
+    from daisy_spark.operators.modifiers import groups_frame_agg
+
+    e = _t(spark, sf_dir, "events")
+    framed = groups_frame_agg(
+        e,
+        F.sum("value"),
+        ["event_type"],
+        ["user_id"],
+        -1,
+        1,
+        "frame_sum",
+    )
+    return (
+        framed.select("event_type", "user_id", _r6(F.col("frame_sum")).alias("frame_sum"))
+        .distinct()
+        .orderBy("event_type", "user_id")
+    )
+
+
+ORACLE_GROUPS_FRAME = """
+WITH g AS (
+  SELECT event_type, user_id, sum(value) AS gs
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type, user_id,
+       round(gs + coalesce(lag(gs) OVER w, 0) + coalesce(lead(gs) OVER w, 0), 6)
+         + 0.0 AS frame_sum
+FROM g
+WINDOW w AS (PARTITION BY event_type ORDER BY user_id)
+ORDER BY event_type, user_id
+"""
+
+
 QUERIES_STATS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "groups_frame": q_groups_frame,
     "ttests": q_ttests,
     "map_aggs": q_map_aggs,
     "moving_sum": q_moving_sum,
@@ -343,6 +384,7 @@ QUERIES_STATS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL_STATS: dict[str, str] = {
+    "groups_frame": ORACLE_GROUPS_FRAME,
     "ttests": ORACLE_TTESTS,
     "map_aggs": ORACLE_MAP_AGGS,
     "moving_sum": ORACLE_MOVING_SUM,

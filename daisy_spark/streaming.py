@@ -114,6 +114,85 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# ---------------------------------------------------------------------------
+# Rawstore — Splunk-like raw event tables
+# ---------------------------------------------------------------------------
+
+#: fixed rawstore schema (RawstoreTableRestRouterHandler.cpp:87-92):
+#: _raw + event/index times + source coordinates
+RAWSTORE_COLUMNS = ["_raw", "_time", "_index_time", "sourcetype", "source", "host"]
+
+
+def to_rawstore(
+    lines: DataFrame,
+    raw_col: str = "value",
+    time_col: str | None = None,
+    sourcetype: str = "generic_single_line",
+    source: str = "",
+    host: str = "",
+) -> DataFrame:
+    """Shape arbitrary line data into the rawstore schema: ``_raw`` is
+    the untouched event text, ``_time`` the event time (defaulted to
+    ingest time, like the rawstore column DEFAULT now64(3)),
+    ``_index_time`` always ingest time."""
+    out = lines.withColumn("_raw", F.col(raw_col).cast("string"))
+    if time_col and time_col in lines.columns:
+        out = out.withColumn(TIME_COL, F.col(time_col).cast("timestamp"))
+    else:
+        out = out.withColumn(TIME_COL, F.current_timestamp())
+    return out.select(
+        "_raw",
+        TIME_COL,
+        F.current_timestamp().alias("_index_time"),
+        F.lit(sourcetype).alias("sourcetype"),
+        F.lit(source).alias("source"),
+        F.lit(host).alias("host"),
+    )
+
+
+def ingest_rawstore(
+    lines: DataFrame,
+    path: str,
+    raw_col: str = "value",
+    time_col: str | None = None,
+    granularity: str = "D",
+    **source_coords,
+) -> IngestResult:
+    """Rawstore ingest = shape to the fixed schema + the standard
+    idempotent partitioned append (the ``_raw`` content hash is the
+    idempotent key, so replaying the same log file is a no-op)."""
+    shaped = to_rawstore(lines, raw_col, time_col, **source_coords)
+    # hash only the event content + time: _index_time changes per replay
+    shaped = shaped.withColumn(
+        IDEM_COL,
+        F.sha2(
+            F.concat_ws("\x1f", F.col("_raw"), F.col(TIME_COL).cast("string")), 256
+        ),
+    )
+    return ingest_batch(shaped, path, granularity=granularity)
+
+
+def search_rawstore(
+    spark: SparkSession,
+    path: str,
+    pattern: str | None = None,
+    start_time=None,
+    end_time=None,
+) -> DataFrame:
+    """Time-bounded regex search over a rawstore — the REST search
+    contract (`_time` predicate injection, AddTimeParamVisitor.cpp:84-119)
+    applied to raw events. The ``_part`` partition filter prunes files
+    before the ``_raw`` scan."""
+    df = spark.read.parquet(path)
+    if start_time is not None:
+        df = df.filter(F.col(TIME_COL) >= F.lit(start_time).cast("timestamp"))
+    if end_time is not None:
+        df = df.filter(F.col(TIME_COL) < F.lit(end_time).cast("timestamp"))
+    if pattern:
+        df = df.filter(F.col("_raw").rlike(pattern))
+    return df.select(*RAWSTORE_COLUMNS)
+
+
 def ingest_stream(
     stream_df: DataFrame,
     path: str,

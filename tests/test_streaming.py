@@ -111,3 +111,29 @@ def test_live_view_refreshes(spark, tmp_path):
         assert spark.sql("SELECT total FROM lv_totals").collect()[0].total == 42
     finally:
         q.stop()
+
+
+def test_rawstore_ingest_and_search(spark, tmp_path):
+    sink = str(tmp_path / "raw")
+    lines = spark.createDataFrame(
+        [("2024-03-01 10:00:00", "ERROR disk full on /dev/sda1"),
+         ("2024-03-01 11:00:00", "INFO backup completed"),
+         ("2024-03-02 09:30:00", "ERROR timeout talking to db")],
+        "ts string, value string",
+    )
+    r = ST.ingest_rawstore(
+        lines, sink, time_col="ts", sourcetype="syslog", source="unit", host="h1"
+    )
+    assert r.appended == 3
+    # replaying the same lines is a no-op (idempotent key = content+time)
+    r2 = ST.ingest_rawstore(lines, sink, time_col="ts", sourcetype="syslog")
+    assert r2.appended == 0 and r2.deduped == 3
+
+    hits = ST.search_rawstore(
+        spark, sink, pattern="ERROR",
+        start_time="2024-03-01", end_time="2024-03-02",
+    ).collect()
+    assert len(hits) == 1 and "disk full" in hits[0]["_raw"]
+    assert hits[0]["sourcetype"] == "syslog" and hits[0]["host"] == "h1"
+    all_err = ST.search_rawstore(spark, sink, pattern="ERROR").collect()
+    assert len(all_err) == 2
