@@ -180,6 +180,40 @@ def sum_map(keys, values):
     )
 
 
+def map_aggs_df(df, group_cols, keys, values, aggs):
+    """df-level sumMap/minMap/maxMap — the scale path: explode the parallel
+    key/value arrays to narrow (group, k, v) rows, aggregate per
+    (group, key) with full map-side partial aggregation, then re-assemble
+    the reference's key-sorted entries arrays (one ``collect_list`` per
+    output, bounded by the distinct-key count, not the group size).
+
+    Two shuffles total and no whole-group pair array ever materializes —
+    use this instead of the expression-level ``sum_map``/``min_map``/
+    ``max_map`` whenever groups can be large.
+
+    ``aggs``: {out_col: callable(Column) -> Column}, e.g. {"sm": F.sum}.
+    """
+    z = df.select(
+        *group_cols,
+        F.explode(F.arrays_zip(_c(keys).alias("k"), _c(values).alias("v"))).alias("p"),
+    )
+    per_key = z.groupBy(*group_cols, F.col("p.k").alias("__k")).agg(
+        *[
+            fn(F.col("p.v").cast("double")).alias(f"__{name}")
+            for name, fn in aggs.items()
+        ]
+    )
+    entries = [
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("__k").alias("key"), F.col(f"__{name}").alias("value"))
+            )
+        ).alias(name)
+        for name in aggs
+    ]
+    return per_key.groupBy(*group_cols).agg(*entries)
+
+
 def _map_agg(keys, values, seed, combine):
     """Shared builder for sumMap/minMap/maxMap: per-key fold of all (k, v)
     pairs of the group, returned as a key-sorted entries array."""

@@ -285,3 +285,29 @@ def segment_length_sum(ts_start: Column, ts_end: Column) -> Column:
         return F.struct((acc["total"] + add).alias("total"), new_end.alias("end"))
     init = F.struct(F.lit(0).cast("long").alias("total"), F.lit(-(1 << 62)).cast("long").alias("end"))
     return (F.aggregate(segs, init, step).getField("total") / 1_000_000.0).alias("segment_length_sum")
+
+
+def segment_length_sum_df(df, ts_start, ts_end, group_cols, out_col="active_sec"):
+    """df-level segmentLengthSum — the scale path: a running
+    ``max(end) OVER (... ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)``
+    clamps each segment to its uncovered part, then a plain sum per
+    group.  One shuffle on the group key, spills instead of buffering —
+    no per-group array, so a heavy-hitter key can't OOM (unlike the
+    expression form above, which is for bounded groups / dialect use).
+    """
+    from pyspark.sql import Window
+
+    s = F.unix_micros(_c(ts_start).cast("timestamp"))
+    e = F.unix_micros(_c(ts_end).cast("timestamp"))
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(s.asc(), e.asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(e).over(w)
+    contrib = F.greatest(e - F.greatest(s, F.coalesce(prev_end, s)), F.lit(0).cast("long"))
+    return (
+        df.select(*group_cols, contrib.alias("__seg_contrib"))
+        .groupBy(*group_cols)
+        .agg((F.sum("__seg_contrib") / 1_000_000.0).alias(out_col))
+    )

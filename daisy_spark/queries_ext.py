@@ -291,10 +291,10 @@ def q_segment_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("s"),
         (F.col("ts") + F.expr("INTERVAL 300 SECOND")).alias("t"),
     )
-    out = e.groupBy("user_id").agg(
-        F.round(TS.segment_length_sum(F.col("s"), F.col("t")), 3).alias("active_sec")
-    )
-    return out.orderBy("user_id")
+    out = TS.segment_length_sum_df(e, F.col("s"), F.col("t"), ["user_id"])
+    return out.select(
+        "user_id", F.round("active_sec", 3).alias("active_sec")
+    ).orderBy("user_id")
 
 
 ORACLE_SEGMENT_SUM = """

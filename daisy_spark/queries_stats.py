@@ -65,13 +65,18 @@ FROM m ORDER BY event_type
 # --- sumMap / minMap / maxMap (AggregateFunctionSumMap.cpp) -----------------
 
 def q_map_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sumMap/minMap/maxMap via the df-level scale path (map_aggs_df):
+    explode + per-key partial agg, never a whole-group pair array. The
+    expression-level HOF forms stay for small in-array use + dialect."""
     li = _t(spark, sf_dir, "lineitem")
     keys = F.array(F.lit(1), F.lit(2))
     vals = F.array(F.col("l_quantity").cast("double"), F.col("l_extendedprice").cast("double"))
-    agg = li.groupBy("l_returnflag").agg(
-        A.sum_map(keys, vals).alias("sm"),
-        A.min_map(keys, vals).alias("mnm"),
-        A.max_map(keys, vals).alias("mxm"),
+    agg = A.map_aggs_df(
+        li,
+        ["l_returnflag"],
+        keys,
+        vals,
+        {"sm": F.sum, "mnm": F.min, "mxm": F.max},
     )
     return agg.select(
         "l_returnflag",
@@ -95,20 +100,21 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 # --- groupArrayMovingSum (AggregateFunctionMoving.h) ------------------------
 
 def q_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupArrayMovingSum(3) semantics (AggregateFunctionMoving.h) on the
+    windowed scale path: one shuffle on user_id, ROWS-frame running sum,
+    no per-group array (the HOF aggregate form A.group_array_moving_sum
+    remains for in-array/dialect use on bounded groups)."""
     e = _t(spark, sf_dir, "events")
-    order = F.struct(F.col("ts"), F.col("event_id"))
-    agg = e.groupBy("user_id").agg(
-        A.group_array_moving_sum("value", order, 3).alias("mv")
-    )
-    pos = F.posexplode("mv")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
-        agg.select("user_id", pos)
-        .filter(F.col("pos") < 5)
-        .select(
+        e.select(
             "user_id",
-            (F.col("pos") + 1).alias("rn"),
-            _r6(F.col("col")).alias("mv3"),
+            F.row_number().over(w).alias("rn"),
+            _r6(
+                F.sum(F.col("value").cast("double")).over(w.rowsBetween(-2, 0))
+            ).alias("mv3"),
         )
+        .filter(F.col("rn") <= 5)
         .orderBy("user_id", "rn")
     )
 
