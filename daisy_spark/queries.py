@@ -426,25 +426,43 @@ ORDER BY day
 
 def q_sample_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAMPLE by key-hash (MergeTreeDataSelectExecutor.cpp:578): repeatable
-    ~50% sample of users; oracle-checkable only in aggregate terms, so we
-    check the invariant: every user is either fully in or fully out."""
+    ~50% sample of users.  The exact key-hash differs from DuckDB's, so
+    the oracle checks the invariants instead of the member set: the total
+    user count (exact), that every sampled user is fully in or fully out,
+    and that the sample is a nonempty proper subset."""
     e = _t(spark, sf_dir, "events")
     sampled = M.sample_by_key(e, fraction=0.5, key_cols=["user_id"])
-    return (
+    per_user = (
         sampled.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .join(
             e.groupBy("user_id").agg(F.count(F.lit(1)).alias("total")),
             on="user_id",
         )
-        .filter(F.col("cnt") == F.col("total"))
-        .agg(F.count(F.lit(1)).alias("fully_sampled_users"))
+    )
+    stats = per_user.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(F.when(F.col("cnt") == F.col("total"), 0).otherwise(1)).alias("n_partial"),
+    ).collect()[0]
+    n_users = e.select("user_id").distinct().count()
+    return spark.createDataFrame(
+        [
+            (
+                n_users,
+                bool(stats.n_partial == 0),
+                bool(0 < stats.n_sampled < n_users),
+            )
+        ],
+        "n_users LONG, partitions_complete BOOLEAN, proper_subset BOOLEAN",
     )
 
 
-# oracle: the invariant is that sampled user partitions are complete; the
-# count of fully-sampled users must equal the count of sampled users — but
-# the exact hash differs from DuckDB's, so this query is rows-only checked.
+ORACLE_SAMPLE_BY_KEY = """
+SELECT count(DISTINCT user_id) AS n_users,
+       TRUE AS partitions_complete,
+       TRUE AS proper_subset
+FROM events
+"""
 
 
 def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -612,6 +630,39 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").agg(funnel.alias("funnel_level")).orderBy("user_id")
 
 
+# The greedy fold (latest viable chain-start per level) is the optimal DP
+# for "∃ t1 <= ... <= tk, tk - t1 <= window", so the existential
+# self-join formulation below is exactly equivalent whenever (user, ts)
+# pairs are unique (verified for the test tables at all SFs).
+ORACLE_WINDOW_FUNNEL = """
+WITH clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+vws AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+prch AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+l2 AS (
+  SELECT DISTINCT a.user_id
+  FROM clicks a JOIN vws b ON b.user_id = a.user_id AND b.ts >= a.ts
+  WHERE epoch_us(b.ts) - epoch_us(a.ts) <= 86400000000
+),
+l3 AS (
+  SELECT DISTINCT a.user_id
+  FROM clicks a
+  JOIN vws b ON b.user_id = a.user_id AND b.ts >= a.ts
+  JOIN prch c ON c.user_id = a.user_id AND c.ts >= b.ts
+  WHERE epoch_us(c.ts) - epoch_us(a.ts) <= 86400000000
+)
+SELECT e.user_id,
+       CAST(CASE WHEN l3.user_id IS NOT NULL THEN 3
+                 WHEN l2.user_id IS NOT NULL THEN 2
+                 WHEN cl.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS funnel_level
+FROM (SELECT DISTINCT user_id FROM events) e
+LEFT JOIN (SELECT DISTINCT user_id FROM clicks) cl ON cl.user_id = e.user_id
+LEFT JOIN l2 ON l2.user_id = e.user_id
+LEFT JOIN l3 ON l3.user_id = e.user_id
+ORDER BY e.user_id
+"""
+
+
 def q_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """deltaSum of value in time order per user (AggregateFunctionDeltaSum.h),
     window form: lag + sum of positive diffs — spills under skew instead of
@@ -705,7 +756,8 @@ ORACLE_SQL: dict[str, str] = {
     "retention": ORACLE_RETENTION,
     "delta_sum": ORACLE_DELTA_SUM,
     "rate": ORACLE_RATE,
-    # sample_by_key, window_funnel: non-SQL-expressible -> rows-only check
+    "window_funnel": ORACLE_WINDOW_FUNNEL,
+    "sample_by_key": ORACLE_SAMPLE_BY_KEY,
 }
 
 # LLM-data-pipeline query suite (dedup / similarity / text / multimodal)

@@ -170,15 +170,21 @@ ORDER BY l_quantity, l_orderkey, l_linenumber
 
 
 def q_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SAMPLE fraction (Bernoulli; seed-dependent -> rows-only check plus
-    a statistical-bounds invariant in the output)."""
+    """SAMPLE fraction (Bernoulli).  The member set is seed-dependent, so
+    the oracle checks the exact total plus the statistical-bounds
+    invariant on the sampled count."""
     e = _t(spark, sf_dir, "events")
     n = M.sample_fraction(e, 0.5, seed=42).count()
     total = e.count()
     return spark.createDataFrame(
-        [(n, total, bool(0.35 * total <= n <= 0.65 * total))],
-        "sampled LONG, total LONG, within_bounds BOOLEAN",
+        [(total, bool(0.35 * total <= n <= 0.65 * total))],
+        "total LONG, within_bounds BOOLEAN",
     )
+
+
+ORACLE_SAMPLE_FRACTION = """
+SELECT count(*) AS total, TRUE AS within_bounds FROM events
+"""
 
 
 # --------------------------------------------------------------------------
@@ -502,7 +508,7 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "final_versioned": ORACLE_FINAL_VERSIONED,
     "cube": ORACLE_CUBE,
     "limit_with_ties": ORACLE_LIMIT_TIES,
-    # sample_fraction: seed-dependent -> rows-only
+    "sample_fraction": ORACLE_SAMPLE_FRACTION,
     "quantiles": ORACLE_QUANTILES,
     "top_k": ORACLE_TOP_K,
     "sequence_match": ORACLE_SEQUENCE_MATCH,

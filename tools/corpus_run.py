@@ -3,24 +3,30 @@
 Runs every candidate file (pure SELECT statements, no DDL/system tables,
 bounded row counts) through plans.dialect.translate + spark.sql and
 compares the output with the committed .reference expectation using
-ClickHouse TSV rendering. Prints a summary and writes the matching file
-list to /tmp/corpus_matched.json — fold new matches into
-tests/test_reference_corpus.py::CORPUS.
+ClickHouse TSV rendering. Writes progress to /tmp/corpus_state.json after
+every file — fold new matches into tests/test_reference_corpus.py::CORPUS.
 
-Usage: python tools/corpus_run.py
+A query that hard-crashes the JVM (codegen stack overflow, OOM) kills the
+py4j gateway. The runner detects the dead session, records the culprit
+file, and force-resets the gateway singletons so a brand-new JVM can
+launch in-process; if even that fails it exits with code 42 and the state
+file carries the resume point (rerun until exit 0):
+
+    while python tools/corpus_run.py; [ $? -eq 42 ]; do :; done
 """
 
 import collections
 import glob
 import json
+import os
 import re
 import sys
 
 sys.path.insert(0, "/root/repo")
 
-from pyspark.sql import SparkSession  # noqa: E402
-
 from daisy_spark.plans.dialect import translate  # noqa: E402
+
+STATE = "/tmp/corpus_state.json"
 
 SKIP_RE = re.compile(
     r"(?i)\b(CREATE|DROP|INSERT|ALTER|SYSTEM|ATTACH|DETACH|OPTIMIZE|RENAME"
@@ -44,26 +50,78 @@ def fmt(v):
     return str(v)
 
 
-def main():
+def new_session():
+    from pyspark.sql import SparkSession
+
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("FATAL")
+    return spark
+
+
+def alive(spark) -> bool:
+    try:
+        spark.sql("SELECT 1").collect()
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def hard_reset():
+    """Tear down the dead gateway singletons so getOrCreate launches a
+    fresh JVM in this process."""
+    from pyspark import SparkContext
+    from pyspark.sql import SparkSession
+
+    try:
+        if SparkContext._gateway:
+            SparkContext._gateway.shutdown()
+    except Exception:  # noqa: BLE001
+        pass
+    SparkContext._active_spark_context = None
+    SparkContext._gateway = None
+    SparkContext._jvm = None
+    SparkSession._instantiatedSession = None
+    SparkSession._activeSession = None
+    os.environ.pop("PYSPARK_GATEWAY_PORT", None)
+    os.environ.pop("PYSPARK_GATEWAY_SECRET", None)
+
+
+def load_state():
+    if os.path.exists(STATE):
+        with open(STATE) as f:
+            return json.load(f)
+    return {"done": [], "matched": [], "killers": [], "fails": {}, "fail_files": {}}
+
+
+def save_state(st):
+    with open(STATE, "w") as f:
+        json.dump(st, f)
+
+
+def main():
+    st = load_state()
+    done = set(st["done"])
+    spark = new_session()
     files = sorted(glob.glob("/root/reference/tests/queries/0_stateless/0*.sql"))
-    tried = ran = 0
-    matched: list[str] = []
-    fails: collections.Counter = collections.Counter()
     for f in files:
+        name = f.split("/")[-1]
+        if name in done:
+            continue
         ref = f[:-4] + ".reference"
         try:
             exp = open(ref, encoding="utf-8").read()
             txt = open(f, encoding="utf-8").read()
         except Exception:
+            st["done"].append(name)
             continue
         if SKIP_RE.search(txt) or BIG_RE.search(txt):
+            st["done"].append(name)
             continue
         stmts = [
             s.strip()
@@ -75,8 +133,8 @@ def main():
             )
         ]
         if not (1 <= len(stmts) <= 6):
+            st["done"].append(name)
             continue
-        tried += 1
         try:
             outs = []
             for s in stmts:
@@ -85,16 +143,34 @@ def main():
                 t = translate(s)
                 for r in spark.sql(t.spark_sql).collect():
                     outs.append("\t".join(fmt(v) for v in r))
-            ran += 1
             if "\n".join(outs).strip() == exp.strip():
-                matched.append(f.split("/")[-1])
+                st["matched"].append(name)
         except Exception as e:  # noqa: BLE001
             m = str(e).split("\n")[0]
             mm = re.search(r"Cannot resolve routine `(\w+)`", m)
-            fails[("fn:" + mm.group(1)) if mm else type(e).__name__] += 1
-    print(f"tried {tried}, ran {ran}, output-matched {len(matched)}")
+            key = ("fn:" + mm.group(1)) if mm else type(e).__name__
+            st["fails"][key] = st["fails"].get(key, 0) + 1
+            st["fail_files"].setdefault(key, []).append(name)
+            if not alive(spark):
+                st["killers"].append(name)
+                st["done"].append(name)
+                save_state(st)
+                hard_reset()
+                try:
+                    spark = new_session()
+                except Exception:  # noqa: BLE001
+                    sys.exit(42)
+                if not alive(spark):
+                    sys.exit(42)
+                continue
+        st["done"].append(name)
+        save_state(st)
+    tried = len(st["matched"]) + sum(st["fails"].values())
+    print(f"candidates tried {tried}, output-matched {len(st['matched'])}")
+    print("jvm-killers:", st["killers"])
+    fails = collections.Counter(st["fails"])
     print("top failures:", fails.most_common(20))
-    json.dump(matched, open("/tmp/corpus_matched.json", "w"))
+    save_state(st)
 
 
 if __name__ == "__main__":
