@@ -458,12 +458,14 @@ def embedding_dedup_pairs(
     from daisy_spark.operators.similarity import with_hyperplane_signature
 
     rows_per_band = planes // bands
+    # band on ids ONLY — the shuffled banding rows are (id, band, bv)
+    # triples, never the vector (a 16-band explode that carried vectors
+    # would push 16 copies of every embedding through the bucket shuffle)
     sig = with_hyperplane_signature(df, vec_col, planes=planes).select(
-        F.col(id_col), F.col(vec_col), F.col("_hp_sig")
+        F.col(id_col), F.col("_hp_sig")
     )
     banded = sig.select(
         id_col,
-        vec_col,
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), b -> named_struct('band', b, "
@@ -471,7 +473,7 @@ def embedding_dedup_pairs(
                 f"(acc, i) -> acc + shiftleft(element_at(_hp_sig, b * {rows_per_band} + i + 1), i))))"
             )
         ).alias("bb"),
-    ).select(id_col, vec_col, F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
 
     if max_bucket_size is not None:
         sizes = banded.groupBy("band", "bv").agg(F.count(F.lit(1)).alias("_n"))
@@ -481,16 +483,10 @@ def embedding_dedup_pairs(
             how="left_semi",
         )
 
+    # candidate id pairs, deduped BEFORE the expensive cosine: a pair
+    # colliding in k bands must score once, not k times
     a, b = banded.alias("a"), banded.alias("b")
-    dot = (
-        f"aggregate(zip_with(a.{vec_col}, b.{vec_col}, (x, y) -> cast(x as double) * y), "
-        "cast(0 as double), (acc, x) -> acc + x)"
-    )
-    norm = (
-        lambda side: f"sqrt(aggregate(transform({side}.{vec_col}, x -> cast(x as double) * x), "
-        "cast(0 as double), (acc, x) -> acc + x))"
-    )
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -498,10 +494,35 @@ def embedding_dedup_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id1"),
-            F.col(f"b.{id_col}").alias("id2"),
-            F.expr(f"{dot} / ({norm('a')} * {norm('b')})").alias("cosine"),
+            F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
+        )
+        .distinct()
+    )
+
+    # pre-normalize each vector ONCE (norm per id, not per pair); cosine
+    # of unit vectors is a plain dot product
+    nrm = (
+        f"sqrt(aggregate(transform({vec_col}, x -> cast(x as double) * x), "
+        "cast(0 as double), (acc, x) -> acc + x))"
+    )
+    unit = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_n", F.expr(f"nullif({nrm}, 0.0)"))
+        .select(
+            F.col(id_col),
+            F.expr(f"transform({vec_col}, x -> cast(x as double) / _n)").alias("_uv"),
+        )
+    )
+    return (
+        cand.join(unit.select(F.col(id_col).alias("id1"), F.col("_uv").alias("_uv1")), "id1")
+        .join(unit.select(F.col(id_col).alias("id2"), F.col("_uv").alias("_uv2")), "id2")
+        .select(
+            "id1",
+            "id2",
+            F.expr(
+                "aggregate(zip_with(_uv1, _uv2, (x, y) -> x * y), "
+                "cast(0 as double), (acc, x) -> acc + x)"
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
-        .distinct()
     )

@@ -227,25 +227,31 @@ def lsh_ann_topk(
     )
 
     def banded(df: DataFrame, idc: str, vecc: str) -> DataFrame:
+        # ids only — the corpus-side band explode must not carry the
+        # vector (bands× duplication through the bucket join otherwise)
         return (
             with_hyperplane_signature(df, vecc, planes=planes)
-            .select(F.col(idc), F.col(vecc), F.explode(F.expr(band_expr)).alias("bb"))
-            .select(
-                idc, vecc, F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv")
-            )
+            .select(F.col(idc), F.explode(F.expr(band_expr)).alias("bb"))
+            .select(idc, F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
         )
 
     qb = F.broadcast(
-        banded(queries, query_id, query_vec)
-        .withColumnRenamed(query_id, "_qid")
-        .withColumnRenamed(query_vec, "_qvec")
+        banded(queries, query_id, query_vec).withColumnRenamed(query_id, "_qid")
     )
-    cand = (
+    cand_ids = (
         banded(corpus, corpus_id, corpus_vec)
         .join(qb, on=["band", "bv"])
-        .select("_qid", "_qvec", corpus_id, corpus_vec)
+        .select("_qid", corpus_id)
         .dropDuplicates(["_qid", corpus_id])
     )
+    qv = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec")
+        )
+    )
+    cand = cand_ids.join(
+        corpus.select(corpus_id, corpus_vec), corpus_id
+    ).join(qv, "_qid")
     scored = cand.select(
         F.col("_qid").alias(query_id),
         F.col(corpus_id),

@@ -52,6 +52,7 @@ _TOKEN_RE = re.compile(
     | (?P<comment>--[^\n]*|/\*.*?\*/)
     | (?P<str>'(?:[^'\\]|\\.|'')*')
     | (?P<qid>`(?:[^`]|``)*`|"(?:[^"\\]|\\.)*")
+    | (?P<hex>0[xX][0-9a-fA-F]+)
     | (?P<num>[0-9]+(?:\.[0-9]*)?(?:[eE][+-]?[0-9]+)?|\.[0-9]+)
     | (?P<id>[A-Za-z_][A-Za-z0-9_]*)
     | (?P<op>==|!=|<>|<=|>=|\|\||->|::)
@@ -65,6 +66,10 @@ def tokenize(sql_text: str) -> list[str]:
     out: list[str] = []
     for m in _TOKEN_RE.finditer(sql_text):
         if m.lastgroup in ("ws", "comment"):
+            continue
+        if m.lastgroup == "hex":
+            # 0xFF literals -> decimal (Spark SQL has no hex int literals)
+            out.append(str(int(m.group(), 16)))
             continue
         out.append(m.group())
     return out
@@ -175,12 +180,18 @@ def _map_type(toks: list[str], i: int) -> tuple[str, int]:
 # Template syntax: {0},{1},... positional args, {*} = all args comma-joined.
 # A callable receives the already-translated arg strings.
 
+def _bool(cond: str) -> str:
+    """Reference truthiness: any nonzero number is true — Spark's
+    numeric->boolean cast has exactly those semantics."""
+    return f"CAST({cond} AS BOOLEAN)"
+
+
 def _multi_if(args: list[str]) -> str:
     if len(args) % 2 == 0:
         raise DialectError("multiIf needs odd number of args")
     parts = ["CASE"]
     for k in range(0, len(args) - 1, 2):
-        parts.append(f"WHEN {args[k]} THEN {args[k + 1]}")
+        parts.append(f"WHEN {_bool(args[k])} THEN {args[k + 1]}")
     parts.append(f"ELSE {args[-1]} END")
     return " ".join(parts)
 
@@ -214,7 +225,12 @@ def _format_datetime(args: list[str]) -> str:
 FUNC_MAP: dict[str, object] = {
     # arithmetic / comparison / logic
     "plus": "({0} + {1})", "minus": "({0} - {1})", "multiply": "({0} * {1})",
-    "divide": "(CAST({0} AS DOUBLE) / {1})", "intDiv": "({0} div {1})",
+    # intDiv accepts floats in the reference (truncates toward zero, like
+    # C++ integer division); double-divide + BIGINT cast matches for both
+    # numeric kinds (exactness loss only beyond 2^53)
+    "divide": "(CAST({0} AS DOUBLE) / {1})",
+    "intDiv": "CAST(CAST({0} AS DOUBLE) / ({1}) AS BIGINT)",
+    "if": lambda a: f"IF(CAST({a[0]} AS BOOLEAN), {a[1]}, {a[2]})",
     "modulo": "({0} % {1})", "negate": "(-{0})",
     "equals": "({0} = {1})", "notEquals": "({0} <> {1})",
     "less": "({0} < {1})", "greater": "({0} > {1})",
@@ -232,10 +248,39 @@ FUNC_MAP: dict[str, object] = {
     # no-op wrappers (materialization/nullability are physical concepts
     # the reference exposes; Spark's optimizer owns both)
     "materialize": "{0}", "toNullable": "{0}", "assumeNotNullSafe": "{0}",
-    "toFixedString": "{0}",
+    "toFixedString": "{0}", "toLowCardinality": "{0}", "identity": "{0}",
     "ignore": lambda a: "0",
+    "sleep": lambda a: "0", "sleepEachRow": lambda a: "0",
+    "arrayWithConstant": "array_repeat({1}, CAST({0} AS INT))",
+    "hasAny": "arrays_overlap({0}, {1})",
+    "hasAll": "forall({1}, x -> array_contains({0}, x))",
+    # occurrence number of each element among its equals (first=1, ...)
+    "arrayEnumerateUniq": (
+        "transform({0}, (x, i) -> "
+        "CAST(1 + size(filter(slice({0}, 1, i), y -> y <=> x)) AS INT))"
+    ),
+    "multiMatchAny": "CAST(exists({1}, p -> {0} RLIKE p) AS INT)",
+    "multiMatchAnyIndex": (
+        "CAST(coalesce(array_position(transform({1}, p -> {0} RLIKE p), true), 0) AS INT)"
+    ),
+    # dense id per distinct value, in order of first appearance
+    "arrayEnumerateDense": (
+        "transform({0}, x -> CAST(size(array_distinct("
+        "slice({0}, 1, array_position({0}, x)))) AS INT))"
+    ),
+    "toInt128": "CAST({0} AS DECIMAL(38, 0))",
+    "toInt256": "CAST({0} AS DECIMAL(38, 0))",
+    "toUInt128": "CAST({0} AS DECIMAL(38, 0))",
+    "toUInt256": "CAST({0} AS DECIMAL(38, 0))",
+    "toIntervalSecond": "make_interval(0, 0, 0, 0, 0, 0, {0})",
+    "toIntervalMinute": "make_interval(0, 0, 0, 0, 0, {0}, 0)",
+    "toIntervalHour": "make_interval(0, 0, 0, 0, {0}, 0, 0)",
+    "toIntervalDay": "make_interval(0, 0, 0, {0}, 0, 0, 0)",
+    "toIntervalWeek": "make_interval(0, 0, {0}, 0, 0, 0, 0)",
+    "toIntervalMonth": "make_interval(0, {0}, 0, 0, 0, 0, 0)",
+    "toIntervalYear": "make_interval({0}, 0, 0, 0, 0, 0, 0)",
     # div/mod-by-zero tolerant variants (reference intDivOrZero.cpp)
-    "intDivOrZero": "coalesce(({0} div nullif({1}, 0)), 0)",
+    "intDivOrZero": "coalesce(CAST(CAST({0} AS DOUBLE) / nullif(({1}), 0) AS BIGINT), 0)",
     "moduloOrZero": "coalesce(({0} % nullif({1}, 0)), 0)",
     "divideOrZero": "coalesce((CAST({0} AS DOUBLE) / nullif({1}, 0)), 0.0)",
     # range(n) = [0..n-1]; Spark sequence(0, n-1) flips to descending for
@@ -352,7 +397,12 @@ FUNC_MAP: dict[str, object] = {
     "emptyArrayToSingle": "(CASE WHEN size({0}) = 0 THEN array(NULL) ELSE {0} END)",
     # maps / tuples
     "mapKeys": "map_keys({0})", "mapValues": "map_values({0})",
-    "tuple": "struct({*})", "tupleElement": "{0}.col{1}",
+    # tuple fields must be col1..colN (ColumnTuple names) regardless of
+    # the argument expressions, so named_struct, not struct
+    "tuple": lambda a: "named_struct("
+    + ", ".join(f"'col{k + 1}', {x}" for k, x in enumerate(a))
+    + ")",
+    "tupleElement": "{0}.col{1}",
     # hashing (values differ from reference — see functions.scalar)
     "cityHash64": "xxhash64({*})", "sipHash64": "xxhash64({*})",
     "xxHash64": "xxhash64({*})", "halfMD5": "xxhash64({*})",
@@ -443,19 +493,174 @@ _SQL_KEYWORDS = {
 }
 
 
-def _translate_expr(toks: list[str]) -> list[str]:
+def _rewrite_ternary(toks: list[str]) -> list[str]:
+    """``cond ? a : b`` -> ``IF(cond, a, b)`` (lowest precedence,
+    right-associative, per the reference's ternary operator).  Applied
+    per top-level comma item; nested ternaries recurse via the b-branch."""
+    if "?" not in toks:
+        return toks
+    parts = _split_top(toks, ",")
+    if len(parts) > 1:
+        out: list[str] = []
+        for k, p in enumerate(parts):
+            if k:
+                out.append(",")
+            out += _rewrite_ternary(p)
+        return out
+    depth = 0
+    q_idx = None
+    for j, tk in enumerate(toks):
+        if tk in ("(", "["):
+            depth += 1
+        elif tk in (")", "]"):
+            depth -= 1
+        elif depth == 0 and tk == "?":
+            q_idx = j
+            break
+    if q_idx is None:
+        return toks
+    # matching ':' — skip ':' of any nested '?' pairs
+    pend = 1
+    c_idx = None
+    depth = 0
+    for j in range(q_idx + 1, len(toks)):
+        tk = toks[j]
+        if tk in ("(", "["):
+            depth += 1
+        elif tk in (")", "]"):
+            depth -= 1
+        elif depth == 0 and tk == "?":
+            pend += 1
+        elif depth == 0 and tk == ":":
+            pend -= 1
+            if pend == 0:
+                c_idx = j
+                break
+    if c_idx is None:
+        raise DialectError("ternary '?' without matching ':'")
+    # alias suffix (``cond ? a : b AS name``) binds to the whole ternary
+    b_part = toks[c_idx + 1 :]
+    suffix: list[str] = []
+    if len(b_part) >= 2 and _kw(b_part[-2]) == "AS" and _is_ident(b_part[-1]):
+        suffix = b_part[-2:]
+        b_part = b_part[:-2]
+    return (
+        ["IF", "(", "CAST", "("]
+        + toks[:q_idx]
+        + ["AS", "BOOLEAN", ")", ","]
+        + toks[q_idx + 1 : c_idx]
+        + [","]
+        + _rewrite_ternary(b_part)
+        + [")"]
+        + suffix
+    )
+
+
+def _operand_start(out: list[str], j: int) -> int:
+    """Start index of the single operand whose last token sits at j."""
+    if out[j] == ")":
+        depth = 0
+        while j >= 0:
+            if out[j] == ")":
+                depth += 1
+            elif out[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        if j > 0 and _is_ident(out[j - 1]) and _kw(out[j - 1]) not in _SQL_KEYWORDS:
+            j -= 1
+    return j
+
+
+def _pop_operand(out: list[str]) -> list[str]:
+    """Remove and return the trailing operand tokens from an output list:
+    a paren group (with optional preceding function name), or a single
+    token, plus any ``.field`` suffix tokens and ``tbl .`` qualifiers."""
+    if not out:
+        raise DialectError("subscript with no preceding operand")
+    start = _operand_start(out, len(out) - 1)
+    # glued field-access tokens (".col2") bind to the operand before them
+    while start > 0 and out[start].startswith(".") and len(out[start]) > 1:
+        start = _operand_start(out, start - 1)
+    # dotted qualification with separate "." tokens: `t . c`
+    while start >= 2 and out[start - 1] == "." and (
+        _is_ident(out[start - 2]) or out[start - 2] in (")", "]")
+    ):
+        start -= 2
+    operand = out[start:]
+    del out[start:]
+    return operand
+
+
+def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
+    toks = _rewrite_ternary(toks)
     out: list[str] = []
     i = 0
     n = len(toks)
     while i < n:
         t = toks[i]
         up = _kw(t)
+        # tuple element access: expr.2 -> expr.col2 (ColumnTuple fields
+        # render as col1..colN via our struct() mapping)
+        if (
+            re.match(r"^\.[0-9]+$", t)
+            and i > 0
+            and (
+                toks[i - 1] in (")", "]")
+                or (_is_ident(toks[i - 1]) and _kw(toks[i - 1]) not in _SQL_KEYWORDS)
+            )
+        ):
+            out.append(".col" + t[1:])
+            i += 1
+            continue
+        # system.one's virtual `dummy` column (always UInt8 0)
+        if (
+            t == "dummy"
+            and (i == 0 or toks[i - 1] != ".")
+            and (i + 1 >= n or toks[i + 1] != "(")
+        ):
+            out.append("CAST(0 AS INT)")
+            i += 1
+            continue
+        # decimal-point literals are Float64 in the reference; Spark
+        # parses them as DECIMAL — force the double suffix
+        if re.match(r"^[0-9]+\.[0-9]*$", t) and (i == 0 or toks[i - 1] != "."):
+            out.append(t + ("0D" if t.endswith(".") else "D"))
+            i += 1
+            continue
+        # bare .5 literal (the tuple-access branch above didn't claim it)
+        if re.match(r"^\.[0-9]+$", t):
+            out.append("0" + t + "D")
+            i += 1
+            continue
         # subquery
         if t == "(" :
             close = _match_paren(toks, i)
             inner = toks[i + 1 : close]
             if inner and _kw(inner[0]) in ("SELECT", "WITH"):
                 out += ["(", _translate_query_text(inner), ")"]
+                i = close + 1
+                continue
+            parts = _split_top(inner, ",") if inner else [[]]
+            prev_kw = _kw(toks[i - 1]) if i > 0 else ""
+            next_kw = _kw(toks[close + 1]) if close + 1 < n else ""
+            if (
+                len(parts) > 1
+                and not in_list
+                and prev_kw not in ("IN", "OVER")
+                and next_kw != "IN"
+            ):
+                # (a, b) is the reference's tuple literal -> struct with
+                # the ColumnTuple field names col1..colN
+                fields = ", ".join(
+                    f"'col{k + 1}', {_emit(_translate_expr(p))}"
+                    for k, p in enumerate(parts)
+                )
+                out.append(f"named_struct({fields})")
+            elif prev_kw == "IN":
+                # IN list: elements may be row constructors — keep parens
+                out += ["("] + _translate_expr(inner, in_list=True) + [")"]
             else:
                 out += ["("] + _translate_expr(inner) + [")"]
             i = close + 1
@@ -469,11 +674,19 @@ def _translate_expr(toks: list[str]) -> list[str]:
                 or prev in (")", "]")
                 or prev[:1] in ("'", '"', "`")
             )
+            close = _match_bracket(toks, i)
             if not is_subscript:
-                close = _match_bracket(toks, i)
                 out += ["array", "("] + _translate_expr(toks[i + 1 : close]) + [")"]
                 i = close + 1
                 continue
+            # subscript: reference arr[i] is 1-BASED (negative = from the
+            # end) — Spark's arr[i] is 0-based, so element_at, which has
+            # exactly the reference's indexing
+            idx = _emit(_translate_expr(toks[i + 1 : close]))
+            operand = _pop_operand(out)
+            out.append(f"element_at({_emit(operand)}, {idx})")
+            i = close + 1
+            continue
         # CAST(x AS Type)
         if up == "CAST" and i + 1 < n and toks[i + 1] == "(":
             close = _match_paren(toks, i + 1)
@@ -607,6 +820,10 @@ class _Select:
     offset: list[str] = field(default_factory=list)
     settings: list[str] = field(default_factory=list)
     is_stream: bool = False
+    #: (is_left, item-tokens) for a trailing [LEFT] ARRAY JOIN clause
+    array_join: tuple[bool, list[str]] | None = None
+    #: rendered LATERAL VIEW suffix for the FROM clause
+    lateral: str = ""
 
 
 def _parse_select(toks: list[str]) -> _Select:
@@ -654,6 +871,23 @@ def _parse_select(toks: list[str]) -> _Select:
 
     q.select = bucket.get("SELECT", [])
     q.from_ = bucket.get("FROM", [])
+    # trailing [LEFT] ARRAY JOIN in the FROM clause (ArrayJoinAction.cpp)
+    depth = 0
+    for j, tk in enumerate(q.from_):
+        if tk in ("(", "["):
+            depth += 1
+        elif tk in (")", "]"):
+            depth -= 1
+        elif (
+            depth == 0
+            and _kw(tk) == "ARRAY"
+            and j + 1 < len(q.from_)
+            and _kw(q.from_[j + 1]) == "JOIN"
+        ):
+            left = j > 0 and _kw(q.from_[j - 1]) == "LEFT"
+            q.array_join = (left, q.from_[j + 2 :])
+            q.from_ = q.from_[: j - 1 if left else j]
+            break
     q.prewhere = bucket.get("PREWHERE", [])
     q.where = bucket.get("WHERE", [])
     gb = bucket.get("GROUP BY", [])
@@ -701,6 +935,59 @@ def _parse_select(toks: list[str]) -> _Select:
     return q
 
 
+def _subst_tokens(toks: list[str], subs: dict[str, str]) -> list[str]:
+    """Replace bare identifier occurrences (not ``t.name``, not
+    ``name(``) with opaque replacement SQL strings."""
+    out: list[str] = []
+    for k, tk in enumerate(toks):
+        if (
+            tk in subs
+            and (k == 0 or toks[k - 1] != ".")
+            and (k + 1 >= len(toks) or toks[k + 1] != "(")
+        ):
+            out.append(subs[tk])
+        else:
+            out.append(tk)
+    return out
+
+
+def _apply_array_join(q: _Select) -> None:
+    """[LEFT] ARRAY JOIN items -> LATERAL VIEW posexplode(first) plus
+    positional element_at() for the remaining arrays (the reference
+    iterates all arrays in lockstep — ArrayJoinAction.cpp).  Bare-column
+    items without AS are shadowed by their element (reference semantics);
+    aliased items keep the original array visible."""
+    if not q.array_join:
+        return
+    left, toks = q.array_join
+    items = [p for p in _split_top(toks, ",") if p]
+    if not items:
+        raise DialectError("ARRAY JOIN with no arrays")
+    exprs: list[tuple[str, str | None]] = []
+    for it in items:
+        alias = None
+        if len(it) >= 3 and _kw(it[-2]) == "AS" and _is_ident(it[-1]):
+            alias, it = it[-1], it[:-2]
+        name = alias or (it[0] if len(it) == 1 and _is_ident(it[0]) else None)
+        exprs.append((_emit(_translate_expr(it)), name))
+    fn = "posexplode_outer" if left else "posexplode"
+    e0, n0 = exprs[0]
+    q.lateral = f"LATERAL VIEW {fn}({e0}) __aj AS __aj_pos, __aj_v0"
+    subs: dict[str, str] = {}
+    if n0:
+        subs[n0] = "__aj_v0"
+    for ek, nk in exprs[1:]:
+        if nk:
+            subs[nk] = f"element_at({ek}, __aj_pos + 1)"
+    if subs:
+        q.select = _subst_tokens(q.select, subs)
+        q.prewhere = _subst_tokens(q.prewhere, subs)
+        q.where = _subst_tokens(q.where, subs)
+        q.group_by = _subst_tokens(q.group_by, subs)
+        q.having = _subst_tokens(q.having, subs)
+        q.order_by = _subst_tokens(q.order_by, subs)
+
+
 def _translate_from(toks: list[str]) -> list[str]:
     """FROM clause: FINAL -> __final view, SAMPLE -> TABLESAMPLE, GLOBAL
     stripped, ASOF/ANY join syntax rejected, subqueries recursed."""
@@ -721,6 +1008,27 @@ def _translate_from(toks: list[str]) -> list[str]:
             continue
         if up == "GLOBAL":
             i += 1  # GLOBAL JOIN/IN -> Catalyst picks broadcast itself
+            continue
+        # ALL JOIN is the reference's default multiplicity — a no-op word
+        if up == "ALL" and i + 1 < n and _kw(toks[i + 1]) in (
+            "JOIN", "LEFT", "RIGHT", "INNER", "FULL", "CROSS",
+        ):
+            i += 1
+            continue
+        # bare `USING k1, k2` -> `USING (k1, k2)` (Spark requires parens)
+        if up == "USING" and i + 1 < n and toks[i + 1] != "(":
+            key_toks: list[str] = []
+            k = i + 1
+            while k < n and (
+                (_is_ident(toks[k]) and _kw(toks[k]) not in _SQL_KEYWORDS)
+                or toks[k] == ","
+            ):
+                key_toks.append(toks[k])
+                k += 1
+            if not key_toks:
+                raise DialectError("USING with no columns")
+            out += ["USING", "("] + key_toks + [")"]
+            i = k
             continue
         # numbers(n) table function (system.numbers semantics)
         if t == "numbers" and i + 1 < n and toks[i + 1] == "(":
@@ -745,13 +1053,88 @@ def _translate_from(toks: list[str]) -> list[str]:
                 out.append("AS __numbers")
             i = close + 1
             continue
-        if up in ("ASOF", "ANY") and i + 1 < n and _kw(toks[i + 1]) in (
+        if up == "ANY" and i + 1 < n and _kw(toks[i + 1]) in (
+            "JOIN", "LEFT", "RIGHT", "INNER",
+        ):
+            # ANY JOIN = at most one build-side row per key (HashJoin.h:76):
+            # dedup the right side by the USING keys, then a plain join.
+            j = i + 1
+            dirs: list[str] = []
+            while j < n and _kw(toks[j]) != "JOIN":
+                dirs.append(_kw(toks[j]))
+                j += 1
+            if j >= n or "RIGHT" in dirs or "FULL" in dirs:
+                raise DialectError(
+                    "RIGHT/FULL ANY JOIN is not translated; use "
+                    "daisy_spark.operators.joins.any_join"
+                )
+            k = j + 1
+            if k < n and toks[k] == "(":
+                fc = _match_paren(toks, k)
+                inner = toks[k + 1 : fc]
+                if inner and _kw(inner[0]) in ("SELECT", "WITH"):
+                    factor_sql = "( " + _translate_query_text(inner) + " )"
+                else:
+                    factor_sql = "( " + _emit(_translate_expr(inner)) + " )"
+                k = fc + 1
+            else:
+                name_parts = []
+                while k < n and (
+                    _is_ident(toks[k]) and _kw(toks[k]) not in _SQL_KEYWORDS
+                    or toks[k] == "."
+                ):
+                    name_parts.append(toks[k])
+                    k += 1
+                if not name_parts:
+                    raise DialectError("ANY JOIN with no right-side table")
+                factor_sql = "".join(name_parts)
+            alias = None
+            if k < n and _kw(toks[k]) == "AS":
+                k += 1
+            if k < n and _is_ident(toks[k]) and _kw(toks[k]) not in _SQL_KEYWORDS:
+                alias = toks[k]
+                k += 1
+            if k >= n or _kw(toks[k]) != "USING":
+                raise DialectError(
+                    "ANY JOIN requires USING to identify the dedup keys; "
+                    "use daisy_spark.operators.joins.any_join otherwise"
+                )
+            k += 1
+            if k < n and toks[k] == "(":
+                uc = _match_paren(toks, k)
+                key_toks = toks[k + 1 : uc]
+                k = uc + 1
+            else:
+                key_toks = []
+                while k < n and (_is_ident(toks[k]) or toks[k] == ","):
+                    if _kw(toks[k]) in _SQL_KEYWORDS and toks[k] != ",":
+                        break
+                    key_toks.append(toks[k])
+                    k += 1
+            keys = [
+                _emit(p) for p in _split_top(key_toks, ",") if p
+            ]
+            if not keys:
+                raise DialectError("ANY JOIN USING with no keys")
+            key_list = ", ".join(keys)
+            dedup = (
+                f"(SELECT * EXCEPT (__rn) FROM (SELECT __any.*, row_number() "
+                f"OVER (PARTITION BY {key_list} ORDER BY {key_list}) AS __rn "
+                f"FROM {factor_sql} AS __any) WHERE __rn = 1)"
+            )
+            side = "LEFT" if "LEFT" in dirs else "INNER"
+            out += [side, "JOIN", dedup]
+            if alias:
+                out += ["AS", alias]
+            out += ["USING", "(", key_list, ")"]
+            i = k
+            continue
+        if up == "ASOF" and i + 1 < n and _kw(toks[i + 1]) in (
             "JOIN", "LEFT", "RIGHT", "INNER",
         ):
             raise DialectError(
-                f"{up} JOIN SQL syntax is not translated; use "
-                "daisy_spark.operators.joins."
-                + ("asof_join" if up == "ASOF" else "any_join")
+                "ASOF JOIN SQL syntax is not translated; use "
+                "daisy_spark.operators.joins.asof_join"
             )
         if up == "FINAL":
             if not out:
@@ -784,7 +1167,13 @@ def _render(q: _Select) -> str:
     )
     parts = [sel]
     if q.from_:
-        parts.append("FROM " + _emit(_translate_from(q.from_)))
+        frm = "FROM " + _emit(_translate_from(q.from_))
+        if q.lateral:
+            frm += " " + q.lateral
+        parts.append(frm)
+    elif q.lateral:
+        # ARRAY JOIN with no FROM: explode over a one-row relation
+        parts.append("FROM (SELECT 1) " + q.lateral)
     wheres = []
     if q.prewhere:
         wheres.append("( " + _emit(_translate_expr(q.prewhere)) + " )")
@@ -849,6 +1238,7 @@ def _translate_select_tokens(toks: list[str]) -> tuple[str, dict[str, str]]:
     if toks and toks[0] == "(" and _match_paren(toks, 0) == len(toks) - 1:
         return "( " + _translate_query_text(toks[1:-1]) + " )", {}
     q = _parse_select(toks)
+    _apply_array_join(q)
     settings = _parse_settings(q.settings)
     sql_text = _render_with_limit_by(q) if q.limit_by else _render(q)
     return sql_text, settings
@@ -1057,7 +1447,9 @@ def translate(query: str) -> TranslateResult:
     stages = _split_top(toks, "|")
     if len(stages) > 1:
         sql_text, settings = _translate_pipe(stages)
-    elif _kw(toks[0]) in ("SELECT", "WITH"):
+    elif _kw(toks[0]) in ("SELECT", "WITH") or toks[0] == "(":
+        # "(" start: parenthesized SELECTs around UNION branches —
+        # _translate_query_text / _translate_select_tokens unwrap them
         sql_text = _translate_query_text(toks)
         settings = {}
         # settings were parsed per-select; re-extract from last select for

@@ -50,20 +50,39 @@ CORPUS = [
     "01762_datetime64_extended_parsing.sql", "01769_extended_range_2.sql", "01770_add_months_ubsan.sql",
     "01771_datetime64_no_time_part.sql", "01773_case_sensitive_version.sql", "01773_datetime64_add_ubsan.sql",
     "01818_case_float_value_fangyc.sql", "01837_cast_to_array_from_empty_array.sql",
+    # round-2 dialect growth: ARRAY JOIN clause, tuple literals/element
+    # access, 1-based subscripts, ternary, hex literals, Float64 literal
+    # typing, parenthesized statements, ANY JOIN USING, new functions
+    "00007_array.sql", "00010_big_array_join.sql", "00012_array_join_alias_2.sql",
+    "00035_function_array_return_type.sql", "00066_group_by_in.sql", "00098_j_union_all.sql",
+    "00267_tuple_array_access_operators_priority.sql", "00292_parser_tuple_element.sql", "00316_rounding_functions_and_empty_block.sql",
+    "00518_extract_all_and_empty_matches.sql", "00622_select_in_parens.sql", "00676_group_by_in.sql",
+    "00711_array_enumerate_variants.sql", "00752_low_cardinality_array_result.sql", "00903_array_with_constant_function.sql",
+    "00906_low_cardinality_const_argument.sql", "00975_json_hang.sql", "01010_partial_merge_join_const_and_lc.sql",
+    "01109_sc0rp10_string_hash_map_zero_bytes.sql", "01247_least_greatest_filimonov.sql", "01277_large_tuples.sql",
+    "01359_codeql.sql", "01421_array_nullable_element_nullable_index.sql", "01422_array_nullable_element_nullable_index.sql",
+    "01475_fix_bigint_shift.sql", "01812_has_generic.sql",
 ]
 
 
-def _fmt(v):
+def _fmt(v, nested=False):
+    import decimal
+
     if v is None:
         return "\\N"
     if isinstance(v, bool):
         return "1" if v else "0"
+    if isinstance(v, decimal.Decimal):
+        return str(v)  # ClickHouse renders decimals at full scale
     if isinstance(v, float):
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(v)
     if isinstance(v, list):
-        return "[" + ",".join(_fmt(x) for x in v) + "]"
+        return "[" + ",".join(_fmt(x, nested=True) for x in v) + "]"
+    if isinstance(v, str) and nested:
+        # ClickHouse TSV quotes strings inside composite values
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
     return str(v)
 
 

@@ -30,23 +30,31 @@ STATE = "/tmp/corpus_state.json"
 
 SKIP_RE = re.compile(
     r"(?i)\b(CREATE|DROP|INSERT|ALTER|SYSTEM|ATTACH|DETACH|OPTIMIZE|RENAME"
-    r"|KILL|numbers_mt|system\.|remote\(|cluster\(|file\(|url\(|FORMAT\s)"
+    r"|KILL|numbers_mt|system\.|remote\(|cluster\(|file\(|url\(|FORMAT\s"
+    r"|serverError|clientError)"
 )
 # >10M generated rows: JVM OOM risk on local runs
 BIG_RE = re.compile(r"(numbers|range)\s*\(\s*[0-9_]{8,}")
 
 
-def fmt(v):
+def fmt(v, nested=False):
+    import decimal
+
     if v is None:
         return "\\N"
     if isinstance(v, bool):
         return "1" if v else "0"
+    if isinstance(v, decimal.Decimal):
+        return str(v)  # ClickHouse renders decimals at full scale
     if isinstance(v, float):
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(v)
     if isinstance(v, list):
-        return "[" + ",".join(fmt(x) for x in v) + "]"
+        return "[" + ",".join(fmt(x, nested=True) for x in v) + "]"
+    if isinstance(v, str) and nested:
+        # ClickHouse TSV quotes strings inside composite values
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
     return str(v)
 
 
