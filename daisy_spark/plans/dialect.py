@@ -180,6 +180,10 @@ def _map_type(toks: list[str], i: int) -> tuple[str, int]:
 # Template syntax: {0},{1},... positional args, {*} = all args comma-joined.
 # A callable receives the already-translated arg strings.
 
+def _raise_dialect(msg: str):
+    raise DialectError(msg)
+
+
 def _bool(cond: str) -> str:
     """Reference truthiness: any nonzero number is true — Spark's
     numeric->boolean cast has exactly those semantics."""
@@ -235,8 +239,16 @@ FUNC_MAP: dict[str, object] = {
     "equals": "({0} = {1})", "notEquals": "({0} <> {1})",
     "less": "({0} < {1})", "greater": "({0} > {1})",
     "lessOrEquals": "({0} <= {1})", "greaterOrEquals": "({0} >= {1})",
-    "and": "({0} AND {1})", "or": "({0} OR {1})", "not": "(NOT {0})",
-    "xor": "({0} <> {1})",
+    # logical functions are n-ary in the reference, with numeric
+    # truthiness (nonzero = true)
+    "and": lambda a: "(" + " AND ".join(_bool(x) for x in a) + ")",
+    "or": lambda a: "(" + " OR ".join(_bool(x) for x in a) + ")",
+    "not": lambda a: f"(NOT {_bool(a[0])})",
+    "xor": lambda a: (
+        "(("
+        + " + ".join(f"CAST({_bool(x)} AS INT)" for x in a)
+        + ") % 2 = 1)"
+    ),
     # conditionals
     "multiIf": _multi_if, "ifNull": "coalesce({0}, {1})",
     "nullIf": "nullif({0}, {1})", "assumeNotNull": "{0}",
@@ -258,6 +270,21 @@ FUNC_MAP: dict[str, object] = {
     "arrayEnumerateUniq": (
         "transform({0}, (x, i) -> "
         "CAST(1 + size(filter(slice({0}, 1, i), y -> y <=> x)) AS INT))"
+    ),
+    # arrayReduce('agg', arr) for the common aggregate names
+    "arrayReduce": lambda a: {
+        "sum": f"aggregate({a[1] if len(a) > 1 else ''}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
+        "max": f"array_max({a[1] if len(a) > 1 else ''})",
+        "min": f"array_min({a[1] if len(a) > 1 else ''})",
+        "count": f"size({a[1] if len(a) > 1 else ''})",
+        "avg": (
+            f"(aggregate({a[1] if len(a) > 1 else ''}, CAST(0 AS DOUBLE), "
+            f"(acc, x) -> acc + x) / size({a[1] if len(a) > 1 else ''}))"
+        ),
+        "uniq": f"size(array_distinct({a[1] if len(a) > 1 else ''}))",
+        "uniqexact": f"size(array_distinct({a[1] if len(a) > 1 else ''}))",
+    }.get(a[0].strip("'").lower()) or _raise_dialect(
+        f"arrayReduce: unsupported aggregate {a[0]}"
     ),
     "multiMatchAny": "CAST(exists({1}, p -> {0} RLIKE p) AS INT)",
     "multiMatchAnyIndex": (
@@ -633,6 +660,44 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
         if re.match(r"^\.[0-9]+$", t):
             out.append("0" + t + "D")
             i += 1
+            continue
+        # prefix NOT with numeric truthiness: NOT binds everything up to
+        # the next depth-0 AND/OR/comma (reference precedence: below
+        # comparison, above AND) — but leave `NOT IN/LIKE/BETWEEN` and
+        # `IS NOT` intact
+        if (
+            up == "NOT"
+            and (i == 0 or _kw(toks[i - 1]) != "IS")
+            and i + 1 < n
+            and _kw(toks[i + 1]) not in ("IN", "LIKE", "RLIKE", "ILIKE", "BETWEEN", "EXISTS")
+        ):
+            depth = 0
+            end = n
+            for j in range(i + 1, n):
+                tk = toks[j]
+                if tk in ("(", "["):
+                    depth += 1
+                elif tk in (")", "]"):
+                    depth -= 1
+                elif depth == 0 and (_kw(tk) in ("AND", "OR", "AS") or tk == ","):
+                    end = j
+                    break
+            inner = _emit(_translate_expr(toks[i + 1 : end]))
+            out.append(f"(NOT CAST({inner} AS BOOLEAN))")
+            i = end
+            continue
+        # scalar IN: `x IN 'a'` / `x IN tuple_or_literal` -> IN (v)
+        if up == "IN" and i + 1 < n and toks[i + 1] != "(":
+            nxt = toks[i + 1]
+            if _is_ident(nxt) and i + 2 < n and toks[i + 2] == "(":
+                # function call on the right of IN — translate it, wrap
+                close = _match_paren(toks, i + 2)
+                inner = _emit(_translate_expr(toks[i + 1 : close + 1]))
+                out += ["IN", "(", inner, ")"]
+                i = close + 1
+                continue
+            out += ["IN", "("] + _translate_expr([nxt]) + [")"]
+            i += 2
             continue
         # subquery
         if t == "(" :
@@ -1175,10 +1240,11 @@ def _render(q: _Select) -> str:
         # ARRAY JOIN with no FROM: explode over a one-row relation
         parts.append("FROM (SELECT 1) " + q.lateral)
     wheres = []
+    # reference truthiness: WHERE accepts any numeric (nonzero = keep)
     if q.prewhere:
-        wheres.append("( " + _emit(_translate_expr(q.prewhere)) + " )")
+        wheres.append("CAST(( " + _emit(_translate_expr(q.prewhere)) + " ) AS BOOLEAN)")
     if q.where:
-        wheres.append("( " + _emit(_translate_expr(q.where)) + " )")
+        wheres.append("CAST(( " + _emit(_translate_expr(q.where)) + " ) AS BOOLEAN)")
     if wheres:
         parts.append("WHERE " + " AND ".join(wheres))
     if q.group_by:
@@ -1192,7 +1258,9 @@ def _render(q: _Select) -> str:
         else:
             parts.append("GROUP BY " + keys)
     if q.having:
-        parts.append("HAVING " + _emit(_translate_expr(q.having)))
+        parts.append(
+            "HAVING CAST(( " + _emit(_translate_expr(q.having)) + " ) AS BOOLEAN)"
+        )
     if q.order_by:
         parts.append("ORDER BY " + _emit(_translate_expr(q.order_by)))
     if q.limit:
