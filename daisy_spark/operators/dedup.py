@@ -320,7 +320,7 @@ def with_simhash(
     counts = tok.groupBy(id_col).agg(*aggs)
     # bit i set iff strictly more tokens vote 1 than 0 on bit i
     bit_cols = ", ".join(
-        f"if(2 * ((_p{i // 4} >> {16 * (i % 4)}) & 65535) > _n, 1L, 0L)"
+        f"if(2 * (shiftright(_p{i // 4}, {16 * (i % 4)}) & 65535) > _n, 1L, 0L)"
         for i in range(bits)
     )
     nbands, bb = SIMHASH_BANDS, SIMHASH_BAND_BITS
