@@ -36,19 +36,26 @@ def main() -> None:
 
     hot: dict[str, float] = {}
     cold: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in QUERIES.items():
         # bound memory: operators that persist() intermediates would
         # otherwise accumulate across the suite
         spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        assert fn(spark, sf_dir).count() >= 0
-        cold[name] = round(time.perf_counter() - t0, 4)
-        t1 = time.perf_counter()
-        assert fn(spark, sf_dir).count() >= 0
-        hot[name] = round(time.perf_counter() - t1, 4)
+        # one broken query must never zero the whole artifact: record the
+        # failure and keep timing the rest
+        try:
+            t0 = time.perf_counter()
+            assert fn(spark, sf_dir).count() >= 0
+            cold[name] = round(time.perf_counter() - t0, 4)
+            t1 = time.perf_counter()
+            assert fn(spark, sf_dir).count() >= 0
+            hot[name] = round(time.perf_counter() - t1, 4)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:400]
     total = round(sum(hot.values()), 4)
     geomean = round(
-        math.exp(sum(math.log(max(t, 1e-4)) for t in hot.values()) / len(hot)), 4
+        math.exp(sum(math.log(max(t, 1e-4)) for t in hot.values()) / max(len(hot), 1)),
+        4,
     )
     print(
         json.dumps(
@@ -61,6 +68,7 @@ def main() -> None:
                 "geomean": geomean,
                 "cold_total": round(sum(cold.values()), 4),
                 "n_queries": len(hot),
+                "errors": errors,
             }
         )
     )

@@ -89,7 +89,7 @@ def q_final_collapsing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_FINAL_COLLAPSING = """
-SELECT count(*) AS survivors, sum(o_orderkey) AS key_sum
+SELECT count(*) AS survivors, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
 FROM orders WHERE o_orderkey % 2 = 1
 """
 
@@ -192,15 +192,20 @@ SELECT count(*) AS total, TRUE AS within_bounds FROM events
 # --------------------------------------------------------------------------
 
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """quantilesExact(0.25, 0.5, 0.75) per return flag."""
+    """quantilesExact(0.25, 0.5, 0.75) per return flag.
+
+    Flattened to one scalar column per quantile (not an array column):
+    the external driver canonicalizes rows with pandas, which cannot
+    hash list-valued cells.
+    """
     l = _t(spark, sf_dir, "lineitem")
+    q = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
     return (
         l.groupBy("l_returnflag")
         .agg(
-            F.expr(
-                "transform(percentile(l_extendedprice, array(0.25, 0.5, 0.75)), "
-                "x -> round(x, 4))"
-            ).alias("quartiles")
+            F.round(q.getItem(0), 4).alias("q25"),
+            F.round(q.getItem(1), 4).alias("q50"),
+            F.round(q.getItem(2), 4).alias("q75"),
         )
         .orderBy("l_returnflag")
     )
@@ -208,8 +213,9 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_QUANTILES = """
 SELECT l_returnflag,
-       list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
-                      x -> round(x, 4)) AS quartiles
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS q50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS q75
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
@@ -397,17 +403,26 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 
 
 def q_group_array(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """groupUniqArray (sorted for determinism) per order status."""
+    """groupUniqArray (sorted for determinism) per order status.
+
+    Joined to a '|' string (not an array column): the external driver's
+    pandas canonicalizer cannot hash list-valued cells.
+    """
     o = _t(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderstatus")
-        .agg(F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderpriority")), "|"
+            ).alias("priorities")
+        )
         .orderBy("o_orderstatus")
     )
 
 
 ORACLE_GROUP_ARRAY = """
-SELECT o_orderstatus, list_sort(list(DISTINCT o_orderpriority)) AS priorities
+SELECT o_orderstatus,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 

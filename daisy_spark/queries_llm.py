@@ -321,10 +321,10 @@ SELECT doc_id,
             WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
             WHEN s_es >= s_fr THEN 'es'
             ELSE 'fr' END AS pred_lang,
-       CASE WHEN len(w) = 0 THEN 0
+       CAST(CASE WHEN len(w) = 0 THEN 0
             ELSE list_sum([(i + 1) * (len(w[i + 1]) * 7919 + ascii(w[i + 1][1]))
                            for i in range(0, len(w))]) % 2147483647
-       END AS fingerprint
+       END AS BIGINT) AS fingerprint
 FROM scores
 ORDER BY doc_id
 """
