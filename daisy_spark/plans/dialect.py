@@ -448,6 +448,10 @@ FUNC_MAP: dict[str, object] = {
     "uniqHLL12": "approx_count_distinct({*})",
     "uniqExact": "count(DISTINCT {*})",
     "groupArray": "collect_list({0})", "groupUniqArray": "collect_set({0})",
+    # non-parametric call forms of the parametric aggregates
+    "topK": lambda a: _topk_expr(["10"], a),
+    "topKWeighted": lambda a: _topk_expr(["10"], a),
+    "retention": lambda a: _retention_expr(a),
     "groupBitAnd": "bit_and({0})", "groupBitOr": "bit_or({0})",
     "groupBitXor": "bit_xor({0})",
     "median": "median({0})",
@@ -478,6 +482,159 @@ FUNC_MAP: dict[str, object] = {
     ),
 }
 
+def _topk_expr(p: list[str], a: list[str]) -> str:
+    """topK(k)(v) / topKWeighted(k)(v, w) as ONE aggregate expression:
+    frequency map built by an aggregate() fold over collect_list, sorted
+    by (-count, value).  The typed empty map comes from slicing the
+    collected array itself (no literal cast needed, works for any value
+    type).  O(n·distinct) interpreted — correct for dialect/test-scale
+    inputs; the 100-TB path is operators/topk.top_k_df (two-level
+    hash aggregation)."""
+    k = p[0] if p else "10"
+    val = a[0]
+    w = f"CAST({a[1]} AS BIGINT)" if len(a) > 1 else "1L"
+    arr = f"collect_list(struct({val} AS v, {w} AS w))"
+    empty_keys = f"slice(transform({arr}, e -> e.v), 1, 0)"
+    empty_vals = "slice(array(0L), 1, 0)"
+    freq = (
+        f"aggregate({arr}, map_from_arrays({empty_keys}, {empty_vals}), "
+        f"(m, e) -> map_concat(map_filter(m, (mk, mv) -> NOT (mk <=> e.v)), "
+        f"map(e.v, coalesce(element_at(m, e.v), 0L) + e.w)))"
+    )
+    ranked = (
+        f"array_sort(map_entries({freq}), (x, y) -> "
+        f"CASE WHEN x.value > y.value THEN -1 WHEN x.value < y.value THEN 1 "
+        f"WHEN x.key < y.key THEN -1 WHEN x.key > y.key THEN 1 ELSE 0 END)"
+    )
+    return f"transform(slice({ranked}, 1, {k}), e -> e.key)"
+
+
+def _window_funnel_expr(p: list[str], a: list[str]) -> str:
+    """windowFunnel(window)(ts, cond1..condN) as ONE aggregate expression
+    (AggregateFunctionWindowFunnel.h getEventLevel): fold the
+    time-sorted (t, cond_idx) entries through a per-level chain-start
+    state array; level = count of reached levels (st is a monotone
+    prefix).  cond0 always overwrites its slot (latest first-event is
+    optimal); cond j chains when it lands within window of the level
+    j-1 chain start."""
+    win = p[0]
+    ts, conds = a[0], a[1:]
+    n = len(conds)
+    entry = lambda i, c: (  # noqa: E731
+        f"if({c}, array(struct(CAST({ts} AS DOUBLE) AS t, {i} AS e)), "
+        f"slice(array(struct(CAST({ts} AS DOUBLE) AS t, {i} AS e)), 1, 0))"
+    )
+    entries = "concat(" + ", ".join(entry(i, c) for i, c in enumerate(conds)) + ")"
+    events = f"array_sort(flatten(collect_list({entries})))"
+    step = (
+        "transform(st, (s, j) -> CASE "
+        "WHEN ev.e = 0 AND j = 0 THEN ev.t "
+        "WHEN j >= 1 AND ev.e = j "
+        "AND element_at(st, greatest(j, 1)) <> CAST(-1 AS DOUBLE) "
+        f"AND ev.t - element_at(st, greatest(j, 1)) <= {win} "
+        "THEN element_at(st, greatest(j, 1)) ELSE s END)"
+    )
+    return (
+        f"aggregate({events}, array_repeat(CAST(-1 AS DOUBLE), {n}), "
+        f"(st, ev) -> {step}, "
+        f"st -> size(filter(st, s -> s <> CAST(-1 AS DOUBLE))))"
+    )
+
+
+def _seq_events_str(ts: str, conds: list[str]) -> str:
+    """Sorted per-group event string for sequenceMatch/Count: one char
+    per row matching >= 1 condition, char = 97 + condition bitmask."""
+    if len(conds) > 4:
+        raise DialectError("sequenceMatch supports at most 4 conditions")
+    bm = " + ".join(
+        f"if({c}, {1 << i}, 0)" for i, c in enumerate(conds)
+    )
+    pairs = (
+        f"if(({bm}) > 0, "
+        f"array(struct(CAST({ts} AS DOUBLE) AS t, char(97 + ({bm})) AS c)), "
+        f"slice(array(struct(CAST({ts} AS DOUBLE) AS t, 'a' AS c)), 1, 0))"
+    )
+    return (
+        f"concat_ws('', transform(array_sort(flatten(collect_list({pairs}))), "
+        f"e -> e.c))"
+    )
+
+
+def _seq_regex(pattern_lit: str, n: int) -> str:
+    """Reference sequence pattern -> regex over the bitmask-char string.
+    (?N) -> char class of bitmasks with bit N-1 set; .* / . pass through.
+    Time conditions ((?t>..)) are not translatable."""
+    pat = pattern_lit.strip()
+    if len(pat) >= 2 and pat[0] == "'" and pat[-1] == "'":
+        pat = pat[1:-1]
+    out = []
+    i = 0
+    while i < len(pat):
+        if pat.startswith("(?t", i):
+            raise DialectError(
+                "sequenceMatch time conditions are not supported in SQL; "
+                "use daisy_spark.functions.timeseries.sequence_match"
+            )
+        if pat.startswith("(?", i):
+            close = pat.index(")", i)
+            cnum = int(pat[i + 2 : close])
+            chars = "".join(
+                chr(97 + b) for b in range(1, 1 << n) if b & (1 << (cnum - 1))
+            )
+            out.append(f"[{chars}]")
+            i = close + 1
+        elif pat.startswith(".*", i):
+            out.append(".*")
+            i += 2
+        elif pat[i] == ".":
+            out.append(".")
+            i += 1
+        else:
+            raise DialectError(
+                f"unsupported sequenceMatch pattern element: {pat[i:]!r}"
+            )
+    return "".join(out)
+
+
+def _sequence_match_expr(p: list[str], a: list[str]) -> str:
+    rx = _seq_regex(p[0], len(a) - 1)
+    return f"CAST({_seq_events_str(a[0], a[1:])} RLIKE '{rx}' AS INT)"
+
+
+def _sequence_count_expr(p: list[str], a: list[str]) -> str:
+    rx = _seq_regex(p[0], len(a) - 1)
+    return (
+        f"size(regexp_extract_all({_seq_events_str(a[0], a[1:])}, '{rx}', 0))"
+    )
+
+
+def _retention_expr(a: list[str]) -> str:
+    """retention(c1..cn): r[0] = any(c1); r[i] = any(c1) AND any(c_i+1)."""
+    first = f"max(if({a[0]}, 1, 0))"
+    items = [f"CAST({first} AS INT)"] + [
+        f"CAST(least({first}, max(if({c}, 1, 0))) AS INT)" for c in a[1:]
+    ]
+    return f"array({', '.join(items)})"
+
+
+def _histogram_expr(p: list[str], a: list[str]) -> str:
+    """histogram(bins)(x) as width-bucket triples (lo, hi, cnt) from one
+    collected array (same fixed-width semantics as
+    functions/timeseries.histogram_df; the reference's adaptive centers
+    are a documented divergence)."""
+    bins = p[0]
+    arr = f"collect_list(CAST({a[0]} AS DOUBLE))"
+    mn, mx = f"array_min({arr})", f"array_max({arr})"
+    w = f"(({mx}) - ({mn})) / {bins}"
+    return (
+        f"transform(sequence(0, {bins} - 1), i -> struct("
+        f"({mn}) + i * ({w}) AS lo, ({mn}) + (i + 1) * ({w}) AS hi, "
+        f"size(filter({arr}, v -> v >= ({mn}) + i * ({w}) AND "
+        f"(v < ({mn}) + (i + 1) * ({w}) OR i = {bins} - 1 AND "
+        f"v <= ({mn}) + (i + 1) * ({w})))) AS cnt))"
+    )
+
+
 #: parametric aggregates fn(params)(args)
 PARAMETRIC_MAP: dict[str, object] = {
     "quantile": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
@@ -487,17 +644,17 @@ PARAMETRIC_MAP: dict[str, object] = {
     "quantilesExact": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
     "uniqUpTo": lambda p, a: f"least(count(DISTINCT {', '.join(a)}), {p[0]} + 1)",
     "groupArraySample": lambda p, a: f"slice(shuffle(collect_list({a[0]})), 1, {p[0]})",
+    "topK": _topk_expr,
+    "topKWeighted": _topk_expr,
+    "windowFunnel": _window_funnel_expr,
+    "sequenceMatch": _sequence_match_expr,
+    "sequenceCount": _sequence_count_expr,
+    "histogram": _histogram_expr,
 }
 
 #: recognizably-reference functions with NO sound SQL translation; the
 #: error points at the DataFrame-level implementation.
 UNSUPPORTED_FUNCS = {
-    "topK": "daisy_spark.operators.topk.top_k_df",
-    "windowFunnel": "daisy_spark.functions.timeseries.window_funnel",
-    "sequenceMatch": "daisy_spark.functions.timeseries.sequence_match",
-    "sequenceCount": "daisy_spark.functions.timeseries.sequence_count",
-    "retention": "daisy_spark.functions.timeseries.retention",
-    "histogram": "daisy_spark.functions.timeseries.histogram_df",
     "neighbor": "window lag/lead via daisy_spark.queries window examples",
     "runningDifference": "window lag via delta_sum_df",
 }
@@ -889,6 +1046,8 @@ class _Select:
     array_join: tuple[bool, list[str]] | None = None
     #: rendered LATERAL VIEW suffix for the FROM clause
     lateral: str = ""
+    #: (col, desc, {from,to,step}) for ORDER BY col WITH FILL
+    fill: tuple[str, bool, dict[str, str | None]] | None = None
 
 
 def _parse_select(toks: list[str]) -> _Select:
@@ -908,6 +1067,14 @@ def _parse_select(toks: list[str]) -> _Select:
 
     def clause_at(j: int) -> str | None:
         u = _kw(toks[j])
+        # FROM after `ORDER BY ... WITH FILL` is the fill lower bound,
+        # not a FROM clause (no legal FROM clause follows ORDER BY)
+        if (
+            u == "FROM"
+            and cur == "ORDER BY"
+            and any(_kw(x) == "FILL" for x in bucket.get("ORDER BY", ()))
+        ):
+            return None
         if u in ("FROM", "PREWHERE", "WHERE", "HAVING", "SETTINGS", "OFFSET"):
             return u
         if u in ("GROUP", "ORDER") and j + 1 < n and _kw(toks[j + 1]) == "BY":
@@ -971,6 +1138,8 @@ def _parse_select(toks: list[str]) -> _Select:
     q.group_by = gb
     q.having = bucket.get("HAVING", [])
     q.order_by = bucket.get("ORDER BY", [])
+    if any(_kw(t) == "FILL" for t in q.order_by):
+        q.order_by, q.fill = _extract_fill(q.order_by)
     q.offset = bucket.get("OFFSET", [])
     q.settings = bucket.get("SETTINGS", [])
     lim = bucket.get("LIMIT", [])
@@ -998,6 +1167,99 @@ def _parse_select(toks: list[str]) -> _Select:
         else:
             q.limit = lim
     return q
+
+
+def _extract_fill(
+    order_toks: list[str],
+) -> tuple[list[str], tuple[str, bool, dict[str, str | None]] | None]:
+    """Strip ``WITH FILL [FROM e] [TO e] [STEP e]`` from ORDER BY tokens
+    (FillingTransform.cpp).  One fill key is supported; FROM is inclusive,
+    TO exclusive, STEP defaults to 1."""
+    items = _split_top(order_toks, ",")
+    out_items: list[list[str]] = []
+    fill = None
+    for it in items:
+        idx = None
+        d = 0
+        for j, t in enumerate(it):
+            if t in ("(", "["):
+                d += 1
+            elif t in (")", "]"):
+                d -= 1
+            elif (
+                d == 0
+                and _kw(t) == "WITH"
+                and j + 1 < len(it)
+                and _kw(it[j + 1]) == "FILL"
+            ):
+                idx = j
+                break
+        if idx is None:
+            out_items.append(it)
+            continue
+        if fill is not None:
+            raise DialectError(
+                "multiple WITH FILL columns are not supported; use "
+                "daisy_spark.operators.modifiers.with_fill per key"
+            )
+        head, tail = it[:idx], it[idx + 2 :]
+        desc = bool(head) and _kw(head[-1]) == "DESC"
+        col_toks = head[:-1] if head and _kw(head[-1]) in ("ASC", "DESC") else head
+        if len(col_toks) != 1 or not _is_ident(col_toks[0]):
+            raise DialectError(
+                "WITH FILL requires a plain column or alias as the sort key"
+            )
+        spec: dict[str, str | None] = {"from": None, "to": None, "step": None}
+        k = 0
+        while k < len(tail):
+            kw = _kw(tail[k])
+            if kw not in ("FROM", "TO", "STEP"):
+                raise DialectError(f"unexpected WITH FILL token {tail[k]!r}")
+            k += 1
+            grp: list[str] = []
+            d2 = 0
+            while k < len(tail):
+                t2 = tail[k]
+                if t2 in ("(", "["):
+                    d2 += 1
+                elif t2 in (")", "]"):
+                    d2 -= 1
+                if d2 == 0 and _kw(t2) in ("FROM", "TO", "STEP"):
+                    break
+                grp.append(t2)
+                k += 1
+            if any(_kw(g) == "INTERVAL" for g in grp):
+                raise DialectError(
+                    "WITH FILL with an INTERVAL step is not supported in "
+                    "SQL; use operators.modifiers.with_fill_timestamp"
+                )
+            if not grp:
+                raise DialectError(f"WITH FILL {kw} needs an expression")
+            spec[kw.lower()] = _emit(_translate_expr(grp))
+        fill = (col_toks[0], desc, spec)
+        out_items.append(head)
+    rebuilt: list[str] = []
+    for m, it in enumerate(out_items):
+        if m and it:
+            rebuilt.append(",")
+        rebuilt += it
+    return rebuilt, fill
+
+
+def _select_out_names(select_toks: list[str]) -> list[str] | None:
+    """Output column names of a select list, or None when underivable
+    (used to preserve column order around the WITH FILL join wrap)."""
+    names: list[str] = []
+    for it in _split_top(select_toks, ","):
+        if not it:
+            continue
+        if len(it) >= 2 and _kw(it[-2]) == "AS" and _is_ident(it[-1]):
+            names.append(it[-1])
+        elif len(it) == 1 and _is_ident(it[0]) and it[0] != "*":
+            names.append(it[0])
+        else:
+            return None
+    return names or None
 
 
 def _subst_tokens(toks: list[str], subs: dict[str, str]) -> list[str]:
@@ -1197,10 +1459,170 @@ def _translate_from(toks: list[str]) -> list[str]:
         if up == "ASOF" and i + 1 < n and _kw(toks[i + 1]) in (
             "JOIN", "LEFT", "RIGHT", "INNER",
         ):
-            raise DialectError(
-                "ASOF JOIN SQL syntax is not translated; use "
-                "daisy_spark.operators.joins.asof_join"
+            # ASOF JOIN -> correlated LATERAL top-1 subquery: per left row,
+            # the single right row closest on the time inequality
+            # (Interpreters/joinDispatch + AsofRowRefs semantics; tests
+            # 00927_asof_join_correct_bt.sql).  Catalyst rewrites the
+            # correlated limit into a window plan; the big-data path
+            # remains operators/joins.asof_join (union + last_value).
+            j = i + 1
+            dirs: list[str] = []
+            while j < n and _kw(toks[j]) != "JOIN":
+                dirs.append(_kw(toks[j]))
+                j += 1
+            if j >= n or "RIGHT" in dirs or "FULL" in dirs:
+                raise DialectError("RIGHT/FULL ASOF JOIN is not supported")
+            k = j + 1
+            rhs_name = None
+            if k < n and toks[k] == "(":
+                fc = _match_paren(toks, k)
+                inner = toks[k + 1 : fc]
+                if inner and _kw(inner[0]) in ("SELECT", "WITH"):
+                    rhs_sql = "( " + _translate_query_text(inner) + " )"
+                else:
+                    rhs_sql = "( " + _emit(_translate_expr(inner)) + " )"
+                k = fc + 1
+            else:
+                name_parts = []
+                while k < n and (
+                    _is_ident(toks[k]) and _kw(toks[k]) not in _SQL_KEYWORDS
+                    or toks[k] == "."
+                ):
+                    name_parts.append(toks[k])
+                    k += 1
+                if not name_parts:
+                    raise DialectError("ASOF JOIN with no right-side table")
+                rhs_sql = "".join(name_parts)
+                rhs_name = name_parts[-1]
+            alias = None
+            if k < n and _kw(toks[k]) == "AS":
+                k += 1
+            if k < n and _is_ident(toks[k]) and _kw(toks[k]) not in _SQL_KEYWORDS:
+                alias = toks[k]
+                k += 1
+            alias = alias or rhs_name or "__asof"
+            side = "LEFT" if "LEFT" in dirs else "INNER"
+            if k < n and _kw(toks[k]) == "ON":
+                k += 1
+                cond_toks: list[str] = []
+                depth2 = 0
+                while k < n:
+                    tk = toks[k]
+                    if tk == "(":
+                        depth2 += 1
+                    elif tk == ")":
+                        depth2 -= 1
+                    if depth2 == 0 and (
+                        tk == ","
+                        or _kw(tk) in (
+                            "JOIN", "INNER", "LEFT", "RIGHT", "FULL",
+                            "CROSS", "ASOF", "SEMI", "ANTI",
+                        )
+                    ):
+                        break
+                    cond_toks.append(tk)
+                    k += 1
+                cond_t = _translate_expr(cond_toks)
+                # derive match ordering from the inequality conjunct that
+                # references the right side: left >= right.t means "latest
+                # right at or before left" -> ORDER BY right.t DESC
+                order_sql = None
+                conjs, cur_c, d3 = [], [], 0
+                for tk in cond_t:
+                    if tk in ("(", "["):
+                        d3 += 1
+                    elif tk in (")", "]"):
+                        d3 -= 1
+                    if d3 == 0 and _kw(tk) == "AND":
+                        conjs.append(cur_c)
+                        cur_c = []
+                    else:
+                        cur_c.append(tk)
+                conjs.append(cur_c)
+
+                def _refs_alias(ts: list[str]) -> bool:
+                    return any(
+                        ts[x] == alias
+                        and x + 1 < len(ts)
+                        and ts[x + 1] == "."
+                        for x in range(len(ts))
+                    )
+
+                for cj in conjs:
+                    d4 = 0
+                    for m, tk in enumerate(cj):
+                        if tk in ("(", "["):
+                            d4 += 1
+                        elif tk in (")", "]"):
+                            d4 -= 1
+                        elif d4 == 0 and tk in (">=", ">", "<=", "<"):
+                            lop, rop = cj[:m], cj[m + 1 :]
+                            if _refs_alias(rop) and not _refs_alias(lop):
+                                order_sql = _emit(rop) + (
+                                    " DESC" if tk in (">=", ">") else " ASC"
+                                )
+                            elif _refs_alias(lop) and not _refs_alias(rop):
+                                order_sql = _emit(lop) + (
+                                    " DESC" if tk in ("<=", "<") else " ASC"
+                                )
+                            break
+                    if order_sql:
+                        break
+                if order_sql is None:
+                    raise DialectError(
+                        "ASOF JOIN ON needs an inequality conjunct on the "
+                        "right-side time column"
+                    )
+                cond_sql = _emit(cond_t)
+            elif k < n and _kw(toks[k]) == "USING":
+                k += 1
+                if k < n and toks[k] == "(":
+                    uc = _match_paren(toks, k)
+                    key_toks = toks[k + 1 : uc]
+                    k = uc + 1
+                else:
+                    key_toks = []
+                    while k < n and (_is_ident(toks[k]) or toks[k] == ","):
+                        if _kw(toks[k]) in _SQL_KEYWORDS and toks[k] != ",":
+                            break
+                        key_toks.append(toks[k])
+                        k += 1
+                keys = [_emit(p) for p in _split_top(key_toks, ",") if p]
+                if len(keys) < 2:
+                    raise DialectError(
+                        "ASOF JOIN USING needs (eq_keys..., time_col)"
+                    )
+                # left qualifier = nearest preceding table/alias identifier
+                lq = next(
+                    (
+                        t0 for t0 in reversed(out)
+                        if _is_ident(t0) and _kw(t0) not in _SQL_KEYWORDS
+                    ),
+                    None,
+                )
+                if lq is None:
+                    raise DialectError(
+                        "ASOF JOIN USING requires a named/aliased left table"
+                    )
+                tcol = keys[-1]
+                eqs = [f"{alias}.{c} = {lq}.{c}" for c in keys[:-1]]
+                cond_sql = " AND ".join(
+                    eqs + [f"{alias}.{tcol} <= {lq}.{tcol}"]
+                )
+                order_sql = f"{alias}.{tcol} DESC"
+            else:
+                raise DialectError("ASOF JOIN requires ON or USING")
+            lat = (
+                f"(SELECT * FROM {rhs_sql} AS {alias} WHERE {cond_sql} "
+                f"ORDER BY {order_sql} LIMIT 1)"
             )
+            if side == "LEFT":
+                out += ["LEFT", "JOIN", "LATERAL", lat, "AS", alias,
+                        "ON", "TRUE"]
+            else:
+                out += ["JOIN", "LATERAL", lat, "AS", alias, "ON", "TRUE"]
+            i = k
+            continue
         if up == "FINAL":
             if not out:
                 raise DialectError("FINAL with no preceding table")
@@ -1261,6 +1683,42 @@ def _render(q: _Select) -> str:
         parts.append(
             "HAVING CAST(( " + _emit(_translate_expr(q.having)) + " ) AS BOOLEAN)"
         )
+    if q.fill:
+        # ORDER BY col WITH FILL -> integer grid FULL JOIN around the
+        # fill-less query: generated rows carry NULL in non-key columns
+        # (the reference fills type defaults — documented divergence,
+        # same as operators/modifiers.with_fill), original rows are
+        # always kept, TO is exclusive.
+        col, desc, spec = q.fill
+        inner = " ".join(parts)
+        lo = spec["from"] or f"(SELECT min({col}) FROM ( {inner} ))"
+        hi = spec["to"] or f"(SELECT max({col}) FROM ( {inner} ))"
+        step = spec["step"] or "1"
+        grid = (
+            f"SELECT explode(sequence(CAST(({lo}) AS BIGINT), "
+            f"CAST(({hi}) AS BIGINT), CAST(({step}) AS BIGINT))) AS {col}"
+        )
+        if spec["to"]:
+            grid = f"SELECT {col} FROM ( {grid} ) WHERE {col} < ({spec['to']})"
+        names = _select_out_names(q.select)
+        sel_list = ", ".join(names) if names else "*"
+        # q.order_by still holds every sort item (fill modifiers stripped,
+        # the fill key kept in place), so render it as-is
+        order = (
+            _emit(_translate_expr(q.order_by))
+            if q.order_by
+            else f"{col} {'DESC' if desc else 'ASC'}"
+        )
+        out = (
+            f"SELECT {sel_list} FROM ( {grid} ) AS __fg "
+            f"FULL JOIN ( {inner} ) AS __fs USING ({col}) "
+            f"ORDER BY {order}"
+        )
+        if q.limit:
+            out += " LIMIT " + _emit(_translate_expr(q.limit))
+        if q.offset:
+            out += " OFFSET " + _emit(_translate_expr(q.offset))
+        return out
     if q.order_by:
         parts.append("ORDER BY " + _emit(_translate_expr(q.order_by)))
     if q.limit:
@@ -1458,8 +1916,10 @@ def _translate_pipe(stages: list[list[str]]) -> tuple[str, dict[str, str]]:
                 raise DialectError(
                     "pipe SELECT stage must not have FROM (the pipe is its input)"
                 )
-            q.from_ = ["(", *tokenize(prev), ")", "AS", f"__p{k}"]
-            # re-render: from_ holds raw tokens of the built subquery
+            # splice prev as ONE opaque token: it is already-translated
+            # Spark SQL, and re-tokenizing it through _translate_from would
+            # re-apply literal rewrites (e.g. double-suffixing 0.5D -> 0.5D D)
+            q.from_ = [f"( {prev} ) AS __p{k}"]
             all_settings.update(_parse_settings(q.settings))
             prev = _render_with_limit_by(q) if q.limit_by else _render(q)
         else:

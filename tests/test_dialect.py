@@ -71,14 +71,44 @@ def test_stream_flag():
     assert res.is_stream
 
 
-def test_asof_join_rejected():
-    with pytest.raises(DialectError, match="asof_join"):
-        translate("SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t")
+def test_asof_join_lowered_to_lateral():
+    out = translate(
+        "SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t"
+    ).spark_sql
+    assert "LATERAL" in out and "ORDER BY b . t DESC LIMIT 1" in out
 
 
-def test_unsupported_parametric_points_to_operator():
-    with pytest.raises(DialectError, match="topk"):
-        translate("SELECT topK(5)(x) FROM t")
+def test_asof_left_join_using():
+    out = translate("SELECT * FROM a ASOF LEFT JOIN b USING(k, t)").spark_sql
+    assert "LEFT JOIN LATERAL" in out
+    assert "b.k = a.k" in out and "b.t <= a.t" in out
+
+
+def test_parametric_topk_translates():
+    out = translate("SELECT topK(5)(x) FROM t").spark_sql
+    assert "collect_list" in out and "slice" in out
+
+
+def test_with_fill_from_to_step():
+    out = translate(
+        "SELECT number AS n FROM numbers(10) "
+        "ORDER BY n WITH FILL FROM 0 TO 12 STEP 2"
+    ).spark_sql
+    assert "sequence" in out and "FULL JOIN" in out and "n < (12)" in out
+
+
+def test_window_funnel_sql_form():
+    out = translate(
+        "SELECT windowFunnel(100)(ts, a = 1, a = 2) FROM t"
+    ).spark_sql
+    assert "aggregate(array_sort(flatten(collect_list" in out
+
+
+def test_pipe_float_literal_not_double_suffixed():
+    out = translate(
+        "SELECT value * 0.5 AS half FROM events | SELECT half"
+    ).spark_sql
+    assert "0.5D D" not in out and "0.5D" in out
 
 
 def test_final_suffix():
