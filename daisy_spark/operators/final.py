@@ -29,14 +29,22 @@ from daisy_spark.catalog import TableSpec
 def replacing_final(
     df: DataFrame, key: Sequence[str], version: str | None = None
 ) -> DataFrame:
-    """ReplacingSortedAlgorithm.cpp: last row (max version) per key wins."""
-    order = [F.col(version).desc()] if version else [F.lit(1)]
-    w = Window.partitionBy(*key).orderBy(*order)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    """ReplacingSortedAlgorithm.cpp: last row (max version) per key wins.
+
+    One hash aggregation (``max_by`` over the packed non-key struct) —
+    a single shuffle with map-side partial aggregation, instead of the
+    window row_number form whose per-key sort buffers the whole
+    partition.  At 100× the data the agg form also dodges the full-sort
+    skew of hot keys."""
+    others = [c for c in df.columns if c not in key]
+    if not others:
+        return df.dropDuplicates(list(key))
+    ver = F.col(version) if version else F.lit(1)
+    packed = F.struct(*[F.col(c) for c in others])
+    out = df.groupBy(*key).agg(F.max_by(packed, ver).alias("__row"))
+    return out.select(
+        *key, *[F.col("__row")[c].alias(c) for c in others]
+    ).select(*df.columns)
 
 
 def summing_final(

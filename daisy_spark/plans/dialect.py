@@ -283,6 +283,13 @@ FUNC_MAP: dict[str, object] = {
         ),
         "uniq": f"size(array_distinct({a[1] if len(a) > 1 else ''}))",
         "uniqexact": f"size(array_distinct({a[1] if len(a) > 1 else ''}))",
+        # QuantileExact.h:89 — element at floor(level*size) of the sorted
+        # array (level=0.5 default); Spark array_sort puts NaN last, same
+        # terminal position as the reference's float ordering
+        "quantileexact": (
+            f"element_at(array_sort({a[1] if len(a) > 1 else ''}), "
+            f"CAST(0.5 * size({a[1] if len(a) > 1 else ''}) AS INT) + 1)"
+        ),
     }.get(a[0].strip("'").lower()) or _raise_dialect(
         f"arrayReduce: unsupported aggregate {a[0]}"
     ),
@@ -417,7 +424,15 @@ FUNC_MAP: dict[str, object] = {
     "arrayDistinct": "array_distinct({0})",
     "arraySort": _array_sort,
     "arrayReverse": "reverse({0})", "arrayConcat": "concat({*})",
-    "arraySlice": "slice({0}, {1}, {2})", "arrayFlatten": "flatten({0})",
+    "arraySlice": "slice({0}, {1}, {2})",
+    # flatten of a bare [] literal: Spark cannot type array(); the
+    # reference returns []
+    "arrayFlatten": lambda a: (
+        "array()" if a[0].replace(" ", "") == "array()" else f"flatten({a[0]})"
+    ),
+    "flatten": lambda a: (
+        "array()" if a[0].replace(" ", "") == "array()" else f"flatten({a[0]})"
+    ),
     "arrayUniq": "size(array_distinct({0}))",
     "arrayIntersect": "array_intersect({0}, {1})",
     "arrayEnumerate": "sequence(1, size({0}))",
@@ -677,6 +692,22 @@ _SQL_KEYWORDS = {
 }
 
 
+def _ends_operand(tok: str) -> bool:
+    """Whether a token can END an operand (so a following and/or/not is
+    the binary/unary operator, not the reference's function form)."""
+    if tok in (")", "]"):
+        return True
+    if tok.startswith("'"):
+        return True
+    if tok and (tok[0].isdigit() or (tok[0] == "." and len(tok) > 1)):
+        return True
+    if _is_ident(tok):
+        return _kw(tok) not in _SQL_KEYWORDS or _kw(tok) in (
+            "END", "NULL", "TRUE", "FALSE",
+        )
+    return False
+
+
 def _rewrite_ternary(toks: list[str]) -> list[str]:
     """``cond ? a : b`` -> ``IF(cond, a, b)`` (lowest precedence,
     right-associative, per the reference's ternary operator).  Applied
@@ -691,6 +722,16 @@ def _rewrite_ternary(toks: list[str]) -> list[str]:
                 out.append(",")
             out += _rewrite_ternary(p)
         return out
+    # a top-level lambda arrow means the ternary is the lambda BODY:
+    # keep `params ->` outside and rewrite only the body
+    depth = 0
+    for j, tk in enumerate(toks):
+        if tk in ("(", "["):
+            depth += 1
+        elif tk in (")", "]"):
+            depth -= 1
+        elif depth == 0 and tk == "->":
+            return toks[: j + 1] + _rewrite_ternary(toks[j + 1 :])
     depth = 0
     q_idx = None
     for j, tk in enumerate(toks):
@@ -805,6 +846,15 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
             and (i + 1 >= n or toks[i + 1] != "(")
         ):
             out.append("CAST(0 AS INT)")
+            i += 1
+            continue
+        # nan / inf literals (Field.h float specials)
+        if (
+            t in ("nan", "inf")
+            and (i == 0 or toks[i - 1] != ".")
+            and (i + 1 >= n or toks[i + 1] != "(")
+        ):
+            out.append("double('NaN')" if t == "nan" else "double('Infinity')")
             i += 1
             continue
         # decimal-point literals are Float64 in the reference; Spark
@@ -947,10 +997,20 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
             i = close + 1
             continue
         # function call?  (RANGE is a frame keyword, but `range(` is the
-        # reference's array-generating function — the paren disambiguates)
+        # reference's array-generating function — the paren disambiguates;
+        # and/or/not have n-ary FUNCTION forms too — `or(a, b)` is a call
+        # when it sits where an expression STARTS, the binary operator when
+        # the previous token ends an operand: `a or (b)`)
         if (
             _is_ident(t)
-            and (up not in _SQL_KEYWORDS or up == "RANGE")
+            and (
+                up not in _SQL_KEYWORDS
+                or up == "RANGE"
+                or (
+                    up in ("AND", "OR", "NOT")
+                    and (i == 0 or not _ends_operand(toks[i - 1]))
+                )
+            )
             and i + 1 < n
             and toks[i + 1] == "("
         ):
@@ -1048,6 +1108,9 @@ class _Select:
     lateral: str = ""
     #: (col, desc, {from,to,step}) for ORDER BY col WITH FILL
     fill: tuple[str, bool, dict[str, str | None]] | None = None
+    #: (placeholder, arg-tokens) for arrayJoin(...) calls hoisted out of
+    #: expressions into LATERAL VIEW explode joins
+    aj_hoists: list[tuple[str, list[str]]] = field(default_factory=list)
 
 
 def _parse_select(toks: list[str]) -> _Select:
@@ -1102,6 +1165,42 @@ def _parse_select(toks: list[str]) -> _Select:
         i += 1
 
     q.select = bucket.get("SELECT", [])
+    # arrayJoin(expr) nested inside an expression cannot stay an inline
+    # explode (Spark rejects generators inside expressions); hoist every
+    # call to a LATERAL VIEW, deduplicating identical arguments so
+    # repeated arrayJoin(x) stay in lockstep (ExecuteScalarSubqueries /
+    # ArrayJoinAction semantics: same expression = same exploded row,
+    # different expressions = nested cartesian explode).
+    def _hoist_aj(ts: list[str]) -> list[str]:
+        out2: list[str] = []
+        i2 = 0
+        while i2 < len(ts):
+            if (
+                ts[i2] == "arrayJoin"
+                and i2 + 1 < len(ts)
+                and ts[i2 + 1] == "("
+            ):
+                close2 = _match_paren(ts, i2 + 1)
+                arg = _hoist_aj(ts[i2 + 2 : close2])
+                key = " ".join(arg)
+                ph = next(
+                    (p for p, a in q.aj_hoists if " ".join(a) == key), None
+                )
+                if ph is None:
+                    ph = f"__ajh{len(q.aj_hoists)}"
+                    q.aj_hoists.append((ph, arg))
+                out2.append(ph)
+                i2 = close2 + 1
+            else:
+                out2.append(ts[i2])
+                i2 += 1
+        return out2
+
+    if "arrayJoin" in q.select:
+        q.select = _hoist_aj(q.select)
+        for attr in ("WHERE", "PREWHERE", "HAVING", "GROUP BY", "ORDER BY"):
+            if attr in bucket and "arrayJoin" in bucket[attr]:
+                bucket[attr] = _hoist_aj(bucket[attr])
     q.from_ = bucket.get("FROM", [])
     # trailing [LEFT] ARRAY JOIN in the FROM clause (ArrayJoinAction.cpp)
     depth = 0
@@ -1140,6 +1239,18 @@ def _parse_select(toks: list[str]) -> _Select:
     q.order_by = bucket.get("ORDER BY", [])
     if any(_kw(t) == "FILL" for t in q.order_by):
         q.order_by, q.fill = _extract_fill(q.order_by)
+    # reference semantics: SELECT aliases are visible in WHERE/PREWHERE/
+    # HAVING (ExpressionAnalyzer alias preference); Spark resolves only
+    # real columns there, so inline the aliased expression
+    alias_subs: dict[str, str] = {}
+    for it in _split_top(q.select, ","):
+        if len(it) >= 3 and _kw(it[-2]) == "AS" and _is_ident(it[-1]):
+            alias_subs[it[-1]] = "( " + _emit(_translate_expr(it[:-2])) + " )"
+    if alias_subs:
+        for attr in ("prewhere", "where", "having"):
+            ts = getattr(q, attr)
+            if ts and any(t in alias_subs for t in ts):
+                setattr(q, attr, _subst_tokens(ts, alias_subs))
     q.offset = bucket.get("OFFSET", [])
     q.settings = bucket.get("SETTINGS", [])
     lim = bucket.get("LIMIT", [])
@@ -1653,14 +1764,22 @@ def _render(q: _Select) -> str:
         _translate_expr(q.select)
     )
     parts = [sel]
+    lateral = q.lateral
+    for ph, arg in q.aj_hoists:
+        lateral += (
+            f" LATERAL VIEW explode({_emit(_translate_expr(arg))}) "
+            f"{ph}_t AS {ph}"
+        )
+    lateral = lateral.strip()
     if q.from_:
         frm = "FROM " + _emit(_translate_from(q.from_))
-        if q.lateral:
-            frm += " " + q.lateral
+        if lateral:
+            frm += " " + lateral
         parts.append(frm)
-    elif q.lateral:
-        # ARRAY JOIN with no FROM: explode over a one-row relation
-        parts.append("FROM (SELECT 1) " + q.lateral)
+    elif lateral:
+        # ARRAY JOIN / hoisted arrayJoin with no FROM: explode over a
+        # one-row relation
+        parts.append("FROM (SELECT 1) " + lateral)
     wheres = []
     # reference truthiness: WHERE accepts any numeric (nonzero = keep)
     if q.prewhere:

@@ -431,29 +431,29 @@ def q_sample_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     user count (exact), that every sampled user is fully in or fully out,
     and that the sample is a nonempty proper subset."""
     e = _t(spark, sf_dir, "events")
-    sampled = M.sample_by_key(e, fraction=0.5, key_cols=["user_id"])
-    per_user = (
-        sampled.groupBy("user_id")
+    totals = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("total"))
+    scnt = (
+        M.sample_by_key(e, fraction=0.5, key_cols=["user_id"])
+        .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .join(
-            e.groupBy("user_id").agg(F.count(F.lit(1)).alias("total")),
-            on="user_id",
-        )
     )
-    stats = per_user.agg(
-        F.count(F.lit(1)).alias("n_sampled"),
-        F.sum(F.when(F.col("cnt") == F.col("total"), 0).otherwise(1)).alias("n_partial"),
-    ).collect()[0]
-    n_users = e.select("user_id").distinct().count()
-    return spark.createDataFrame(
-        [
-            (
-                n_users,
-                bool(stats.n_partial == 0),
-                bool(0 < stats.n_sampled < n_users),
+    # both aggregates come out hash-partitioned on user_id, so the join
+    # needs no extra shuffle; one lazy job, no driver collects
+    joined = totals.join(scnt, on="user_id", how="left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        (
+            F.sum(
+                F.when(
+                    F.col("cnt").isNotNull() & (F.col("cnt") != F.col("total")),
+                    1,
+                ).otherwise(0)
             )
-        ],
-        "n_users LONG, partitions_complete BOOLEAN, proper_subset BOOLEAN",
+            == 0
+        ).alias("partitions_complete"),
+        (
+            (F.count("cnt") > 0) & (F.count("cnt") < F.count(F.lit(1)))
+        ).alias("proper_subset"),
     )
 
 

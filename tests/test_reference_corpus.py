@@ -62,6 +62,8 @@ CORPUS = [
     "01109_sc0rp10_string_hash_map_zero_bytes.sql", "01247_least_greatest_filimonov.sql", "01277_large_tuples.sql",
     "01359_codeql.sql", "01421_array_nullable_element_nullable_index.sql", "01422_array_nullable_element_nullable_index.sql",
     "01475_fix_bigint_shift.sql", "01812_has_generic.sql",
+    # round-3 growth
+    "00164_not_chain.sql", "00272_union_all_and_in_subquery.sql",
 ]
 
 
