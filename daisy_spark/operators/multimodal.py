@@ -55,7 +55,43 @@ def _stub_codec(payload: bytes) -> dict[str, Any]:
     }
 
 
-_CODECS: dict[str, Codec] = {"stub": _stub_codec}
+def image_header_codec(payload: bytes) -> dict[str, Any]:
+    """REAL decode path for image containers whose dimensions live in the
+    header: PNG (IHDR), JPEG (first SOF0-SOF15 frame segment), GIF
+    (logical screen descriptor).  Pure byte parsing — no media libraries
+    — so it runs in any Python worker; full-pixel decoders slot in via
+    register_codec the same way."""
+    n = len(payload)
+    meta: dict[str, Any] = {
+        "n_bytes": n, "format": "unknown",
+        "width": None, "height": None, "n_frames": 1,
+    }
+    if n >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        meta["format"] = "png"
+        meta["width"] = int.from_bytes(payload[16:20], "big")
+        meta["height"] = int.from_bytes(payload[20:24], "big")
+    elif n >= 4 and payload[:3] == b"\xff\xd8\xff":
+        meta["format"] = "jpeg"
+        i = 2
+        while i + 9 <= n and payload[i] == 0xFF:
+            marker = payload[i + 1]
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                meta["height"] = int.from_bytes(payload[i + 5 : i + 7], "big")
+                meta["width"] = int.from_bytes(payload[i + 7 : i + 9], "big")
+                break
+            i += 2 + seglen
+    elif n >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        meta["format"] = "gif"
+        meta["width"] = int.from_bytes(payload[6:8], "little")
+        meta["height"] = int.from_bytes(payload[8:10], "little")
+    return meta
+
+
+_CODECS: dict[str, Codec] = {"stub": _stub_codec, "image": image_header_codec}
 
 
 def register_codec(name: str, fn: Codec) -> None:
@@ -147,14 +183,17 @@ def frame_sample(
     return df.mapInPandas(run, schema=out_schema)
 
 
-def media_profile(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+def media_profile(
+    df: DataFrame, binary_col: str, id_col: str, codec: str = "stub"
+) -> DataFrame:
     """Per-asset metadata row — the hash-checkable core of the decode path
     (byte length is codec-independent truth; stub dims are deterministic).
     """
-    meta = decode_metadata(df.select(id_col, binary_col), binary_col)
+    meta = decode_metadata(df.select(id_col, binary_col), binary_col, codec=codec)
     return meta.select(
         F.col(id_col),
         F.col("media.n_bytes").alias("n_bytes"),
+        F.col("media.format").alias("format"),
         F.col("media.width").alias("width"),
         F.col("media.height").alias("height"),
     )

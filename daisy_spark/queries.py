@@ -788,9 +788,9 @@ _GRADE_FIRST = [
     "agg_state_merge", "uniq_approx", "groups_frame", "ttests", "map_aggs",
     "moving_sum", "rank_stats", "running_diff", "interval_overlap", "civ",
     "scalar_coding",
-    # fixed this round: need a fresh driver row
+    # fixed/added this round: need a fresh driver row
     "dedup_simhash", "quantiles", "group_array", "final_collapsing",
-    "lang_fingerprint",
+    "lang_fingerprint", "multimodal_decode", "multimodal_meta",
 ]
 QUERIES = {
     **{n: QUERIES[n] for n in _GRADE_FIRST},

@@ -349,8 +349,58 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MULTIMODAL = """
 SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,
+       'stub' AS format,
        (octet_length(encode(text)) % 640 + 1)::INT AS width,
        (octet_length(encode(text)) % 480 + 1)::INT AS height
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode: synthesize valid PNG / JPEG-SOF0 / GIF89a
+    headers per document (dimensions derived from doc_id), then recover
+    width/height with the pure-Python header parser
+    (operators/multimodal.image_header_codec) through the same
+    Arrow-batched mapInPandas plumbing as the stub path.  The oracle
+    recomputes the planted dimensions directly."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    w = (F.col("doc_id") % 640 + 1).cast("bigint")
+    h = (F.col("doc_id") % 480 + 1).cast("bigint")
+    be4 = lambda c: F.unhex(F.lpad(F.hex(c), 8, "0"))  # noqa: E731
+    be2 = lambda c: F.unhex(F.lpad(F.hex(c), 4, "0"))  # noqa: E731
+    le2 = lambda c: F.unhex(  # noqa: E731
+        F.concat(
+            F.lpad(F.hex(c % 256), 2, "0"),
+            F.lpad(F.hex(F.shiftright(c, 8)), 2, "0"),
+        )
+    )
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")),
+        be4(w), be4(h),
+        F.unhex(F.lit("0806000000")),
+    )
+    jpeg = F.concat(
+        F.unhex(F.lit("FFD8FFC0001108")), be2(h), be2(w)
+    )
+    gif = F.concat(F.lit(b"GIF89a"), le2(w), le2(h))
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, png)
+        .when(F.col("doc_id") % 3 == 1, jpeg)
+        .otherwise(gif)
+    )
+    with_bin = d.select("doc_id", payload.alias("payload"))
+    return MM.media_profile(with_bin, "payload", "doc_id", codec="image").orderBy(
+        "doc_id"
+    )
+
+
+ORACLE_MULTIMODAL_DECODE = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 29 WHEN 1 THEN 11 ELSE 10 END AS n_bytes,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+       (doc_id % 640 + 1)::INT AS width,
+       (doc_id % 480 + 1)::INT AS height
 FROM documents
 ORDER BY doc_id
 """
@@ -442,6 +492,7 @@ QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "lang_fingerprint": q_lang_fingerprint,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_decode": q_multimodal_decode,
     "dialect_pipe": q_dialect_pipe,
     "dialect_sql": q_dialect_sql,
 }
@@ -457,6 +508,7 @@ ORACLE_SQL_LLM: dict[str, str] = {
     "text_stats": ORACLE_TEXT_STATS,
     "lang_fingerprint": ORACLE_LANG_FINGERPRINT,
     "multimodal_meta": ORACLE_MULTIMODAL,
+    "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
     "dialect_pipe": ORACLE_DIALECT_PIPE,
     "dialect_sql": ORACLE_DIALECT_SQL,
 }

@@ -124,3 +124,29 @@ def test_unknown_codec_raises(spark):
     df = spark.createDataFrame([(0, b"")], ["asset_id", "payload"])
     with pytest.raises(NotImplementedError):
         MM.decode_metadata(df, "payload", codec="jpeg")
+
+
+def test_image_header_codec_parses_real_headers():
+    png = (
+        b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+        + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+        + b"\x08\x06\x00\x00\x00"
+    )
+    m = MM.image_header_codec(png)
+    assert (m["format"], m["width"], m["height"]) == ("png", 640, 480)
+
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 8
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (300).to_bytes(2, "big") + (200).to_bytes(2, "big")
+    )
+    m = MM.image_header_codec(jpeg)
+    assert (m["format"], m["width"], m["height"]) == ("jpeg", 200, 300)
+
+    gif = b"GIF89a" + (99).to_bytes(2, "little") + (77).to_bytes(2, "little")
+    m = MM.image_header_codec(gif)
+    assert (m["format"], m["width"], m["height"]) == ("gif", 99, 77)
+
+    m = MM.image_header_codec(b"not an image at all")
+    assert m["format"] == "unknown" and m["width"] is None

@@ -62,8 +62,14 @@ CORPUS = [
     "01109_sc0rp10_string_hash_map_zero_bytes.sql", "01247_least_greatest_filimonov.sql", "01277_large_tuples.sql",
     "01359_codeql.sql", "01421_array_nullable_element_nullable_index.sql", "01422_array_nullable_element_nullable_index.sql",
     "01475_fix_bigint_shift.sql", "01812_has_generic.sql",
-    # round-3 growth
+    # round-3 growth: arrayJoin-in-expression hoisting, and/or/not
+    # function forms, SELECT aliases in WHERE, nan/inf literals
     "00164_not_chain.sql", "00272_union_all_and_in_subquery.sql",
+    "00371_union_all.sql", "00422_hash_function_constexpr.sql",
+    "00503_cast_const_nullable.sql", "00556_remove_columns_from_subquery.sql",
+    "00649_quantile_tdigest_negative.sql", "01360_division_overflow.sql",
+    "01632_nullable_string_type_convert_to_decimal_type.sql",
+    "00088_distinct_of_arrays_of_strings.sql",
 ]
 
 
