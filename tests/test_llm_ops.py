@@ -137,7 +137,7 @@ def test_image_header_codec_parses_real_headers():
 
     jpeg = (
         b"\xff\xd8"
-        + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 8
+        + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
         + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
         + (300).to_bytes(2, "big") + (200).to_bytes(2, "big")
     )
