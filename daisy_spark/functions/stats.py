@@ -119,3 +119,67 @@ def categorical_information_value_df(
     return with_tot.groupBy(*group_cols).agg(
         F.sum((gp - bp) * (F.log(gp) - F.log(bp))).alias("information_value")
     )
+
+
+def logistic_regression_df(
+    df: DataFrame,
+    x_cols: list[str],
+    label_col: str,
+    iters: int = 25,
+    lr: float = 2.0,
+) -> tuple[list[float], float]:
+    """stochasticLogisticRegression
+    (src/AggregateFunctions/AggregateFunctionMLMethod.cpp) — the
+    reference trains by SGD over arena-held state; here deterministic
+    FULL-BATCH gradient descent: each iteration is ONE distributed
+    aggregation computing the exact gradient (map-side combinable sums),
+    and the driver holds only the (n_features + 1) coefficient vector —
+    never data rows.  Features are standardized internally for stable
+    step sizes; returned weights are de-standardized.
+
+    Returns ``(weights, bias)`` for p = sigmoid(w·x + b).
+    """
+    k = len(x_cols)
+    proj = df.select(
+        *[F.col(c).cast("double").alias(f"_x{i}") for i, c in enumerate(x_cols)],
+        F.col(label_col).cast("double").alias("_y"),
+    ).persist()
+    try:
+        stat = proj.agg(
+            *[F.avg(f"_x{i}").alias(f"m{i}") for i in range(k)],
+            *[F.stddev_pop(f"_x{i}").alias(f"s{i}") for i in range(k)],
+        ).collect()[0]
+        means = [float(stat[f"m{i}"]) for i in range(k)]
+        stds = [float(stat[f"s{i}"]) or 1.0 for i in range(k)]
+        w = [0.0] * k
+        b = 0.0
+        for _ in range(iters):
+            z = F.lit(b)
+            for i in range(k):
+                z = z + F.lit(w[i]) * ((F.col(f"_x{i}") - means[i]) / stds[i])
+            err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("_y")
+            g = proj.agg(
+                F.avg(err).alias("gb"),
+                *[
+                    F.avg(
+                        err * ((F.col(f"_x{i}") - means[i]) / stds[i])
+                    ).alias(f"g{i}")
+                    for i in range(k)
+                ],
+            ).collect()[0]
+            b -= lr * float(g["gb"])
+            for i in range(k):
+                w[i] -= lr * float(g[f"g{i}"])
+    finally:
+        proj.unpersist()
+    w_out = [w[i] / stds[i] for i in range(k)]
+    b_out = b - sum(w[i] * means[i] / stds[i] for i in range(k))
+    return w_out, b_out
+
+
+def logistic_predict(w: list[float], b: float, x_cols: list[str]):
+    """Column of sigmoid(w·x + b) from a trained coefficient vector."""
+    z = F.lit(float(b))
+    for wi, c in zip(w, x_cols):
+        z = z + F.lit(float(wi)) * F.col(c).cast("double")
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))

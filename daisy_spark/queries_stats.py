@@ -377,7 +377,32 @@ ORDER BY event_type, user_id
 """
 
 
+def q_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stochasticLogisticRegression: train on a planted separable target
+    (value > 500) with one distributed gradient aggregation per
+    iteration, then report sample count and whether held-in accuracy
+    clears 0.95 — a float-order-robust invariant the oracle mirrors."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("value").cast("double").alias("x"),
+        (F.col("value") > 500).cast("int").alias("y"),
+    )
+    w, b = ST.logistic_regression_df(e, ["x"], "y", iters=25)
+    p = ST.logistic_predict(w, b, ["x"])
+    return e.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.avg(((p > 0.5).cast("int") == F.col("y")).cast("double")) > 0.95
+        ).alias("separates"),
+    )
+
+
+ORACLE_LOGISTIC = """
+SELECT count(*) AS n, TRUE AS separates FROM events
+"""
+
+
 QUERIES_STATS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "logistic_regression": q_logistic,
     "groups_frame": q_groups_frame,
     "ttests": q_ttests,
     "map_aggs": q_map_aggs,
@@ -390,6 +415,7 @@ QUERIES_STATS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL_STATS: dict[str, str] = {
+    "logistic_regression": ORACLE_LOGISTIC,
     "groups_frame": ORACLE_GROUPS_FRAME,
     "ttests": ORACLE_TTESTS,
     "map_aggs": ORACLE_MAP_AGGS,

@@ -157,3 +157,20 @@ def test_registry_resolves(spark):
         "hostName", "version",
     ]:
         assert callable(FUNCTIONS[name]), name
+
+
+def test_logistic_regression_learns_separable_boundary(spark):
+    from daisy_spark.functions import stats as ST
+    import pyspark.sql.functions as F
+
+    df = spark.range(400).select(
+        (F.col("id") % 100).cast("double").alias("x"),
+        ((F.col("id") % 100) >= 50).cast("int").alias("y"),
+    )
+    w, b = ST.logistic_regression_df(df, ["x"], "y", iters=30)
+    p = ST.logistic_predict(w, b, ["x"])
+    acc = df.agg(
+        F.avg(((p > 0.5).cast("int") == F.col("y")).cast("double"))
+    ).collect()[0][0]
+    assert acc > 0.95
+    assert w[0] > 0  # increasing x must raise the probability
