@@ -424,6 +424,29 @@ FUNC_MAP: dict[str, object] = {
     "arrayDistinct": "array_distinct({0})",
     "arraySort": _array_sort,
     "arrayReverse": "reverse({0})", "arrayConcat": "concat({*})",
+    # the reference's transform(x, from_arr, to_arr[, default]) VALUE
+    # mapper (FunctionsTransform.cpp) — not Spark's lambda transform,
+    # which only ever sees 2 args through arrayMap
+    "transform": lambda a: (
+        f"transform({', '.join(a)})"
+        if len(a) <= 2
+        else (
+            f"(CASE WHEN array_position({a[1]}, {a[0]}) > 0 "
+            f"THEN element_at({a[2]}, CAST(array_position({a[1]}, {a[0]}) AS INT)) "
+            + (f"ELSE {a[3]} END)" if len(a) > 3 else f"ELSE {a[0]} END)")
+        )
+    ),
+    # n-ary char(): one raw BYTE per argument mod 256, decoded as UTF-8
+    # (FunctionChar.cpp truncates floats toward zero first; multi-byte
+    # sequences across arguments must combine, so concat bytes not chars)
+    "char": lambda a: (
+        "decode(unhex(concat("
+        + ", ".join(
+            f"lpad(hex(((CAST(({x}) AS BIGINT) % 256) + 256) % 256), 2, '0')"
+            for x in a
+        )
+        + ")), 'UTF-8')"
+    ),
     "arraySlice": "slice({0}, {1}, {2})",
     # flatten of a bare [] literal: Spark cannot type array(); the
     # reference returns []

@@ -244,7 +244,7 @@ WITH pts AS (
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur
   FROM pts
 )
-SELECT user_id, max(cur) AS max_overlap
+SELECT user_id, CAST(max(cur) AS INT) AS max_overlap
 FROM swept GROUP BY user_id ORDER BY user_id
 """
 

@@ -69,6 +69,8 @@ CORPUS = [
     "00503_cast_const_nullable.sql", "00556_remove_columns_from_subquery.sql",
     "00649_quantile_tdigest_negative.sql", "01360_division_overflow.sql",
     "01632_nullable_string_type_convert_to_decimal_type.sql",
+    "01704_transform_with_float_key.sql", "01020_function_char.sql",
+    "01026_char_utf8.sql",
     # (00088_distinct_of_arrays_of_strings matches under the sweep's
     # local[8] session but DISTINCT row order flips under the test
     # fixture's partitioning — excluded as order-nondeterministic)
