@@ -232,14 +232,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         q, corpus, query_id="qid", corpus_id="vec_id",
         query_vec="embedding", corpus_vec="embedding", k=10,
     )
-    hits = lsh.select("qid", "vec_id").join(
-        exact.select("qid", "vec_id"), ["qid", "vec_id"]
-    ).count()
-    total = exact.count()
-    n_queries = q.count()
-    return spark.createDataFrame(
-        [(n_queries, bool(hits >= 0.5 * total))],
-        "n_queries LONG, recall_ok BOOLEAN",
+    # single lazy job: left-join exact vs LSH results, one agg computes
+    # total / hits / distinct query count together (was 3 driver actions)
+    marked = exact.select("qid", "vec_id").join(
+        lsh.select("qid", "vec_id").withColumn("__hit", F.lit(1)),
+        ["qid", "vec_id"],
+        "left",
+    )
+    return marked.agg(
+        F.count_distinct("qid").alias("n_queries"),
+        (F.count("__hit") >= 0.5 * F.count(F.lit(1))).alias("recall_ok"),
     )
 
 

@@ -386,7 +386,7 @@ def q_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("double").alias("x"),
         (F.col("value") > 500).cast("int").alias("y"),
     )
-    w, b = ST.logistic_regression_df(e, ["x"], "y", iters=25)
+    w, b = ST.logistic_regression_df(e, ["x"], "y", iters=12)
     p = ST.logistic_predict(w, b, ["x"])
     return e.agg(
         F.count(F.lit(1)).alias("n"),
