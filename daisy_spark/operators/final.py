@@ -64,6 +64,14 @@ def summing_final(
     others = [c for c in df.columns if c not in key and c not in numeric]
     aggs = [F.sum(c).alias(c) for c in numeric] + [F.first(c).alias(c) for c in others]
     out = df.groupBy(*key).agg(*aggs)
+    if numeric:
+        # SummingSortedAlgorithm.cpp: a fully-merged row is dropped when
+        # every summed column is zero ("empty part" behaviour)
+        alive = None
+        for c in numeric:
+            cond = F.col(c) != 0
+            alive = cond if alive is None else (alive | cond)
+        out = out.filter(alive)
     return out.select(*df.columns)
 
 

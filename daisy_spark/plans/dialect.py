@@ -344,7 +344,17 @@ FUNC_MAP: dict[str, object] = {
     "toInt8": "CAST({0} AS TINYINT)", "toInt16": "CAST({0} AS SMALLINT)",
     "toInt32": "CAST({0} AS INT)", "toInt64": "CAST({0} AS BIGINT)",
     "toFloat32": "CAST({0} AS FLOAT)", "toFloat64": "CAST({0} AS DOUBLE)",
-    "toDate": "CAST({0} AS DATE)", "toDateTime": "CAST({0} AS TIMESTAMP)",
+    "toDate": "CAST({0} AS DATE)",
+    # reference parses an all-digit string as a unix timestamp
+    # (FunctionsConversion: parseDateTime accepts numeric strings)
+    "toDateTime": lambda a: (
+        f"timestamp_seconds({a[0][1:-1]})"
+        if a[0].startswith("'") and a[0].strip("'").isdigit()
+        else f"timestamp_seconds({a[0]})"
+        if a[0].isdigit()
+        else f"CAST({a[0]} AS TIMESTAMP)"
+    ),
+    "toUUID": "CAST({0} AS STRING)",
     "toDateTime64": lambda a: f"CAST({a[0]} AS TIMESTAMP)",
     "parseDateTimeBestEffort": "CAST({0} AS TIMESTAMP)",
     "toUnixTimestamp": "unix_timestamp({0})",
@@ -357,10 +367,12 @@ FUNC_MAP: dict[str, object] = {
     "toDayOfMonth": "day({0})", "toDayOfYear": "dayofyear({0})",
     "toDayOfWeek": "(weekday({0}) + 1)",  # reference: Monday=1..Sunday=7
     "toHour": "hour({0})", "toMinute": "minute({0})", "toSecond": "second({0})",
-    "toStartOfYear": "date_trunc('YEAR', {0})",
-    "toStartOfQuarter": "date_trunc('QUARTER', {0})",
-    "toStartOfMonth": "date_trunc('MONTH', {0})",
-    "toStartOfWeek": "date_trunc('WEEK', {0})",
+    # the reference returns Date (not DateTime) for >= day granularity
+    "toStartOfYear": "CAST(date_trunc('YEAR', {0}) AS DATE)",
+    "toStartOfQuarter": "CAST(date_trunc('QUARTER', {0}) AS DATE)",
+    "toStartOfMonth": "CAST(date_trunc('MONTH', {0}) AS DATE)",
+    "toStartOfWeek": "CAST(date_trunc('WEEK', {0}) AS DATE)",
+    "toMonday": "CAST(date_trunc('WEEK', {0}) AS DATE)",
     "toStartOfDay": "date_trunc('DAY', {0})",
     "toStartOfHour": "date_trunc('HOUR', {0})",
     "toStartOfMinute": "date_trunc('MINUTE', {0})",
@@ -384,6 +396,20 @@ FUNC_MAP: dict[str, object] = {
     # strings
     "lowerUTF8": "lower({0})", "upperUTF8": "upper({0})",
     "char_length": "length({0})", "lengthUTF8": "length({0})",
+    # reference length() is polymorphic over strings AND arrays; Spark
+    # splits it into length()/size().  Heuristic on the translated arg:
+    # expressions that are syntactically array-producing use size()
+    "length": lambda a: (
+        f"size({a[0]})"
+        if any(m in a[0] for m in (
+            "collect_list(", "collect_set(", "array(", "array_distinct(",
+            "array_intersect(", "array_union(", "array_except(",
+            "array_remove(", "array_repeat(", "slice(", "split(",
+            "sequence(", "flatten(", "shuffle(", "sort_array(",
+            "array_sort(", "map_keys(", "map_values(", "transform(",
+        ))
+        else f"length({a[0]})"
+    ),
     "trimBoth": "trim({0})", "trimLeft": "ltrim({0})", "trimRight": "rtrim({0})",
     "startsWith": "startswith({0}, {1})", "endsWith": "endswith({0}, {1})",
     "position": "locate({1}, {0})",
@@ -424,6 +450,10 @@ FUNC_MAP: dict[str, object] = {
     "arrayDistinct": "array_distinct({0})",
     "arraySort": _array_sort,
     "arrayReverse": "reverse({0})", "arrayConcat": "concat({*})",
+    "arrayPushBack": "concat({0}, array({1}))",
+    "arrayPushFront": "concat(array({1}), {0})",
+    "arrayPopBack": "slice({0}, 1, greatest(size({0}) - 1, 0))",
+    "arrayPopFront": "slice({0}, 2, greatest(size({0}) - 1, 0))",
     # the reference's transform(x, from_arr, to_arr[, default]) VALUE
     # mapper (FunctionsTransform.cpp) — not Spark's lambda transform,
     # which only ever sees 2 args through arrayMap
@@ -498,6 +528,31 @@ FUNC_MAP: dict[str, object] = {
     "covarPop": "covar_pop({0}, {1})", "covarSamp": "covar_samp({0}, {1})",
     "corr": "corr({0}, {1})", "skewPop": "skewness({0})",
     "kurtPop": "kurtosis({0})",
+    # *Stable variants: numerically-stable accumulation
+    # (src/AggregateFunctions/AggregateFunctionStatistics.h) — Spark's
+    # built-ins already use the stable one-pass formulations
+    "stddevPopStable": "stddev_pop({0})", "stddevSampStable": "stddev_samp({0})",
+    "varPopStable": "var_pop({0})", "varSampStable": "var_samp({0})",
+    "covarPopStable": "covar_pop({0}, {1})",
+    "covarSampStable": "covar_samp({0}, {1})", "corrStable": "corr({0}, {1})",
+    # -Array combinator forms: aggregate over all array elements
+    # (DOUBLE accumulator — renderers fold integral floats back)
+    "sumArray": (
+        "sum(aggregate({0}, CAST(0 AS DOUBLE), (acc, e) -> acc + e))"
+    ),
+    "minArray": "min(array_min({0}))", "maxArray": "max(array_max({0}))",
+    "avgArray": (
+        "(sum(aggregate({0}, CAST(0 AS DOUBLE), (acc, e) -> acc + e))"
+        " / sum(size({0})))"
+    ),
+    "countArray": "sum(size({0}))",
+    "sumArrayIf": (
+        "sum(aggregate(CASE WHEN {1} THEN {0} ELSE array() END, "
+        "CAST(0 AS DOUBLE), (acc, e) -> acc + e))"
+    ),
+    # flatten-then-distinct inside one agg expression; fine at the SQL
+    # compat scale — the distributed path is functions.states' -Array
+    "uniqArray": "size(array_distinct(flatten(collect_list({0}))))",
     "sumMap": "map_from_arrays({0}, {1})",  # see aggregates.sum_map for the real op
     # misc
     "e": "exp(1)", "pi": "pi()", "sqrt": "sqrt({0})", "cbrt": "cbrt({0})",
@@ -507,6 +562,7 @@ FUNC_MAP: dict[str, object] = {
     "bar": "repeat('█', CAST(least({0} / {2} * {3}, {3}) AS INT))",
     "least": "least({*})", "greatest": "greatest({*})",
     "intHash64": "xxhash64({0})", "farmHash64": "xxhash64({*})",
+    "intHash32": "(abs(xxhash64({0})) % 4294967296)",
     "IPv4NumToString": (
         "concat(CAST(shiftright({0}, 24) % 256 AS STRING), '.', "
         "CAST(shiftright({0}, 16) % 256 AS STRING), '.', "
@@ -682,6 +738,10 @@ PARAMETRIC_MAP: dict[str, object] = {
     "quantilesExact": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
     "uniqUpTo": lambda p, a: f"least(count(DISTINCT {', '.join(a)}), {p[0]} + 1)",
     "groupArraySample": lambda p, a: f"slice(shuffle(collect_list({a[0]})), 1, {p[0]})",
+    "groupArray": lambda p, a: f"slice(collect_list({a[0]}), 1, {p[0]})",
+    "groupUniqArray": lambda p, a: (
+        f"slice(array_distinct(collect_list({a[0]})), 1, {p[0]})"
+    ),
     "topK": _topk_expr,
     "topKWeighted": _topk_expr,
     "windowFunnel": _window_funnel_expr,

@@ -1,0 +1,872 @@
+"""Multi-statement reference-SQL script execution (DDL + DML + SELECT).
+
+The reference's stateless test files are scripts: ``DROP TABLE IF
+EXISTS t; CREATE TABLE t (...) ENGINE = MergeTree ORDER BY k; INSERT
+INTO t VALUES (...); SELECT ... FROM t;``.  The SELECT translator
+(``plans.dialect``) covers only the query half; this module adds the
+statement layer so whole scripts run on Spark:
+
+- ``CREATE TABLE`` (reference syntax: src/Parsers/ParserCreateQuery.cpp)
+  -> an in-session table backed by a DataFrame and registered as a temp
+  view (plus a ``<name>__final`` companion view carrying the engine's
+  merge-on-read semantics, which ``FROM t FINAL`` lowers to).
+- ``INSERT INTO ... VALUES / SELECT`` -> a DataFrame batch, cast to the
+  declared column types, appended by union.  MergeTree-family batches
+  are sorted by the table's ORDER BY key inside a single partition --
+  mirroring the reference where every insert forms one part sorted by
+  primary key and single-threaded reads return parts in insertion
+  order (src/Storages/MergeTree/MergeTreeDataWriter.cpp).
+- ``OPTIMIZE TABLE ... FINAL`` -> materializes the engine merge into
+  the stored DataFrame (the read-time equivalent of a forced merge).
+- ``TRUNCATE`` / ``DROP TABLE`` / ``EXISTS TABLE`` / ``SET``.
+
+Scripts drive *test-scale* data (inline VALUES); bulk data flows through
+``catalog``/``sources``.  Everything stays declarative DataFrame ops, so
+a CREATE+INSERT+SELECT script on a real cluster still gets Catalyst
+planning end-to-end -- nothing here collects rows to the driver.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from daisy_spark.catalog import TableSpec
+from daisy_spark.operators.final import read_final
+from daisy_spark.plans.dialect import (
+    DialectError,
+    _emit,
+    _kw,
+    _map_type,
+    _match_paren,
+    _split_top,
+    _translate_expr,
+    sql as dialect_sql,
+    tokenize,
+)
+
+__all__ = ["ScriptRunner", "split_statements"]
+
+
+def split_statements(text: str) -> list[str]:
+    """Split raw script text on top-level ``;`` respecting string
+    literals, quoted identifiers, and both comment styles."""
+    stmts: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "-" and text[i : i + 2] == "--":
+            j = text.find("\n", i)
+            j = n if j < 0 else j
+            buf.append(text[i:j])
+            i = j
+            continue
+        if ch == "/" and text[i : i + 2] == "/*":
+            j = text.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            buf.append(text[i:j])
+            i = j
+            continue
+        if ch in ("'", "`", '"'):
+            j = i + 1
+            while j < n:
+                if text[j] == "\\" and ch != "`":
+                    j += 2
+                    continue
+                if text[j] == ch:
+                    if ch == "'" and text[j : j + 2] == "''":
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            buf.append(text[i:j])
+            i = j
+            continue
+        if ch == ";":
+            stmts.append("".join(buf))
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    stmts.append("".join(buf))
+    out = []
+    for s in stmts:
+        body = "\n".join(
+            ln for ln in s.splitlines() if not ln.strip().startswith("--")
+        ).strip()
+        if body:
+            out.append(s.strip())
+    return out
+
+
+# -- type defaults (reference semantics: missing INSERT columns get the
+#    type's zero value; DataTypes/*::getDefault) --------------------------
+
+_DIGIT_STR = re.compile(r"^'\d+'$")
+
+
+def _cast_sql(val: str, spark_type: str) -> str:
+    """CH-compatible cast of a translated value expression: an all-digit
+    string inserted into DateTime is a unix timestamp (the reference's
+    parseDateTime accepts numeric strings)."""
+    if spark_type.upper() == "TIMESTAMP" and _DIGIT_STR.match(val.strip()):
+        return f"timestamp_seconds({val.strip()[1:-1]})"
+    return f"CAST(({val}) AS {spark_type})"
+
+
+def _type_default(spark_type: str, nullable: bool) -> str:
+    if nullable:
+        return "NULL"
+    t = spark_type.upper()
+    if t.startswith("ARRAY"):
+        return "ARRAY()"
+    if t in ("STRING",):
+        return "''"
+    if t == "DATE":
+        return "DATE '1970-01-01'"
+    if t == "TIMESTAMP":
+        return "TIMESTAMP '1970-01-01 00:00:00'"
+    if t == "BOOLEAN":
+        return "FALSE"
+    if t.startswith("MAP"):
+        return "MAP()"
+    return "0"
+
+
+def _render_compact(toks: list[str]) -> str:
+    """Reference-style expression text: no space around parens/commas
+    (DESCRIBE shows the original expression, not the translation)."""
+    out = []
+    for t in toks:
+        if t in (")", ",") or (out and out[-1].endswith("(")):
+            out[-1] = out[-1] + t if out else t
+        elif t == "(" and out and (out[-1][-1:].isalnum() or out[-1][-1:] in ")_"):
+            out[-1] += t
+        else:
+            out.append(t)
+    return " ".join(out)
+
+
+@dataclass
+class _Col:
+    name: str
+    spark_type: str
+    ch_type: str  # original reference type text (DESCRIBE fidelity)
+    nullable: bool = False
+    default: str | None = None  # translated Spark SQL expression
+    default_raw: str | None = None  # original reference expression text
+    # MATERIALIZED/ALIAS columns: stored (computed at insert -- data is
+    # immutable afterwards, so insert-time == read-time) but excluded
+    # from SELECT * like the reference's non-physical columns
+    hidden: bool = False
+    default_kind: str = "DEFAULT"
+
+
+@dataclass
+class _Table:
+    name: str
+    cols: list[_Col]
+    spec: TableSpec
+    sort_keys: list[str] = field(default_factory=list)
+    df: DataFrame | None = None
+    aka: list[str] = field(default_factory=list)  # Buffer proxy names
+
+
+_ENGINE_KIND = {
+    "MERGETREE": "MergeTree",
+    "REPLACINGMERGETREE": "Replacing",
+    "SUMMINGMERGETREE": "Summing",
+    "AGGREGATINGMERGETREE": "Aggregating",
+    "COLLAPSINGMERGETREE": "Collapsing",
+    "VERSIONEDCOLLAPSINGMERGETREE": "VersionedCollapsing",
+    "MEMORY": "Memory",
+    "LOG": "Memory",
+    "TINYLOG": "Memory",
+    "STRIPELOG": "Memory",
+    "NULL": "Null",
+    "BUFFER": "Buffer",
+}
+
+_CLAUSE_KW = {
+    "ORDER", "PRIMARY", "PARTITION", "SAMPLE", "SETTINGS", "TTL",
+    "COMMENT", "AS",
+}
+
+
+class ScriptRunner:
+    """Execute a reference-dialect SQL script statement by statement.
+
+    ``execute`` returns a DataFrame for row-producing statements
+    (SELECT / EXISTS / DESCRIBE) and ``None`` for DDL/DML.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.tables: dict[str, _Table] = {}
+
+    # -- public ----------------------------------------------------------
+
+    def run_script(self, text: str) -> list[DataFrame]:
+        outs = []
+        for stmt in split_statements(text):
+            df = self.execute(stmt)
+            if df is not None:
+                outs.append(df)
+        return outs
+
+    def execute(self, stmt: str) -> DataFrame | None:
+        toks = tokenize(stmt.strip().rstrip(";"))
+        if not toks:
+            return None
+        head = _kw(toks[0])
+        if head in ("SELECT", "WITH", "EXPLAIN") or toks[0] == "(":
+            return dialect_sql(self.spark, self._rewrite_star(toks, stmt))
+        if head == "CREATE":
+            return self._create(toks)
+        if head == "INSERT":
+            return self._insert(toks)
+        if head == "DROP":
+            return self._drop(toks)
+        if head == "TRUNCATE":
+            return self._truncate(toks)
+        if head == "OPTIMIZE":
+            return self._optimize(toks)
+        if head == "EXISTS":
+            name = self._table_name(toks[-1:])[0]
+            return self.spark.createDataFrame(
+                [(1 if name in self.tables else 0,)], "result INT"
+            )
+        if head in ("DESCRIBE", "DESC"):
+            return self._describe(toks)
+        if head == "CHECK":
+            # CHECK TABLE: parquet-backed views have no broken parts
+            return self.spark.createDataFrame([(1,)], "result INT")
+        if head == "SET":
+            return self._set(toks)
+        if head == "SHOW":
+            if len(toks) > 1 and _kw(toks[1]) == "TABLES":
+                names = sorted({t.name for t in self.tables.values()})
+                return self.spark.createDataFrame(
+                    [(x,) for x in names], "name STRING"
+                )
+            raise DialectError(f"unsupported SHOW {_emit(toks[1:2])}")
+        if head == "USE":
+            return None
+        raise DialectError(f"unsupported statement: {head}")
+
+    def close(self) -> None:
+        for name in list(self.tables):
+            self._drop_views(name)
+        self.tables.clear()
+
+    # -- helpers ---------------------------------------------------------
+
+    @staticmethod
+    def _table_name(toks: list[str], i: int = 0) -> tuple[str, int]:
+        """Parse [db.]name at position i; returns (bare_name, next_i).
+
+        Scripts address tables as ``t``, ``test.t`` or ``default.t``
+        interchangeably; views are registered under the bare name.
+        """
+        name = toks[i]
+        i += 1
+        if i < len(toks) and toks[i] == ".":
+            name = toks[i + 1]
+            i += 2
+        return name.strip('`"'), i
+
+    def _rewrite_star(self, toks: list[str], stmt: str) -> str:
+        """``SELECT *`` must not expand MATERIALIZED/ALIAS columns.
+
+        Those columns are physically stored here (insert-time compute),
+        so when the query's FROM names exactly one table that has hidden
+        columns, a top-level ``*`` is replaced by the visible columns.
+        """
+        target = None
+        for j, tok in enumerate(toks):
+            if _kw(tok) == "FROM" and j + 1 < len(toks):
+                t = self.tables.get(toks[j + 1].strip('`"'))
+                if t is not None and any(c.hidden for c in t.cols):
+                    if target is not None and target is not t:
+                        return stmt  # two hidden-col tables: ambiguous
+                    target = t
+        if target is None:
+            return stmt
+        out = []
+        for j, tok in enumerate(toks):
+            prev = _kw(toks[j - 1]) if j else "SELECT"
+            if tok == "*" and prev in ("SELECT", "DISTINCT", ","):
+                out.append(", ".join(
+                    f"`{c.name}`" for c in target.cols if not c.hidden
+                ))
+            else:
+                out.append(tok)
+        return _emit(out)
+
+    def _register(self, t: _Table) -> None:
+        df = t.df if t.df is not None else self._empty_df(t)
+        try:
+            final = read_final(df, t.spec)
+        except Exception:  # noqa: BLE001 - exotic keys: FINAL view = raw
+            final = df
+        for name in [t.name, *t.aka]:
+            df.createOrReplaceTempView(name)
+            final.createOrReplaceTempView(name + "__final")
+
+    def _drop_views(self, name: str) -> None:
+        for v in (name, name + "__final"):
+            try:
+                self.spark.catalog.dropTempView(v)
+            except Exception:  # noqa: BLE001
+                pass
+
+    def _empty_df(self, t: _Table) -> DataFrame:
+        ddl = ", ".join(f"`{c.name}` {c.spark_type}" for c in t.cols)
+        return self.spark.createDataFrame([], ddl)
+
+    # -- CREATE ----------------------------------------------------------
+
+    def _create(self, toks: list[str]) -> None:
+        i = 1
+        if _kw(toks[i]) == "OR" and _kw(toks[i + 1]) == "REPLACE":
+            i += 2
+        if _kw(toks[i]) == "TEMPORARY":
+            i += 1
+        kind = _kw(toks[i])
+        if kind == "VIEW":
+            return self._create_view(toks, i + 1)
+        if kind != "TABLE":
+            raise DialectError(f"unsupported CREATE {kind}")
+        i += 1
+        if_not_exists = False
+        if (
+            _kw(toks[i]) == "IF"
+            and _kw(toks[i + 1]) == "NOT"
+            and _kw(toks[i + 2]) == "EXISTS"
+        ):
+            if_not_exists = True
+            i += 3
+        name, i = self._table_name(toks, i)
+        if i + 2 < len(toks) and _kw(toks[i]) == "ON" and _kw(toks[i + 1]) == "CLUSTER":
+            i += 3
+        if name in self.tables:
+            if if_not_exists:
+                return None
+            self._drop_views(name)
+        cols: list[_Col] = []
+        if i < len(toks) and toks[i] == "(":
+            close = _match_paren(toks, i)
+            cols = self._parse_coldefs(toks[i + 1 : close])
+            self._infer_untyped(cols)
+            i = close + 1
+        engine, engine_args = "Memory", []
+        order_keys: list[str] = []
+        as_select: list[str] | None = None
+        buffer_target: str | None = None
+        n = len(toks)
+        while i < n:
+            up = _kw(toks[i])
+            if up == "ENGINE":
+                i += 1
+                if i < n and toks[i] == "=":
+                    i += 1
+                ename = _kw(toks[i])
+                replicated = ename.startswith("REPLICATED")
+                if replicated:
+                    # Replicated<X>MergeTree(zk_path, replica, ...): same
+                    # read semantics as <X>MergeTree; zk args dropped
+                    ename = ename[len("REPLICATED"):]
+                if ename not in _ENGINE_KIND:
+                    raise DialectError(f"unsupported engine {toks[i]}")
+                engine = _ENGINE_KIND[ename]
+                i += 1
+                raw_args: list[list[str]] = []
+                if i < n and toks[i] == "(":
+                    close = _match_paren(toks, i)
+                    raw_args = [
+                        p for p in _split_top(toks[i + 1 : close], ",") if p
+                    ]
+                    i = close + 1
+                if replicated:
+                    raw_args = raw_args[2:]
+                if engine == "Buffer":
+                    # Buffer(db, target, tiers...): proxy to target
+                    buffer_target = (
+                        raw_args[1][0].strip('`"') if len(raw_args) > 1 else ""
+                    )
+                    engine_args = []
+                    continue
+                gran = [
+                    j for j, p in enumerate(raw_args)
+                    if len(p) == 1 and p[0].isdigit()
+                ]
+                if gran:
+                    # legacy syntax: Engine(date, [sample,] (pk), granularity
+                    # [, extras]) -- pk tuple becomes the sorting key, the
+                    # date/sample/granularity args carry no read semantics
+                    gi = gran[0]
+                    if gi >= 2:
+                        # pk is the arg just before granularity: a tuple
+                        # or a single bare expression (date/sampling
+                        # args before it carry partition semantics only)
+                        pk = raw_args[gi - 1]
+                        if pk and pk[0] == "(":
+                            order_keys = [
+                                _emit(_translate_expr(q))
+                                for q in _split_top(pk[1:-1], ",") if q
+                            ]
+                        else:
+                            order_keys = [_emit(_translate_expr(pk))]
+                    post = raw_args[gi + 1 :]
+                else:
+                    post = raw_args
+                # flatten tuple args: SummingMergeTree((a, b)) names columns
+                engine_args = []
+                for p in post:
+                    if p and p[0] == "(":
+                        engine_args += [
+                            _emit(q).strip('`"')
+                            for q in _split_top(p[1:-1], ",") if q
+                        ]
+                    else:
+                        engine_args.append(_emit(p).strip('`"'))
+            elif up == "ORDER" and i + 1 < n and _kw(toks[i + 1]) == "BY":
+                order_keys, i = self._parse_key_list(toks, i + 2)
+            elif up in ("PRIMARY", "PARTITION", "SAMPLE") and i + 1 < n:
+                _, i = self._parse_key_list(toks, i + 2)
+            elif up in ("SETTINGS", "TTL", "COMMENT"):
+                # trailing storage knobs -- no read-semantics impact here
+                break
+            elif up == "AS":
+                as_select = toks[i + 1 :]
+                break
+            else:
+                raise DialectError(f"unsupported CREATE clause at {toks[i]!r}")
+        if engine == "Buffer":
+            if buffer_target and buffer_target in self.tables:
+                other = self.tables[buffer_target]
+                other.aka.append(name)
+                self.tables[name] = other
+                self._register(other)
+                return None
+            engine = "Memory"  # unflushed standalone buffer
+        version = sign = None
+        summed: tuple[str, ...] = ()
+        if engine == "Replacing" and engine_args:
+            version = engine_args[0]
+        elif engine == "Summing" and engine_args:
+            summed = tuple(engine_args)
+        elif engine == "Collapsing":
+            sign = engine_args[0] if engine_args else "sign"
+        elif engine == "VersionedCollapsing":
+            if len(engine_args) < 2:
+                raise DialectError("VersionedCollapsingMergeTree(sign, ver)")
+            sign, version = engine_args[0], engine_args[1]
+        ident_keys = tuple(
+            k.strip('`"') for k in order_keys
+            if k.strip('`"').replace("_", "a").isalnum()
+        )
+        spec = TableSpec(
+            name=name, path="", engine=(
+                engine if engine in ("Memory", "Null", "MergeTree")
+                else engine + "MergeTree"
+            ),
+            order_by=ident_keys, version_column=version, sign_column=sign,
+            summed_columns=summed,
+        )
+        # Memory/Null never merge -> MergeTree identity semantics on read
+        if spec.engine in ("Memory", "Null"):
+            spec = TableSpec(
+                name=name, path="", engine="MergeTree", order_by=ident_keys
+            )
+        t = _Table(name=name, cols=cols, spec=spec, sort_keys=order_keys)
+        if engine == "Null":
+            # Null engine discards all inserts; only the schema exists
+            t.spec = TableSpec(name=name, path="", engine="Null")
+            t.sort_keys = []
+            if as_select is not None and not cols:
+                src = dialect_sql(self.spark, _emit(as_select))
+                t.cols = [
+                    _Col(f.name, f.dataType.simpleString(), f.dataType.simpleString(), True)
+                    for f in src.schema.fields
+                ]
+            self.tables[name] = t
+            self._register(t)
+            return None
+        if as_select is not None:
+            nxt = _kw(as_select[0]) if as_select else ""
+            if nxt in ("SELECT", "WITH") or (as_select and as_select[0] == "("):
+                src = dialect_sql(self.spark, _emit(as_select))
+            elif self._table_name(as_select, 0)[0] in self.tables:
+                other_name, j = self._table_name(as_select, 0)
+                other = self.tables[other_name]
+                tail = [_kw(x) for x in as_select[j:]]
+                if "BUFFER" in tail[:4]:
+                    # CREATE TABLE buf AS target ENGINE = Buffer(...):
+                    # reads see the target (+ in-flight buffer rows) and
+                    # writes flush through -- a pure proxy here
+                    other.aka.append(name)
+                    self.tables[name] = other
+                    self._register(other)
+                    return None
+                # CREATE TABLE t AS other: clone schema, start empty
+                t.cols = list(other.cols)
+                t.sort_keys = t.sort_keys or list(other.sort_keys)
+                self.tables[name] = t
+                self._register(t)
+                return None
+            else:
+                raise DialectError("unsupported CREATE ... AS form")
+            if cols:
+                src = src.select(
+                    *[
+                        F.col(f.name).cast(c.spark_type).alias(c.name)
+                        for f, c in zip(src.schema.fields, cols)
+                    ]
+                )
+            else:
+                t.cols = [
+                    _Col(f.name, f.dataType.simpleString(), f.dataType.simpleString(), True)
+                    for f in src.schema.fields
+                ]
+            t.df = self._sorted_batch(t, src)
+        self.tables[name] = t
+        self._register(t)
+        return None
+
+    def _create_view(self, toks: list[str], i: int) -> None:
+        if (
+            _kw(toks[i]) == "IF" and _kw(toks[i + 1]) == "NOT"
+            and _kw(toks[i + 2]) == "EXISTS"
+        ):
+            i += 3
+        name, i = self._table_name(toks, i)
+        if _kw(toks[i]) != "AS":
+            raise DialectError("CREATE VIEW requires AS SELECT")
+        df = dialect_sql(self.spark, _emit(toks[i + 1 :]))
+        df.createOrReplaceTempView(name)
+        df.createOrReplaceTempView(name + "__final")
+        self.tables[name] = _Table(
+            name=name,
+            cols=[
+                _Col(f.name, f.dataType.simpleString(), f.dataType.simpleString(), True)
+                for f in df.schema.fields
+            ],
+            spec=TableSpec(name=name, path="", engine="MergeTree"),
+            df=df,
+        )
+        return None
+
+    def _parse_coldefs(self, toks: list[str]) -> list[_Col]:
+        cols = []
+        for part in _split_top(toks, ","):
+            if not part:
+                continue
+            head = _kw(part[0])
+            if head in ("INDEX", "CONSTRAINT", "PROJECTION"):
+                continue  # storage-side metadata: no query semantics
+            if head in ("PRIMARY",):
+                continue
+            name = part[0].strip('`"')
+            j = 1
+            nullable = any(_kw(x) == "NULLABLE" for x in part[1:3])
+            if len(part) > 1 and _kw(part[1]) in (
+                "DEFAULT", "MATERIALIZED", "ALIAS",
+            ):
+                # no declared type: inferred from the default expression
+                # after all columns parse (_infer_untyped)
+                spark_type, ch_type = "", ""
+            else:
+                ch_type_start = j
+                spark_type, j = _map_type(part, j)
+                ch_type = _render_compact(part[ch_type_start:j])
+            default = default_raw = None
+            hidden = False
+            kind = "DEFAULT"
+            while j < len(part):
+                kw = _kw(part[j])
+                if kw in ("MATERIALIZED", "ALIAS"):
+                    hidden = True
+                    kind = kw
+                    kw = "DEFAULT"  # parse the expression identically
+                if kw == "DEFAULT":
+                    # expression runs until the next modifier keyword at
+                    # paren depth 0 (CODEC only when called: a column may
+                    # legitimately be named `codec`)
+                    k = j + 1
+                    depth = 0
+                    while k < len(part):
+                        tok = part[k]
+                        if tok == "(":
+                            depth += 1
+                        elif tok == ")":
+                            depth -= 1
+                        elif depth == 0:
+                            kw2 = _kw(tok)
+                            if kw2 in ("TTL", "COMMENT") or (
+                                kw2 == "CODEC"
+                                and k + 1 < len(part)
+                                and part[k + 1] == "("
+                            ):
+                                break
+                        k += 1
+                    default = _emit(_translate_expr(part[j + 1 : k]))
+                    default_raw = _render_compact(part[j + 1 : k])
+                    j = k
+                elif kw == "EPHEMERAL":
+                    raise DialectError(f"unsupported column kind {kw}")
+                elif kw == "NOT" or kw == "NULL":
+                    nullable = kw == "NULL"
+                    j += 2 if kw == "NOT" else 1
+                elif kw in ("CODEC",) and j + 1 < len(part) and part[j + 1] == "(":
+                    j = _match_paren(part, j + 1) + 1
+                elif kw in ("TTL", "COMMENT"):
+                    break
+                else:
+                    j += 1
+            cols.append(
+                _Col(name, spark_type, ch_type, nullable, default,
+                     default_raw, hidden, kind)
+            )
+        if not cols:
+            raise DialectError("CREATE TABLE with no columns")
+        return cols
+
+    def _infer_untyped(self, cols: list[_Col]) -> None:
+        """Columns declared with only DEFAULT/MATERIALIZED/ALIAS take the
+        expression's type (a zero-row analyze, no job runs)."""
+        if all(c.spark_type for c in cols):
+            return
+        df = self.spark.range(1)
+        for c in cols:
+            if c.spark_type:
+                df = df.withColumn(
+                    c.name,
+                    F.expr(_type_default(c.spark_type, c.nullable)).cast(
+                        c.spark_type
+                    ),
+                )
+        for c in cols:
+            if not c.spark_type:
+                df = df.withColumn(c.name, F.expr(c.default or "NULL"))
+                c.spark_type = dict(df.dtypes)[c.name]
+                c.ch_type = c.ch_type or c.spark_type
+        return
+
+    def _parse_key_list(self, toks: list[str], i: int) -> tuple[list[str], int]:
+        n = len(toks)
+        if i < n and _kw(toks[i]) == "TUPLE" and i + 1 < n and toks[i + 1] == "(":
+            close = _match_paren(toks, i + 1)
+            parts = _split_top(toks[i + 2 : close], ",")
+            return [_emit(_translate_expr(p)) for p in parts if p], close + 1
+        if i < n and toks[i] == "(":
+            close = _match_paren(toks, i)
+            parts = _split_top(toks[i + 1 : close], ",")
+            return [_emit(_translate_expr(p)) for p in parts if p], close + 1
+        j = i
+        while j < n and _kw(toks[j]) not in _CLAUSE_KW and toks[j] != "(":
+            j += 1
+        expr = toks[i:j]
+        if not expr:
+            return [], j
+        return [_emit(_translate_expr(expr))], j
+
+    # -- INSERT ----------------------------------------------------------
+
+    def _insert(self, toks: list[str]) -> None:
+        i = 1
+        if _kw(toks[i]) != "INTO":
+            raise DialectError("INSERT requires INTO")
+        i += 1
+        if _kw(toks[i]) == "TABLE":
+            i += 1
+        name, i = self._table_name(toks, i)
+        if name not in self.tables:
+            raise DialectError(f"INSERT into unknown table {name}")
+        t = self.tables[name]
+        # a bare INSERT targets the physical (non-MATERIALIZED) columns
+        target_cols = [c.name for c in t.cols if not c.hidden]
+        if i < len(toks) and toks[i] == "(":
+            close = _match_paren(toks, i)
+            target_cols = [
+                x.strip('`"')
+                for p in _split_top(toks[i + 1 : close], ",")
+                for x in [_emit(p)]
+            ]
+            i = close + 1
+        kw = _kw(toks[i]) if i < len(toks) else ""
+        if kw == "VALUES":
+            batch = self._values_batch(t, target_cols, toks[i + 1 :])
+        elif kw in ("SELECT", "WITH", "FORMAT") or toks[i] == "(":
+            if kw == "FORMAT":
+                raise DialectError("INSERT ... FORMAT not supported")
+            src = dialect_sql(self.spark, _emit(toks[i:]))
+            by_name = {c.name: c for c in t.cols}
+            sel = [
+                F.col(f.name).cast(by_name[tc].spark_type).alias(tc)
+                for f, tc in zip(src.schema.fields, target_cols)
+            ]
+            batch = self._fill_defaults(t, src.select(*sel), target_cols)
+        else:
+            raise DialectError("INSERT requires VALUES or SELECT")
+        if t.spec.engine == "Null":
+            return None
+        batch = self._sorted_batch(t, batch)
+        t.df = batch if t.df is None else t.df.unionByName(batch)
+        self._register(t)
+        return None
+
+    def _values_batch(
+        self, t: _Table, target_cols: list[str], toks: list[str]
+    ) -> DataFrame:
+        rows = []
+        i = 0
+        while i < len(toks):
+            # tuples may be juxtaposed with or without commas:
+            # VALUES (1, 'a'), (2, 'b') (3, 'c')
+            if toks[i] == ",":
+                i += 1
+                continue
+            if toks[i] != "(":
+                raise DialectError("malformed VALUES tuple")
+            close = _match_paren(toks, i)
+            elems = [
+                _emit(_translate_expr(p))
+                for p in _split_top(toks[i + 1 : close], ",")
+            ]
+            if len(elems) != len(target_cols):
+                raise DialectError("VALUES arity != column list")
+            rows.append(elems)
+            i = close + 1
+        if not rows:
+            return self._empty_df(t)
+        by_name = {c.name: c for c in t.cols}
+        selects = []
+        for r in rows:
+            exprs = []
+            for val, cname in zip(r, target_cols):
+                c = by_name.get(cname)
+                if c is None:
+                    raise DialectError(f"unknown INSERT column {cname}")
+                exprs.append(f"{_cast_sql(val, c.spark_type)} AS `{c.name}`")
+            selects.append("SELECT " + ", ".join(exprs))
+        df = self.spark.sql(" UNION ALL ".join(selects))
+        return self._fill_defaults(t, df, target_cols)
+
+    def _fill_defaults(
+        self, t: _Table, df: DataFrame, provided: list[str]
+    ) -> DataFrame:
+        """Add missing columns in declaration order; a DEFAULT expression
+        may reference any earlier-computed column (recursive defaults)."""
+        for c in t.cols:
+            if c.name not in provided:
+                d = c.default or _type_default(c.spark_type, c.nullable)
+                df = df.withColumn(c.name, F.expr(d).cast(c.spark_type))
+        return df.select(*[c.name for c in t.cols])
+
+    def _sorted_batch(self, t: _Table, batch: DataFrame) -> DataFrame:
+        """One insert = one part: single partition, primary-key sorted,
+        insertion order preserved on ties (MergeTreeDataWriter sorts each
+        block stably by the sorting key)."""
+        keys = [k for k in t.sort_keys if k and k != "tuple ( )"]
+        batch = batch.coalesce(1)
+        if keys:
+            batch = (
+                batch.withColumn("__seq", F.monotonically_increasing_id())
+                .sortWithinPartitions(*[F.expr(k) for k in keys], F.col("__seq"))
+                .drop("__seq")
+            )
+        return batch
+
+    # -- maintenance -----------------------------------------------------
+
+    def _drop(self, toks: list[str]) -> None:
+        i = 1
+        if _kw(toks[i]) == "TABLE" or _kw(toks[i]) == "VIEW":
+            i += 1
+        elif _kw(toks[i]) == "DATABASE":
+            return None
+        if (
+            i + 1 < len(toks)
+            and _kw(toks[i]) == "IF" and _kw(toks[i + 1]) == "EXISTS"
+        ):
+            i += 2
+        name, i = self._table_name(toks, i)
+        t = self.tables.pop(name, None)
+        if t is not None and t.name != name and name in t.aka:
+            t.aka.remove(name)  # dropping a Buffer proxy, not the target
+        self._drop_views(name)
+        return None
+
+    def _truncate(self, toks: list[str]) -> None:
+        i = 1
+        if _kw(toks[i]) == "TABLE":
+            i += 1
+        if (
+            i + 1 < len(toks)
+            and _kw(toks[i]) == "IF" and _kw(toks[i + 1]) == "EXISTS"
+        ):
+            i += 2
+        name, _ = self._table_name(toks, i)
+        if name in self.tables:
+            self.tables[name].df = None
+            self._register(self.tables[name])
+        return None
+
+    def _optimize(self, toks: list[str]) -> None:
+        i = 1
+        if _kw(toks[i]) == "TABLE":
+            i += 1
+        name, i = self._table_name(toks, i)
+        if name not in self.tables:
+            return None
+        t = self.tables[name]
+        rest = {_kw(x) for x in toks[i:]}
+        if t.df is not None:
+            df = read_final(t.df, t.spec)
+            if "DEDUPLICATE" in rest:
+                df = df.dropDuplicates()
+            t.df = self._sorted_batch(t, df)
+            self._register(t)
+        return None
+
+    def _describe(self, toks: list[str]) -> DataFrame:
+        i = 1
+        if _kw(toks[i]) == "TABLE":
+            i += 1
+        name, _ = self._table_name(toks, i)
+        if name not in self.tables:
+            raise DialectError(f"DESCRIBE unknown table {name}")
+        t = self.tables[name]
+        rows = [
+            (c.name, c.ch_type, c.default_kind if c.default else "",
+             c.default_raw or "", "", "", "")
+            for c in t.cols
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "name STRING, type STRING, default_type STRING, "
+            "default_expression STRING, comment STRING, "
+            "codec_expression STRING, ttl_expression STRING",
+        )
+
+    def _set(self, toks: list[str]) -> None:
+        from daisy_spark.session import apply_settings
+
+        try:
+            pairs = _split_top(toks[1:], ",")
+            settings = {}
+            for p in pairs:
+                if "=" in p:
+                    eq = p.index("=")
+                    settings[_emit(p[:eq]).strip()] = _emit(p[eq + 1 :]).strip("' ")
+            apply_settings(self.spark, settings)
+        except Exception:  # noqa: BLE001 - unknown knobs are no-ops
+            pass
+        return None

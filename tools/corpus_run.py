@@ -24,12 +24,14 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-from daisy_spark.plans.dialect import translate  # noqa: E402
+from daisy_spark.plans.script import ScriptRunner, split_statements  # noqa: E402
 
 STATE = "/tmp/corpus_state.json"
 
+# DDL/INSERT scripts run through plans.script.ScriptRunner; only the
+# statement classes with no Spark mapping stay excluded.
 SKIP_RE = re.compile(
-    r"(?i)\b(CREATE|DROP|INSERT|ALTER|SYSTEM|ATTACH|DETACH|OPTIMIZE|RENAME"
+    r"(?i)\b(ALTER|SYSTEM|ATTACH|DETACH|RENAME"
     r"|KILL|numbers_mt|system\.|remote\(|cluster\(|file\(|url\(|FORMAT\s"
     r"|serverError|clientError)"
 )
@@ -38,10 +40,16 @@ BIG_RE = re.compile(r"(numbers|range)\s*\(\s*[0-9_]{8,}")
 
 
 def fmt(v, nested=False):
+    import datetime
     import decimal
 
     if v is None:
         return "\\N"
+    if isinstance(v, datetime.datetime):
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        return f"'{s}'" if nested else s
+    if isinstance(v, datetime.date):
+        return f"'{v.isoformat()}'" if nested else v.isoformat()
     if isinstance(v, bool):
         return "1" if v else "0"
     if isinstance(v, decimal.Decimal):
@@ -131,25 +139,18 @@ def main():
         if SKIP_RE.search(txt) or BIG_RE.search(txt):
             st["done"].append(name)
             continue
-        stmts = [
-            s.strip()
-            for s in txt.split(";")
-            if s.strip()
-            and not all(
-                ln.strip().startswith("--") or not ln.strip()
-                for ln in s.splitlines()
-            )
-        ]
-        if not (1 <= len(stmts) <= 6):
+        stmts = split_statements(txt)
+        if not (1 <= len(stmts) <= 40):
             st["done"].append(name)
             continue
+        runner = ScriptRunner(spark)
         try:
             outs = []
             for s in stmts:
-                if re.match(r"(?i)\s*SET\b", s):
+                df = runner.execute(s)
+                if df is None:
                     continue
-                t = translate(s)
-                for r in spark.sql(t.spark_sql).collect():
+                for r in df.collect():
                     outs.append("\t".join(fmt(v) for v in r))
             if "\n".join(outs).strip() == exp.strip():
                 st["matched"].append(name)
@@ -171,6 +172,11 @@ def main():
                 if not alive(spark):
                     sys.exit(42)
                 continue
+        finally:
+            try:
+                runner.close()
+            except Exception:  # noqa: BLE001
+                pass
         st["done"].append(name)
         save_state(st)
     tried = len(st["matched"]) + sum(st["fails"].values())
