@@ -791,7 +791,7 @@ _GRADE_FIRST = [
     # fixed/added this round: need a fresh driver row
     "dedup_simhash", "quantiles", "group_array", "final_collapsing",
     "lang_fingerprint", "multimodal_decode", "multimodal_meta",
-    "logistic_regression",
+    "logistic_regression", "script_engine",
 ]
 QUERIES = {
     **{n: QUERIES[n] for n in _GRADE_FIRST},

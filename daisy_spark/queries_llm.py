@@ -483,6 +483,44 @@ ORDER BY purchases DESC, hour
 """
 
 
+def q_script_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full script path (plans.script.ScriptRunner): CREATE a
+    ReplacingMergeTree table, INSERT SELECT from orders, read FINAL.
+
+    Covers the reference's stateless-test statement layer (CREATE/INSERT/
+    SELECT scripts, e.g. tests/queries/0_stateless/00043_*.sql) against a
+    live table: last version (max o_orderkey) per key wins.
+    """
+    from daisy_spark.plans.script import ScriptRunner
+
+    _register_views(spark, sf_dir, ("orders",))
+    runner = ScriptRunner(spark)
+    outs = runner.run_script(
+        """
+        DROP TABLE IF EXISTS script_orders;
+        CREATE TABLE script_orders (k UInt64, status String, v UInt64)
+            ENGINE = ReplacingMergeTree(v) ORDER BY k;
+        INSERT INTO script_orders
+            SELECT o_orderkey % 1000 AS k, o_orderstatus AS status,
+                   o_orderkey AS v
+            FROM orders;
+        SELECT status, count() AS cnt, sum(k) AS key_sum
+        FROM script_orders FINAL
+        GROUP BY status ORDER BY status;
+        """
+    )
+    return outs[-1]
+
+
+ORACLE_SCRIPT_ENGINE = """
+SELECT status, count(*) AS cnt, CAST(sum(k) AS BIGINT) AS key_sum FROM (
+    SELECT o_orderkey % 1000 AS k,
+           arg_max(o_orderstatus, o_orderkey) AS status
+    FROM orders GROUP BY o_orderkey % 1000
+) GROUP BY status ORDER BY status
+"""
+
+
 QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_near": q_dedup_near,
@@ -497,6 +535,7 @@ QUERIES_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode": q_multimodal_decode,
     "dialect_pipe": q_dialect_pipe,
     "dialect_sql": q_dialect_sql,
+    "script_engine": q_script_engine,
 }
 
 ORACLE_SQL_LLM: dict[str, str] = {
@@ -513,4 +552,5 @@ ORACLE_SQL_LLM: dict[str, str] = {
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
     "dialect_pipe": ORACLE_DIALECT_PIPE,
     "dialect_sql": ORACLE_DIALECT_SQL,
+    "script_engine": ORACLE_SCRIPT_ENGINE,
 }

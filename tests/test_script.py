@@ -1,0 +1,149 @@
+"""plans.script: multi-statement DDL/INSERT/SELECT script execution.
+
+Mirrors the reference's stateless-test shape (CREATE ... ENGINE; INSERT;
+SELECT) — the same statement layer tests/queries/0_stateless/*.sql files
+exercise (e.g. 00043_summing_empty_part.sql, 00084_summing_merge_tree.sql,
+00253_insert_recursive_defaults.sql).
+"""
+
+import pytest
+
+from daisy_spark.plans.script import ScriptRunner, split_statements
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+@pytest.fixture()
+def runner(spark):
+    r = ScriptRunner(spark)
+    yield r
+    r.close()
+
+
+def test_split_statements_respects_strings_and_comments():
+    text = (
+        "SELECT 'a;b';  -- trailing; comment\n"
+        "/* block; comment */ SELECT 2;\n"
+        "-- only a comment\n"
+        "SELECT ';'"
+    )
+    stmts = split_statements(text)
+    assert len(stmts) == 3
+    assert stmts[0].startswith("SELECT 'a;b'")
+    # leading comment lines stay attached (the tokenizer drops them)
+    assert stmts[2].endswith("SELECT ';'")
+
+
+def test_create_insert_select_roundtrip(runner):
+    runner.execute(
+        "CREATE TABLE t1 (a UInt32, b String, c Nullable(Float64)) "
+        "ENGINE = MergeTree ORDER BY a"
+    )
+    runner.execute("INSERT INTO t1 VALUES (3, 'three', 3.5), (1, 'one', NULL)")
+    runner.execute("INSERT INTO t1 (a) VALUES (2)")
+    # per-part read order: each insert is one part sorted by the key
+    assert rows(runner.execute("SELECT a FROM t1")) == [(1,), (3,), (2,)]
+    # missing columns take type defaults ('' for String, NULL for Nullable)
+    assert rows(runner.execute("SELECT b, c FROM t1 WHERE a = 2")) == [("", None)]
+
+
+def test_values_tuples_without_commas(runner):
+    runner.execute("CREATE TABLE jux (x UInt8) ENGINE = Memory")
+    runner.execute("INSERT INTO jux VALUES (1) (2), (3) (4)")
+    assert rows(runner.execute("SELECT count() AS c FROM jux")) == [(4,)]
+
+
+def test_replacing_final_and_optimize(runner):
+    runner.execute(
+        "CREATE TABLE r1 (k UInt8, v UInt32, ver UInt8) "
+        "ENGINE = ReplacingMergeTree(ver) ORDER BY k"
+    )
+    runner.execute("INSERT INTO r1 VALUES (1, 10, 1), (1, 20, 2), (2, 5, 1)")
+    assert rows(runner.execute("SELECT * FROM r1 FINAL ORDER BY k")) == [
+        (1, 20, 2), (2, 5, 1),
+    ]
+    runner.execute("OPTIMIZE TABLE r1 FINAL")
+    assert rows(runner.execute("SELECT count() AS c FROM r1")) == [(2,)]
+
+
+def test_summing_drops_all_zero_rows(runner):
+    # 00043_summing_empty_part.sql semantics: a fully-cancelled key
+    # disappears after merge (SummingSortedAlgorithm.cpp)
+    runner.execute(
+        "CREATE TABLE s1 (d Date, k UInt64, v Int8) "
+        "ENGINE = SummingMergeTree(d, k, 8192)"  # legacy syntax: key = k
+    )
+    runner.execute("INSERT INTO s1 VALUES ('2015-01-01', 1, 10)")
+    runner.execute("INSERT INTO s1 VALUES ('2015-01-01', 1, -10)")
+    runner.execute("INSERT INTO s1 VALUES ('2015-01-01', 2, -9)")
+    runner.execute("OPTIMIZE TABLE s1")
+    assert rows(runner.execute("SELECT k, v FROM s1")) == [(2, -9)]
+
+
+def test_legacy_engine_tuple_key(runner):
+    runner.execute(
+        "CREATE TABLE lg (d Date, x UInt32, s String) "
+        "ENGINE = MergeTree(d, (x, d), 8192)"
+    )
+    runner.execute("INSERT INTO lg VALUES ('2020-01-01', 2, 'b'), ('2020-01-01', 1, 'a')")
+    assert rows(runner.execute("SELECT x FROM lg")) == [(1,), (2,)]
+
+
+def test_recursive_defaults_and_materialized_hidden(runner):
+    # 00253_insert_recursive_defaults.sql shape: untyped DEFAULT columns
+    # infer their type; MATERIALIZED/ALIAS columns are computed but
+    # excluded from SELECT *
+    runner.execute(
+        "CREATE TABLE dflt (a UInt8, b DEFAULT 0, c DEFAULT identity(b), "
+        "m UInt16 MATERIALIZED a * 2, al ALIAS m) ENGINE = Memory"
+    )
+    runner.execute("INSERT INTO dflt (a) VALUES (3)")
+    assert rows(runner.execute("SELECT * FROM dflt")) == [(3, 0, 0)]
+    assert rows(runner.execute("SELECT m, al FROM dflt")) == [(6, 6)]
+
+
+def test_buffer_proxies_target(runner):
+    runner.execute("CREATE TABLE tgt (x UInt32) ENGINE = Memory")
+    runner.execute(
+        "CREATE TABLE buf AS tgt ENGINE = "
+        "Buffer(currentDatabase(), tgt, 16, 10, 100, 10000, 1000000, "
+        "10000000, 100000000)"
+    )
+    runner.execute("INSERT INTO tgt VALUES (7)")
+    runner.execute("INSERT INTO buf VALUES (8)")
+    assert rows(runner.execute("SELECT x FROM buf ORDER BY x")) == [(7,), (8,)]
+    assert rows(runner.execute("SELECT x FROM tgt ORDER BY x")) == [(7,), (8,)]
+    runner.execute("DROP TABLE buf")
+    assert rows(runner.execute("SELECT count() AS c FROM tgt")) == [(2,)]
+
+
+def test_truncate_drop_exists(runner):
+    runner.execute("CREATE TABLE td (x UInt8) ENGINE = Memory")
+    runner.execute("INSERT INTO td VALUES (1)")
+    runner.execute("TRUNCATE TABLE td")
+    assert rows(runner.execute("SELECT count() AS c FROM td")) == [(0,)]
+    assert rows(runner.execute("EXISTS TABLE td")) == [(1,)]
+    runner.execute("DROP TABLE td")
+    assert rows(runner.execute("EXISTS TABLE td")) == [(0,)]
+
+
+def test_insert_select_and_create_as_select(runner):
+    runner.execute(
+        "CREATE TABLE src (n UInt32) ENGINE = Memory AS "
+        "SELECT number AS n FROM numbers(5)"
+    )
+    runner.execute("CREATE TABLE dst (n UInt32, doubled UInt64 DEFAULT n * 2) ENGINE = Memory")
+    runner.execute("INSERT INTO dst (n) SELECT n FROM src WHERE n >= 3")
+    assert rows(runner.execute("SELECT n, doubled FROM dst ORDER BY n")) == [
+        (3, 6), (4, 8),
+    ]
+
+
+def test_datetime_from_digit_string(runner):
+    # reference parses '1234567890' inserted into DateTime as a unix
+    # timestamp (00141_parse_timestamp_as_datetime.sql)
+    runner.execute("CREATE TABLE ts (t DateTime) ENGINE = Memory")
+    runner.execute("INSERT INTO ts VALUES ('1234567890')")
+    assert rows(runner.execute("SELECT toUInt32(t) FROM ts")) == [(1234567890,)]
