@@ -23,9 +23,9 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from daisy_spark.catalog import (
-    NANOS_TS_COLUMNS,
     TESTDATA_TABLES,
     _ensure_nanos_readable,
     normalize_nanos,
@@ -59,16 +59,19 @@ def load_time_bounded(
     tcol = TIME_COLUMNS.get(name)
     if tcol is None:
         return normalize_nanos(name, df)
-    if tcol in NANOS_TS_COLUMNS.get(name, ()):
+    # branch on the ACTUAL stored type: the driver has shipped events.ts both
+    # as raw int64 nanos and as timestamp[us] parquet across rounds
+    if isinstance(df.schema[tcol].dataType, T.LongType):
         if start_time is not None:
             df = df.filter(F.col(tcol) >= F.lit(_to_epoch_ns(start_time)))
         if end_time is not None:
             df = df.filter(F.col(tcol) < F.lit(_to_epoch_ns(end_time)))
         return normalize_nanos(name, df)
+    ttype = df.schema[tcol].dataType  # timestamp or timestamp_ntz
     if start_time is not None:
-        df = df.filter(F.col(tcol) >= F.lit(str(start_time)).cast("timestamp"))
+        df = df.filter(F.col(tcol) >= F.lit(str(start_time)).cast(ttype))
     if end_time is not None:
-        df = df.filter(F.col(tcol) < F.lit(str(end_time)).cast("timestamp"))
+        df = df.filter(F.col(tcol) < F.lit(str(end_time)).cast(ttype))
     return df
 
 
