@@ -174,11 +174,21 @@ def q_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle checks the exact total plus the statistical-bounds
     invariant on the sampled count."""
     e = _t(spark, sf_dir, "events")
-    n = M.sample_fraction(e, 0.5, seed=42).count()
-    total = e.count()
-    return spark.createDataFrame(
-        [(total, bool(0.35 * total <= n <= 0.65 * total))],
-        "total LONG, within_bounds BOOLEAN",
+    # one action: both counts live in one plan (cross join of two 1-row
+    # aggs) instead of two counts + a driver-side createDataFrame
+    n = M.sample_fraction(e, 0.5, seed=42).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        e.agg(F.count(F.lit(1)).alias("total"))
+        .crossJoin(n)
+        .select(
+            "total",
+            (
+                (F.col("_n") >= 0.35 * F.col("total"))
+                & (F.col("_n") <= 0.65 * F.col("total"))
+            ).alias("within_bounds"),
+        )
     )
 
 
@@ -487,13 +497,17 @@ def q_uniq_approx_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct-first: one shuffle with map-side partial distinct, then both
     # aggregates read the deduped set — ~2.5x faster than mixing an exact
     # countDistinct (Expand over all rows) with the HLL in a single agg.
+    # single job: the invariant is computed as a column over the one agg
+    # row (no driver collect + re-parallelize round-trip)
     d = o.select("o_custkey").distinct()
-    got = d.agg(
+    return d.agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
         F.count(F.lit(1)).alias("exact"),
-    ).collect()[0]
-    ok = abs(got.approx - got.exact) <= 0.05 * got.exact
-    return spark.createDataFrame([(bool(ok),)], "within_5pct BOOLEAN")
+    ).select(
+        (F.abs(F.col("approx") - F.col("exact")) <= 0.05 * F.col("exact")).alias(
+            "within_5pct"
+        )
+    )
 
 
 ORACLE_UNIQ = "SELECT TRUE AS within_5pct"

@@ -35,6 +35,10 @@ DEFAULT_CONF = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.parquet.filterPushdown": "true",
+    # NOTE: leave spark.sql.files.openCostInBytes at its 4m default — an A/B
+    # at sf0.1 showed fanning small files into 32 splits costs more in task
+    # scheduling than the parallel scan saves (geomean 0.35→0.42 s); at
+    # cluster scale maxPartitionBytes governs split sizing anyway
     "spark.sql.files.maxPartitionBytes": "128m",
     # dims (region/nation/supplier) stay broadcast even at large SF
     "spark.sql.autoBroadcastJoinThreshold": "64m",
