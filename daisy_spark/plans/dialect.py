@@ -169,6 +169,42 @@ def _map_type(toks: list[str], i: int) -> tuple[str, int]:
     if up == "DATETIME64" and i + 1 < len(toks) and toks[i + 1] == "(":
         close = _match_paren(toks, i + 1)
         return "TIMESTAMP", close + 1
+    # DateTime('UTC') — timezone argument form
+    if up == "DATETIME" and i + 1 < len(toks) and toks[i + 1] == "(":
+        close = _match_paren(toks, i + 1)
+        return "TIMESTAMP", close + 1
+    if up == "TUPLE" and i + 1 < len(toks) and toks[i + 1] == "(":
+        close = _match_paren(toks, i + 1)
+        fields = []
+        for k, part in enumerate(_split_top(toks[i + 2 : close], ",")):
+            if not part:
+                continue
+            # named form: Tuple(a Int64, b String); unnamed -> col1..colN
+            if len(part) > 1 and _is_ident(part[0]) and (
+                _kw(part[1]) in TYPE_MAP
+                or _kw(part[1]) in (
+                    "ARRAY", "TUPLE", "MAP", "NULLABLE", "LOWCARDINALITY",
+                    "FIXEDSTRING", "DECIMAL", "DATETIME", "DATETIME64",
+                    "ENUM8", "ENUM16",
+                )
+            ):
+                fname = part[0].strip('`"')
+                ftype, _ = _map_type(part, 1)
+            else:
+                fname = f"col{k + 1}"
+                ftype, _ = _map_type(part, 0)
+            fields.append(f"{fname}: {ftype}")
+        return "STRUCT<" + ", ".join(fields) + ">", close + 1
+    if up == "MAP" and i + 1 < len(toks) and toks[i + 1] == "(":
+        close = _match_paren(toks, i + 1)
+        parts = _split_top(toks[i + 2 : close], ",")
+        kt, _ = _map_type(parts[0], 0)
+        vt, _ = _map_type(parts[1], 0)
+        return f"MAP<{kt}, {vt}>", close + 1
+    # enums carry their string labels in queries; values are strings here
+    if up in ("ENUM8", "ENUM16") and i + 1 < len(toks) and toks[i + 1] == "(":
+        close = _match_paren(toks, i + 1)
+        return "STRING", close + 1
     if up in TYPE_MAP:
         return TYPE_MAP[up], i + 1
     return t, i + 1  # pass through Spark-native types
@@ -226,6 +262,64 @@ def _format_datetime(args: list[str]) -> str:
     return f"date_format({args[0]}, '{fmt}')"
 
 
+def _point_in_polygon_expr(a: list[str]) -> str:
+    """pointInPolygon((x,y), ring[, hole...]) — even-odd ray casting as a
+    HOF fold over the vertex array(s) (src/Functions/pointInPolygon.cpp).
+    Tuples render as named_struct('col1',x,'col2',y), so vertices are
+    .col1/.col2; nullif guards the horizontal-edge division (condition is
+    false there anyway, but ANSI sessions would otherwise raise
+    DIVIDE_BY_ZERO).  Holes compose by summing crossings over all rings
+    before the parity test; the array-of-rings literal form
+    [[ring], [hole]] folds the outer array the same way."""
+    pt = f"({a[0]})"
+
+    def crossings(poly: str) -> str:
+        cur = f"element_at({poly}, i + 1)"
+        nxt = f"element_at({poly}, (i + 1) % size({poly}) + 1)"
+        cross = (
+            f"({cur}.col2 > {pt}.col2) != ({nxt}.col2 > {pt}.col2) "
+            f"AND {pt}.col1 < ({nxt}.col1 - {cur}.col1) "
+            f"* ({pt}.col2 - {cur}.col2) "
+            f"/ nullif({nxt}.col2 - {cur}.col2, 0) + {cur}.col1"
+        )
+        return (
+            f"aggregate(sequence(0, size({poly}) - 1), 0, "
+            f"(acc, i) -> acc + IF(coalesce({cross}, false), 1, 0))"
+        )
+
+    if len(a) > 2:  # pointInPolygon(pt, ring, hole1, ...)
+        total = " + ".join(crossings(f"({r})") for r in a[1:])
+        return f"(({total}) % 2)"
+    if re.sub(r"\s+", "", a[1]).startswith("array(array("):
+        return (
+            f"(aggregate(({a[1]}), 0, (accr, __ring) -> "
+            f"accr + {crossings('__ring')}) % 2)"
+        )
+    return f"({crossings(f'({a[1]})')} % 2)"
+
+
+def _byte_position(hay: str, needle: str) -> str:
+    """The reference's position() counts BYTES (positionUTF8 is the
+    character variant); Spark locate counts characters — convert via the
+    octet length of the prefix before the match."""
+    loc = f"locate({needle}, {hay})"
+    return (
+        f"IF({loc} = 0, 0, "
+        f"octet_length(substr({hay}, 1, {loc} - 1)) + 1)"
+    )
+
+
+def _position_expr(a: list[str]) -> str:
+    if len(a) == 1:
+        m = re.match(r"^(.*\S)\s+IN\s+\(\s*(.*?)\s*\)$", a[0], re.S)
+        if m:
+            return _byte_position(m.group(2), m.group(1))
+        _raise_dialect("position: single-argument form must be needle IN haystack")
+    if len(a) == 3:
+        return f"locate({a[1]}, {a[0]}, {a[2]})"
+    return _byte_position(a[0], a[1])
+
+
 FUNC_MAP: dict[str, object] = {
     # arithmetic / comparison / logic
     "plus": "({0} + {1})", "minus": "({0} - {1})", "multiply": "({0} * {1})",
@@ -254,7 +348,17 @@ FUNC_MAP: dict[str, object] = {
     "nullIf": "nullif({0}, {1})", "assumeNotNull": "{0}",
     "ifNotFinite": "(CASE WHEN isnan({0}) OR {0} = double('inf') OR {0} = double('-inf') THEN {1} ELSE {0} END)",
     "isNull": "({0} IS NULL)", "isNotNull": "({0} IS NOT NULL)",
-    "isNaN": "isnan({0})",
+    # number classification — UInt8 0/1 like the reference, so results
+    # compare against integer literals (isFinite(x) = 1)
+    "isNaN": "CAST(isnan(CAST({0} AS DOUBLE)) AS INT)",
+    "isFinite": (
+        "(CASE WHEN isnan(CAST({0} AS DOUBLE)) "
+        "OR abs(CAST({0} AS DOUBLE)) = double('inf') THEN 0 ELSE 1 END)"
+    ),
+    "isInfinite": (
+        "(CASE WHEN abs(CAST({0} AS DOUBLE)) = double('inf') THEN 1 ELSE 0 END)"
+    ),
+    "visibleWidth": "length(CAST({0} AS STRING))",
     "empty": "(coalesce(length({0}), 0) = 0)",
     "notEmpty": "(coalesce(length({0}), 0) > 0)",
     # no-op wrappers (materialization/nullability are physical concepts
@@ -332,6 +436,24 @@ FUNC_MAP: dict[str, object] = {
         "WHEN substring({0}, -1, 1) = {1} THEN {0} ELSE concat({0}, {1}) END)"
     ),
     "extractURLParameter": "coalesce(parse_url({0}, 'QUERY', {1}), '')",
+    "extractURLParameters": (
+        "(CASE WHEN coalesce(parse_url({0}, 'QUERY'), '') = '' THEN array() "
+        "ELSE split(parse_url({0}, 'QUERY'), '&') END)"
+    ),
+    "extractURLParameterNames": (
+        "(CASE WHEN coalesce(parse_url({0}, 'QUERY'), '') = '' THEN array() "
+        "ELSE transform(split(parse_url({0}, 'QUERY'), '&'), "
+        "s -> split_part(s, '=', 1)) END)"
+    ),
+    # haversine on the reference's 6371 km sphere
+    # (src/Functions/greatCircleDistance.cpp); args (lon1, lat1, lon2, lat2)
+    "greatCircleDistance": (
+        "(2 * 6371000.0 * asin(sqrt("
+        "pow(sin(radians(({3}) - ({1})) / 2), 2) + "
+        "cos(radians({1})) * cos(radians({3})) * "
+        "pow(sin(radians(({2}) - ({0})) / 2), 2))))"
+    ),
+    "pointInPolygon": _point_in_polygon_expr,
     "bitShiftLeft": "shiftleft({0}, {1})",
     "bitShiftRight": "shiftright({0}, {1})",
     "toDecimal32": lambda a: f"CAST({a[0]} AS DECIMAL(9, {a[1] if len(a) > 1 else 0}))",
@@ -344,6 +466,29 @@ FUNC_MAP: dict[str, object] = {
     "toInt8": "CAST({0} AS TINYINT)", "toInt16": "CAST({0} AS SMALLINT)",
     "toInt32": "CAST({0} AS INT)", "toInt64": "CAST({0} AS BIGINT)",
     "toFloat32": "CAST({0} AS FLOAT)", "toFloat64": "CAST({0} AS DOUBLE)",
+    # -OrZero / -OrNull parse variants (FunctionsConversion.h): failed
+    # parses yield 0 / NULL instead of an error
+    "toUInt8OrZero": "coalesce(try_cast({0} AS SMALLINT), 0)",
+    "toUInt16OrZero": "coalesce(try_cast({0} AS INT), 0)",
+    "toUInt32OrZero": "coalesce(try_cast({0} AS BIGINT), 0)",
+    "toUInt64OrZero": "coalesce(try_cast({0} AS BIGINT), 0)",
+    "toInt8OrZero": "coalesce(try_cast({0} AS TINYINT), 0)",
+    "toInt16OrZero": "coalesce(try_cast({0} AS SMALLINT), 0)",
+    "toInt32OrZero": "coalesce(try_cast({0} AS INT), 0)",
+    "toInt64OrZero": "coalesce(try_cast({0} AS BIGINT), 0)",
+    "toFloat32OrZero": "coalesce(try_cast({0} AS FLOAT), 0.0)",
+    "toFloat64OrZero": "coalesce(try_cast({0} AS DOUBLE), 0.0)",
+    "toUInt8OrNull": "try_cast({0} AS SMALLINT)",
+    "toUInt16OrNull": "try_cast({0} AS INT)",
+    "toUInt32OrNull": "try_cast({0} AS BIGINT)",
+    "toUInt64OrNull": "try_cast({0} AS BIGINT)",
+    "toInt8OrNull": "try_cast({0} AS TINYINT)",
+    "toInt16OrNull": "try_cast({0} AS SMALLINT)",
+    "toInt32OrNull": "try_cast({0} AS INT)",
+    "toInt64OrNull": "try_cast({0} AS BIGINT)",
+    "toFloat32OrNull": "try_cast({0} AS FLOAT)",
+    "toFloat64OrNull": "try_cast({0} AS DOUBLE)",
+    "toDateOrNull": "try_cast({0} AS DATE)",
     "toDate": "CAST({0} AS DATE)",
     # reference parses an all-digit string as a unix timestamp
     # (FunctionsConversion: parseDateTime accepts numeric strings)
@@ -412,7 +557,12 @@ FUNC_MAP: dict[str, object] = {
     ),
     "trimBoth": "trim({0})", "trimLeft": "ltrim({0})", "trimRight": "rtrim({0})",
     "startsWith": "startswith({0}, {1})", "endsWith": "endswith({0}, {1})",
-    "position": "locate({1}, {0})",
+    # position(haystack, needle[, start]) — and the SQL-compat form
+    # position(needle IN haystack), which reaches us as ONE rendered arg
+    # 'needle IN ( haystack )' (src/Parsers/ExpressionListParsers.cpp
+    # rewrites it the same way)
+    "position": _position_expr,
+    "positionUTF8": "locate({1}, {0})",  # character-based variant
     "positionCaseInsensitive": "locate(lower({1}), lower({0}))",
     "match": "({0} RLIKE {1})", "like": "({0} LIKE {1})",
     "notLike": "({0} NOT LIKE {1})", "ilike": "(lower({0}) LIKE lower({1}))",
@@ -523,6 +673,10 @@ FUNC_MAP: dict[str, object] = {
     "groupBitAnd": "bit_and({0})", "groupBitOr": "bit_or({0})",
     "groupBitXor": "bit_xor({0})",
     "median": "median({0})",
+    "medianTiming": lambda a: _quantile_timing_expr(["0.5"], a, True),
+    "medianTimingWeighted": lambda a: _quantile_timing_weighted_expr(
+        ["0.5"], a, True
+    ),
     "stddevPop": "stddev_pop({0})", "stddevSamp": "stddev_samp({0})",
     "varPop": "var_pop({0})", "varSamp": "var_samp({0})",
     "covarPop": "covar_pop({0}, {1})", "covarSamp": "covar_samp({0}, {1})",
@@ -729,13 +883,88 @@ def _histogram_expr(p: list[str], a: list[str]) -> str:
     )
 
 
+def _timing_clamp(x: str) -> str:
+    """The reference's timing sketch value mapping
+    (src/AggregateFunctions/AggregateFunctionQuantileTiming.h): exact
+    below 1024, 16-wide buckets (rounded down) up to 30000, capped at
+    30000 above."""
+    v = f"CAST({x} AS BIGINT)"
+    return (
+        f"(CASE WHEN {v} >= 30000 THEN CAST(30000 AS BIGINT) "
+        f"WHEN {v} >= 1024 THEN 1024 + CAST(({v} - 1024) / 16 AS BIGINT) * 16 "
+        f"ELSE {v} END)"
+    )
+
+
+def _quantile_timing_expr(p: list[str], a: list[str], single: bool) -> str:
+    """quantileTiming / quantilesTiming: discrete selection at index
+    floor(level * n) over the sorted clamped multiset (matches the
+    sketch's cumulative-count scan); nan on empty input."""
+    arr = f"array_sort(collect_list({_timing_clamp(a[0])}))"
+    n = f"size({arr})"
+
+    def one(level: str) -> str:
+        idx = f"least(CAST(floor(({level}) * {n}) AS INT) + 1, {n})"
+        return (
+            f"IF({n} = 0, double('nan'), "
+            f"CAST(element_at({arr}, {idx}) AS DOUBLE))"
+        )
+
+    if single:
+        return one(p[0])
+    return f"array({', '.join(one(lv) for lv in p)})"
+
+
+def _quantile_timing_weighted_expr(p: list[str], a: list[str], single: bool) -> str:
+    """Weighted form: first value whose cumulative weight exceeds
+    level * total_weight (zero-weight rows contribute nothing; all-zero
+    weights -> nan, matching the reference's empty-sketch answer)."""
+    s = (
+        f"array_sort(collect_list(named_struct("
+        f"'v', {_timing_clamp(a[0])}, 'w', CAST({a[1]} AS BIGINT))))"
+    )
+    total = f"aggregate({s}, CAST(0 AS BIGINT), (acc, e) -> acc + e.w)"
+
+    def one(level: str) -> str:
+        pos = f"(({level}) * {total})"
+        scan = (
+            f"aggregate({s}, named_struct('c', CAST(0 AS BIGINT), "
+            f"'r', CAST(NULL AS BIGINT)), (acc, e) -> "
+            f"IF(acc.r IS NOT NULL OR e.w = 0, acc, "
+            f"IF(acc.c + e.w > {pos}, "
+            f"named_struct('c', acc.c + e.w, 'r', e.v), "
+            f"named_struct('c', acc.c + e.w, 'r', CAST(NULL AS BIGINT))))).r"
+        )
+        return f"IF({total} = 0, double('nan'), CAST({scan} AS DOUBLE))"
+
+    if single:
+        return one(p[0])
+    return f"array({', '.join(one(lv) for lv in p)})"
+
+
 #: parametric aggregates fn(params)(args)
 PARAMETRIC_MAP: dict[str, object] = {
+    "quantileTiming": lambda p, a: _quantile_timing_expr(p, a, True),
+    "quantilesTiming": lambda p, a: _quantile_timing_expr(p, a, False),
+    "quantileTimingWeighted": lambda p, a: _quantile_timing_weighted_expr(p, a, True),
+    "quantilesTimingWeighted": lambda p, a: _quantile_timing_weighted_expr(p, a, False),
     "quantile": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
     "quantileExact": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantileTDigest": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
     "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
     "quantilesExact": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
+    # weighted exact quantiles map onto percentile's frequency argument
+    "quantileExactWeighted": lambda p, a: f"percentile({a[0]}, {p[0]}, {a[1]})",
+    "quantilesExactWeighted": lambda p, a: (
+        f"percentile({a[0]}, array({', '.join(p)}), {a[1]})"
+    ),
+    # Deterministic = hash-determined reservoir sample; below the sample
+    # cap it degenerates to the exact quantile, so the determinator
+    # argument carries no information here
+    "quantileDeterministic": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    "quantilesDeterministic": lambda p, a: (
+        f"percentile({a[0]}, array({', '.join(p)}))"
+    ),
     "uniqUpTo": lambda p, a: f"least(count(DISTINCT {', '.join(a)}), {p[0]} + 1)",
     "groupArraySample": lambda p, a: f"slice(shuffle(collect_list({a[0]})), 1, {p[0]})",
     "groupArray": lambda p, a: f"slice(collect_list({a[0]}), 1, {p[0]})",
@@ -1551,6 +1780,22 @@ def _translate_from(toks: list[str]) -> list[str]:
             out += ["USING", "("] + key_toks + [")"]
             i = k
             continue
+        # system.numbers — the unbounded integer sequence; a capped lazy
+        # range (the reference's own tests always LIMIT it)
+        if (
+            _kw(t) == "SYSTEM"
+            and i + 2 < n
+            and toks[i + 1] == "."
+            and _kw(toks[i + 2]) in ("NUMBERS", "NUMBERS_MT")
+        ):
+            out.append("(SELECT id AS number FROM range(1000000000))")
+            if i + 3 >= n or not (
+                _is_ident(toks[i + 3])
+                and _kw(toks[i + 3]) not in _SQL_KEYWORDS
+            ):
+                out.append("AS __numbers")
+            i += 3
+            continue
         # numbers(n) table function (system.numbers semantics)
         if t == "numbers" and i + 1 < n and toks[i + 1] == "(":
             close = _match_paren(toks, i + 1)
@@ -2189,7 +2434,51 @@ def translate(query: str) -> TranslateResult:
             sql_text = _translate_query_text(toks)
     else:
         raise DialectError(f"unsupported statement start: {toks[0]!r}")
-    return TranslateResult(sql_text, settings, is_stream, explain_mode)
+    return TranslateResult(
+        _wrap_in_subqueries(sql_text), settings, is_stream, explain_mode
+    )
+
+
+def _wrap_in_subqueries(sql_text: str) -> str:
+    """``'lit' IN (SELECT ...)`` hits Spark's typed-literal parse path
+    (UNSUPPORTED_TYPED_LITERAL: it reads ``'lit' IN`` then ``(SELECT
+    'x')`` as a SELECT-typed literal).  Wrapping every IN-subquery as
+    ``IN (SELECT * FROM ( ... ) __in_sq)`` is semantics-preserving and
+    sidesteps the parser."""
+    pat = re.compile(r"\bIN\s*\(\s*(?:SELECT|WITH)\b", re.I)
+    pos = 0
+    while True:
+        m = pat.search(sql_text, pos)
+        if not m:
+            return sql_text
+        op = sql_text.index("(", m.start())
+        depth, j, in_str = 0, op, False
+        while j < len(sql_text):
+            ch = sql_text[j]
+            if in_str:
+                if ch == "\\":
+                    j += 1
+                elif ch == "'":
+                    in_str = False
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        inner = sql_text[op + 1 : j]
+        sql_text = (
+            sql_text[: op + 1]
+            + " SELECT * FROM ( "
+            + inner
+            + " ) __in_sq "
+            + sql_text[j:]
+        )
+        pos = op + 18  # past the inserted "SELECT * FROM ("
+    return sql_text
 
 
 def sql(spark, query: str):

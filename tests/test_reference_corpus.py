@@ -71,6 +71,13 @@ CORPUS = [
     "01632_nullable_string_type_convert_to_decimal_type.sql",
     "01704_transform_with_float_key.sql", "01020_function_char.sql",
     "01026_char_utf8.sql",
+    # round-3 growth II: byte-based position (incl. needle IN haystack),
+    # IN-subquery wrap, timing/deterministic/weighted quantiles,
+    # pointInPolygon ray casting, system.numbers
+    "00233_position_function_sql_comparibilty.sql", "00137_in_constants.sql",
+    "00227_quantiles_timing_arbitrary_order.sql", "00323_quantiles_timing_bug.sql",
+    "00129_quantile_timing_weighted.sql", "00279_quantiles_permuted_args.sql",
+    "00500_point_in_polygon_bug_2.sql", "00500_point_in_polygon_nan.sql",
     # (00088_distinct_of_arrays_of_strings matches under the sweep's
     # local[8] session but DISTINCT row order flips under the test
     # fixture's partitioning — excluded as order-nondeterministic)
@@ -82,11 +89,26 @@ def _fmt(v, nested=False):
 
     if v is None:
         return "\\N"
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:  # DateTime64 renders its fractional digits
+            s += f".{v.microsecond:06d}"
+        return f"'{s}'" if nested else s
+    if isinstance(v, datetime.date):
+        return f"'{v.isoformat()}'" if nested else v.isoformat()
     if isinstance(v, bool):
         return "1" if v else "0"
     if isinstance(v, decimal.Decimal):
         return str(v)  # ClickHouse renders decimals at full scale
     if isinstance(v, float):
+        if v != v:
+            return "nan"
+        if v == float("inf"):
+            return "inf"
+        if v == float("-inf"):
+            return "-inf"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(v)
@@ -100,25 +122,22 @@ def _fmt(v, nested=False):
 
 @pytest.mark.parametrize("name", CORPUS)
 def test_reference_case(spark, name):
+    from daisy_spark.plans.script import ScriptRunner, split_statements
+
     path = os.path.join(CORPUS_DIR, name)
     if not os.path.exists(path):
         pytest.skip("reference corpus not available")
     expected = open(path[:-4] + ".reference", encoding="utf-8").read()
     txt = open(path, encoding="utf-8").read()
-    stmts = [
-        s.strip()
-        for s in txt.split(";")
-        if s.strip()
-        and not all(
-            ln.strip().startswith("--") or not ln.strip()
-            for ln in s.splitlines()
-        )
-    ]
+    runner = ScriptRunner(spark)
     outs = []
-    for s in stmts:
-        if re.match(r"(?i)\s*SET\b", s):
-            continue
-        t = translate(s)
-        for r in spark.sql(t.spark_sql).collect():
-            outs.append("\t".join(_fmt(v) for v in r))
+    try:
+        for s in split_statements(txt):
+            df = runner.execute(s)
+            if df is None:
+                continue
+            for r in df.collect():
+                outs.append("\t".join(_fmt(v) for v in r))
+    finally:
+        runner.close()
     assert "\n".join(outs).strip() == expected.strip(), name

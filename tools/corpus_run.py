@@ -31,8 +31,9 @@ STATE = "/tmp/corpus_state.json"
 # DDL/INSERT scripts run through plans.script.ScriptRunner; only the
 # statement classes with no Spark mapping stay excluded.
 SKIP_RE = re.compile(
-    r"(?i)\b(ALTER|SYSTEM|ATTACH|DETACH|RENAME"
-    r"|KILL|numbers_mt|system\.|remote\(|cluster\(|file\(|url\(|FORMAT\s"
+    r"(?i)\b(ALTER|SYSTEM\s+(?:STOP|START|FLUSH|RELOAD|DROP|SYNC|RESTART)"
+    r"|ATTACH|DETACH|RENAME"
+    r"|KILL|system\.(?!numbers)|remote\(|cluster\(|file\(|url\(|FORMAT\s"
     r"|serverError|clientError)"
 )
 # >10M generated rows: JVM OOM risk on local runs
@@ -55,6 +56,12 @@ def fmt(v, nested=False):
     if isinstance(v, decimal.Decimal):
         return str(v)  # ClickHouse renders decimals at full scale
     if isinstance(v, float):
+        if v != v:
+            return "nan"
+        if v == float("inf"):
+            return "inf"
+        if v == float("-inf"):
+            return "-inf"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(v)
