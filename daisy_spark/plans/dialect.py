@@ -309,6 +309,54 @@ def _byte_position(hay: str, needle: str) -> str:
     )
 
 
+def _simple_linreg_expr(xs: str, ys: str) -> str:
+    """arrayReduce('simpleLinearRegression', xs, ys) -> (slope, intercept)
+    tuple via least squares (src/AggregateFunctions/
+    AggregateFunctionSimpleLinearRegression.h); degenerate inputs give
+    (nan, nan) like the reference's 0/0."""
+    n = f"CAST(size(({xs})) AS DOUBLE)"
+    sx = f"aggregate(({xs}), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    sy = f"aggregate(({ys}), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    sxx = (
+        f"aggregate(({xs}), CAST(0 AS DOUBLE), "
+        f"(acc, v) -> acc + CAST(v AS DOUBLE) * v)"
+    )
+    sxy = (
+        f"aggregate(zip_with(({xs}), ({ys}), "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    num = f"({n} * {sxy} - {sx} * {sy})"
+    den = f"({n} * {sxx} - {sx} * {sx})"
+    k = f"IF({den} = 0, double('nan'), {num} / {den})"
+    b = f"IF({n} = 0, double('nan'), ({sy} - ({k}) * {sx}) / {n})"
+    return f"named_struct('col1', {k}, 'col2', {b})"
+
+
+_EXTRACT_UNITS = {
+    "SECOND": "SECOND", "SS": "SECOND", "MINUTE": "MINUTE", "MI": "MINUTE",
+    "HOUR": "HOUR", "HH": "HOUR", "DAY": "DAY", "DD": "DAY",
+    "MONTH": "MONTH", "MM": "MONTH", "QUARTER": "QUARTER",
+    "YEAR": "YEAR", "YYYY": "YEAR", "WEEK": "WEEK",
+    "DAYOFWEEK": "DAYOFWEEK", "DOW": "DOW", "DOY": "DOY",
+}
+
+
+def _extract_expr(a: list[str]) -> str:
+    """extract is two functions: ANSI extract(UNIT FROM ts) — kept native
+    with the reference's MySQL-ish unit aliases (YYYY, MM, ...) mapped —
+    and the reference's regexp extract(s, pattern)."""
+    if len(a) == 1:
+        m = re.match(r"(?is)^(\w+)\s+FROM\s+(.*)$", a[0])
+        if m and m.group(1).upper() in _EXTRACT_UNITS:
+            unit = _EXTRACT_UNITS[m.group(1).upper()]
+            e = f"extract({unit} FROM {m.group(2)})"
+            # Spark's SECOND is DECIMAL(8,6); the reference's is integral
+            return f"CAST({e} AS INT)" if unit == "SECOND" else e
+        _raise_dialect("extract: single-argument form must be UNIT FROM expr")
+    return f"regexp_extract({a[0]}, {a[1]}, 1)"
+
+
 def _position_expr(a: list[str]) -> str:
     if len(a) == 1:
         m = re.match(r"^(.*\S)\s+IN\s+\(\s*(.*?)\s*\)$", a[0], re.S)
@@ -375,8 +423,11 @@ FUNC_MAP: dict[str, object] = {
         "transform({0}, (x, i) -> "
         "CAST(1 + size(filter(slice({0}, 1, i), y -> y <=> x)) AS INT))"
     ),
-    # arrayReduce('agg', arr) for the common aggregate names
-    "arrayReduce": lambda a: {
+    # arrayReduce('agg', arr...) for the common aggregate names
+    "arrayReduce": lambda a: (
+        _simple_linreg_expr(a[1], a[2])
+        if a and a[0].strip("'").lower() == "simplelinearregression"
+        else {
         "sum": f"aggregate({a[1] if len(a) > 1 else ''}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
         "max": f"array_max({a[1] if len(a) > 1 else ''})",
         "min": f"array_min({a[1] if len(a) > 1 else ''})",
@@ -396,7 +447,7 @@ FUNC_MAP: dict[str, object] = {
         ),
     }.get(a[0].strip("'").lower()) or _raise_dialect(
         f"arrayReduce: unsupported aggregate {a[0]}"
-    ),
+    )),
     "multiMatchAny": "CAST(exists({1}, p -> {0} RLIKE p) AS INT)",
     "multiMatchAnyIndex": (
         "CAST(coalesce(array_position(transform({1}, p -> {0} RLIKE p), true), 0) AS INT)"
@@ -568,7 +619,9 @@ FUNC_MAP: dict[str, object] = {
     "notLike": "({0} NOT LIKE {1})", "ilike": "(lower({0}) LIKE lower({1}))",
     "replaceAll": "replace({0}, {1}, {2})",
     "replaceRegexpAll": "regexp_replace({0}, {1}, {2})",
-    "extract": "regexp_extract({0}, {1}, 1)",
+    # extract is two functions: ANSI extract(UNIT FROM ts) (kept native —
+    # Spark supports it) and the reference's regexp extract(s, pattern)
+    "extract": _extract_expr,
     "extractAll": "regexp_extract_all({0}, {1}, 1)",
     "splitByChar": "split({1}, {0})",
     "splitByString": "split({1}, {0})",
@@ -640,6 +693,15 @@ FUNC_MAP: dict[str, object] = {
     "arrayIntersect": "array_intersect({0}, {1})",
     "arrayEnumerate": "sequence(1, size({0}))",
     "emptyArrayToSingle": "(CASE WHEN size({0}) = 0 THEN array(NULL) ELSE {0} END)",
+    "emptyArrayUInt8": lambda a: "CAST(array() AS ARRAY<SMALLINT>)",
+    "emptyArrayUInt32": lambda a: "CAST(array() AS ARRAY<BIGINT>)",
+    "emptyArrayUInt64": lambda a: "CAST(array() AS ARRAY<BIGINT>)",
+    "emptyArrayInt32": lambda a: "CAST(array() AS ARRAY<INT>)",
+    "emptyArrayInt64": lambda a: "CAST(array() AS ARRAY<BIGINT>)",
+    "emptyArrayFloat64": lambda a: "CAST(array() AS ARRAY<DOUBLE>)",
+    "emptyArrayString": lambda a: "CAST(array() AS ARRAY<STRING>)",
+    "emptyArrayDate": lambda a: "CAST(array() AS ARRAY<DATE>)",
+    "emptyArrayDateTime": lambda a: "CAST(array() AS ARRAY<TIMESTAMP>)",
     # maps / tuples
     "mapKeys": "map_keys({0})", "mapValues": "map_values({0})",
     # tuple fields must be col1..colN (ColumnTuple names) regardless of
@@ -1368,6 +1430,10 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 i = close + 1
                 continue
             tmpl = FUNC_MAP.get(t)
+            if tmpl is None and t.isupper():
+                # SQL-keyword function forms are case-insensitive in the
+                # reference (EXTRACT, POSITION, ...)
+                tmpl = FUNC_MAP.get(t.lower())
             if tmpl is None:
                 # pass through (Spark-native or user function)
                 out += [t, "("] + ([",".join(args)] if args else []) + [")"]
@@ -1764,6 +1830,15 @@ def _translate_from(toks: list[str]) -> list[str]:
             "JOIN", "LEFT", "RIGHT", "INNER", "FULL", "CROSS",
         ):
             i += 1
+            continue
+        # reference writes SEMI/ANTI before the side; Spark after it
+        if up in ("SEMI", "ANTI") and i + 1 < n and _kw(toks[i + 1]) in (
+            "LEFT", "RIGHT",
+        ):
+            if _kw(toks[i + 1]) == "RIGHT":
+                raise DialectError(f"{up} RIGHT JOIN is not translated")
+            out += ["LEFT", up]
+            i += 2
             continue
         # bare `USING k1, k2` -> `USING (k1, k2)` (Spark requires parens)
         if up == "USING" and i + 1 < n and toks[i + 1] != "(":

@@ -78,6 +78,9 @@ CORPUS = [
     "00227_quantiles_timing_arbitrary_order.sql", "00323_quantiles_timing_bug.sql",
     "00129_quantile_timing_weighted.sql", "00279_quantiles_permuted_args.sql",
     "00500_point_in_polygon_bug_2.sql", "00500_point_in_polygon_nan.sql",
+    # round-3 growth III: ANSI EXTRACT with MySQL unit aliases, SEMI/ANTI
+    # LEFT JOIN order, arrayReduce simpleLinearRegression, tuple render
+    "00619_extract.sql", "00859_distinct_with_join.sql", "00917_least_sqr.sql",
     # (00088_distinct_of_arrays_of_strings matches under the sweep's
     # local[8] session but DISTINCT row order flips under the test
     # fixture's partitioning — excluded as order-nondeterministic)
@@ -112,6 +115,8 @@ def _fmt(v, nested=False):
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(v)
+    if isinstance(v, tuple):  # Row (struct) — ClickHouse tuple rendering
+        return "(" + ",".join(_fmt(x, nested=True) for x in v) + ")"
     if isinstance(v, list):
         return "[" + ",".join(_fmt(x, nested=True) for x in v) + "]"
     if isinstance(v, str) and nested:

@@ -65,6 +65,8 @@ def fmt(v, nested=False):
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(v)
+    if isinstance(v, tuple):  # Row (struct) — ClickHouse tuple rendering
+        return "(" + ",".join(fmt(x, nested=True) for x in v) + ")"
     if isinstance(v, list):
         return "[" + ",".join(fmt(x, nested=True) for x in v) + "]"
     if isinstance(v, str) and nested:
