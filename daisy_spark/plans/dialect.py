@@ -309,6 +309,77 @@ def _byte_position(hay: str, needle: str) -> str:
     )
 
 
+def _entropy_expr(a: list[str]) -> str:
+    """entropy(x...) — Shannon entropy in bits over the value (or value-
+    tuple) distribution (src/AggregateFunctions/AggregateFunctionEntropy.h).
+    O(distinct * n) HOF over one collected array — fine at SQL-compat
+    scale; the distributed path is a two-level groupBy."""
+    item = a[0] if len(a) == 1 else (
+        "named_struct(" + ", ".join(
+            f"'col{k + 1}', {x}" for k, x in enumerate(a)
+        ) + ")"
+    )
+    arr = f"collect_list({item})"
+    n = f"CAST(size({arr}) AS DOUBLE)"
+    return (
+        f"aggregate(transform(array_distinct({arr}), "
+        f"v -> CAST(size(filter({arr}, u -> u <=> v)) AS DOUBLE) / {n}), "
+        f"CAST(0 AS DOUBLE), (acc, p) -> acc - p * log2(p))"
+    )
+
+
+def _max_intersections_expr(a: list[str], position: bool) -> str:
+    """maxIntersections(start, end): peak number of concurrently-open
+    half-open [start, end) intervals, via a sorted +1/-1 sweep folded in
+    one pass; maxIntersectionsPosition is the leftmost peak position
+    (src/AggregateFunctions/AggregateFunctionMaxIntersections.h).
+    array_sort on (p, d) structs puts -1 before +1 at equal positions —
+    exactly the half-open boundary rule."""
+    ev = (
+        f"array_sort(flatten(collect_list(array("
+        f"named_struct('p', CAST({a[0]} AS BIGINT), 'd', 1), "
+        f"named_struct('p', CAST({a[1]} AS BIGINT), 'd', -1)))))"
+    )
+    scan = (
+        f"aggregate({ev}, "
+        f"named_struct('c', 0, 'm', 0, 'mp', CAST(0 AS BIGINT)), "
+        f"(acc, e) -> named_struct("
+        f"'c', acc.c + e.d, "
+        f"'m', greatest(acc.m, acc.c + e.d), "
+        f"'mp', IF(acc.c + e.d > acc.m, e.p, acc.mp)))"
+    )
+    return f"({scan}).mp" if position else f"({scan}).m"
+
+
+#: the reference's "short second-level domains" whose presence shifts the
+#: significant label one level left (FirstSignificantSubdomain.h — the
+#: list is exactly these four: usa.gov.com -> gov, but yandex.com.tr ->
+#: yandex)
+_SHORT_SLD = "'com', 'net', 'org', 'co'"
+
+
+def _first_significant_subdomain_expr(a: list[str]) -> str:
+    """Mirrors getURLHost + ExtractFirstSignificantSubdomain
+    (src/Functions/URL/domain.h, ExtractFirstSignificantSubdomain.h):
+    host = chars after an optional scheme:// (or //) up to :/?#; it must
+    contain a dot and not end with one.  One dot -> the part before it;
+    more -> the part before the last dot, shifted one left when the
+    last-two-part suffix is a short second-level domain (approximated by
+    its second-level member list: com/net/org/co).  Pure string ops —
+    Spark's parse_url rejects the IDN hosts the reference accepts."""
+    stripped = f"regexp_replace({a[0]}, '^([a-zA-Z][a-zA-Z0-9+.-]*:)?//', '')"
+    host = f"regexp_extract({stripped}, '^([^/:?#]*)', 1)"
+    parts = f"split({host}, '\\\\.')"
+    np = f"size({parts})"
+    return (
+        f"(CASE WHEN locate('.', {host}) = 0 OR endswith({host}, '.') THEN '' "
+        f"WHEN {np} = 2 THEN element_at({parts}, 1) "
+        f"WHEN element_at({parts}, {np} - 1) IN ({_SHORT_SLD}) "
+        f"THEN element_at({parts}, {np} - 2) "
+        f"ELSE element_at({parts}, {np} - 1) END)"
+    )
+
+
 def _simple_linreg_expr(xs: str, ys: str) -> str:
     """arrayReduce('simpleLinearRegression', xs, ys) -> (slope, intercept)
     tuple via least squares (src/AggregateFunctions/
@@ -723,9 +794,23 @@ FUNC_MAP: dict[str, object] = {
     "any": "any_value({0})", "anyLast": "any_value({0})",
     "argMax": "max_by({0}, {1})", "argMin": "min_by({0}, {1})",
     "avgWeighted": "(sum({0} * {1}) / sum({1}))",
-    "uniq": "approx_count_distinct({*})",
-    "uniqCombined": "approx_count_distinct({*})",
-    "uniqHLL12": "approx_count_distinct({*})",
+    # multi-argument uniq counts distinct TUPLES; a bare arg list would
+    # land in approx_count_distinct's rsd parameter
+    "uniq": lambda a: (
+        f"approx_count_distinct({a[0]})"
+        if len(a) == 1
+        else f"approx_count_distinct(struct({', '.join(a)}))"
+    ),
+    "uniqCombined": lambda a: (
+        f"approx_count_distinct({a[0]})"
+        if len(a) == 1
+        else f"approx_count_distinct(struct({', '.join(a)}))"
+    ),
+    "uniqHLL12": lambda a: (
+        f"approx_count_distinct({a[0]})"
+        if len(a) == 1
+        else f"approx_count_distinct(struct({', '.join(a)}))"
+    ),
     "uniqExact": "count(DISTINCT {*})",
     "groupArray": "collect_list({0})", "groupUniqArray": "collect_set({0})",
     # non-parametric call forms of the parametric aggregates
@@ -735,6 +820,15 @@ FUNC_MAP: dict[str, object] = {
     "groupBitAnd": "bit_and({0})", "groupBitOr": "bit_or({0})",
     "groupBitXor": "bit_xor({0})",
     "median": "median({0})",
+    "entropy": _entropy_expr,
+    "maxIntersections": lambda a: _max_intersections_expr(a, False),
+    "maxIntersectionsPosition": lambda a: _max_intersections_expr(a, True),
+    "firstSignificantSubdomain": _first_significant_subdomain_expr,
+    "currentDatabase": lambda a: "'default'",
+    # pure display-timezone change; with the session in UTC this renders
+    # wall-clock time in the target zone like the reference does
+    "toTimeZone": "from_utc_timestamp({0}, {1})",
+    "finalizeAggregation": "{0}",  # fooState(...) translates as foo(...)
     "medianTiming": lambda a: _quantile_timing_expr(["0.5"], a, True),
     "medianTimingWeighted": lambda a: _quantile_timing_weighted_expr(
         ["0.5"], a, True
@@ -1403,8 +1497,11 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                     for p in (_split_top(raw2, ",") if raw2 else [])
                     if p
                 ]
-                if t in PARAMETRIC_MAP:
-                    out.append(PARAMETRIC_MAP[t](args, args2))  # type: ignore[operator]
+                # -State composes with finalizeAggregation ({0}) to the
+                # plain aggregate inside a single query
+                t_base = t[:-5] if t.endswith("State") else t
+                if t_base in PARAMETRIC_MAP:
+                    out.append(PARAMETRIC_MAP[t_base](args, args2))  # type: ignore[operator]
                     i = close2 + 1
                     continue
                 if t in UNSUPPORTED_FUNCS:
@@ -1434,6 +1531,13 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 # SQL-keyword function forms are case-insensitive in the
                 # reference (EXTRACT, POSITION, ...)
                 tmpl = FUNC_MAP.get(t.lower())
+            if (
+                tmpl is None
+                and t.endswith("State")
+                and t[:-5] in FUNC_MAP
+            ):
+                # fooState(...) + finalizeAggregation -> foo(...)
+                tmpl = FUNC_MAP[t[:-5]]
             if tmpl is None:
                 # pass through (Spark-native or user function)
                 out += [t, "("] + ([",".join(args)] if args else []) + [")"]

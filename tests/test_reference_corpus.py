@@ -81,6 +81,11 @@ CORPUS = [
     # round-3 growth III: ANSI EXTRACT with MySQL unit aliases, SEMI/ANTI
     # LEFT JOIN order, arrayReduce simpleLinearRegression, tuple render
     "00619_extract.sql", "00859_distinct_with_join.sql", "00917_least_sqr.sql",
+    # round-3 growth IV: maxIntersections sweep, entropy,
+    # firstSignificantSubdomain (getURLHost semantics), date-time input
+    "00671_max_intersections.sql", "00605_intersections_aggregate_functions.sql",
+    "00645_date_time_input_format.sql", "00381_first_significant_subdomain.sql",
+    "00754_first_significant_subdomain_more.sql",
     # (00088_distinct_of_arrays_of_strings matches under the sweep's
     # local[8] session but DISTINCT row order flips under the test
     # fixture's partitioning — excluded as order-nondeterministic)
