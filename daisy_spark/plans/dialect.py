@@ -112,6 +112,23 @@ def _split_top(toks: list[str], sep: str) -> list[list[str]]:
     return parts
 
 
+def _split_top_kw(toks: list[str], kw: str) -> list[list[str]]:
+    """Split a token list at top-level occurrences of a keyword."""
+    parts, cur, depth = [], [], 0
+    for t in toks:
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        if depth == 0 and _kw(t) == kw:
+            parts.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    parts.append(cur)
+    return parts
+
+
 def _match_bracket(toks: list[str], i: int) -> int:
     """Index of the ']' matching the '[' at position i."""
     depth = 0
@@ -2039,6 +2056,66 @@ def _translate_from(toks: list[str]) -> list[str]:
             if k < n and _is_ident(toks[k]) and _kw(toks[k]) not in _SQL_KEYWORDS:
                 alias = toks[k]
                 k += 1
+            if k < n and _kw(toks[k]) == "ON":
+                # ON form: dedup keys = the right side of each equality
+                # conjunct that references the right alias
+                r_alias = alias or (
+                    factor_sql.split(".")[-1]
+                    if not factor_sql.startswith("(")
+                    else None
+                )
+                if r_alias is None:
+                    raise DialectError(
+                        "ANY JOIN ON needs an aliased right side"
+                    )
+                k += 1
+                cond_toks: list[str] = []
+                depth2 = 0
+                while k < n:
+                    tk = toks[k]
+                    if tk == "(":
+                        depth2 += 1
+                    elif tk == ")":
+                        depth2 -= 1
+                    if depth2 == 0 and (
+                        tk == ","
+                        or _kw(tk) in (
+                            "JOIN", "INNER", "LEFT", "RIGHT", "FULL",
+                            "CROSS", "ASOF", "SEMI", "ANTI", "ANY",
+                        )
+                    ):
+                        break
+                    cond_toks.append(tk)
+                    k += 1
+                cond_t = _translate_expr(cond_toks)
+                rkeys: list[str] = []
+                for cj in _split_top_kw(cond_t, "AND"):
+                    for m, tk in enumerate(cj):
+                        if tk == "=":
+                            for side_toks in (cj[:m], cj[m + 1 :]):
+                                if (
+                                    len(side_toks) == 3
+                                    and side_toks[0] == r_alias
+                                    and side_toks[1] == "."
+                                ):
+                                    rkeys.append(side_toks[2])
+                            break
+                if not rkeys:
+                    raise DialectError(
+                        "ANY JOIN ON needs alias.col equality conjuncts"
+                    )
+                key_list = ", ".join(rkeys)
+                dedup = (
+                    f"(SELECT * EXCEPT (__rn) FROM (SELECT __any.*, "
+                    f"row_number() OVER (PARTITION BY {key_list} "
+                    f"ORDER BY {key_list}) AS __rn "
+                    f"FROM {factor_sql} AS __any) WHERE __rn = 1)"
+                )
+                side = "LEFT" if "LEFT" in dirs else "INNER"
+                out += [side, "JOIN", dedup, "AS", r_alias, "ON"]
+                out += cond_t
+                i = k
+                continue
             if k >= n or _kw(toks[k]) != "USING":
                 raise DialectError(
                     "ANY JOIN requires USING to identify the dedup keys; "
@@ -2080,9 +2157,13 @@ def _translate_from(toks: list[str]) -> list[str]:
             # ASOF JOIN -> correlated LATERAL top-1 subquery: per left row,
             # the single right row closest on the time inequality
             # (Interpreters/joinDispatch + AsofRowRefs semantics; tests
-            # 00927_asof_join_correct_bt.sql).  Catalyst rewrites the
-            # correlated limit into a window plan; the big-data path
-            # remains operators/joins.asof_join (union + last_value).
+            # 00927_asof_join_correct_bt.sql).  SCALE CAVEAT: Catalyst
+            # decorrelates this via WindowGroupLimit, but the inequality
+            # lands in a BroadcastNestedLoopJoin — O(|L|·|R|) (measured:
+            # 00927_asof_join_long at 3M×10M never finishes).  A text-only
+            # translator cannot emit the linear union+window plan (it needs
+            # both sides' column lists), so big ASOF joins go through
+            # operators/joins.asof_join, which builds exactly that plan.
             j = i + 1
             dirs: list[str] = []
             while j < n and _kw(toks[j]) != "JOIN":
