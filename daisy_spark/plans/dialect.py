@@ -569,7 +569,30 @@ FUNC_MAP: dict[str, object] = {
         else f"(CASE WHEN ({a[1]}) <= ({a[0]}) THEN array() "
         f"ELSE sequence({a[0]}, ({a[1]}) - 1) END)"
     ),
-    "basename": "regexp_extract({0}, '([^/]*)$', 1)",
+    # component after the last slash OF EITHER KIND (path.cpp splits on
+    # both / and \)
+    "basename": "regexp_extract({0}, '([^/\\\\\\\\]*)$', 1)",
+    "path": (
+        "regexp_extract({0}, "
+        "'^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//[^/?#]*([^?#]*)', 1)"
+    ),
+    "pathFull": (
+        "regexp_extract({0}, "
+        "'^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//[^/?#]*([^#]*)', 1)"
+    ),
+    "toISOWeek": "extract(WEEK FROM {0})",
+    "toISOYear": "extract(YEAROFWEEK FROM {0})",
+    "substringUTF8": lambda a: (
+        f"substring({a[0]}, {a[1]}, {a[2]})"
+        if len(a) > 2
+        else f"substring({a[0]}, {a[1]})"
+    ),
+    "CRC32": "crc32(CAST({0} AS BINARY))",
+    "CRC32IEEE": "crc32(CAST({0} AS BINARY))",
+    "multiSearchAllPositions": (
+        "transform({1}, __n -> IF(locate(__n, {0}) = 0, 0, "
+        "octet_length(substr({0}, 1, locate(__n, {0}) - 1)) + 1))"
+    ),
     "appendTrailingCharIfAbsent": (
         "(CASE WHEN {0} IS NULL OR {0} = '' THEN {0} "
         "WHEN substring({0}, -1, 1) = {1} THEN {0} ELSE concat({0}, {1}) END)"
@@ -725,8 +748,21 @@ FUNC_MAP: dict[str, object] = {
     "JSONExtractBool": "CAST(get_json_object({0}, concat('$.', {1})) AS BOOLEAN)",
     "JSONExtractRaw": "get_json_object({0}, concat('$.', {1}))",
     "JSONHas": "(get_json_object({0}, concat('$.', {1})) IS NOT NULL)",
-    "visitParamExtractString": "get_json_object({0}, concat('$.', {1}))",
+    # visitParam* scan FRAGMENTS ("a":123 without braces); regex forms
+    # coalesce with the strict JSON path for full documents
+    "visitParamExtractString": (
+        "coalesce(get_json_object({0}, concat('$.', {1})), "
+        "regexp_extract({0}, concat('\"', {1}, '\":\\\\s*\"([^\"]*)'), 1))"
+    ),
     "visitParamExtractInt": "CAST(get_json_object({0}, concat('$.', {1})) AS BIGINT)",
+    "visitParamExtractUInt": (
+        "CAST(coalesce(get_json_object({0}, concat('$.', {1})), "
+        "regexp_extract({0}, concat('\"', {1}, '\":\\\\s*(\\\\d+)'), 1)) AS BIGINT)"
+    ),
+    "visitParamExtractRaw": (
+        "coalesce(get_json_object({0}, concat('$.', {1})), "
+        "regexp_extract({0}, concat('\"', {1}, '\":\\\\s*([^,}}]*)'), 1))"
+    ),
     # arrays / higher-order (lambda-first in the reference, array-first in Spark)
     "has": "array_contains({0}, {1})", "indexOf": "array_position({0}, {1})",
     "arrayJoin": "explode({0})",

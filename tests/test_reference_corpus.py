@@ -86,6 +86,10 @@ CORPUS = [
     "00671_max_intersections.sql", "00605_intersections_aggregate_functions.sql",
     "00645_date_time_input_format.sql", "00381_first_significant_subdomain.sql",
     "00754_first_significant_subdomain_more.sql",
+    # round-3 growth V: visitParam fragment scanning, multiSearchAllPositions,
+    # basename with backslashes, URL path()
+    "00928_multi_match_constant_constant.sql", "00938_basename.sql",
+    "00961_visit_param_buffer_underflow.sql", "00962_visit_param_various.sql",
     # (00088_distinct_of_arrays_of_strings matches under the sweep's
     # local[8] session but DISTINCT row order flips under the test
     # fixture's partitioning — excluded as order-nondeterministic)
