@@ -39,6 +39,7 @@ from daisy_spark.operators.final import read_final
 from daisy_spark.plans.dialect import (
     DialectError,
     _emit,
+    _is_ident,
     _kw,
     _map_type,
     _match_paren,
@@ -209,6 +210,10 @@ class ScriptRunner:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self.tables: dict[str, _Table] = {}
+        #: LIVE VIEW registry: name -> {toks, version, last} — evaluated
+        #: lazily on read; version counts distinct-result evaluations
+        #: (src/Storages/LiveView/StorageLiveView.cpp semantics)
+        self.live_views: dict[str, dict] = {}
 
     # -- public ----------------------------------------------------------
 
@@ -226,7 +231,12 @@ class ScriptRunner:
             return None
         head = _kw(toks[0])
         if head in ("SELECT", "WITH", "EXPLAIN") or toks[0] == "(":
+            if self.live_views:
+                toks = self._resolve_live_views(toks)
+                stmt = _emit(toks)
             return dialect_sql(self.spark, self._rewrite_star(toks, stmt))
+        if head == "WATCH":
+            return self._watch(toks)
         if head == "CREATE":
             return self._create(toks)
         if head == "INSERT":
@@ -341,6 +351,8 @@ class ScriptRunner:
         kind = _kw(toks[i])
         if kind == "VIEW":
             return self._create_view(toks, i + 1)
+        if kind == "LIVE" and i + 1 < len(toks) and _kw(toks[i + 1]) == "VIEW":
+            return self._create_live_view(toks, i + 2)
         if kind != "TABLE":
             raise DialectError(f"unsupported CREATE {kind}")
         i += 1
@@ -563,6 +575,89 @@ class ScriptRunner:
         )
         return None
 
+    # -- LIVE VIEW (src/Storages/LiveView/StorageLiveView.cpp) -----------
+
+    def _create_live_view(self, toks: list[str], i: int) -> None:
+        if (
+            _kw(toks[i]) == "IF" and _kw(toks[i + 1]) == "NOT"
+            and _kw(toks[i + 2]) == "EXISTS"
+        ):
+            i += 3
+        name, i = self._table_name(toks, i)
+        if _kw(toks[i]) == "WITH" and _kw(toks[i + 1]) == "TIMEOUT":
+            i += 2
+            if i < len(toks) and toks[i].isdigit():
+                i += 1  # refresh timeout: no batch semantics
+        if _kw(toks[i]) != "AS":
+            raise DialectError("CREATE LIVE VIEW requires AS SELECT")
+        self.live_views[name] = {
+            "toks": toks[i + 1 :],
+            "version": 0,
+            "last": None,
+        }
+        return None
+
+    def _lv_refresh(self, name: str):
+        """Evaluate the live view query against CURRENT table state;
+        bump _version when the result set changed.  Returns
+        (rows, schema, version)."""
+        lv = self.live_views[name]
+        df = dialect_sql(self.spark, _emit(lv["toks"]))
+        rows = [tuple(r) for r in df.collect()]
+        # keyless aggregate over an empty source: the reference emits the
+        # aggregates' zero values, Spark one all-NULL row
+        if len(rows) == 1 and all(v is None for v in rows[0]):
+            rows = [tuple(
+                0 if f.dataType.simpleString() in (
+                    "bigint", "int", "smallint", "tinyint", "double",
+                    "float", "decimal",
+                ) or f.dataType.simpleString().startswith("decimal")
+                else None
+                for f in df.schema.fields
+            )]
+        canon = sorted(rows)
+        if lv["last"] is None or canon != lv["last"]:
+            lv["version"] += 1
+            lv["last"] = canon
+        return rows, df.schema, lv["version"]
+
+    def _resolve_live_views(self, toks: list[str]) -> list[str]:
+        """Refresh + register every referenced live view as a snapshot
+        temp view, and substitute `_version` with the literal version."""
+        hit_version = None
+        for name in self.live_views:
+            if name in toks:
+                rows, schema, ver = self._lv_refresh(name)
+                self.spark.createDataFrame(
+                    rows, schema
+                ).createOrReplaceTempView(name)
+                hit_version = ver
+        if hit_version is None:
+            return toks
+        return [
+            f"{hit_version} AS _version" if t == "_version" else t
+            for t in toks
+        ]
+
+    def _watch(self, toks: list[str]) -> DataFrame:
+        name, i = self._table_name(toks, 1)
+        if name not in self.live_views:
+            raise DialectError(f"WATCH of unknown live view {name}")
+        events = i < len(toks) and _kw(toks[i]) == "EVENTS"
+        rows, schema, ver = self._lv_refresh(name)
+        if events:
+            return self.spark.createDataFrame(
+                [(ver,)], "version BIGINT"
+            )
+        out_rows = [r + (ver,) for r in rows]
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField("_version", T.LongType(), False)]
+        )
+        return self.spark.createDataFrame(out_rows, out_schema)
+
     def _parse_coldefs(self, toks: list[str]) -> list[_Col]:
         cols = []
         for part in _split_top(toks, ","):
@@ -701,8 +796,9 @@ class ScriptRunner:
             ]
             i = close + 1
         kw = _kw(toks[i]) if i < len(toks) else ""
+        rest: list[str] = []
         if kw == "VALUES":
-            batch = self._values_batch(t, target_cols, toks[i + 1 :])
+            batch, rest = self._values_batch(t, target_cols, toks[i + 1 :])
         elif kw in ("SELECT", "WITH", "FORMAT") or toks[i] == "(":
             if kw == "FORMAT":
                 raise DialectError("INSERT ... FORMAT not supported")
@@ -715,16 +811,21 @@ class ScriptRunner:
             batch = self._fill_defaults(t, src.select(*sel), target_cols)
         else:
             raise DialectError("INSERT requires VALUES or SELECT")
-        if t.spec.engine == "Null":
-            return None
-        batch = self._sorted_batch(t, batch)
-        t.df = batch if t.df is None else t.df.unionByName(batch)
-        self._register(t)
+        if t.spec.engine != "Null":
+            batch = self._sorted_batch(t, batch)
+            t.df = batch if t.df is None else t.df.unionByName(batch)
+            self._register(t)
+        if rest:
+            # clickhouse-client ends VALUES at the newline; a script can
+            # chain further statements without semicolons
+            return self.execute(_emit(rest))
         return None
 
     def _values_batch(
         self, t: _Table, target_cols: list[str], toks: list[str]
-    ) -> DataFrame:
+    ) -> tuple[DataFrame, list[str]]:
+        """Parse VALUES tuples; returns (batch, remaining_tokens) — the
+        remainder is a further statement chained without a semicolon."""
         rows = []
         i = 0
         while i < len(toks):
@@ -734,6 +835,8 @@ class ScriptRunner:
                 i += 1
                 continue
             if toks[i] != "(":
+                if rows and _is_ident(toks[i]):
+                    break  # next semicolonless statement starts here
                 raise DialectError("malformed VALUES tuple")
             close = _match_paren(toks, i)
             elems = [
@@ -744,8 +847,9 @@ class ScriptRunner:
                 raise DialectError("VALUES arity != column list")
             rows.append(elems)
             i = close + 1
+        rest = toks[i:]
         if not rows:
-            return self._empty_df(t)
+            return self._empty_df(t), rest
         by_name = {c.name: c for c in t.cols}
         selects = []
         for r in rows:
@@ -757,7 +861,7 @@ class ScriptRunner:
                 exprs.append(f"{_cast_sql(val, c.spark_type)} AS `{c.name}`")
             selects.append("SELECT " + ", ".join(exprs))
         df = self.spark.sql(" UNION ALL ".join(selects))
-        return self._fill_defaults(t, df, target_cols)
+        return self._fill_defaults(t, df, target_cols), rest
 
     def _fill_defaults(
         self, t: _Table, df: DataFrame, provided: list[str]
@@ -798,6 +902,7 @@ class ScriptRunner:
         ):
             i += 2
         name, i = self._table_name(toks, i)
+        self.live_views.pop(name, None)
         t = self.tables.pop(name, None)
         if t is not None and t.name != name and name in t.aka:
             t.aka.remove(name)  # dropping a Buffer proxy, not the target

@@ -90,6 +90,23 @@ CORPUS = [
     # basename with backslashes, URL path()
     "00928_multi_match_constant_constant.sql", "00938_basename.sql",
     "00961_visit_param_buffer_underflow.sql", "00962_visit_param_various.sql",
+    # round-3 growth VI: LIVE VIEW lifecycle in the script engine —
+    # lazy refresh-on-read, _version = distinct-result evaluation count,
+    # WATCH [EVENTS], semicolonless VALUES statement chaining
+    "00972_live_view_select_1.sql", "00973_live_view_select.sql",
+    "00975_live_view_create.sql", "00976_live_view_select_version.sql",
+    "00977_live_view_watch_events.sql", "00978_live_view_watch.sql",
+    "00961_temporary_live_view_watch.sql",
+    "00973_live_view_with_subquery_select.sql",
+    "00973_live_view_with_subquery_select_join.sql",
+    "00973_live_view_with_subquery_select_join_no_alias.sql",
+    "00973_live_view_with_subquery_select_nested.sql",
+    "00973_live_view_with_subquery_select_nested_with_aggregation.sql",
+    "00973_live_view_with_subquery_select_nested_with_aggregation_table_alias.sql",
+    "00973_live_view_with_subquery_select_table_alias.sql",
+    "00973_live_view_with_subquery_select_with_aggregation.sql",
+    "00973_live_view_with_subquery_select_with_aggregation_in_subquery.sql",
+    "00974_live_view_select_with_aggregation.sql",
     # (00088_distinct_of_arrays_of_strings matches under the sweep's
     # local[8] session but DISTINCT row order flips under the test
     # fixture's partitioning — excluded as order-nondeterministic)
