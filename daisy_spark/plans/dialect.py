@@ -158,6 +158,7 @@ TYPE_MAP = {
     "FLOAT64": "DOUBLE", "STRING": "STRING", "BOOL": "BOOLEAN",
     "DATE": "DATE", "DATETIME": "TIMESTAMP", "DATETIME64": "TIMESTAMP",
     "UUID": "STRING",
+    "STRINGWITHDICTIONARY": "STRING",  # LowCardinality(String) alias
 }
 
 
@@ -1584,13 +1585,21 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 # SQL-keyword function forms are case-insensitive in the
                 # reference (EXTRACT, POSITION, ...)
                 tmpl = FUNC_MAP.get(t.lower())
-            if (
-                tmpl is None
-                and t.endswith("State")
-                and t[:-5] in FUNC_MAP
-            ):
-                # fooState(...) + finalizeAggregation -> foo(...)
-                tmpl = FUNC_MAP[t[:-5]]
+            if tmpl is None and t.endswith("State") and len(t) > 5:
+                # fooState(...) + finalizeAggregation -> foo(...); base
+                # may itself be mapped or a passthrough aggregate
+                tmpl = FUNC_MAP.get(t[:-5], t[:-5] + "({*})")
+            if tmpl is None and t.endswith("Merge") and len(t) > 5:
+                # states are stored finalized here, so -Merge re-aggregates
+                # the partials: countMerge sums counts; sum/min/max/any
+                # compose with themselves (avg-like merges are NOT sound
+                # on finalized values and fall through to their base)
+                base = t[:-5]
+                tmpl = (
+                    "sum({0})"
+                    if base == "count"
+                    else FUNC_MAP.get(base, base + "({*})")
+                )
             if tmpl is None:
                 # pass through (Spark-native or user function)
                 out += [t, "("] + ([",".join(args)] if args else []) + [")"]

@@ -214,6 +214,8 @@ class ScriptRunner:
         #: lazily on read; version counts distinct-result evaluations
         #: (src/Storages/LiveView/StorageLiveView.cpp semantics)
         self.live_views: dict[str, dict] = {}
+        #: MATERIALIZED VIEW registry: name -> {toks, srcs, storage}
+        self.mat_views: dict[str, dict] = {}
 
     # -- public ----------------------------------------------------------
 
@@ -353,6 +355,12 @@ class ScriptRunner:
             return self._create_view(toks, i + 1)
         if kind == "LIVE" and i + 1 < len(toks) and _kw(toks[i + 1]) == "VIEW":
             return self._create_live_view(toks, i + 2)
+        if (
+            kind == "MATERIALIZED"
+            and i + 1 < len(toks)
+            and _kw(toks[i + 1]) == "VIEW"
+        ):
+            return self._create_materialized_view(toks, i + 2)
         if kind != "TABLE":
             raise DialectError(f"unsupported CREATE {kind}")
         i += 1
@@ -574,6 +582,111 @@ class ScriptRunner:
             df=df,
         )
         return None
+
+    # -- MATERIALIZED VIEW (src/Storages/StorageMaterializedView.cpp) ----
+
+    def _create_materialized_view(self, toks: list[str], i: int) -> None:
+        """CREATE MATERIALIZED VIEW mv [(cols)] [TO target] [ENGINE=...]
+        [POPULATE] AS SELECT ... — per the reference, the view's SELECT
+        runs on each INSERTED BLOCK of its source table and the result is
+        appended to the backing storage (or the TO target); pre-existing
+        rows are included only with POPULATE."""
+        if (
+            _kw(toks[i]) == "IF" and _kw(toks[i + 1]) == "NOT"
+            and _kw(toks[i + 2]) == "EXISTS"
+        ):
+            i += 3
+        name, i = self._table_name(toks, i)
+        n = len(toks)
+        cols: list[_Col] = []
+        if i < n and toks[i] == "(":
+            close = _match_paren(toks, i)
+            cols = self._parse_coldefs(toks[i + 1 : close])
+            self._infer_untyped(cols)
+            i = close + 1
+        target = None
+        if i < n and _kw(toks[i]) == "TO":
+            target, i = self._table_name(toks, i + 1)
+        populate = False
+        # skip engine/partition/order clauses up to the top-level AS
+        depth = 0
+        while i < n:
+            if toks[i] == "(":
+                depth += 1
+            elif toks[i] == ")":
+                depth -= 1
+            elif depth == 0 and _kw(toks[i]) == "POPULATE":
+                populate = True
+            elif depth == 0 and _kw(toks[i]) == "AS" and i + 1 < n and (
+                _kw(toks[i + 1]) in ("SELECT", "WITH") or toks[i + 1] == "("
+            ):
+                break
+            i += 1
+        if i >= n:
+            raise DialectError("CREATE MATERIALIZED VIEW requires AS SELECT")
+        query_toks = toks[i + 1 :]
+        storage = target or name
+        if target is None:
+            if not cols:
+                probe = dialect_sql(self.spark, _emit(query_toks)).limit(0)
+                cols = [
+                    _Col(f.name, f.dataType.simpleString(),
+                         f.dataType.simpleString(), True)
+                    for f in probe.schema.fields
+                ]
+            t = _Table(
+                name=name,
+                cols=cols,
+                spec=TableSpec(name=name, path="", engine="MergeTree"),
+                df=None,
+            )
+            self.tables[name] = t
+            self._register(t)
+        else:
+            # TO form: the view name reads the target table
+            tgt = self.tables.get(target)
+            if tgt is not None:
+                tgt.aka.append(name)
+                self._register(tgt)
+        srcs = {
+            tok for tok in query_toks
+            if _is_ident(tok) and tok.strip('`"') in self.tables
+        }
+        self.mat_views[name] = {
+            "toks": query_toks,
+            "srcs": {s.strip('`"') for s in srcs} - {name, storage},
+            "storage": storage,
+        }
+        if populate:
+            self._mv_append(name, None)
+        return None
+
+    def _mv_append(self, mv_name: str, batch) -> None:
+        """Run the MV query (against the given inserted block, or the
+        full current state when batch is None) and append to storage."""
+        mv = self.mat_views[mv_name]
+        saved: list[str] = []
+        try:
+            if batch is not None:
+                src_name, src_batch = batch
+                saved.append(src_name)
+                src_batch.createOrReplaceTempView(src_name)
+            rows = dialect_sql(self.spark, _emit(mv["toks"]))
+            st = self.tables.get(mv["storage"])
+            if st is None:
+                return
+            by_name = {c.name: c for c in st.cols}
+            sel = []
+            for f, c in zip(rows.schema.fields, st.cols):
+                sel.append(F.col(f.name).cast(c.spark_type).alias(c.name))
+            out = rows.select(*sel)
+            st.df = out if st.df is None else st.df.unionByName(out)
+            self._register(st)
+        finally:
+            for src_name in saved:  # restore the real table view
+                t = self.tables.get(src_name)
+                if t is not None:
+                    self._register(t)
 
     # -- LIVE VIEW (src/Storages/LiveView/StorageLiveView.cpp) -----------
 
@@ -815,6 +928,11 @@ class ScriptRunner:
             batch = self._sorted_batch(t, batch)
             t.df = batch if t.df is None else t.df.unionByName(batch)
             self._register(t)
+        # materialized views fire per inserted block — also for Null
+        # sources, whose own data is discarded
+        for mv_name, mv in list(self.mat_views.items()):
+            if name in mv["srcs"]:
+                self._mv_append(mv_name, (name, batch))
         if rest:
             # clickhouse-client ends VALUES at the newline; a script can
             # chain further statements without semicolons
@@ -903,6 +1021,7 @@ class ScriptRunner:
             i += 2
         name, i = self._table_name(toks, i)
         self.live_views.pop(name, None)
+        self.mat_views.pop(name, None)
         t = self.tables.pop(name, None)
         if t is not None and t.name != name and name in t.aka:
             t.aka.remove(name)  # dropping a Buffer proxy, not the target

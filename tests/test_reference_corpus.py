@@ -107,6 +107,13 @@ CORPUS = [
     "00973_live_view_with_subquery_select_with_aggregation.sql",
     "00973_live_view_with_subquery_select_with_aggregation_in_subquery.sql",
     "00974_live_view_select_with_aggregation.sql",
+    # round-3 growth VII: MATERIALIZED VIEW per-block insert propagation,
+    # -State/-Merge composition, StringWithDictionary
+    "00687_insert_into_mv.sql", "00726_materialized_view_concurrent.sql",
+    "00794_materialized_view_with_column_defaults.sql",
+    "00542_materialized_view_and_time_zone_tag.sql",
+    "00752_low_cardinality_mv_1.sql", "00752_low_cardinality_mv_2.sql",
+    "00919_sum_aggregate_states_constants.sql", "00319_index_for_like.sql",
     # (00088_distinct_of_arrays_of_strings matches under the sweep's
     # local[8] session but DISTINCT row order flips under the test
     # fixture's partitioning — excluded as order-nondeterministic)
