@@ -147,12 +147,23 @@ def main():
             continue
         if SKIP_RE.search(txt) or BIG_RE.search(txt):
             st["done"].append(name)
+            save_state(st)
             continue
         stmts = split_statements(txt)
         if not (1 <= len(stmts) <= 40):
             st["done"].append(name)
+            save_state(st)
             continue
         runner = ScriptRunner(spark)
+        # watchdog: a runaway query (e.g. an O(n*m) decorrelated plan)
+        # must not stall the whole sweep — cancel its jobs after 90s
+        import threading
+
+        watchdog = threading.Timer(
+            90, lambda: spark.sparkContext.cancelAllJobs()
+        )
+        watchdog.daemon = True
+        watchdog.start()
         try:
             outs = []
             for s in stmts:
@@ -182,6 +193,7 @@ def main():
                     sys.exit(42)
                 continue
         finally:
+            watchdog.cancel()
             try:
                 runner.close()
             except Exception:  # noqa: BLE001
