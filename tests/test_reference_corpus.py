@@ -114,6 +114,102 @@ CORPUS = [
     "00542_materialized_view_and_time_zone_tag.sql",
     "00752_low_cardinality_mv_1.sql", "00752_low_cardinality_mv_2.sql",
     "00919_sum_aggregate_states_constants.sql", "00319_index_for_like.sql",
+    # round-3 growth VIII: full-corpus sweep harvest (scanner with
+    # watchdog; each file re-validated in a fresh session)
+    "00013_create_table_with_arrays.sql", "00043_summing_empty_part.sql",
+    "00063_check_query.sql", "00068_empty_tiny_log.sql",
+    "00071_insert_fewer_columns.sql", "00084_summing_merge_tree.sql",
+    "00098_1_union_all.sql", "00098_2_union_all.sql",
+    "00098_3_union_all.sql", "00098_4_union_all.sql",
+    "00098_5_union_all.sql", "00098_d_union_all.sql",
+    "00098_e_union_all.sql", "00098_f_union_all.sql",
+    "00102_insert_into_temporary_table.sql", "00117_parsing_arrays.sql",
+    "00141_parse_timestamp_as_datetime.sql", "00145_empty_likes.sql",
+    "00159_whitespace_in_columns_list.sql", "00168_buffer_defaults.sql",
+    "00174_compare_date_time_with_constant_string_in_in.sql", "00185_array_literals.sql",
+    "00214_primary_key_order.sql", "00218_like_regexp_newline.sql",
+    "00235_create_temporary_table_as.sql", "00251_has_types.sql",
+    "00288_empty_stripelog.sql", "00299_stripe_log_multiple_inserts.sql",
+    "00306_insert_values_and_expressions.sql", "00321_pk_set.sql",
+    "00331_final_and_prewhere.sql", "00338_replicate_array_of_strings.sql",
+    "00345_index_accurate_comparison.sql", "00399_group_uniq_array_date_datetime.sql",
+    "00411_merge_tree_where_const_in_set.sql", "00412_logical_expressions_optimizer.sql",
+    "00413_distinct.sql", "00465_nullable_default.sql",
+    "00472_compare_uuid_with_constant_string.sql", "00472_create_view_if_not_exists.sql",
+    "00477_parsing_data_types.sql", "00481_create_view_for_null.sql",
+    "00488_non_ascii_column_names.sql", "00489_pk_subexpression.sql",
+    "00516_modulo.sql", "00519_create_as_select_from_temporary_table.sql",
+    "00535_parse_float_scientific.sql", "00543_null_and_prewhere.sql",
+    "00562_rewrite_select_expression_with_union.sql", "00563_complex_in_expression.sql",
+    "00564_initial_column_values_with_default_expression.sql", "00567_parse_datetime_as_unix_timestamp.sql",
+    "00575_merge_and_index_with_function_in_in.sql", "00577_replacing_merge_tree_vertical_merge.sql",
+    "00593_union_all_assert_columns_removed.sql", "00600_create_temporary_table_if_not_exists.sql",
+    "00607_index_in_in.sql", "00616_final_single_part.sql",
+    "00648_replacing_empty_set_from_prewhere.sql", "00653_monotonic_integer_cast.sql",
+    "00663_tiny_log_empty_insert.sql", "00681_duplicate_columns_inside_union_all_stas_sviridov.sql",
+    "00688_aggregation_retention.sql", "00688_case_without_else.sql",
+    "00702_where_with_quailified_names.sql", "00712_prewhere_with_alias.sql",
+    "00712_prewhere_with_alias_and_virtual_column.sql", "00712_prewhere_with_alias_bug.sql",
+    "00712_prewhere_with_alias_bug_2.sql", "00712_prewhere_with_final.sql",
+    "00724_insert_values_datetime_conversion.sql", "00733_if_datetime.sql",
+    "00735_or_expr_optimize_bug.sql", "00736_disjunction_optimisation.sql",
+    "00745_compile_scalar_subquery.sql", "00749_inner_join_of_unnamed_subqueries.sql",
+    "00752_low_cardinality_permute.sql", "00816_join_column_names_sarg.sql",
+    "00818_join_bug_4271.sql", "00836_numbers_table_function_zero.sql",
+    "00844_join_lightee2.sql", "00860_unknown_identifier_bug.sql",
+    "00862_decimal_in.sql", "00905_compile_expressions_compare_big_dates.sql",
+    "00912_string_comparison.sql", "00917_multiple_joins_denny_crane.sql",
+    "00925_zookeeper_empty_replicated_merge_tree_optimize_final.sql", "00930_arrayIntersect.sql",
+    "00931_low_cardinality_nullable_aggregate_function_type.sql", "00931_low_cardinality_set_index_in_key_condition.sql",
+    "00939_test_null_in.sql", "00944_minmax_null.sql",
+    "00956_join_use_nulls_with_array_column.sql", "00957_delta_diff_bug.sql",
+    "00963_startsWith_force_primary_key.sql", "00964_os_thread_priority.sql",
+    "00974_final_predicate_push_down.sql", "00979_set_index_not.sql",
+    "00982_low_cardinality_setting_in_mv.sql", "00995_optimize_read_in_order_with_aggregation.sql",
+    "00997_extract_all_crash_6627.sql", "00997_set_index_array.sql",
+    "00999_test_skip_indices_with_alter_and_merge.sql", "01010_pm_join_all_join_bug.sql",
+    "01013_repeat_function.sql", "01018_optimize_read_in_order_with_in_subquery.sql",
+    "01021_create_as_select.sql", "01030_final_mark_empty_primary_key.sql",
+    "01035_prewhere_with_alias.sql", "01038_array_of_unnamed_tuples.sql",
+    "01045_bloom_filter_null_array.sql", "01051_same_name_alias_with_joins.sql",
+    "01056_negative_with_bloom_filter.sql", "01063_create_column_set.sql",
+    "01069_insert_float_as_nullable_unit8.sql", "01069_set_in_group_by.sql",
+    "01072_nullable_jit.sql", "01076_range_reader_segfault.sql",
+    "01077_yet_another_prewhere_test.sql", "01078_bloom_filter_operator_not_has.sql",
+    "01083_cross_to_inner_with_in_bug.sql", "01083_log_family_disk_memory.sql",
+    "01083_log_first_column_alias.sql", "01087_index_set_ubsan.sql",
+    "01097_pre_limit.sql", "01104_fixed_string_like.sql",
+    "01105_string_like.sql", "01106_const_fixed_string_like.sql",
+    "01138_join_on_distributed_and_tmp.sql", "01143_trivial_count_with_join.sql",
+    "01198_plus_inf.sql", "01210_drop_view.sql",
+    "01234_to_string_monotonic.sql", "01255_geo_types_livace.sql",
+    "01268_mergine_sorted_limit.sql", "01270_optimize_skip_unused_shards_low_cardinality.sql",
+    "01272_offset_without_limit.sql", "01273_lc_fixed_string_field.sql",
+    "01278_variance_nonnegative.sql", "01280_opencl_bitonic_order_by.sql",
+    "01284_view_and_extremes_bug.sql", "01285_date_datetime_key_condition.sql",
+    "01292_optimize_data_skip_idx_order_by_expr.sql", "01296_pipeline_stuck.sql",
+    "01305_array_join_prewhere_in_subquery.sql", "01305_nullable-prewhere_bug.sql",
+    "01307_bloom_filter_index_string_multi_granulas.sql", "01312_case_insensitive_regexp.sql",
+    "01312_comparison_with_constant_string_in_index_analysis.sql", "01345_index_date_vs_datetime.sql",
+    "01375_null_issue_3767.sql", "01396_negative_datetime_saturate_to_zero.sql",
+    "01412_optimize_deduplicate_bug.sql", "01413_if_array_uuid.sql",
+    "01413_truncate_without_table_keyword.sql", "01416_join_totals_header_bug.sql",
+    "01436_storage_merge_with_join_push_down.sql", "01450_set_null_const.sql",
+    "01457_order_by_limit.sql", "01460_mark_inclusion_search_crash.sql",
+    "01481_join_with_materialized.sql", "01490_nullable_string_to_enum.sql",
+    "01499_log_deadlock.sql", "01503_fixed_string_primary_key.sql",
+    "01507_multiversion_storage_for_storagememory.sql", "01518_filtering_aliased_materialized_column.sql",
+    "01552_alter_name_collision.sql", "01560_merge_distributed_join.sql",
+    "01561_aggregate_functions_of_key_with_join.sql", "01583_const_column_in_set_index.sql",
+    "01600_min_max_compress_block_size.sql", "01631_date_overflow_as_partition_key.sql",
+    "01632_select_all_syntax.sql", "01649_with_alias_key_condition.sql",
+    "01652_ignore_and_low_cardinality.sql", "01665_merge_tree_min_for_concurrent_read.sql",
+    "01711_cte_subquery_fix.sql", "01746_lc_values_format_bug.sql",
+    "01747_transform_empty_arrays.sql", "01763_filter_push_down_bugs.sql",
+    "01765_tehran_dst.sql", "01778_test_LowCardinality_FixedString_pk.sql",
+    "01778_where_with_column_name.sql", "01786_group_by_pk_many_streams.sql",
+    "01809_inactive_parts_to_delay_throw_insert.sql", "01832_memory_write_suffix.sql",
+    "01835_alias_to_primary_key_cyfdecyf.sql", "01852_jit_if.sql",
     # (00088_distinct_of_arrays_of_strings matches under the sweep's
     # local[8] session but DISTINCT row order flips under the test
     # fixture's partitioning — excluded as order-nondeterministic)
