@@ -652,7 +652,12 @@ FUNC_MAP: dict[str, object] = {
     "toFloat32OrNull": "try_cast({0} AS FLOAT)",
     "toFloat64OrNull": "try_cast({0} AS DOUBLE)",
     "toDateOrNull": "try_cast({0} AS DATE)",
-    "toDate": "CAST({0} AS DATE)",
+    # numeric argument = days since epoch (FunctionsConversion)
+    "toDate": lambda a: (
+        f"date_add(DATE '1970-01-01', CAST({a[0]} AS INT))"
+        if a and (a[0].isdigit() or a[0].lstrip("-").isdigit())
+        else f"CAST({a[0]} AS DATE)"
+    ),
     # reference parses an all-digit string as a unix timestamp
     # (FunctionsConversion: parseDateTime accepts numeric strings)
     "toDateTime": lambda a: (
@@ -1093,6 +1098,45 @@ def _histogram_expr(p: list[str], a: list[str]) -> str:
     )
 
 
+def _quantile_exact_expr(p: list[str], a: list[str], single: bool) -> str:
+    """QuantileExact::getImpl — DISCRETE selection: the element at
+    floor(level * n) of the sorted sample (level 1 -> last), no
+    interpolation (src/AggregateFunctions/QuantileExact.h:85-92)."""
+    arr = f"array_sort(collect_list({a[0]}))"
+    n = f"size({arr})"
+
+    def one(level: str) -> str:
+        idx = (
+            f"IF(({level}) >= 1, {n}, "
+            f"least(CAST(floor(({level}) * {n}) AS INT) + 1, {n}))"
+        )
+        return f"element_at({arr}, {idx})"
+
+    if single:
+        return one(p[0])
+    return f"array({', '.join(one(lv) for lv in p)})"
+
+
+def _quantile_exclusive_expr(p: list[str], a: list[str], single: bool) -> str:
+    """R-6 (PERCENTILE.EXC) exact quantile: h = level*(n+1), linear
+    interpolation between floor(h) and floor(h)+1 of the sorted sample,
+    clamped to the sample range (QuantileExact.h exclusive variant)."""
+    arr = f"array_sort(collect_list(CAST({a[0]} AS DOUBLE)))"
+    n = f"size({arr})"
+
+    def one(level: str) -> str:
+        h = f"greatest(1.0, least(CAST({n} AS DOUBLE), ({level}) * ({n} + 1)))"
+        k = f"CAST(floor({h}) AS INT)"
+        return (
+            f"(element_at({arr}, {k}) + ({h} - {k}) * "
+            f"(element_at({arr}, least({k} + 1, {n})) - element_at({arr}, {k})))"
+        )
+
+    if single:
+        return one(p[0])
+    return f"array({', '.join(one(lv) for lv in p)})"
+
+
 def _timing_clamp(x: str) -> str:
     """The reference's timing sketch value mapping
     (src/AggregateFunctions/AggregateFunctionQuantileTiming.h): exact
@@ -1159,10 +1203,10 @@ PARAMETRIC_MAP: dict[str, object] = {
     "quantileTimingWeighted": lambda p, a: _quantile_timing_weighted_expr(p, a, True),
     "quantilesTimingWeighted": lambda p, a: _quantile_timing_weighted_expr(p, a, False),
     "quantile": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
-    "quantileExact": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    "quantileExact": lambda p, a: _quantile_exact_expr(p, a, True),
     "quantileTDigest": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
     "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
-    "quantilesExact": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
+    "quantilesExact": lambda p, a: _quantile_exact_expr(p, a, False),
     # weighted exact quantiles map onto percentile's frequency argument
     "quantileExactWeighted": lambda p, a: f"percentile({a[0]}, {p[0]}, {a[1]})",
     "quantilesExactWeighted": lambda p, a: (
@@ -1175,6 +1219,13 @@ PARAMETRIC_MAP: dict[str, object] = {
     "quantilesDeterministic": lambda p, a: (
         f"percentile({a[0]}, array({', '.join(p)}))"
     ),
+    # Inclusive = R-7 (Spark percentile's interpolation); Exclusive = R-6
+    "quantileExactInclusive": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    "quantilesExactInclusive": lambda p, a: (
+        f"percentile({a[0]}, array({', '.join(p)}))"
+    ),
+    "quantileExactExclusive": lambda p, a: _quantile_exclusive_expr(p, a, True),
+    "quantilesExactExclusive": lambda p, a: _quantile_exclusive_expr(p, a, False),
     "uniqUpTo": lambda p, a: f"least(count(DISTINCT {', '.join(a)}), {p[0]} + 1)",
     "groupArraySample": lambda p, a: f"slice(shuffle(collect_list({a[0]})), 1, {p[0]})",
     "groupArray": lambda p, a: f"slice(collect_list({a[0]}), 1, {p[0]})",

@@ -192,6 +192,12 @@ _ENGINE_KIND = {
     "STRIPELOG": "Memory",
     "NULL": "Null",
     "BUFFER": "Buffer",
+    # Distributed(cluster, db, table[, key]) has no cluster here — reads
+    # and writes proxy to the (single) local shard table, which is the
+    # exact single-node behavior of the reference
+    "DISTRIBUTED": "Distributed",
+    "SET": "Memory",
+    "MERGE": "Memory",
 }
 
 _CLAUSE_KW = {
@@ -216,6 +222,8 @@ class ScriptRunner:
         self.live_views: dict[str, dict] = {}
         #: MATERIALIZED VIEW registry: name -> {toks, srcs, storage}
         self.mat_views: dict[str, dict] = {}
+        #: known database namespaces; `db.table` flattens to `table`
+        self.databases: set[str] = {"default", "test", "system"}
 
     # -- public ----------------------------------------------------------
 
@@ -232,6 +240,8 @@ class ScriptRunner:
         if not toks:
             return None
         head = _kw(toks[0])
+        toks = self._strip_db_quals(toks)
+        stmt = _emit(toks)
         if head in ("SELECT", "WITH", "EXPLAIN") or toks[0] == "(":
             if self.live_views:
                 toks = self._resolve_live_views(toks)
@@ -278,6 +288,27 @@ class ScriptRunner:
         self.tables.clear()
 
     # -- helpers ---------------------------------------------------------
+
+    def _strip_db_quals(self, toks: list[str]) -> list[str]:
+        """Flatten `db.table` to `table` for known database namespaces
+        (system.numbers is the dialect's own concern and stays)."""
+        out: list[str] = []
+        i = 0
+        n = len(toks)
+        while i < n:
+            if (
+                i + 2 < n
+                and toks[i + 1] == "."
+                and toks[i].strip('`"') in self.databases
+                and toks[i].strip('`"') != "system"
+                and _is_ident(toks[i + 2])
+            ):
+                out.append(toks[i + 2])
+                i += 3
+                continue
+            out.append(toks[i])
+            i += 1
+        return out
 
     @staticmethod
     def _table_name(toks: list[str], i: int = 0) -> tuple[str, int]:
@@ -351,6 +382,13 @@ class ScriptRunner:
         if _kw(toks[i]) == "TEMPORARY":
             i += 1
         kind = _kw(toks[i])
+        if kind == "DATABASE":
+            j = i + 1
+            while j < len(toks) and _kw(toks[j]) in ("IF", "NOT", "EXISTS"):
+                j += 1
+            if j < len(toks):
+                self.databases.add(toks[j].strip('`"'))
+            return None  # databases are a namespace; names map bare here
         if kind == "VIEW":
             return self._create_view(toks, i + 1)
         if kind == "LIVE" and i + 1 < len(toks) and _kw(toks[i + 1]) == "VIEW":
@@ -422,6 +460,11 @@ class ScriptRunner:
                     )
                     engine_args = []
                     continue
+                if engine == "Distributed":
+                    if len(raw_args) > 2:
+                        buffer_target = raw_args[2][0].strip('`"\'')
+                    engine_args = []
+                    continue
                 gran = [
                     j for j, p in enumerate(raw_args)
                     if len(p) == 1 and p[0].isdigit()
@@ -468,7 +511,7 @@ class ScriptRunner:
                 break
             else:
                 raise DialectError(f"unsupported CREATE clause at {toks[i]!r}")
-        if engine == "Buffer":
+        if engine in ("Buffer", "Distributed"):
             if buffer_target and buffer_target in self.tables:
                 other = self.tables[buffer_target]
                 other.aka.append(name)
@@ -527,8 +570,8 @@ class ScriptRunner:
                 other_name, j = self._table_name(as_select, 0)
                 other = self.tables[other_name]
                 tail = [_kw(x) for x in as_select[j:]]
-                if "BUFFER" in tail[:4]:
-                    # CREATE TABLE buf AS target ENGINE = Buffer(...):
+                if "BUFFER" in tail[:4] or "DISTRIBUTED" in tail[:4]:
+                    # CREATE TABLE t AS target ENGINE = Buffer/Distributed:
                     # reads see the target (+ in-flight buffer rows) and
                     # writes flush through -- a pure proxy here
                     other.aka.append(name)
@@ -542,7 +585,10 @@ class ScriptRunner:
                 self._register(t)
                 return None
             else:
-                raise DialectError("unsupported CREATE ... AS form")
+                # AS <table-function> (numbers(...), generateRandom(...))
+                src = dialect_sql(
+                    self.spark, "SELECT * FROM " + _emit(as_select)
+                )
             if cols:
                 src = src.select(
                     *[
@@ -877,8 +923,19 @@ class ScriptRunner:
             close = _match_paren(toks, i)
             parts = _split_top(toks[i + 1 : close], ",")
             return [_emit(_translate_expr(p)) for p in parts if p], close + 1
+        # bare expression (possibly with function calls): consume balanced
+        # parens, stop at the next top-level clause keyword
         j = i
-        while j < n and _kw(toks[j]) not in _CLAUSE_KW and toks[j] != "(":
+        depth = 0
+        while j < n:
+            if toks[j] == "(":
+                depth += 1
+            elif toks[j] == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and _kw(toks[j]) in _CLAUSE_KW:
+                break
             j += 1
         expr = toks[i:j]
         if not expr:

@@ -223,8 +223,10 @@ def test_quantile_and_subquery(views, duck):
         GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
         """
+        -- quantileExact is DISCRETE: element at floor(level*n) of the
+        -- sorted sample (QuantileExact.h), not an interpolated value
         SELECT o_orderstatus,
-               round(quantile_cont(o_totalprice, 0.5), 4) AS med
+               round(list_sort(list(o_totalprice))[CAST(floor(0.5 * count(*)) AS INT) + 1], 4) AS med
         FROM orders
         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         GROUP BY o_orderstatus ORDER BY o_orderstatus
