@@ -925,6 +925,11 @@ FUNC_MAP: dict[str, object] = {
     "sumMap": "map_from_arrays({0}, {1})",  # see aggregates.sum_map for the real op
     # misc
     "e": "exp(1)", "pi": "pi()", "sqrt": "sqrt({0})", "cbrt": "cbrt({0})",
+    "exp2": "pow(CAST(2 AS DOUBLE), {0})",
+    "exp10": "pow(CAST(10 AS DOUBLE), {0})",
+    "log1p": "log1p({0})", "expm1": "expm1({0})",
+    "intExp2": "CAST(pow(2, {0}) AS BIGINT)",
+    "intExp10": "CAST(pow(10, {0}) AS BIGINT)",
     "toTypeName": "typeof({0})", "generateUUIDv4": "uuid()",
     "rand": "CAST(rand() * 4294967296 AS BIGINT)",
     "rand64": "CAST(rand() * 9.223372036854776e18 AS BIGINT)",

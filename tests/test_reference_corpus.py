@@ -213,6 +213,58 @@ CORPUS = [
     # (00088_distinct_of_arrays_of_strings matches under the sweep's
     # local[8] session but DISTINCT row order flips under the test
     # fixture's partitioning — excluded as order-nondeterministic)
+    # round-3 growth IX: database namespaces, Distributed proxies, CTAS,
+    # discrete quantileExact, key-list parens - second sweep harvest
+    "00027_distinct_and_order_by.sql", "00032_fixed_string_to_string.sql",
+    "00034_fixed_string_to_number.sql", "00041_aggregation_remap.sql",
+    "00042_set.sql",
+    "00044_sorting_by_string_descending.sql", "00045_sorting_by_fixed_string_descending.sql",
+    "00051_any_inner_join.sql", "00053_all_inner_join.sql",
+    "00073_merge_sorting_empty_array_joined.sql", "00077_set_keys_fit_128_bits_many_blocks.sql",
+    "00087_distinct_of_empty_arrays.sql", "00125_array_element_of_array_of_tuple.sql",
+    "00127_group_by_concat.sql", "00128_group_by_number_and_fixed_string.sql",
+    "00151_tuple_with_array.sql", "00158_buffer_and_nonexistent_table.sql",
+    "00165_transform_non_const_default.sql", "00176_if_string_arrays.sql",
+    "00188_constants_as_arguments_of_aggregate_functions.sql", "00238_removal_of_temporary_columns.sql",
+    "00239_type_conversion_in_in.sql", "00266_read_overflow_mode.sql",
+    "00278_insert_already_sorted.sql", "00284_external_aggregation.sql",
+    "00287_column_const_with_nan.sql", "00330_view_subqueries.sql",
+    "00347_has_tuple.sql", "00350_count_distinct.sql",
+    "00351_select_distinct_arrays_tuples.sql", "00353_join_by_tuple.sql",
+    "00355_array_of_non_const_convertible_types.sql", "00359_convert_or_zero_functions.sql",
+    "00362_great_circle_distance.sql", "00373_group_by_tuple.sql",
+    "00425_count_nullable.sql", "00439_fixed_string_filter.sql",
+    "00440_nulls_merge_tree.sql", "00442_filter_by_nullable.sql",
+    "00486_if_fixed_string.sql", "00492_drop_temporary_table.sql",
+    "00495_reading_const_zero_column.sql", "00498_bitwise_aggregate_functions.sql",
+    "00502_string_concat_with_array.sql", "00520_tuple_values_interpreter.sql",
+    "00544_insert_with_select.sql", "00580_cast_nullable_to_non_nullable.sql",
+    "00581_limit_on_result_and_subquery_and_insert.sql", "00594_alias_in_distributed.sql",
+    "00609_distributed_with_case_when_then.sql", "00621_regression_for_in_operator.sql",
+    "00639_startsWith.sql", "00679_uuid_in_key.sql",
+    "00688_low_cardinality_dictionary_deserialization.sql", "00688_low_cardinality_prewhere.sql",
+    "00717_low_cardinaliry_group_by.sql", "00723_remerge_sort.sql",
+    "00740_database_in_nested_view.sql", "00741_client_comment_multiline.sql",
+    "00750_merge_tree_merge_with_o_direct.sql", "00751_low_cardinality_nullable_group_by.sql",
+    "00800_low_cardinality_distinct_numeric.sql", "00800_low_cardinality_distributed_insert.sql",
+    "00800_low_cardinality_empty_array.sql", "00815_left_join_on_stepanel.sql",
+    "00817_with_simple.sql", "00898_quantile_timing_parameter_check.sql",
+    "00907_set_index_with_nullable_and_low_cardinality_bug.sql", "00910_buffer_prewhere.sql",
+    "00914_join_bgranvea.sql", "00920_multiply_aggregate_states_constants.sql",
+    "00967_insert_into_distributed_different_types.sql", "00979_quantileExcatExclusive_and_Inclusive.sql",
+    "00980_skip_unused_shards_without_sharding_key.sql", "01016_null_part_minmax.sql",
+    "01102_distributed_local_in_bug.sql", "01231_distributed_aggregation_memory_efficient_mix_levels.sql",
+    "01291_distributed_low_cardinality_memory_efficient.sql", "01319_mv_constants_bug.sql",
+    "01347_partition_date_vs_datetime.sql", "01414_bloom_filter_index_with_const_column.sql",
+    "01418_index_analysis_bug.sql", "01427_pk_and_expression_with_different_type.sql",
+    "01431_finish_sorting_with_consts.sql", "01441_array_combinator.sql",
+    "01487_distributed_in_not_default_db.sql", "01505_log_distributed_deadlock.sql",
+    "01517_drop_mv_with_inner_table.sql", "01533_distinct_depends_on_max_threads.sql",
+    "01548_lzy305.sql", "01582_distinct_subquery_groupby.sql",
+    "01600_multiple_left_join_with_aliases.sql", "01646_fix_window_funnel_inconistency.sql",
+    "01719_join_timezone.sql", "01759_optimize_skip_unused_shards_zero_shards.sql",
+    "01813_distributed_scalar_subqueries_alias.sql", "01866_datetime64_cmp_with_constant.sql",
+    "01871_merge_tree_compile_expressions.sql",
 ]
 
 
