@@ -446,6 +446,30 @@ def _extract_expr(a: list[str]) -> str:
     return f"regexp_extract({a[0]}, {a[1]}, 1)"
 
 
+#: ENGINE = Join table layouts registered by plans.script: name ->
+#: {"keys": [k1...], "defaults": {col: default_sql}}
+STORAGE_JOIN_META: dict[str, dict] = {}
+
+
+def _join_get_expr(a: list[str], or_null: bool) -> str:
+    """joinGet('table', 'col', key...) — point lookup into a StorageJoin
+    table (src/Functions/FunctionJoinGet.cpp): a correlated scalar
+    subquery on the key columns; misses yield the column's type default
+    (joinGetOrNull: NULL)."""
+    tbl = a[0].strip("'`\"").split(".")[-1]
+    meta = STORAGE_JOIN_META.get(tbl)
+    if meta is None:
+        _raise_dialect(f"joinGet: {tbl} is not a Join-engine table")
+    col = a[1].strip("'`\"")
+    cond = " AND ".join(
+        f"__jg.`{k}` <=> ({v})" for k, v in zip(meta["keys"], a[2:])
+    )
+    sub = f"(SELECT any_value(__jg.`{col}`) FROM {tbl} AS __jg WHERE {cond})"
+    if or_null:
+        return sub
+    return f"coalesce({sub}, {meta['defaults'].get(col, 'NULL')})"
+
+
 def _position_expr(a: list[str]) -> str:
     if len(a) == 1:
         m = re.match(r"^(.*\S)\s+IN\s+\(\s*(.*?)\s*\)$", a[0], re.S)
@@ -888,6 +912,8 @@ FUNC_MAP: dict[str, object] = {
     # wall-clock time in the target zone like the reference does
     "toTimeZone": "from_utc_timestamp({0}, {1})",
     "finalizeAggregation": "{0}",  # fooState(...) translates as foo(...)
+    "joinGet": lambda a: _join_get_expr(a, False),
+    "joinGetOrNull": lambda a: _join_get_expr(a, True),
     "medianTiming": lambda a: _quantile_timing_expr(["0.5"], a, True),
     "medianTimingWeighted": lambda a: _quantile_timing_weighted_expr(
         ["0.5"], a, True

@@ -192,6 +192,7 @@ _ENGINE_KIND = {
     "STRIPELOG": "Memory",
     "NULL": "Null",
     "BUFFER": "Buffer",
+    "JOIN": "Join",
     # Distributed(cluster, db, table[, key]) has no cluster here — reads
     # and writes proxy to the (single) local shard table, which is the
     # exact single-node behavior of the reference
@@ -283,9 +284,14 @@ class ScriptRunner:
         raise DialectError(f"unsupported statement: {head}")
 
     def close(self) -> None:
+        from daisy_spark.plans.dialect import STORAGE_JOIN_META
+
         for name in list(self.tables):
             self._drop_views(name)
+            STORAGE_JOIN_META.pop(name, None)
         self.tables.clear()
+        self.live_views.clear()
+        self.mat_views.clear()
 
     # -- helpers ---------------------------------------------------------
 
@@ -511,6 +517,12 @@ class ScriptRunner:
                 break
             else:
                 raise DialectError(f"unsupported CREATE clause at {toks[i]!r}")
+        join_keys: list[str] | None = None
+        if engine == "Join":
+            # Join(strictness, side, k1[, k2...]): a Memory table whose
+            # key layout backs joinGet()/joinGetOrNull()
+            join_keys = engine_args[2:] or engine_args[-1:]
+            engine, engine_args = "Memory", []
         if engine in ("Buffer", "Distributed"):
             if buffer_target and buffer_target in self.tables:
                 other = self.tables[buffer_target]
@@ -604,6 +616,16 @@ class ScriptRunner:
             t.df = self._sorted_batch(t, src)
         self.tables[name] = t
         self._register(t)
+        if join_keys:
+            from daisy_spark.plans import dialect as _dialect_mod
+
+            _dialect_mod.STORAGE_JOIN_META[name] = {
+                "keys": join_keys,
+                "defaults": {
+                    c.name: _type_default(c.spark_type, c.nullable)
+                    for c in t.cols
+                },
+            }
         return None
 
     def _create_view(self, toks: list[str], i: int) -> None:
@@ -1079,6 +1101,9 @@ class ScriptRunner:
         name, i = self._table_name(toks, i)
         self.live_views.pop(name, None)
         self.mat_views.pop(name, None)
+        from daisy_spark.plans.dialect import STORAGE_JOIN_META
+
+        STORAGE_JOIN_META.pop(name, None)
         t = self.tables.pop(name, None)
         if t is not None and t.name != name and name in t.aka:
             t.aka.remove(name)  # dropping a Buffer proxy, not the target

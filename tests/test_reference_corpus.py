@@ -265,6 +265,8 @@ CORPUS = [
     "01719_join_timezone.sql", "01759_optimize_skip_unused_shards_zero_shards.sql",
     "01813_distributed_scalar_subqueries_alias.sql", "01866_datetime64_cmp_with_constant.sql",
     "01871_merge_tree_compile_expressions.sql",
+    # round-3 growth X: ENGINE=Join + joinGet/joinGetOrNull point lookups
+    "01400_join_get_with_multi_keys.sql", "01735_join_get_low_card_fix.sql",
 ]
 
 
