@@ -76,6 +76,9 @@ def tokenize(sql_text: str) -> list[str]:
 
 
 def _is_ident(tok: str) -> bool:
+    # backquoted identifiers count (and are never keywords)
+    if len(tok) > 2 and tok[0] == "`" and tok[-1] == "`":
+        return True
     return bool(re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", tok))
 
 
@@ -2103,13 +2106,32 @@ def _translate_from(toks: list[str]) -> list[str]:
             out += ["USING", "("] + key_toks + [")"]
             i = k
             continue
+        # system.one — the single-row dummy table
+        if (
+            _kw(t.strip('`"')) == "SYSTEM"
+            and i + 2 < n
+            and toks[i + 1] == "."
+            and _kw(toks[i + 2].strip('`"')) == "ONE"
+        ):
+            out.append("(SELECT CAST(0 AS SMALLINT) AS dummy)")
+            follows_alias = i + 3 < n and (
+                _kw(toks[i + 3]) == "AS"
+                or (
+                    _is_ident(toks[i + 3])
+                    and _kw(toks[i + 3]) not in _SQL_KEYWORDS
+                )
+            )
+            if not follows_alias:
+                out.append("AS __one")
+            i += 3
+            continue
         # system.numbers — the unbounded integer sequence; a capped lazy
         # range (the reference's own tests always LIMIT it)
         if (
-            _kw(t) == "SYSTEM"
+            _kw(t.strip('`"')) == "SYSTEM"
             and i + 2 < n
             and toks[i + 1] == "."
-            and _kw(toks[i + 2]) in ("NUMBERS", "NUMBERS_MT")
+            and _kw(toks[i + 2].strip('`"')) in ("NUMBERS", "NUMBERS_MT")
         ):
             out.append("(SELECT id AS number FROM range(1000000000))")
             if i + 3 >= n or not (
@@ -2806,6 +2828,7 @@ def translate(query: str) -> TranslateResult:
         and _match_paren(toks, 0) == len(toks) - 1
     ):
         toks = toks[1:-1]
+    toks = _hoist_inner_aliases(toks)
     stages = _split_top(toks, "|")
     if len(stages) > 1:
         sql_text, settings = _translate_pipe(stages)
@@ -2824,6 +2847,84 @@ def translate(query: str) -> TranslateResult:
     return TranslateResult(
         _wrap_in_subqueries(sql_text), settings, is_stream, explain_mode
     )
+
+
+def _hoist_inner_aliases(toks: list[str]) -> list[str]:
+    """The reference lets ``expr AS name`` appear ANYWHERE in an
+    expression (``intDiv(number, 30000 AS d)``), defining ``name`` for
+    the whole query (ParserAlias in ExpressionElementParsers.cpp).  Spark
+    has no such scoping, so hoist: record name -> operand, drop the
+    ``AS name``, and inline the operand at every later standalone
+    reference.  CAST(x AS type) and aliases inside subqueries (their own
+    scope) are left untouched."""
+    n = len(toks)
+    stack: list[tuple[bool, str]] = []  # (is_subquery, enclosing_func)
+    aliases: dict[str, list[str]] = {}
+    remove: set[int] = set()
+    i = 0
+    while i < n:
+        t = toks[i]
+        if t == "(":
+            fn = toks[i - 1] if i > 0 and _is_ident(toks[i - 1]) else ""
+            sub = i + 1 < n and _kw(toks[i + 1]) in ("SELECT", "WITH")
+            stack.append((sub, _kw(fn)))
+            i += 1
+            continue
+        if t == ")":
+            if stack:
+                stack.pop()
+            i += 1
+            continue
+        if (
+            _kw(t) == "AS"
+            and stack
+            and not any(s[0] for s in stack)
+            and stack[-1][1] not in ("CAST", "EXTRACT")
+            and i + 1 < n
+            and _is_ident(toks[i + 1])
+            and _kw(toks[i + 1]) not in _SQL_KEYWORDS
+            and i > 0
+        ):
+            j = i - 1
+            if toks[j] in (")", "]"):
+                depth, k = 0, j
+                while k >= 0:
+                    if toks[k] in (")", "]"):
+                        depth += 1
+                    elif toks[k] in ("(", "["):
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    k -= 1
+                start = k
+                if toks[j] == ")" and start > 0 and _is_ident(toks[start - 1]):
+                    start -= 1
+            else:
+                start = j
+                if start > 0 and toks[start - 1] == "-" and (
+                    start - 2 < 0 or toks[start - 2] in ("(", ",")
+                ):
+                    start -= 1
+            aliases[toks[i + 1]] = toks[start:i]
+            remove.add(i)
+            remove.add(i + 1)
+            i += 2
+            continue
+        i += 1
+    if not aliases:
+        return toks
+    out = [t for idx, t in enumerate(toks) if idx not in remove]
+    res: list[str] = []
+    for idx, t in enumerate(out):
+        if (
+            t in aliases
+            and (idx == 0 or out[idx - 1] not in (".", "AS", "as"))
+            and (idx + 1 >= len(out) or out[idx + 1] not in (".", "("))
+        ):
+            res += ["("] + aliases[t] + [")"]
+        else:
+            res.append(t)
+    return res
 
 
 def _wrap_in_subqueries(sql_text: str) -> str:

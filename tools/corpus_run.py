@@ -33,7 +33,7 @@ STATE = "/tmp/corpus_state.json"
 SKIP_RE = re.compile(
     r"(?i)\b(ALTER|SYSTEM\s+(?:STOP|START|FLUSH|RELOAD|DROP|SYNC|RESTART)"
     r"|ATTACH|DETACH|RENAME"
-    r"|KILL|system\.(?!numbers)|remote\(|cluster\(|file\(|url\(|FORMAT\s"
+    r"|KILL|system\.(?!numbers|one\b)|remote\(|cluster\(|file\(|url\(|FORMAT\s"
     r"|serverError|clientError)"
 )
 # >10M generated rows: JVM OOM risk on local runs
