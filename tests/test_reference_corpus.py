@@ -267,6 +267,13 @@ CORPUS = [
     "01871_merge_tree_compile_expressions.sql",
     # round-3 growth X: ENGINE=Join + joinGet/joinGetOrNull point lookups
     "01400_join_get_with_multi_keys.sql", "01735_join_get_low_card_fix.sql",
+    # round-3 growth XI: inner-alias hoisting, system.one, backquoted idents
+    "00194_identity.sql", "00260_like_and_curly_braces.sql",
+    "00263_merge_aggregates_and_overflow.sql", "00268_aliases_without_as_keyword.sql",
+    "00269_database_table_whitespace.sql", "00482_subqueries_and_aliases.sql",
+    "00753_with_with_single_alias.sql", "00854_multiple_join_asterisks.sql",
+    "00950_bad_alloc_when_truncate_join_storage.sql", "01050_engine_join_view_crash.sql",
+    "01081_keywords_formatting.sql", "01586_storage_join_low_cardinality_key.sql",
 ]
 
 
