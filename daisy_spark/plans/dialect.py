@@ -798,6 +798,7 @@ FUNC_MAP: dict[str, object] = {
     ),
     # arrays / higher-order (lambda-first in the reference, array-first in Spark)
     "has": "array_contains({0}, {1})", "indexOf": "array_position({0}, {1})",
+    "countEqual": "size(filter({0}, __e -> __e <=> {1}))",
     "arrayJoin": "explode({0})",
     "arrayMap": "transform({1}, {0})", "arrayFilter": "filter({1}, {0})",
     "arrayExists": "exists({1}, {0})", "arrayAll": "forall({1}, {0})",
@@ -1880,6 +1881,9 @@ def _parse_select(toks: list[str]) -> _Select:
             ts = getattr(q, attr)
             if ts and any(t in alias_subs for t in ts):
                 setattr(q, attr, _subst_tokens(ts, alias_subs))
+        # NOTE: substituting aliases into SIBLING select items was tried
+        # and reverted — it clobbers lambda formal parameters that share
+        # an alias name (00157_aliases_and_lambda_formal_parameters)
     q.offset = bucket.get("OFFSET", [])
     q.settings = bucket.get("SETTINGS", [])
     lim = bucket.get("LIMIT", [])
@@ -1897,15 +1901,39 @@ def _parse_select(toks: list[str]) -> _Select:
                 break
         if by_idx is not None:
             q.limit_by = (_emit(lim[:by_idx]), lim[by_idx + 1 :])
-            # a second LIMIT may follow the BY cols
+            # a second LIMIT may follow the BY cols; its keyword is
+            # consumed as a clause marker, so both forms appear
             rest = q.limit_by[1]
             for j, tk in enumerate(rest):
                 if _kw(tk) == "LIMIT":
                     q.limit = rest[j + 1 :]
                     q.limit_by = (q.limit_by[0], rest[:j])
                     break
+            else:
+                if (
+                    len(rest) >= 2
+                    and rest[-1].isdigit()
+                    and rest[-2] != ","
+                ):
+                    q.limit = [rest[-1]]
+                    q.limit_by = (q.limit_by[0], rest[:-1])
         else:
-            q.limit = lim
+            # MySQL-compat LIMIT offset, count
+            parts = _split_top(lim, ",")
+            if len(parts) == 2 and parts[0] and parts[1] and not q.offset:
+                q.offset, q.limit = parts[0], parts[1]
+            else:
+                q.limit = lim
+    # LIMIT n OFFSET o BY cols: the BY lands in the OFFSET bucket
+    if q.offset:
+        for j, tk in enumerate(q.offset):
+            if _kw(tk) == "BY":
+                q.limit_by = (
+                    _emit(q.offset[:j]) + " , " + _emit(q.limit),
+                    q.offset[j + 1 :],
+                )
+                q.limit, q.offset = [], []
+                break
     return q
 
 
@@ -2602,16 +2630,27 @@ def _render_with_limit_by(q: _Select) -> str:
         with_cube=q.with_cube, having=q.having,
     )
     inner_sql = _render(inner)
+    # LIMIT o, n BY cols: skip the first o rows per key
+    np = n_expr.split(",")
+    if len(np) == 2:
+        cond = (
+            f"__rn > ({np[0].strip()}) "
+            f"AND __rn <= ({np[0].strip()}) + ({np[1].strip()})"
+        )
+    else:
+        cond = f"__rn <= {n_expr}"
     out = (
         f"SELECT * EXCEPT (__rn) FROM ("
         f"SELECT __q.*, row_number() OVER "
         f"(PARTITION BY {by_sql} ORDER BY {ord_sql}) AS __rn "
         f"FROM ( {inner_sql} ) AS __q"
-        f") WHERE __rn <= {n_expr}"
+        f") WHERE {cond}"
     )
     out += f" ORDER BY {ord_sql}"
     if q.limit:
         out += " LIMIT " + _emit(_translate_expr(q.limit))
+    if q.offset:
+        out += " OFFSET " + _emit(_translate_expr(q.offset))
     return out
 
 
@@ -2885,26 +2924,38 @@ def _hoist_inner_aliases(toks: list[str]) -> list[str]:
             and _kw(toks[i + 1]) not in _SQL_KEYWORDS
             and i > 0
         ):
+            def _operand_start(j: int) -> int:
+                if toks[j] in (")", "]"):
+                    depth, k = 0, j
+                    while k >= 0:
+                        if toks[k] in (")", "]"):
+                            depth += 1
+                        elif toks[k] in ("(", "["):
+                            depth -= 1
+                            if depth == 0:
+                                break
+                        k -= 1
+                    s = k
+                    if toks[j] == ")" and s > 0 and _is_ident(toks[s - 1]):
+                        s -= 1
+                    return s
+                return j
+
             j = i - 1
-            if toks[j] in (")", "]"):
-                depth, k = 0, j
-                while k >= 0:
-                    if toks[k] in (")", "]"):
-                        depth += 1
-                    elif toks[k] in ("(", "["):
-                        depth -= 1
-                        if depth == 0:
-                            break
-                    k -= 1
-                start = k
-                if toks[j] == ")" and start > 0 and _is_ident(toks[start - 1]):
-                    start -= 1
-            else:
-                start = j
-                if start > 0 and toks[start - 1] == "-" and (
-                    start - 2 < 0 or toks[start - 2] in ("(", ",")
-                ):
-                    start -= 1
+            start = _operand_start(j)
+            # extend across binary operators: number % 256 AS n binds the
+            # WHOLE arithmetic expression to the alias
+            _BINOPS = {"%", "*", "/", "+", "-", ".", "||"}
+            while (
+                start - 2 >= 0
+                and toks[start - 1] in _BINOPS
+                and toks[start - 2] not in (",", "(", "[")
+            ):
+                start = _operand_start(start - 2)
+            if start > 0 and toks[start - 1] == "-" and (
+                start - 2 < 0 or toks[start - 2] in ("(", ",", "[")
+            ):
+                start -= 1
             aliases[toks[i + 1]] = toks[start:i]
             remove.add(i)
             remove.add(i + 1)

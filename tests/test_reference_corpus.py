@@ -274,6 +274,11 @@ CORPUS = [
     "00753_with_with_single_alias.sql", "00854_multiple_join_asterisks.sql",
     "00950_bad_alloc_when_truncate_join_storage.sql", "01050_engine_join_view_crash.sql",
     "01081_keywords_formatting.sql", "01586_storage_join_low_cardinality_key.sql",
+    # round-3 growth XII: MySQL LIMIT offset, LIMIT BY with offsets,
+    # multi-token inner-alias operands, countEqual
+    "00136_duplicate_order_by_elems.sql",
+    "00230_array_functions_has_count_equal_index_of_non_const_second_arg.sql",
+    "00939_limit_by_offset.sql",
 ]
 
 
