@@ -273,11 +273,22 @@ class ScriptRunner:
         if head == "SET":
             return self._set(toks)
         if head == "SHOW":
-            if len(toks) > 1 and _kw(toks[1]) == "TABLES":
+            j = 1
+            if j < len(toks) and _kw(toks[j]) == "TEMPORARY":
+                j += 1
+            if j < len(toks) and _kw(toks[j]) == "TABLES":
                 names = sorted({t.name for t in self.tables.values()})
+                j += 1
+                if j + 1 < len(toks) and _kw(toks[j]) == "LIKE":
+                    import fnmatch
+
+                    pat = toks[j + 1].strip("'").replace("%", "*")
+                    names = [x for x in names if fnmatch.fnmatch(x, pat)]
                 return self.spark.createDataFrame(
                     [(x,) for x in names], "name STRING"
                 )
+            if j < len(toks) and _kw(toks[j]) == "CREATE":
+                return self._show_create(toks, j + 1)
             raise DialectError(f"unsupported SHOW {_emit(toks[1:2])}")
         if head == "USE":
             return None
@@ -294,6 +305,36 @@ class ScriptRunner:
         self.mat_views.clear()
 
     # -- helpers ---------------------------------------------------------
+
+    def _show_create(self, toks: list[str], i: int) -> DataFrame:
+        """SHOW CREATE [TEMPORARY] TABLE / DATABASE — reconstruct the DDL
+        in the reference's canonical rendering (newlines TSV-escaped as
+        the literal two characters, as clickhouse-client prints them)."""
+        temp = ""
+        if i < len(toks) and _kw(toks[i]) == "TEMPORARY":
+            temp = "TEMPORARY "
+            i += 1
+        kind = _kw(toks[i]) if i < len(toks) else ""
+        if kind == "DATABASE":
+            name = toks[i + 1].strip('`"')
+            ddl = f"CREATE DATABASE {name}\\nENGINE = Atomic"
+            return self.spark.createDataFrame([(ddl,)], "statement STRING")
+        if kind in ("TABLE", "VIEW"):
+            i += 1
+        name, _ = self._table_name(toks, i)
+        t = self.tables.get(name)
+        if t is None:
+            raise DialectError(f"SHOW CREATE of unknown table {name}")
+        cols = ",\\n    ".join(
+            f"`{c.name}` {c.ch_type or c.spark_type}"
+            for c in t.cols if not c.hidden
+        )
+        engine = t.spec.engine if t.spec.engine != "MergeTree" else "Memory"
+        ddl = (
+            f"CREATE {temp}TABLE {name}\\n(\\n    {cols}\\n)\\n"
+            f"ENGINE = {engine}"
+        )
+        return self.spark.createDataFrame([(ddl,)], "statement STRING")
 
     def _strip_db_quals(self, toks: list[str]) -> list[str]:
         """Flatten `db.table` to `table` for known database namespaces
@@ -1089,6 +1130,8 @@ class ScriptRunner:
 
     def _drop(self, toks: list[str]) -> None:
         i = 1
+        if _kw(toks[i]) == "TEMPORARY":
+            i += 1
         if _kw(toks[i]) == "TABLE" or _kw(toks[i]) == "VIEW":
             i += 1
         elif _kw(toks[i]) == "DATABASE":

@@ -279,6 +279,8 @@ CORPUS = [
     "00136_duplicate_order_by_elems.sql",
     "00230_array_functions_has_count_equal_index_of_non_const_second_arg.sql",
     "00939_limit_by_offset.sql",
+    # round-3 growth XIII: SHOW CREATE [TEMPORARY] TABLE / DATABASE
+    "00564_temporary_table_management.sql", "00604_show_create_database.sql",
 ]
 
 
