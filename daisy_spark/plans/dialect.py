@@ -32,6 +32,7 @@ available via daisy_spark.functions/operators), scalar WITH aliases.
 
 from __future__ import annotations
 
+import contextvars
 import re
 from dataclasses import dataclass, field
 
@@ -449,9 +450,21 @@ def _extract_expr(a: list[str]) -> str:
     return f"regexp_extract({a[0]}, {a[1]}, 1)"
 
 
-#: ENGINE = Join table layouts registered by plans.script: name ->
-#: {"keys": [k1...], "defaults": {col: default_sql}}
+#: ENGINE = Join table layouts: name -> {"keys": [k1...],
+#: {"defaults": {col: default_sql}}.  The module-level dict is only the
+#: fallback for direct translate() callers; each plans.script.ScriptRunner
+#: activates its OWN registry via the contextvar for the duration of a
+#: statement, so two runners on one interpreter never clobber each other
+#: and one runner's close() cannot drop the other's Join-table metadata.
 STORAGE_JOIN_META: dict[str, dict] = {}
+_STORAGE_JOIN_CTX: "contextvars.ContextVar[dict | None]" = contextvars.ContextVar(
+    "daisy_storage_join_meta", default=None
+)
+
+
+def _active_join_meta() -> dict:
+    scoped = _STORAGE_JOIN_CTX.get()
+    return STORAGE_JOIN_META if scoped is None else scoped
 
 
 def _join_get_expr(a: list[str], or_null: bool) -> str:
@@ -460,7 +473,7 @@ def _join_get_expr(a: list[str], or_null: bool) -> str:
     subquery on the key columns; misses yield the column's type default
     (joinGetOrNull: NULL)."""
     tbl = a[0].strip("'`\"").split(".")[-1]
-    meta = STORAGE_JOIN_META.get(tbl)
+    meta = _active_join_meta().get(tbl)
     if meta is None:
         _raise_dialect(f"joinGet: {tbl} is not a Join-engine table")
     col = a[1].strip("'`\"")
@@ -919,6 +932,12 @@ FUNC_MAP: dict[str, object] = {
     "joinGet": lambda a: _join_get_expr(a, False),
     "joinGetOrNull": lambda a: _join_get_expr(a, True),
     "medianTiming": lambda a: _quantile_timing_expr(["0.5"], a, True),
+    "quantileExactWeighted": lambda a: _quantile_exact_weighted_expr(
+        ["0.5"], a, True
+    ),
+    "medianExactWeighted": lambda a: _quantile_exact_weighted_expr(
+        ["0.5"], a, True
+    ),
     "medianTimingWeighted": lambda a: _quantile_timing_weighted_expr(
         ["0.5"], a, True
     ),
@@ -1172,6 +1191,39 @@ def _quantile_exclusive_expr(p: list[str], a: list[str], single: bool) -> str:
     return f"array({', '.join(one(lv) for lv in p)})"
 
 
+def _quantile_exact_weighted_expr(p: list[str], a: list[str], single: bool) -> str:
+    """quantileExactWeighted (QuantileExactWeighted.h:75-123): DISCRETE
+    selection — sort by value, threshold = ceil(level * total_weight),
+    return the first value whose cumulative weight reaches the threshold
+    (last value if none does).  No interpolation: values (1,2) with
+    weights (1,1) at level 0.5 give 1, not 1.5.  The scan yields a 1-based
+    index so the accumulator needs no value-typed NULL; the element keeps
+    its input type (the reference returns Value, not Float64)."""
+    s = (
+        f"array_sort(collect_list(named_struct("
+        f"'v', {a[0]}, 'w', CAST({a[1]} AS DOUBLE))))"
+    )
+    n = f"size({s})"
+    total = f"aggregate({s}, CAST(0 AS DOUBLE), (acc, e) -> acc + e.w)"
+
+    def one(level: str) -> str:
+        thr = f"ceil({total} * ({level}))"
+        scan = (
+            f"aggregate({s}, named_struct('c', CAST(0 AS DOUBLE), "
+            f"'i', 0, 'r', CAST(NULL AS INT)), (acc, e) -> "
+            f"IF(acc.r IS NOT NULL, acc, "
+            f"IF(acc.c + e.w >= {thr}, "
+            f"named_struct('c', acc.c + e.w, 'i', acc.i + 1, 'r', acc.i + 1), "
+            f"named_struct('c', acc.c + e.w, 'i', acc.i + 1, "
+            f"'r', CAST(NULL AS INT))))).r"
+        )
+        return f"element_at({s}, coalesce({scan}, greatest({n}, 1))).v"
+
+    if single:
+        return one(p[0])
+    return f"array({', '.join(one(lv) for lv in p)})"
+
+
 def _timing_clamp(x: str) -> str:
     """The reference's timing sketch value mapping
     (src/AggregateFunctions/AggregateFunctionQuantileTiming.h): exact
@@ -1242,11 +1294,8 @@ PARAMETRIC_MAP: dict[str, object] = {
     "quantileTDigest": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
     "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
     "quantilesExact": lambda p, a: _quantile_exact_expr(p, a, False),
-    # weighted exact quantiles map onto percentile's frequency argument
-    "quantileExactWeighted": lambda p, a: f"percentile({a[0]}, {p[0]}, {a[1]})",
-    "quantilesExactWeighted": lambda p, a: (
-        f"percentile({a[0]}, array({', '.join(p)}), {a[1]})"
-    ),
+    "quantileExactWeighted": lambda p, a: _quantile_exact_weighted_expr(p, a, True),
+    "quantilesExactWeighted": lambda p, a: _quantile_exact_weighted_expr(p, a, False),
     # Deterministic = hash-determined reservoir sample; below the sample
     # cap it degenerates to the exact quantile, so the determinator
     # argument carries no information here
@@ -1910,10 +1959,20 @@ def _parse_select(toks: list[str]) -> _Select:
                     q.limit_by = (q.limit_by[0], rest[:j])
                     break
             else:
+                # A trailing digit is an outer LIMIT only when the tokens
+                # before it already form a complete expression — i.e. the
+                # preceding token can END an expression (identifier, closing
+                # bracket, or a literal).  `LIMIT 1 BY number % 2` must keep
+                # its final `2` as the operand of `%`, not an outer LIMIT.
                 if (
                     len(rest) >= 2
                     and rest[-1].isdigit()
-                    and rest[-2] != ","
+                    and (
+                        rest[-2] in (")", "]")
+                        or rest[-2].replace(".", "", 1).isdigit()
+                        or rest[-2].startswith("'")
+                        or (_is_ident(rest[-2]) and _kw(rest[-2]) not in _SQL_KEYWORDS)
+                    )
                 ):
                     q.limit = [rest[-1]]
                     q.limit_by = (q.limit_by[0], rest[:-1])
@@ -2956,7 +3015,12 @@ def _hoist_inner_aliases(toks: list[str]) -> list[str]:
                 start - 2 < 0 or toks[start - 2] in ("(", ",", "[")
             ):
                 start -= 1
-            aliases[toks[i + 1]] = toks[start:i]
+            # filter already-removed inner `AS x` tokens out of the stored
+            # operand: `f(g(1 AS a) AS b)` must record b -> `g ( 1 )`, not
+            # `g ( 1 AS a )` (re-emitting the inner AS is invalid Spark SQL)
+            aliases[toks[i + 1]] = [
+                toks[k] for k in range(start, i) if k not in remove
+            ]
             remove.add(i)
             remove.add(i + 1)
             i += 2

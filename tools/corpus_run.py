@@ -172,14 +172,33 @@ def main():
                     continue
                 for r in df.collect():
                     outs.append("\t".join(fmt(v) for v in r))
-            if "\n".join(outs).strip() == exp.strip():
+            got = "\n".join(outs).strip()
+            if got == exp.strip():
                 st["matched"].append(name)
+            else:
+                # ran to completion but output differs: record the first
+                # differing line pair for the burn-down
+                gl, el = got.split("\n"), exp.strip().split("\n")
+                pair = next(
+                    (
+                        (a, b)
+                        for a, b in zip(gl + [""] * len(el), el + [""] * len(gl))
+                        if a != b
+                    ),
+                    ("", ""),
+                )
+                st.setdefault("mismatch", {})[name] = [
+                    len(gl), len(el), pair[0][:160], pair[1][:160]
+                ]
         except Exception as e:  # noqa: BLE001
             m = str(e).split("\n")[0]
             mm = re.search(r"Cannot resolve routine `(\w+)`", m)
             key = ("fn:" + mm.group(1)) if mm else type(e).__name__
             st["fails"][key] = st["fails"].get(key, 0) + 1
             st["fail_files"].setdefault(key, []).append(name)
+            # first-line message per file: lets the burn-down bucket
+            # AnalysisException/ParseException by actual cause
+            st.setdefault("fail_msgs", {})[name] = m[:300]
             if not alive(spark):
                 st["killers"].append(name)
                 st["done"].append(name)
