@@ -981,6 +981,59 @@ FUNC_MAP: dict[str, object] = {
     "intExp10": "CAST(pow(10, {0}) AS BIGINT)",
     "toTypeName": "typeof({0})", "generateUUIDv4": "uuid()",
     "rand": "CAST(rand() * 4294967296 AS BIGINT)",
+    # randConstant: one random value shared by every row of the query
+    # (src/Functions/randConstant.cpp).  A scalar subquery over rand() is
+    # re-evaluated per row by Spark, so fold a Python-drawn literal at
+    # TRANSLATE time — constant within the query, fresh across queries.
+    "randConstant": lambda a: (
+        f"CAST({__import__('random').randrange(2**32)} AS BIGINT)"
+    ),
+    # block introspection (src/Functions/blockSize.cpp, blockNumber.cpp,
+    # rowNumberInBlock.cpp): Spark has no row blocks — the whole result
+    # set behaves as ONE block, which is exactly the reference's answer
+    # under max_block_size >= result size.  Row order follows the input
+    # partition order (monotonically_increasing_id), matching the
+    # reference's stream order for sorted/single-stream inputs.
+    "blockSize": lambda a: "count(*) OVER ()",
+    "blockNumber": lambda a: "CAST(1 AS BIGINT)",
+    "rowNumberInBlock": lambda a: (
+        "(row_number() OVER (ORDER BY monotonically_increasing_id()) - 1)"
+    ),
+    "rowNumberInAllBlocks": lambda a: (
+        "(row_number() OVER (ORDER BY monotonically_increasing_id()) - 1)"
+    ),
+    # replicate(x, arr): constant x expanded to an array shaped like arr
+    # (src/Functions/replicate.cpp)
+    "replicate": "transform({1}, __rep_e -> {0})",
+    # runningAccumulate(state[, grouping]) over fooState columns: the
+    # dialect renders fooState as the finalized aggregate, so the running
+    # re-merge of sum states is a cumulative window sum in stream order
+    # (src/Functions/runningAccumulate.cpp); the optional second argument
+    # resets accumulation on change, i.e. a window partition
+    "runningAccumulate": lambda a: (
+        f"sum({a[0]}) OVER ("
+        + (f"PARTITION BY {a[1]} " if len(a) > 1 else "")
+        + "ORDER BY monotonically_increasing_id() "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    ),
+    # sumWithOverflow keeps the input type width (wraparound); at the
+    # value level it equals sum whenever no overflow occurs
+    "sumWithOverflow": "sum({0})",
+    # reinterpretAsString(n): the little-endian bytes of the integer with
+    # trailing zero bytes dropped (src/Functions/reinterpretAs.cpp) —
+    # hex() is big-endian minimal, so pad to whole bytes, reverse the
+    # byte pairs, decode as UTF-8
+    # malformed-UTF8 byte patterns (most small integers) cannot equal any
+    # valid string literal, so they surface as NULL instead of a decode
+    # error — equality filters behave exactly like the reference's
+    "reinterpretAsString": (
+        "IF(is_valid_utf8(unhex(concat_ws('', reverse(regexp_extract_all("
+        "lpad(hex({0}), CAST(ceil(length(hex({0})) / 2) * 2 AS INT), '0'), "
+        "'(..)'))))), "
+        "decode(unhex(concat_ws('', reverse(regexp_extract_all("
+        "lpad(hex({0}), CAST(ceil(length(hex({0})) / 2) * 2 AS INT), '0'), "
+        "'(..)')))), 'UTF-8'), NULL)"
+    ),
     "rand64": "CAST(rand() * 9.223372036854776e18 AS BIGINT)",
     "bar": "repeat('█', CAST(least({0} / {2} * {3}, {3}) AS INT))",
     "least": "least({*})", "greatest": "greatest({*})",
