@@ -461,6 +461,13 @@ _STORAGE_JOIN_CTX: "contextvars.ContextVar[dict | None]" = contextvars.ContextVa
     "daisy_storage_join_meta", default=None
 )
 
+#: script-engine table schemas for the active ScriptRunner statement:
+#: name -> [(col, spark_type, default_sql)].  Lets the ASOF union+window
+#: rewrite fill unmatched LEFT rows with the reference's type defaults.
+_SCRIPT_SCHEMAS_CTX: "contextvars.ContextVar[dict | None]" = contextvars.ContextVar(
+    "daisy_script_schemas", default=None
+)
+
 
 def _active_join_meta() -> dict:
     scoped = _STORAGE_JOIN_CTX.get()
@@ -2195,6 +2202,165 @@ def _apply_array_join(q: _Select) -> None:
         q.order_by = _subst_tokens(q.order_by, subs)
 
 
+_ASOF_COUNTER = [0]
+
+
+def _asof_pop_left(out: list[str]):
+    """Identify the trailing FROM item already emitted to ``out`` — the
+    ASOF join's left side.  Returns (start_index, left_sql,
+    left_qualifier) without mutating ``out``, or None when the left side
+    is not a single table/subquery (multi-join lefts fall back to the
+    lateral plan)."""
+    if not out:
+        return None
+
+    def ident(x: str) -> bool:
+        return _is_ident(x) and _kw(x) not in _SQL_KEYWORDS
+
+    j = len(out)
+    alias = None
+    if ident(out[j - 1]):
+        if j >= 2 and _kw(out[j - 2]) == "AS":
+            alias = out[j - 1]
+            j -= 2
+        elif j >= 2 and (
+            out[j - 2] == ")" or out[j - 2].startswith("(") or ident(out[j - 2])
+        ):
+            alias = out[j - 1]
+            j -= 1
+    if j >= 1 and out[j - 1] == ")":
+        depth, p = 0, j - 1
+        while p >= 0:
+            if out[p] == ")":
+                depth += 1
+            elif out[p] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            p -= 1
+        if depth != 0 or p < 0:
+            return None
+        start = p
+    elif j >= 1 and out[j - 1].startswith("("):
+        start = j - 1  # single-token subquery (e.g. system.numbers emit)
+    elif j >= 1 and ident(out[j - 1]):
+        start = j - 1
+        while start - 2 >= 0 and out[start - 1] == "." and ident(out[start - 2]):
+            start -= 2
+    else:
+        return None
+    if start > 0 and out[start - 1] != ",":
+        return None
+    seg = out[start:j]
+    if alias is None and len(seg) == 1 and ident(seg[0]):
+        alias = seg[0]
+    if alias is None:
+        alias = "__asof_l"
+    return start, " ".join(seg), alias
+
+
+def _asof_union_item(
+    out: list[str],
+    rhs_sql: str,
+    rhs_name: str | None,
+    ralias: str,
+    side: str,
+    eqs: list[tuple[str, str]] | None = None,
+    time: tuple[str, str, bool, bool] | None = None,
+    using_keys: list[str] | None = None,
+) -> bool:
+    """Scale-safe ASOF JOIN: replace ``L ASOF JOIN R`` in the FROM clause
+    with the union+window plan (same shape as operators.joins.asof_join,
+    sort-shuffle of \\|L\\|+\\|R\\| instead of the O(\\|L\\|·\\|R\\|)
+    decorrelated lateral).  Both sides are struct-packed (``struct(l.*)``)
+    and re-exposed under their original aliases as struct columns, so the
+    outer query's ``l.col`` / ``r.col`` references resolve as field
+    accesses WITHOUT the translator knowing either column list.  Unmatched
+    LEFT rows are filled with the reference's type defaults when the right
+    side is a script-engine table with a known schema
+    (src/Interpreters/HashJoin.h LEFT-join default semantics); NULL
+    otherwise.  Returns False (out untouched) when the shape is
+    unsupported — caller falls back to the lateral."""
+    popped = _asof_pop_left(out)
+    if popped is None:
+        return False
+    start, left_sql, lq = popped
+    if lq == ralias:
+        return False
+    if using_keys is not None:
+        keys, tcol = using_keys[:-1], using_keys[-1]
+        eqs = [(f"{lq}.{c}", f"{ralias}.{c}") for c in keys]
+        time = (f"{lq}.{tcol}", f"{ralias}.{tcol}", False, False)
+    if not eqs or time is None:
+        return False
+    l_time, r_time, forward, strict = time
+    nid = _ASOF_COUNTER[0]
+    _ASOF_COUNTER[0] += 1
+    lk = ", ".join(f"{le} AS __k{x}" for x, (le, _) in enumerate(eqs))
+    rk = ", ".join(re_ for _, re_ in eqs)
+    # right rows sort BEFORE left at equal ts for the inclusive forms
+    # (>= / <=) so the window's running last() sees them; AFTER for the
+    # strict forms so an equal-ts right row is not matched
+    rtag = 2 if strict else 0
+    lbranch = (
+        f"SELECT {lk}, {l_time} AS __ts, 1 AS __side, "
+        f"struct({lq}.*) AS __lrow, NULL AS __rrow FROM {left_sql} AS {lq}"
+    )
+    rbranch = (
+        f"SELECT {rk}, {r_time}, {rtag}, NULL, struct({ralias}.*) "
+        f"FROM {rhs_sql} AS {ralias}"
+    )
+    part = ", ".join(f"__k{x}" for x in range(len(eqs)))
+    order = "__ts DESC" if forward else "__ts"
+    win = (
+        f"last(__rrow) IGNORE NULLS OVER (PARTITION BY {part} "
+        f"ORDER BY {order}, __side "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __rm"
+    )
+    rfinal = "__rm"
+    if side == "LEFT" and rhs_name:
+        cols = (_SCRIPT_SCHEMAS_CTX.get() or {}).get(rhs_name)
+        if cols:
+            defaults = ", ".join(
+                f"'{c}', CAST({d} AS {ty})" for c, ty, d in cols
+            )
+            rfinal = f"coalesce(__rm, named_struct({defaults}))"
+    filt = "__side = 1" + ("" if side == "LEFT" else " AND __rm IS NOT NULL")
+    # UNQUALIFIED outer references: flatten the left row alongside the
+    # struct aliases (reference name resolution prefers the left table);
+    # right-only columns are flattened too when both schemas are known
+    # (script-engine tables), since excluding left-dup names needs both
+    # column lists
+    schemas = _SCRIPT_SCHEMAS_CTX.get() or {}
+    extras = ""
+    lcols = schemas.get(left_sql)
+    rcols = schemas.get(rhs_name) if rhs_name else None
+    if lcols is not None:
+        # a column spelled like either table alias (Spark resolution is
+        # case-insensitive) would make qualified refs ambiguous — keep it
+        # struct-only
+        taken = {lq.lower(), ralias.lower()}
+        lnames = {c.lower() for c, _, _ in lcols}
+        extras += "".join(
+            f", __lrow.{c} AS {c}"
+            for c, _, _ in lcols if c.lower() not in taken
+        )
+        if rcols is not None:
+            extras += "".join(
+                f", {rfinal}.{c} AS {c}"
+                for c, _, _ in rcols
+                if c.lower() not in lnames and c.lower() not in taken
+            )
+    item = (
+        f"(SELECT __lrow AS {lq}, {rfinal} AS {ralias}{extras} FROM "
+        f"(SELECT *, {win} FROM ({lbranch} UNION ALL {rbranch}) "
+        f"__asof_u{nid}) __asof_w{nid} WHERE {filt}) AS __asof_{nid}"
+    )
+    del out[start:]
+    out.append(item)
+    return True
+
+
 def _translate_from(toks: list[str]) -> list[str]:
     """FROM clause: FINAL -> __final view, SAMPLE -> TABLESAMPLE, GLOBAL
     stripped, ASOF/ANY join syntax rejected, subqueries recursed."""
@@ -2536,32 +2702,69 @@ def _translate_from(toks: list[str]) -> list[str]:
                         for x in range(len(ts))
                     )
 
+                asof_eqs: list[tuple[str, str]] = []
+                asof_time: tuple[str, str, bool, bool] | None = None
+                clean = True
                 for cj in conjs:
+                    # strip balanced outer parens: (l.k = r.k) AND (...)
+                    while (
+                        len(cj) >= 3
+                        and cj[0] == "("
+                        and _match_paren(cj, 0) == len(cj) - 1
+                    ):
+                        cj = cj[1:-1]
                     d4 = 0
+                    found = False
                     for m, tk in enumerate(cj):
                         if tk in ("(", "["):
                             d4 += 1
                         elif tk in (")", "]"):
                             d4 -= 1
                         elif d4 == 0 and tk in (">=", ">", "<=", "<"):
+                            found = True
                             lop, rop = cj[:m], cj[m + 1 :]
                             if _refs_alias(rop) and not _refs_alias(lop):
                                 order_sql = _emit(rop) + (
                                     " DESC" if tk in (">=", ">") else " ASC"
                                 )
+                                # l OP r: >=/> = backward, <=/< = forward
+                                asof_time = (
+                                    _emit(lop), _emit(rop),
+                                    tk in ("<=", "<"), tk in (">", "<"),
+                                )
                             elif _refs_alias(lop) and not _refs_alias(rop):
                                 order_sql = _emit(lop) + (
                                     " DESC" if tk in ("<=", "<") else " ASC"
                                 )
+                                # r OP l: mirrored direction
+                                asof_time = (
+                                    _emit(rop), _emit(lop),
+                                    tk in (">=", ">"), tk in (">", "<"),
+                                )
+                            else:
+                                clean = False
                             break
-                    if order_sql:
-                        break
+                        elif d4 == 0 and tk in ("=", "=="):
+                            found = True
+                            lop, rop = cj[:m], cj[m + 1 :]
+                            if _refs_alias(rop) and not _refs_alias(lop):
+                                asof_eqs.append((_emit(lop), _emit(rop)))
+                            elif _refs_alias(lop) and not _refs_alias(rop):
+                                asof_eqs.append((_emit(rop), _emit(lop)))
+                            else:
+                                clean = False
+                            break
+                    if not found:
+                        clean = False
+                if not clean:
+                    asof_eqs, asof_time = [], None
                 if order_sql is None:
                     raise DialectError(
                         "ASOF JOIN ON needs an inequality conjunct on the "
                         "right-side time column"
                     )
                 cond_sql = _emit(cond_t)
+                asof_using = None
             elif k < n and _kw(toks[k]) == "USING":
                 k += 1
                 if k < n and toks[k] == "(":
@@ -2598,8 +2801,21 @@ def _translate_from(toks: list[str]) -> list[str]:
                     eqs + [f"{alias}.{tcol} <= {lq}.{tcol}"]
                 )
                 order_sql = f"{alias}.{tcol} DESC"
+                asof_eqs, asof_time = [], None
+                asof_using = keys
             else:
                 raise DialectError("ASOF JOIN requires ON or USING")
+            # preferred path: linear union+window plan (one sort-shuffle
+            # of |L|+|R|); the correlated lateral below decorrelates to a
+            # BroadcastNestedLoopJoin — O(|L|·|R|) — and survives only as
+            # the fallback for shapes the rewrite can't express
+            if _asof_union_item(
+                out, rhs_sql, rhs_name, alias, side,
+                eqs=asof_eqs or None, time=asof_time,
+                using_keys=asof_using,
+            ):
+                i = k
+                continue
             lat = (
                 f"(SELECT * FROM {rhs_sql} AS {alias} WHERE {cond_sql} "
                 f"ORDER BY {order_sql} LIMIT 1)"

@@ -241,12 +241,24 @@ class ScriptRunner:
         return outs
 
     def execute(self, stmt: str) -> DataFrame | None:
-        from daisy_spark.plans.dialect import _STORAGE_JOIN_CTX
+        from daisy_spark.plans.dialect import (
+            _SCRIPT_SCHEMAS_CTX,
+            _STORAGE_JOIN_CTX,
+        )
 
         token = _STORAGE_JOIN_CTX.set(self.storage_join_meta)
+        schemas = {
+            name: [
+                (c.name, c.spark_type, _type_default(c.spark_type, c.nullable))
+                for c in t.cols
+            ]
+            for name, t in self.tables.items()
+        }
+        token2 = _SCRIPT_SCHEMAS_CTX.set(schemas)
         try:
             return self._execute(stmt)
         finally:
+            _SCRIPT_SCHEMAS_CTX.reset(token2)
             _STORAGE_JOIN_CTX.reset(token)
 
     def _execute(self, stmt: str) -> DataFrame | None:

@@ -71,17 +71,47 @@ def test_stream_flag():
     assert res.is_stream
 
 
-def test_asof_join_lowered_to_lateral():
+def test_asof_join_lowered_to_union_window():
+    # scale-safe plan: union both sides, one window pass — NOT the
+    # O(|L|*|R|) decorrelated lateral
     out = translate(
         "SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t"
     ).spark_sql
-    assert "LATERAL" in out and "ORDER BY b . t DESC LIMIT 1" in out
+    assert "LATERAL" not in out
+    assert "UNION ALL" in out and "IGNORE NULLS" in out
+    assert "PARTITION BY __k0" in out
+    # inner join: unmatched left rows filtered
+    assert "__rm IS NOT NULL" in out
 
 
 def test_asof_left_join_using():
     out = translate("SELECT * FROM a ASOF LEFT JOIN b USING(k, t)").spark_sql
-    assert "LEFT JOIN LATERAL" in out
-    assert "b.k = a.k" in out and "b.t <= a.t" in out
+    assert "LATERAL" not in out
+    assert "UNION ALL" in out and "IGNORE NULLS" in out
+    # left join keeps unmatched rows
+    assert "__rm IS NOT NULL" not in out
+
+
+def test_asof_strict_direction_tags():
+    # strict inequality: right rows sort AFTER left at equal ts (tag 2)
+    out = translate(
+        "SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.t > b.t"
+    ).spark_sql
+    assert ", 2, NULL, struct(b.*)" in out
+    # forward: window scans time descending
+    out2 = translate(
+        "SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.t < b.t"
+    ).spark_sql
+    assert "ORDER BY __ts DESC" in out2
+
+
+def test_asof_multi_join_left_falls_back_to_lateral():
+    # left side is itself a join -> not a single FROM item; lateral path
+    out = translate(
+        "SELECT * FROM a JOIN c ON a.id = c.id "
+        "ASOF JOIN b ON a.k = b.k AND a.t >= b.t"
+    ).spark_sql
+    assert "LATERAL" in out
 
 
 def test_parametric_topk_translates():

@@ -159,7 +159,11 @@ CORPUS = [
     "00844_join_lightee2.sql", "00860_unknown_identifier_bug.sql",
     "00862_decimal_in.sql", "00905_compile_expressions_compare_big_dates.sql",
     "00912_string_comparison.sql", "00917_multiple_joins_denny_crane.sql",
-    "00925_zookeeper_empty_replicated_merge_tree_optimize_final.sql", "00930_arrayIntersect.sql",
+    "00925_zookeeper_empty_replicated_merge_tree_optimize_final.sql",
+    "00927_asof_joins.sql", "00927_asof_join_correct_bt.sql",
+    "00927_asof_join_noninclusive.sql", "00927_asof_join_long.sql",
+    "01116_asof_join_dolbyzerr.sql",
+    "00930_arrayIntersect.sql",
     "00931_low_cardinality_nullable_aggregate_function_type.sql", "00931_low_cardinality_set_index_in_key_condition.sql",
     "00939_test_null_in.sql", "00944_minmax_null.sql",
     "00956_join_use_nulls_with_array_column.sql", "00957_delta_diff_bug.sql",
