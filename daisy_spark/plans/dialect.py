@@ -52,7 +52,7 @@ _TOKEN_RE = re.compile(
       (?P<ws>\s+)
     | (?P<comment>--[^\n]*|/\*.*?\*/)
     | (?P<str>'(?:[^'\\]|\\.|'')*')
-    | (?P<qid>`(?:[^`]|``)*`|"(?:[^"\\]|\\.)*")
+    | (?P<qid>`(?:[^`]|``)*`|"(?:[^"\\]|\\.|"")*")
     | (?P<hex>0[xX][0-9a-fA-F]+)
     | (?P<num>[0-9]+(?:\.[0-9]*)?(?:[eE][+-]?[0-9]+)?|\.[0-9]+)
     | (?P<id>[A-Za-z_][A-Za-z0-9_]*)
@@ -71,6 +71,22 @@ def tokenize(sql_text: str) -> list[str]:
         if m.lastgroup == "hex":
             # 0xFF literals -> decimal (Spark SQL has no hex int literals)
             out.append(str(int(m.group(), 16)))
+            continue
+        if m.lastgroup == "qid" and m.group().startswith('"'):
+            # reference double quotes are ALWAYS identifiers (SQL style);
+            # Spark reads them as string literals.  Plain names emit BARE
+            # so downstream ident-keyed logic (numbers TVF quals, alias
+            # tracking) sees them; anything else re-quotes as backticks
+            inner = m.group()[1:-1].replace('\\"', '"').replace('""', '"')
+            if re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", inner):
+                out.append(inner)
+            else:
+                out.append("`" + inner.replace("`", "``") + "`")
+            continue
+        if m.lastgroup == "num" and re.match(r"^0[0-9]+$", m.group()):
+            # leading-zero integers are plain decimals in the reference;
+            # Spark's parser rejects them
+            out.append(str(int(m.group(), 10)))
             continue
         out.append(m.group())
     return out
@@ -461,6 +477,98 @@ _STORAGE_JOIN_CTX: "contextvars.ContextVar[dict | None]" = contextvars.ContextVa
     "daisy_storage_join_meta", default=None
 )
 
+#: CREATE DICTIONARY registry for the active ScriptRunner statement:
+#: name -> {"view": str, "keys": [cols], "attrs": {col: (spark_type,
+#: default_sql)}, "range": (min_col, max_col) | None}
+_DICTS_CTX: "contextvars.ContextVar[dict | None]" = contextvars.ContextVar(
+    "daisy_dictionaries", default=None
+)
+
+
+def _dict_lookup(name_arg: str) -> dict:
+    name = name_arg.strip("'`\"").split(".")[-1]
+    meta = (_DICTS_CTX.get() or {}).get(name)
+    if meta is None:
+        _raise_dialect(f"dictGet: unknown dictionary {name}")
+    return meta
+
+
+def _dict_attr_names(attr_arg: str) -> list[str]:
+    """The attribute argument: a single quoted name or a tuple of them
+    (translated to named_struct('col1', 'a', ...) — keep odd matches)."""
+    names = re.findall(r"'([^']+)'", attr_arg)
+    if "named_struct" in attr_arg:
+        names = names[1::2]
+    if not names:
+        _raise_dialect(f"dictGet: unparsable attribute list {attr_arg!r}")
+    return names
+
+
+def _dict_key_cond(meta: dict, karg: str, point: str | None) -> str:
+    """Key match predicate: single-column equality, or a named_struct
+    compare for complex keys (matching tuple()'s col1..colN translation);
+    RANGE_HASHED layouts add the range-containment conjuncts."""
+    keys = meta["keys"]
+    if len(keys) == 1:
+        if "named_struct" in karg:
+            # COMPLEX_KEY layout with a 1-element key: the caller passes
+            # tuple(k) — compare struct-to-struct
+            cond = f"named_struct('col1', `{keys[0]}`) = ({karg})"
+        else:
+            cond = f"`{keys[0]}` = ({karg})"
+    else:
+        ns = ", ".join(f"'col{x + 1}', `{k}`" for x, k in enumerate(keys))
+        cond = f"named_struct({ns}) = ({karg})"
+    if point is not None and meta.get("range"):
+        mn, mx = meta["range"]
+        cond += f" AND `{mn}` <= ({point}) AND ({point}) <= `{mx}`"
+    return cond
+
+
+def _dict_get_expr(
+    a: list[str], or_null: bool = False, or_default: bool = False
+) -> str:
+    """dictGet / dictGet<Type> / dictGetOrDefault / dictGetOrNull
+    (src/Functions/FunctionsExternalDictionaries.h): a point lookup that
+    Catalyst decorrelates into a join against the dictionary view; misses
+    take the attribute's declared DEFAULT (or the type default), the
+    explicit 4th argument for -OrDefault, NULL for -OrNull."""
+    meta = _dict_lookup(a[0])
+    attrs = _dict_attr_names(a[1])
+    karg = a[2]
+    rest = a[3:]
+    point = None
+    if meta.get("range") and rest and not or_default:
+        point = rest[0]
+    default_arg = rest[0] if or_default and rest else None
+    cond = _dict_key_cond(meta, karg, point)
+    subs = []
+    for at in attrs:
+        sub = f"(SELECT any_value(`{at}`) FROM {meta['view']} WHERE {cond})"
+        if or_default and default_arg is not None:
+            sub = f"coalesce({sub}, {default_arg})"
+        elif not or_null:
+            ty, dd = meta["attrs"].get(at, ("", "NULL"))
+            if ty:
+                sub = f"coalesce({sub}, CAST({dd} AS {ty}))"
+        subs.append(sub)
+    if len(subs) == 1:
+        return subs[0]
+    return (
+        "named_struct("
+        + ", ".join(f"'col{x + 1}', {s}" for x, s in enumerate(subs))
+        + ")"
+    )
+
+
+def _dict_has_expr(a: list[str]) -> str:
+    meta = _dict_lookup(a[0])
+    cond = _dict_key_cond(meta, a[1], a[2] if len(a) > 2 else None)
+    return (
+        f"IF((SELECT count(*) FROM {meta['view']} WHERE {cond}) > 0, 1, 0)"
+    )
+
+
 #: script-engine table schemas for the active ScriptRunner statement:
 #: name -> [(col, spark_type, default_sql)].  Lets the ASOF union+window
 #: rewrite fill unmatched LEFT rows with the reference's type defaults.
@@ -789,7 +897,9 @@ FUNC_MAP: dict[str, object] = {
     "extractAll": "regexp_extract_all({0}, {1}, 1)",
     "splitByChar": "split({1}, {0})",
     "splitByString": "split({1}, {0})",
-    "arrayStringConcat": "array_join({0}, {1})",
+    "arrayStringConcat": lambda a: (
+        f"array_join({a[0]}, {a[1] if len(a) > 1 else repr('')})"
+    ),
     "leftPad": "lpad({0}, {1}, {2})", "rightPad": "rpad({0}, {1}, {2})",
     "countSubstrings": "(size(split({0}, {1})) - 1)",
     "base64Encode": "base64({0})", "base64Decode": "CAST(unbase64({0}) AS STRING)",
@@ -887,18 +997,30 @@ FUNC_MAP: dict[str, object] = {
     "tuple": lambda a: "named_struct("
     + ", ".join(f"'col{k + 1}', {x}" for k, x in enumerate(a))
     + ")",
-    "tupleElement": "{0}.col{1}",
+    # numeric index -> positional colN field; quoted name -> named field
+    "tupleElement": lambda a: (
+        f"{a[0]}.{a[1][1:-1]}"
+        if a[1].startswith("'")
+        else f"{a[0]}.col{a[1]}"
+    ),
     # hashing (values differ from reference — see functions.scalar)
     "cityHash64": "xxhash64({*})", "sipHash64": "xxhash64({*})",
     "xxHash64": "xxhash64({*})", "halfMD5": "xxhash64({*})",
     "MD5": "md5({0})", "SHA256": "sha2({0}, 256)", "SHA1": "sha1({0})",
     # aggregates
-    "count": "count({*})", "countIf": "count_if({0})",
-    "sumIf": "sum(CASE WHEN {1} THEN {0} END)",
-    "avgIf": "avg(CASE WHEN {1} THEN {0} END)",
-    "minIf": "min(CASE WHEN {1} THEN {0} END)",
-    "maxIf": "max(CASE WHEN {1} THEN {0} END)",
+    # -If conditions are UInt8 in the reference — always boolean-cast
+    "count": "count({*})", "countIf": "count_if(CAST({0} AS BOOLEAN))",
+    "sumIf": "sum(CASE WHEN CAST({1} AS BOOLEAN) THEN {0} END)",
+    "avgIf": "avg(CASE WHEN CAST({1} AS BOOLEAN) THEN {0} END)",
+    "minIf": "min(CASE WHEN CAST({1} AS BOOLEAN) THEN {0} END)",
+    "maxIf": "max(CASE WHEN CAST({1} AS BOOLEAN) THEN {0} END)",
     "any": "any_value({0})", "anyLast": "any_value({0})",
+    "anyIf": "any_value(CASE WHEN CAST({1} AS BOOLEAN) THEN {0} END, true)",
+    "anyLastIf": (
+        "last(CASE WHEN CAST({1} AS BOOLEAN) THEN {0} END, true)"
+    ),
+    "anyLastMerge": "any_value({0}, true)",
+    "anyMerge": "any_value({0}, true)",
     "argMax": "max_by({0}, {1})", "argMin": "min_by({0}, {1})",
     "avgWeighted": "(sum({0} * {1}) / sum({1}))",
     # multi-argument uniq counts distinct TUPLES; a bare arg list would
@@ -935,8 +1057,33 @@ FUNC_MAP: dict[str, object] = {
     # pure display-timezone change; with the session in UTC this renders
     # wall-clock time in the target zone like the reference does
     "toTimeZone": "from_utc_timestamp({0}, {1})",
+    # toRelative*Num: monotone period counters since epoch
+    # (src/Functions/DateTimeTransforms.h) — exact epoch-anchored values
+    "toRelativeYearNum": "year({0})",
+    "toRelativeQuarterNum": "(year({0}) * 4 + quarter({0}) - 1)",
+    "toRelativeMonthNum": "(year({0}) * 12 + month({0}))",
+    "toRelativeDayNum": "datediff({0}, DATE '1970-01-01')",
+    "toRelativeHourNum": (
+        "CAST(floor(unix_timestamp({0}) / 3600) AS BIGINT)"
+    ),
+    "toRelativeMinuteNum": (
+        "CAST(floor(unix_timestamp({0}) / 60) AS BIGINT)"
+    ),
+    "toRelativeSecondNum": "unix_timestamp({0})",
     "finalizeAggregation": "{0}",  # fooState(...) translates as foo(...)
     "joinGet": lambda a: _join_get_expr(a, False),
+    "dictGet": lambda a: _dict_get_expr(a),
+    "dictGetOrDefault": lambda a: _dict_get_expr(a, or_default=True),
+    "dictGetOrNull": lambda a: _dict_get_expr(a, or_null=True),
+    "dictHas": _dict_has_expr,
+    **{
+        f"dictGet{t}": (lambda a: _dict_get_expr(a))
+        for t in (
+            "UInt8", "UInt16", "UInt32", "UInt64",
+            "Int8", "Int16", "Int32", "Int64",
+            "Float32", "Float64", "String", "Date", "DateTime", "UUID",
+        )
+    },
     "joinGetOrNull": lambda a: _join_get_expr(a, True),
     "medianTiming": lambda a: _quantile_timing_expr(["0.5"], a, True),
     "quantileExactWeighted": lambda a: _quantile_exact_weighted_expr(
@@ -1556,6 +1703,54 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
             out.append(".col" + t[1:])
             i += 1
             continue
+        # INTERVAL <expr> UNIT: Spark's literal syntax needs a constant
+        # and has no QUARTER unit; non-constant counts become
+        # (expr) * INTERVAL 1 UNIT (the reference accepts any expression:
+        # ParserIntervalOperatorExpression)
+        if up == "INTERVAL" and i + 2 < n:
+            # find the unit: scan ahead for a known unit keyword at the
+            # end of the operand expression
+            _UNITS = {
+                "SECOND", "MINUTE", "HOUR", "DAY", "WEEK", "MONTH",
+                "QUARTER", "YEAR",
+            }
+            j2 = i + 1
+            d6 = 0
+            unit_at = None
+            while j2 < n:
+                tj = toks[j2]
+                if tj == "(":
+                    d6 += 1
+                elif tj == ")":
+                    if d6 == 0:
+                        break
+                    d6 -= 1
+                elif d6 == 0 and _kw(tj) in _UNITS:
+                    unit_at = j2
+                    break
+                elif d6 == 0 and tj == ",":
+                    break
+                j2 += 1
+            if unit_at is not None and unit_at > i + 1:
+                operand = toks[i + 1 : unit_at]
+                unit = _kw(toks[unit_at])
+                mult = ""
+                if unit == "QUARTER":
+                    unit, mult = "MONTH", " * 3"
+                elif unit == "WEEK":
+                    unit, mult = "DAY", " * 7"
+                is_const = len(operand) == 1 and re.match(
+                    r"^[0-9]+$", operand[0]
+                )
+                if is_const and not mult:
+                    out += ["INTERVAL", operand[0], unit]
+                else:
+                    op_sql = _emit(_translate_expr(operand))
+                    out.append(
+                        f"(({op_sql}){mult} * INTERVAL 1 {unit})"
+                    )
+                i = unit_at + 1
+                continue
         # system.one's virtual `dummy` column (always UInt8 0)
         if (
             t == "dummy"
@@ -1597,12 +1792,17 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
         ):
             depth = 0
             end = n
+            between_depth = 0  # BETWEEN a AND b: that AND is a binder
             for j in range(i + 1, n):
                 tk = toks[j]
                 if tk in ("(", "["):
                     depth += 1
                 elif tk in (")", "]"):
                     depth -= 1
+                elif depth == 0 and _kw(tk) == "BETWEEN":
+                    between_depth += 1
+                elif depth == 0 and _kw(tk) == "AND" and between_depth:
+                    between_depth -= 1
                 elif depth == 0 and (_kw(tk) in ("AND", "OR", "AS") or tk == ","):
                     end = j
                     break
@@ -1764,8 +1964,10 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                     f"use {UNSUPPORTED_FUNCS[t]}"
                 )
             # numbers(n) table function -> range TVF with the reference's
-            # column name (system.numbers column is `number`)
-            if t == "numbers" and args:
+            # column name (system.numbers column is `number`);
+            # numbers_mt is the multithreaded variant (same rows, no
+            # ordering guarantee — Spark's range is already parallel)
+            if t in ("numbers", "numbers_mt") and args:
                 if len(args) == 1:
                     out.append(f"(SELECT id AS number FROM range({args[0]}))")
                 else:
@@ -1773,6 +1975,10 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                         f"(SELECT id AS number FROM range({args[0]}, "
                         f"({args[0]}) + ({args[1]})))"
                     )
+                i = close + 1
+                continue
+            if t == "generateRandom":
+                out.append(_generate_random_tvf(args))
                 i = close + 1
                 continue
             tmpl = FUNC_MAP.get(t)
@@ -1810,7 +2016,42 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
             continue
         out.append(t)
         i += 1
-    return out
+    return _boolify_logic_operands(out)
+
+
+_BOOL_LEFT_EDGE = {"(", ",", "AND", "OR", "NOT", "WHEN", "THEN", "ELSE",
+                   "SELECT", "WHERE", "HAVING", "=", "<>", "!=", "IF"}
+_BOOL_RIGHT_EDGE = {")", ",", "AND", "OR", "AS", "THEN", "ELSE", "END",
+                    "=", "<>", "!="}
+
+
+def _boolify_logic_operands(toks: list[str]) -> list[str]:
+    """Reference logic is numeric: ``x AND 1`` is valid (UInt8 truthiness,
+    src/Functions/FunctionsLogical.cpp).  Spark's AND/OR demand booleans —
+    wrap BARE numeric-literal operands of AND/OR as ``(n <> 0)``.  The
+    AND of ``BETWEEN a AND b`` is a binder, not a conjunction."""
+    res = list(toks)
+    between = 0
+    for i, t in enumerate(res):
+        k = _kw(t)
+        if k == "BETWEEN":
+            between += 1
+            continue
+        if k == "AND" and between:
+            between -= 1
+            continue
+        if k not in ("AND", "OR"):
+            continue
+        for j in (i - 1, i + 1):
+            if not (0 <= j < len(res)):
+                continue
+            if not re.match(r"^[0-9]+(\.[0-9]*)?$", res[j]):
+                continue
+            edge = _BOOL_LEFT_EDGE if j < i else _BOOL_RIGHT_EDGE
+            nb = j - 1 if j < i else j + 1
+            if nb < 0 or nb >= len(res) or _kw(res[nb]) in edge:
+                res[j] = f"({res[j]} <> 0)"
+    return res
 
 
 # ---------------------------------------------------------------------------
@@ -2202,6 +2443,92 @@ def _apply_array_join(q: _Select) -> None:
         q.order_by = _subst_tokens(q.order_by, subs)
 
 
+def _rand_expr_for_type(spark_type: str, h: str) -> str:
+    """Deterministic pseudo-random SQL expression of the given Spark type,
+    derived from hash expression ``h`` (no driver RNG — generation is
+    distributed, mirroring src/TableFunctions/TableFunctionGenerateRandom)."""
+    t = spark_type.lower()
+    if t == "tinyint":
+        return f"CAST(pmod({h}, 256) - 128 AS TINYINT)"
+    if t == "smallint":
+        return f"CAST(pmod({h}, 65536) - 32768 AS SMALLINT)"
+    if t == "int":
+        return f"CAST(pmod({h}, 4294967296) - 2147483648 AS INT)"
+    if t == "bigint":
+        return f"({h})"
+    if t in ("float", "double"):
+        return f"CAST(pmod({h}, 1000000000) / 33554432.0 AS {t.upper()})"
+    if t == "boolean":
+        return f"(pmod({h}, 2) = 1)"
+    if t == "string":
+        return f"substr(base64(CAST(CAST({h} AS STRING) AS BINARY)), 1, 8)"
+    if t == "date":
+        return f"date_add(DATE '1970-01-01', CAST(pmod({h}, 20000) AS INT))"
+    if t == "timestamp":
+        return f"timestamp_seconds(pmod({h}, 1500000000))"
+    if t.startswith("decimal"):
+        m = re.match(r"decimal\((\d+),\s*(\d+)\)", t)
+        p, s = (int(m.group(1)), int(m.group(2))) if m else (10, 0)
+        digits = min(p, 9)
+        return (
+            f"CAST(pmod({h}, {10 ** digits}) / {10 ** s} AS DECIMAL({p}, {s}))"
+        )
+    if t.startswith("array<"):
+        inner = spark_type[6:-1]
+        elem = _rand_expr_for_type(inner, f"xxhash64({h}, __gi)")
+        return (
+            f"transform(sequence(1, CAST(pmod({h}, 4) AS INT)), "
+            f"__gi -> {elem})"
+        )
+    if t.startswith("struct<"):
+        fields = []
+        body = spark_type[7:-1]
+        depth = 0
+        cur = ""
+        parts = []
+        for ch in body:
+            if ch in "<(":
+                depth += 1
+            elif ch in ">)":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append(cur)
+                cur = ""
+            else:
+                cur += ch
+        if cur:
+            parts.append(cur)
+        for x, prt in enumerate(parts):
+            fn, ft = prt.split(":", 1)
+            fields.append(
+                f"'{fn.strip()}', "
+                + _rand_expr_for_type(ft.strip(), f"xxhash64({h}, {x})")
+            )
+        return f"named_struct({', '.join(fields)})"
+    _raise_dialect(f"generateRandom: unsupported type {spark_type!r}")
+
+
+def _generate_random_tvf(args: list[str]) -> str:
+    """generateRandom('a Int8, b String'[, seed...]) — hash-derived rows
+    over a lazy range; the LIMIT-pushdown in _render bounds the scan."""
+    if not args or not args[0].startswith("'"):
+        _raise_dialect("generateRandom needs a quoted schema string")
+    seed = args[1] if len(args) > 1 and re.match(r"^\d+$", args[1]) else "42"
+    schema_toks = tokenize(args[0][1:-1])
+    parts = _split_top(schema_toks, ",")
+    exprs = []
+    for part in parts:
+        if not part:
+            continue
+        cname = part[0].strip('`"')
+        spark_type, _ = _map_type(part, 1)
+        h = f"xxhash64(id, '{cname}', {seed})"
+        exprs.append(f"{_rand_expr_for_type(spark_type, h)} AS `{cname}`")
+    return (
+        f"(SELECT {', '.join(exprs)} FROM range(1000000000))"
+    )
+
+
 _ASOF_COUNTER = [0]
 
 
@@ -2444,18 +2771,22 @@ def _translate_from(toks: list[str]) -> list[str]:
                 _is_ident(toks[i + 3])
                 and _kw(toks[i + 3]) not in _SQL_KEYWORDS
             ):
-                out.append("AS __numbers")
+                out.append("AS numbers")
             i += 3
             continue
         # numbers(n) table function (system.numbers semantics)
-        if t == "numbers" and i + 1 < n and toks[i + 1] == "(":
+        if t in ("numbers", "numbers_mt", "generateRandom") and (
+            i + 1 < n and toks[i + 1] == "("
+        ):
             close = _match_paren(toks, i + 1)
             args = [
                 _emit(_translate_expr(p))
                 for p in _split_top(toks[i + 2 : close], ",")
                 if p
             ]
-            if len(args) == 1:
+            if t == "generateRandom":
+                out.append(_generate_random_tvf(args))
+            elif len(args) == 1:
                 out.append(f"(SELECT id AS number FROM range({args[0]}))")
             else:
                 out.append(
@@ -2467,7 +2798,7 @@ def _translate_from(toks: list[str]) -> list[str]:
                 close + 1 < n and _is_ident(toks[close + 1])
                 and _kw(toks[close + 1]) not in _SQL_KEYWORDS
             ):
-                out.append("AS __numbers")
+                out.append("AS numbers")
             i = close + 1
             continue
         if up == "ANY" and i + 1 < n and _kw(toks[i + 1]) in (
@@ -2827,6 +3158,76 @@ def _translate_from(toks: list[str]) -> list[str]:
                 out += ["JOIN", "LATERAL", lat, "AS", alias, "ON", "TRUE"]
             i = k
             continue
+        # merge('db', 'tables_regexp') -> UNION ALL of the matching
+        # script tables, each branch tagged with the `_table` virtual
+        # column (src/TableFunctions/TableFunctionMerge.cpp)
+        if up == "MERGE" and i + 1 < n and toks[i + 1] == "(":
+            close_m = _match_paren(toks, i + 1)
+            margs = [
+                _emit(p).strip("'`\" ")
+                for p in _split_top(toks[i + 2 : close_m], ",")
+            ]
+            pat = (margs[-1] if margs else ".*").replace("\\\\", "\\")
+            tables = sorted(
+                nm for nm in (_SCRIPT_SCHEMAS_CTX.get() or {})
+                if re.fullmatch(pat, nm)
+            )
+            if not tables:
+                raise DialectError(f"merge(): no tables match {pat!r}")
+            branches = [
+                f"SELECT *, '{nm}' AS _table FROM `{nm}`" for nm in tables
+            ]
+            out.append("(" + " UNION ALL ".join(branches) + ")")
+            follows_alias = close_m + 1 < n and (
+                _kw(toks[close_m + 1]) == "AS"
+                or (
+                    _is_ident(toks[close_m + 1])
+                    and _kw(toks[close_m + 1]) not in _SQL_KEYWORDS
+                )
+            )
+            if not follows_alias:
+                out.append("AS __merge")
+            i = close_m + 1
+            continue
+        # dictionary('name') table function -> the dictionary's view
+        if (
+            up == "DICTIONARY"
+            and i + 1 < n
+            and toks[i + 1] == "("
+        ):
+            close_d = _match_paren(toks, i + 1)
+            dname = _emit(toks[i + 2 : close_d]).strip("'`\" ")
+            out.append(f"`{dname.split('.')[-1]}`")
+            i = close_d + 1
+            continue
+        if up == "ON" and out and any(
+            _kw(x) == "JOIN" for x in out
+        ):
+            # JOIN ON condition: run through the expression translator so
+            # reference functions (toUInt32(...), etc.) lower properly
+            k2 = i + 1
+            cond_toks2: list[str] = []
+            d5 = 0
+            while k2 < n:
+                tk2 = toks[k2]
+                if tk2 == "(":
+                    d5 += 1
+                elif tk2 == ")":
+                    d5 -= 1
+                if d5 == 0 and (
+                    tk2 == ","
+                    or _kw(tk2) in (
+                        "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS",
+                        "ASOF", "SEMI", "ANTI", "GLOBAL", "ANY", "ALL",
+                        "ARRAY", "USING",
+                    )
+                ):
+                    break
+                cond_toks2.append(tk2)
+                k2 += 1
+            out += ["ON"] + _translate_expr(cond_toks2)
+            i = k2
+            continue
         if up == "FINAL":
             if not out:
                 raise DialectError("FINAL with no preceding table")
@@ -2865,7 +3266,25 @@ def _render(q: _Select) -> str:
         )
     lateral = lateral.strip()
     if q.from_:
-        frm = "FROM " + _emit(_translate_from(q.from_))
+        from_sql = _emit(_translate_from(q.from_))
+        # system.numbers expands to a 1e9-row lazy range; when a plain
+        # integer LIMIT is the only row-consuming clause, push it into
+        # the range bound — correlated subqueries in the select list
+        # (e.g. dictGet) decorrelate into joins ABOVE the scan, through
+        # which Spark's limit does not push, so the full cap would be
+        # scanned (JVM-killing) for a 5-row query
+        if (
+            "range(1000000000)" in from_sql
+            and len(q.limit) == 1 and q.limit[0].isdigit()
+            and not (
+                q.where or q.prewhere or q.group_by or q.having
+                or q.order_by or q.offset or q.limit_by or q.distinct
+            )
+        ):
+            from_sql = from_sql.replace(
+                "range(1000000000)", f"range({q.limit[0]})", 1
+            )
+        frm = "FROM " + from_sql
         if lateral:
             frm += " " + lateral
         parts.append(frm)
@@ -3112,6 +3531,11 @@ def _translate_query_text(toks: list[str]) -> str:
     for p in parts:
         sql_text, _ = _translate_select_tokens(p)
         rendered_parts.append(sql_text)
+    if len(rendered_parts) > 1:
+        # parenthesize every branch: the reference binds a branch's
+        # ORDER BY/LIMIT to that branch; Spark's parser rejects e.g.
+        # `SELECT ... LIMIT n UNION ALL SELECT ...` without parens
+        rendered_parts = [f"( {p} )" for p in rendered_parts]
     out = rendered_parts[0]
     for sep, nxt in zip(seps, rendered_parts[1:]):
         out += f" {sep} {nxt}"

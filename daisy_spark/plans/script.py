@@ -229,6 +229,8 @@ class ScriptRunner:
         #: layouts for joinGet); activated around each execute() so two
         #: runners on one interpreter never share or clobber state
         self.storage_join_meta: dict[str, dict] = {}
+        #: CREATE DICTIONARY registry: name -> dialect _DICTS_CTX meta
+        self.dictionaries: dict[str, dict] = {}
 
     # -- public ----------------------------------------------------------
 
@@ -242,10 +244,12 @@ class ScriptRunner:
 
     def execute(self, stmt: str) -> DataFrame | None:
         from daisy_spark.plans.dialect import (
+            _DICTS_CTX,
             _SCRIPT_SCHEMAS_CTX,
             _STORAGE_JOIN_CTX,
         )
 
+        token3 = _DICTS_CTX.set(self.dictionaries)
         token = _STORAGE_JOIN_CTX.set(self.storage_join_meta)
         schemas = {
             name: [
@@ -260,6 +264,7 @@ class ScriptRunner:
         finally:
             _SCRIPT_SCHEMAS_CTX.reset(token2)
             _STORAGE_JOIN_CTX.reset(token)
+            _DICTS_CTX.reset(token3)
 
     def _execute(self, stmt: str) -> DataFrame | None:
         toks = tokenize(stmt.strip().rstrip(";"))
@@ -302,7 +307,10 @@ class ScriptRunner:
             if j < len(toks) and _kw(toks[j]) == "TEMPORARY":
                 j += 1
             if j < len(toks) and _kw(toks[j]) == "TABLES":
-                names = sorted({t.name for t in self.tables.values()})
+                names = sorted(
+                    {t.name for t in self.tables.values()}
+                    | set(self.dictionaries)
+                )
                 j += 1
                 if j + 1 < len(toks) and _kw(toks[j]) == "LIKE":
                     import fnmatch
@@ -322,6 +330,12 @@ class ScriptRunner:
     def close(self) -> None:
         for name in list(self.tables):
             self._drop_views(name)
+        for name in list(self.dictionaries):
+            try:
+                self.spark.catalog.dropTempView(name)
+            except Exception:  # noqa: BLE001
+                pass
+        self.dictionaries.clear()
         self.storage_join_meta.clear()
         self.tables.clear()
         self.live_views.clear()
@@ -340,7 +354,7 @@ class ScriptRunner:
         kind = _kw(toks[i]) if i < len(toks) else ""
         if kind == "DATABASE":
             name = toks[i + 1].strip('`"')
-            ddl = f"CREATE DATABASE {name}\\nENGINE = Atomic"
+            ddl = f"CREATE DATABASE {name}\nENGINE = Atomic"
             return self.spark.createDataFrame([(ddl,)], "statement STRING")
         if kind in ("TABLE", "VIEW"):
             i += 1
@@ -348,13 +362,13 @@ class ScriptRunner:
         t = self.tables.get(name)
         if t is None:
             raise DialectError(f"SHOW CREATE of unknown table {name}")
-        cols = ",\\n    ".join(
+        cols = ",\n    ".join(
             f"`{c.name}` {c.ch_type or c.spark_type}"
             for c in t.cols if not c.hidden
         )
         engine = t.spec.engine if t.spec.engine != "MergeTree" else "Memory"
         ddl = (
-            f"CREATE {temp}TABLE {name}\\n(\\n    {cols}\\n)\\n"
+            f"CREATE {temp}TABLE {name}\n(\n    {cols}\n)\n"
             f"ENGINE = {engine}"
         )
         return self.spark.createDataFrame([(ddl,)], "statement STRING")
@@ -469,6 +483,8 @@ class ScriptRunner:
             and _kw(toks[i + 1]) == "VIEW"
         ):
             return self._create_materialized_view(toks, i + 2)
+        if kind == "DICTIONARY":
+            return self._create_dictionary(toks, i + 1)
         if kind != "TABLE":
             raise DialectError(f"unsupported CREATE {kind}")
         i += 1
@@ -688,6 +704,166 @@ class ScriptRunner:
                     for c in t.cols
                 },
             }
+        return None
+
+    def _create_dictionary(self, toks: list[str], i: int) -> None:
+        """CREATE DICTIONARY name (attrs...) PRIMARY KEY k SOURCE(...)
+        LAYOUT(...) [RANGE(MIN a MAX b)] — the reference's external
+        dictionary DDL (src/Interpreters/InterpreterCreateQuery.cpp,
+        getDictionaryConfigurationFromAST).  Spark-first: the dictionary
+        becomes a temp VIEW over its source table (attribute EXPRESSIONs
+        applied, declared types cast), and dictGet* lower to point-lookup
+        subqueries Catalyst decorrelates into broadcast-style joins —
+        the same executor-resident-dimension shape as the reference's
+        in-memory layouts.  Only SOURCE(CLICKHOUSE(TABLE ...)) — i.e. a
+        table of this runner — is meaningful here; other sources raise."""
+        if_not_exists = False
+        if (
+            _kw(toks[i]) == "IF" and _kw(toks[i + 1]) == "NOT"
+            and _kw(toks[i + 2]) == "EXISTS"
+        ):
+            if_not_exists = True
+            i += 3
+        name, i = self._table_name(toks, i)
+        if i + 2 < len(toks) and _kw(toks[i]) == "ON" and _kw(toks[i + 1]) == "CLUSTER":
+            i += 3
+        if name in self.dictionaries:
+            if if_not_exists:
+                return None
+            raise DialectError(f"dictionary {name} already exists")
+        if toks[i] != "(":
+            raise DialectError("CREATE DICTIONARY requires an attribute list")
+        close = _match_paren(toks, i)
+        colpart = toks[i + 1 : close]
+        i = close + 1
+        # extract per-attribute EXPRESSION clauses before the shared
+        # column parser (they are dictionary-specific)
+        expressions: dict[str, str] = {}
+        cleaned: list[str] = []
+        for part in _split_top(colpart, ","):
+            if not part:
+                continue
+            cname = part[0].strip('`"')
+            j, kept = 1, [part[0]]
+            while j < len(part):
+                if _kw(part[j]) == "EXPRESSION" and j + 1 < len(part):
+                    k = j + 1
+                    depth = 0
+                    while k < len(part):
+                        if part[k] == "(":
+                            depth += 1
+                        elif part[k] == ")":
+                            depth -= 1
+                        elif depth == 0 and _kw(part[k]) in (
+                            "HIERARCHICAL", "INJECTIVE", "IS_OBJECT_ID",
+                        ):
+                            break
+                        k += 1
+                    expr_toks = part[j + 1 : k]
+                    # a quoted literal holds reference-dialect SQL text
+                    if len(expr_toks) == 1 and expr_toks[0].startswith("'"):
+                        expr_toks = tokenize(expr_toks[0][1:-1])
+                    expressions[cname] = _emit(_translate_expr(expr_toks))
+                    j = k
+                elif _kw(part[j]) in ("HIERARCHICAL", "INJECTIVE", "IS_OBJECT_ID"):
+                    j += 1
+                else:
+                    kept.append(part[j])
+                    j += 1
+            if cleaned:
+                cleaned.append(",")
+            cleaned += kept
+        cols = self._parse_coldefs(cleaned)
+        keys: list[str] = []
+        source_tbl: str | None = None
+        rng: tuple[str, str] | None = None
+        n = len(toks)
+        while i < n:
+            kw = _kw(toks[i])
+            if kw == "PRIMARY" and i + 1 < n and _kw(toks[i + 1]) == "KEY":
+                i += 2
+                ks: list[str] = []
+                while i < n and _kw(toks[i]) not in (
+                    "SOURCE", "LAYOUT", "LIFETIME", "RANGE", "SETTINGS",
+                    "COMMENT",
+                ):
+                    ks.append(toks[i])
+                    i += 1
+                while ks and ks[0] == "(" and _match_paren(ks, 0) == len(ks) - 1:
+                    ks = ks[1:-1]
+                keys = [
+                    _emit(p).strip('`"') for p in _split_top(ks, ",") if p
+                ]
+            elif kw in (
+                "SOURCE", "LAYOUT", "LIFETIME", "RANGE", "SETTINGS",
+            ) and i + 1 < n and toks[i + 1] == "(":
+                close2 = _match_paren(toks, i + 1)
+                inner = toks[i + 2 : close2]
+                if kw == "SOURCE":
+                    src_kind = _kw(inner[0]) if inner else ""
+                    if src_kind != "CLICKHOUSE":
+                        raise DialectError(
+                            f"unsupported dictionary source {src_kind}"
+                        )
+                    for x, tk in enumerate(inner):
+                        if _kw(tk) == "TABLE" and x + 1 < len(inner):
+                            source_tbl = inner[x + 1].strip("'`\"").split(".")[-1]
+                if kw == "RANGE":
+                    mn = mx = None
+                    for x, tk in enumerate(inner):
+                        if _kw(tk) == "MIN" and x + 1 < len(inner):
+                            mn = inner[x + 1].strip('`"')
+                        if _kw(tk) == "MAX" and x + 1 < len(inner):
+                            mx = inner[x + 1].strip('`"')
+                    if mn and mx:
+                        rng = (mn, mx)
+                i = close2 + 1
+            else:
+                i += 1
+        if source_tbl is None:
+            raise DialectError("CREATE DICTIONARY requires SOURCE(CLICKHOUSE(TABLE ...))")
+        if not keys:
+            raise DialectError("CREATE DICTIONARY requires PRIMARY KEY")
+        # the reference exposes dictionary columns key-first, then the
+        # RANGE bounds, then the remaining attributes in DDL order
+        # (getDictionaryConfigurationFromAST attribute layout)
+        ordered: list = []
+        for k in keys:
+            ordered += [c for c in cols if c.name == k and c not in ordered]
+        if rng:
+            for r in rng:
+                ordered += [
+                    c for c in cols if c.name == r and c not in ordered
+                ]
+        ordered += [c for c in cols if c not in ordered]
+        cols = ordered
+        sel = []
+        for c in cols:
+            if c.name in expressions:
+                sel.append(
+                    f"CAST(({expressions[c.name]}) AS {c.spark_type}) AS `{c.name}`"
+                )
+            else:
+                sel.append(f"CAST(`{c.name}` AS {c.spark_type}) AS `{c.name}`")
+        self.spark.sql(
+            f"CREATE OR REPLACE TEMP VIEW `{name}` AS "
+            f"SELECT {', '.join(sel)} FROM `{source_tbl}`"
+        )
+        self.dictionaries[name] = {
+            "view": f"`{name}`",
+            "keys": keys,
+            "attrs": {
+                c.name: (
+                    c.spark_type,
+                    c.default
+                    if c.default is not None
+                    else _type_default(c.spark_type, c.nullable),
+                )
+                for c in cols
+            },
+            "range": rng,
+            "source": source_tbl,
+        }
         return None
 
     def _create_view(self, toks: list[str], i: int) -> None:
@@ -1174,9 +1350,11 @@ class ScriptRunner:
         i = 1
         if _kw(toks[i]) == "TEMPORARY":
             i += 1
-        if _kw(toks[i]) == "TABLE" or _kw(toks[i]) == "VIEW":
+        if _kw(toks[i]) in ("TABLE", "VIEW", "DICTIONARY"):
             i += 1
         elif _kw(toks[i]) == "DATABASE":
+            # dictionaries of the dropped namespace go with it (names are
+            # flattened, so clear any whose source db matched)
             return None
         if (
             i + 1 < len(toks)
@@ -1187,6 +1365,8 @@ class ScriptRunner:
         self.live_views.pop(name, None)
         self.mat_views.pop(name, None)
         self.storage_join_meta.pop(name, None)
+        if self.dictionaries.pop(name, None) is not None:
+            self.spark.catalog.dropTempView(name)
         t = self.tables.pop(name, None)
         if t is not None and t.name != name and name in t.aka:
             t.aka.remove(name)  # dropping a Buffer proxy, not the target

@@ -292,7 +292,9 @@ def _fmt(v, nested=False):
     import decimal
 
     if v is None:
-        return "\\N"
+        # inside composite values ClickHouse TSV writes the bare word
+        # NULL; a top-level NULL is the TSV escape \N
+        return "NULL" if nested else "\\N"
     import datetime
 
     if isinstance(v, datetime.datetime):
@@ -323,6 +325,14 @@ def _fmt(v, nested=False):
     if isinstance(v, str) and nested:
         # ClickHouse TSV quotes strings inside composite values
         return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if isinstance(v, str):
+        # TSV escaping (writeEscapedString): backslash + control chars
+        # + apostrophe
+        return (
+            v.replace("\\", "\\\\").replace("\t", "\\t")
+            .replace("\n", "\\n").replace("\r", "\\r")
+            .replace("'", "\\'")
+        )
     return str(v)
 
 

@@ -45,7 +45,8 @@ def fmt(v, nested=False):
     import decimal
 
     if v is None:
-        return "\\N"
+        # composite values render the bare word NULL; top level is \N
+        return "NULL" if nested else "\\N"
     if isinstance(v, datetime.datetime):
         s = v.strftime("%Y-%m-%d %H:%M:%S")
         return f"'{s}'" if nested else s
@@ -72,6 +73,14 @@ def fmt(v, nested=False):
     if isinstance(v, str) and nested:
         # ClickHouse TSV quotes strings inside composite values
         return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if isinstance(v, str):
+        # TSV escaping (writeEscapedString): backslash + control chars
+        # + apostrophe
+        return (
+            v.replace("\\", "\\\\").replace("\t", "\\t")
+            .replace("\n", "\\n").replace("\r", "\\r")
+            .replace("'", "\\'")
+        )
     return str(v)
 
 
@@ -131,6 +140,24 @@ def save_state(st):
 
 def main():
     st = load_state()
+    # --retry [ClassName|all]: clear previously-failed (and mismatched)
+    # files from done so the sweep re-attempts them with current code
+    if len(sys.argv) > 1 and sys.argv[1] == "--retry":
+        which = sys.argv[2] if len(sys.argv) > 2 else "all"
+        redo: set[str] = set()
+        for cls, files in st["fail_files"].items():
+            if which in ("all", cls):
+                redo.update(files)
+        if which == "all":
+            redo.update(st.get("mismatch", {}))
+        st["done"] = [f for f in st["done"] if f not in redo]
+        for cls in list(st["fail_files"]):
+            if which in ("all", cls):
+                st["fails"].pop(cls, None)
+                st["fail_files"].pop(cls, None)
+        if which == "all":
+            st["mismatch"] = {}
+        print(f"retrying {len(redo)} files")
     done = set(st["done"])
     spark = new_session()
     files = sorted(glob.glob("/root/reference/tests/queries/0_stateless/0*.sql"))
@@ -191,7 +218,9 @@ def main():
                     len(gl), len(el), pair[0][:160], pair[1][:160]
                 ]
         except Exception as e:  # noqa: BLE001
-            m = str(e).split("\n")[0]
+            m = next(
+                (ln for ln in str(e).split("\n") if ln.strip()), ""
+            )
             mm = re.search(r"Cannot resolve routine `(\w+)`", m)
             key = ("fn:" + mm.group(1)) if mm else type(e).__name__
             st["fails"][key] = st["fails"].get(key, 0) + 1
