@@ -25,6 +25,77 @@ from daisy_spark.queries import QUERIES  # noqa: E402
 from daisy_spark.session import get_spark  # noqa: E402
 
 
+#: scan-heavy queries for the amortized sf1 lane — at ~6M lineitem rows
+#: (the baseline's 10M tier) per-query job overhead stops dominating
+SF1_QUERIES = [
+    "pricing_summary", "shipping_priority", "region_revenue",
+    "events_hourly", "events_top_types", "uniq_approx", "delta_sum",
+    "rate", "retention", "window_funnel", "sequence_match",
+    "dedup_exact", "text_stats", "lang_fingerprint",
+]
+_SF1_BIG = {"lineitem", "orders", "events", "documents"}
+_SF1_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents",
+]
+
+
+def _ensure_sf1(spark, src_dir: str, dst_dir: str) -> None:
+    """Materialize a 10x replication of sf0.1 (~sf1) once per machine.
+    Timing-only data: rows are replicated verbatim — the lane measures
+    scan/shuffle/agg throughput, not oracle correctness."""
+    marker = os.path.join(dst_dir, "_DONE")
+    if os.path.exists(marker):
+        return
+    os.makedirs(dst_dir, exist_ok=True)
+    for t in _SF1_TABLES:
+        df = spark.read.parquet(f"{src_dir}/{t}.parquet")
+        if t in _SF1_BIG:
+            df = df.crossJoin(spark.range(10).select("id")).drop("id")
+        df.write.mode("overwrite").parquet(f"{dst_dir}/{t}.parquet")
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def _sf1_lane(spark, src_dir: str, budget_s: float) -> dict:
+    """Hot-run the scan-heavy queries at ~sf1; returns the sub-report.
+    Fully guarded: any failure (or blowing the time budget) degrades to a
+    partial/skipped lane, never a broken artifact."""
+    out: dict = {"queries": {}, "errors": {}}
+    t_start = time.perf_counter()
+    dst = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/daisy_sf1")
+    try:
+        _ensure_sf1(spark, src_dir, dst)
+    except Exception as exc:  # noqa: BLE001
+        out["errors"]["_generate"] = f"{type(exc).__name__}: {exc}"[:200]
+        return out
+    out["gen_sec"] = round(time.perf_counter() - t_start, 2)
+    for name in SF1_QUERIES:
+        if name not in QUERIES:
+            continue
+        if time.perf_counter() - t_start > budget_s:
+            out["errors"]["_budget"] = f"stopped after {budget_s}s"
+            break
+        spark.catalog.clearCache()
+        try:
+            QUERIES[name](spark, dst).count()  # cold/JIT
+            t1 = time.perf_counter()
+            QUERIES[name](spark, dst).count()
+            out["queries"][name] = round(time.perf_counter() - t1, 4)
+        except Exception as exc:  # noqa: BLE001
+            out["errors"][name] = f"{type(exc).__name__}: {exc}"[:200]
+    if out["queries"]:
+        out["geomean"] = round(
+            math.exp(
+                sum(math.log(max(t, 1e-4)) for t in out["queries"].values())
+                / len(out["queries"])
+            ),
+            4,
+        )
+        out["total"] = round(sum(out["queries"].values()), 4)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -57,6 +128,12 @@ def main() -> None:
         math.exp(sum(math.log(max(t, 1e-4)) for t in hot.values()) / max(len(hot), 1)),
         4,
     )
+    # amortized sf1 lane (VERDICT r3 item 5): ~6M-row lineitem puts the
+    # scan-heavy queries at the baseline's 10M tier where job overhead
+    # stops dominating; SPARK_GRAFT_SF1=0 disables
+    sf1: dict = {}
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf == "0.1":
+        sf1 = _sf1_lane(spark, sf_dir, budget_s=360.0)
     print(
         json.dumps(
             {
@@ -69,6 +146,7 @@ def main() -> None:
                 "cold_total": round(sum(cold.values()), 4),
                 "n_queries": len(hot),
                 "errors": errors,
+                "sf1": sf1,
             }
         )
     )

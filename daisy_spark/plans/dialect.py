@@ -24,10 +24,16 @@ token-level rewriter, not a full parser:
 - everything else passes through untouched, so Catalyst sees ordinary
   Spark SQL and all pushdown/pruning/join planning applies.
 
-Deliberately unsupported (raise DialectError with the operator-API
-alternative): ASOF/ANY JOIN SQL syntax, parametric aggregates that have
-no single-expression Spark form (topK, windowFunnel, sequenceMatch —
-available via daisy_spark.functions/operators), scalar WITH aliases.
+Also lowered in SQL (each corpus-tested against the reference's own
+stateless tests): ASOF JOIN (scale-safe union+window plan; correlated
+lateral only as the multi-join-left fallback), ANY JOIN (right-dedup),
+parametric aggregates (topK, windowFunnel, sequenceMatch/Count,
+quantile* families, histogram), scalar WITH aliases, ORDER BY WITH
+FILL, dictGet over CREATE DICTIONARY registrations, and the
+numbers/numbers_mt/generateRandom/merge/dictionary table functions.
+Still deliberately unsupported: RIGHT/FULL ASOF (absent in the
+reference too — HashJoin.h supports ASOF x LEFT/INNER only) and
+runningDifference/neighbor outside an explicit window context.
 """
 
 from __future__ import annotations
@@ -2811,11 +2817,13 @@ def _translate_from(toks: list[str]) -> list[str]:
             while j < n and _kw(toks[j]) != "JOIN":
                 dirs.append(_kw(toks[j]))
                 j += 1
-            if j >= n or "RIGHT" in dirs or "FULL" in dirs:
-                raise DialectError(
-                    "RIGHT/FULL ANY JOIN is not translated; use "
-                    "daisy_spark.operators.joins.any_join"
-                )
+            if j >= n:
+                raise DialectError("ANY with no JOIN")
+            # ANY RIGHT keeps every right row and dedups the LEFT side
+            # ("any row from the left table", HashJoin.h:77); ANY FULL
+            # dedups the right like LEFT, then FULL-joins
+            any_right = "RIGHT" in dirs
+            any_full = "FULL" in dirs
             k = j + 1
             if k < n and toks[k] == "(":
                 fc = _match_paren(toks, k)
@@ -2843,6 +2851,11 @@ def _translate_from(toks: list[str]) -> list[str]:
                 alias = toks[k]
                 k += 1
             if k < n and _kw(toks[k]) == "ON":
+                if any_right or any_full:
+                    raise DialectError(
+                        "RIGHT/FULL ANY JOIN ON is not translated; use "
+                        "daisy_spark.operators.joins.any_join"
+                    )
                 # ON form: dedup keys = the right side of each equality
                 # conjunct that references the right alias
                 r_alias = alias or (
@@ -2925,12 +2938,35 @@ def _translate_from(toks: list[str]) -> list[str]:
             if not keys:
                 raise DialectError("ANY JOIN USING with no keys")
             key_list = ", ".join(keys)
+            if any_right:
+                # dedup the LEFT side in place, keep the right side whole
+                popped = _asof_pop_left(out)
+                if popped is None:
+                    raise DialectError(
+                        "ANY RIGHT JOIN needs a single left FROM item"
+                    )
+                start, left_sql, lq = popped
+                dedup_l = (
+                    f"(SELECT * EXCEPT (__rn) FROM (SELECT __any.*, "
+                    f"row_number() OVER (PARTITION BY {key_list} "
+                    f"ORDER BY {key_list}) AS __rn "
+                    f"FROM {left_sql} AS __any) WHERE __rn = 1)"
+                )
+                del out[start:]
+                out += [dedup_l, "AS", lq, "RIGHT", "JOIN", factor_sql]
+                if alias:
+                    out += ["AS", alias]
+                out += ["USING", "(", key_list, ")"]
+                i = k
+                continue
             dedup = (
                 f"(SELECT * EXCEPT (__rn) FROM (SELECT __any.*, row_number() "
                 f"OVER (PARTITION BY {key_list} ORDER BY {key_list}) AS __rn "
                 f"FROM {factor_sql} AS __any) WHERE __rn = 1)"
             )
-            side = "LEFT" if "LEFT" in dirs else "INNER"
+            side = (
+                "FULL" if any_full else "LEFT" if "LEFT" in dirs else "INNER"
+            )
             out += [side, "JOIN", dedup]
             if alias:
                 out += ["AS", alias]
@@ -3364,12 +3400,16 @@ def _render_with_limit_by(q: _Select) -> str:
     semantics: dedup-to-n per key after ORDER BY, before final LIMIT)."""
     assert q.limit_by is not None
     n_expr, by_cols = q.limit_by
-    if not q.order_by:
-        raise DialectError(
-            "LIMIT BY requires ORDER BY for deterministic results on Spark"
-        )
     by_sql = _emit(_translate_expr(by_cols))
-    ord_sql = _emit(_translate_expr(q.order_by))
+    # without ORDER BY the reference keeps the first-encountered rows per
+    # key (stream order, LimitByTransform.cpp); partition order stands in
+    # for stream order — exact for the single-part/sorted-insert tables
+    # the script engine produces
+    ord_sql = (
+        _emit(_translate_expr(q.order_by))
+        if q.order_by
+        else "monotonically_increasing_id()"
+    )
     inner = _Select(
         select=q.select, distinct=q.distinct, from_=q.from_,
         prewhere=q.prewhere, where=q.where, group_by=q.group_by,
