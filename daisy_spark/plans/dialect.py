@@ -575,6 +575,12 @@ def _dict_has_expr(a: list[str]) -> str:
     )
 
 
+#: session settings of the active ScriptRunner (SET statements) — e.g.
+#: join_use_nulls=1 switches outer-join fills from type defaults to NULL
+_SETTINGS_CTX: "contextvars.ContextVar[dict | None]" = contextvars.ContextVar(
+    "daisy_session_settings", default=None
+)
+
 #: script-engine table schemas for the active ScriptRunner statement:
 #: name -> [(col, spark_type, default_sql)].  Lets the ASOF union+window
 #: rewrite fill unmatched LEFT rows with the reference's type defaults.
@@ -1139,7 +1145,8 @@ FUNC_MAP: dict[str, object] = {
     "log1p": "log1p({0})", "expm1": "expm1({0})",
     "intExp2": "CAST(pow(2, {0}) AS BIGINT)",
     "intExp10": "CAST(pow(10, {0}) AS BIGINT)",
-    "toTypeName": "typeof({0})", "generateUUIDv4": "uuid()",
+    "toTypeName": lambda a: _to_type_name_expr(a[0]),
+    "generateUUIDv4": "uuid()",
     "rand": "CAST(rand() * 4294967296 AS BIGINT)",
     # randConstant: one random value shared by every row of the query
     # (src/Functions/randConstant.cpp).  A scalar subquery over rand() is
@@ -1709,6 +1716,18 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
             out.append(".col" + t[1:])
             i += 1
             continue
+        # qualified refs into the numbers TVF ("numbers"."number"): the
+        # TVF subquery is aliased __numbers, and its only column is
+        # number — drop the qualifier
+        if (
+            t in ("numbers", "numbers_mt")
+            and i + 2 < n
+            and toks[i + 1] == "."
+            and toks[i + 2] == "number"
+        ):
+            out.append("number")
+            i += 3
+            continue
         # INTERVAL <expr> UNIT: Spark's literal syntax needs a constant
         # and has no QUARTER unit; non-constant counts become
         # (expr) * INTERVAL 1 UNIT (the reference accepts any expression:
@@ -1866,7 +1885,8 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
             prev = toks[i - 1] if i > 0 else ""
             is_subscript = bool(prev) and (
                 (_is_ident(prev) and _kw(prev) not in _SQL_KEYWORDS)
-                or prev in (")", "]")
+                # opaque pre-rendered tokens ("( ... )") end with ')'
+                or prev.endswith((")", "]"))
                 or prev[:1] in ("'", '"', "`")
             )
             close = _match_bracket(toks, i)
@@ -2026,9 +2046,8 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
 
 
 _BOOL_LEFT_EDGE = {"(", ",", "AND", "OR", "NOT", "WHEN", "THEN", "ELSE",
-                   "SELECT", "WHERE", "HAVING", "=", "<>", "!=", "IF"}
-_BOOL_RIGHT_EDGE = {")", ",", "AND", "OR", "AS", "THEN", "ELSE", "END",
-                    "=", "<>", "!="}
+                   "SELECT", "WHERE", "HAVING"}
+_BOOL_RIGHT_EDGE = {")", ",", "AND", "OR", "AS", "THEN", "ELSE", "END"}
 
 
 def _boolify_logic_operands(toks: list[str]) -> list[str]:
@@ -2237,9 +2256,55 @@ def _parse_select(toks: list[str]) -> _Select:
             ts = getattr(q, attr)
             if ts and any(t in alias_subs for t in ts):
                 setattr(q, attr, _subst_tokens(ts, alias_subs))
-        # NOTE: substituting aliases into SIBLING select items was tried
-        # and reverted — it clobbers lambda formal parameters that share
-        # an alias name (00157_aliases_and_lambda_formal_parameters)
+        # SIBLING select items also see aliases (the reference prefers the
+        # alias over the source column: `number * 2 AS number,
+        # number * 10 + 1` reads the ALIASED number — 00049).  Guards:
+        # never substitute an item's own alias into itself, and never a
+        # name bound as a lambda formal parameter in that item
+        # (00157_aliases_and_lambda_formal_parameters)
+        new_items: list[list[str]] = []
+        for it in _split_top(q.select, ","):
+            own = (
+                it[-1]
+                if len(it) >= 3 and _kw(it[-2]) == "AS" and _is_ident(it[-1])
+                else None
+            )
+            lam: set[str] = set()
+            for x, tk in enumerate(it):
+                if tk == "->" and x >= 1:
+                    if _is_ident(it[x - 1]):
+                        lam.add(it[x - 1])
+                    elif it[x - 1] == ")":
+                        d, y = 0, x - 1
+                        while y >= 0:
+                            if it[y] == ")":
+                                d += 1
+                            elif it[y] == "(":
+                                d -= 1
+                                if d == 0:
+                                    break
+                            y -= 1
+                        lam.update(t2 for t2 in it[y:x] if _is_ident(t2))
+            subs2 = {
+                k2: v for k2, v in alias_subs.items()
+                if k2 != own and k2 not in lam
+            }
+            body, suffix = (it[:-2], it[-2:]) if own else (it, [])
+            if subs2 and any(t in subs2 for t in body):
+                was_single = own is None and len(body) == 1
+                name0 = body[0] if was_single else None
+                body = _subst_tokens(body, subs2)
+                # a standalone alias reference keeps its output NAME
+                # (the reference names the column after the alias)
+                if was_single and body != [name0]:
+                    suffix = ["AS", name0]
+            new_items.append(body + suffix)
+        rebuilt: list[str] = []
+        for x, it in enumerate(new_items):
+            if x:
+                rebuilt.append(",")
+            rebuilt += it
+        q.select = rebuilt
     q.offset = bucket.get("OFFSET", [])
     q.settings = bucket.get("SETTINGS", [])
     lim = bucket.get("LIMIT", [])
@@ -2400,11 +2465,24 @@ def _subst_tokens(toks: list[str], subs: dict[str, str]) -> list[str]:
     """Replace bare identifier occurrences (not ``t.name``, not
     ``name(``) with opaque replacement SQL strings."""
     out: list[str] = []
+    def _ends_op(p: str) -> bool:
+        # previous token completes an operand -> this ident is an
+        # IMPLICIT alias (`x.b x`, `count(c) cnt`), not a reference
+        return (
+            p.endswith((")", "]"))
+            or p.startswith("'")
+            or bool(re.match(r"^[0-9]", p))
+            or (_is_ident(p) and _kw(p) not in _SQL_KEYWORDS)
+        )
+
     for k, tk in enumerate(toks):
         if (
             tk in subs
             and (k == 0 or toks[k - 1] != ".")
-            and (k + 1 >= len(toks) or toks[k + 1] != "(")
+            and (k == 0 or _kw(toks[k - 1]) != "AS")
+            and (k == 0 or not _ends_op(toks[k - 1]))
+            # neither a call nor a table qualifier (`x.col` keeps x)
+            and (k + 1 >= len(toks) or toks[k + 1] not in ("(", "."))
         ):
             out.append(subs[tk])
         else:
@@ -2447,6 +2525,38 @@ def _apply_array_join(q: _Select) -> None:
         q.group_by = _subst_tokens(q.group_by, subs)
         q.having = _subst_tokens(q.having, subs)
         q.order_by = _subst_tokens(q.order_by, subs)
+
+
+#: Spark typeof() name -> reference type name, applied as a nested
+#: replace chain.  Order matters: bigint/smallint/tinyint before the bare
+#: `int`; case-sensitivity keeps already-replaced `Int64` safe from the
+#: later lowercase `int` pass.  Unsigned widths are unrecoverable from a
+#: Spark type (UInt64 reads as Int64) — signed names are emitted, which
+#: is also what our type mapping wrote in.
+_TYPE_NAME_SUBS = [
+    ("bigint", "Int64"), ("smallint", "Int16"), ("tinyint", "Int8"),
+    ("interval day", "IntervalDay"), ("interval month", "IntervalMonth"),
+    ("int", "Int32"), ("double", "Float64"), ("float", "Float32"),
+    ("string", "String"), ("boolean", "Bool"),
+    ("timestamp_ntz", "DateTime"), ("timestamp", "DateTime"),
+    ("date", "Date"), ("binary", "String"), ("void", "Nothing"),
+    ("decimal", "Decimal"), ("array<", "Array("), ("map<", "Map("),
+    ("struct<", "Tuple("), (">", ")"),
+]
+
+
+def _to_type_name_expr(arg: str) -> str:
+    """toTypeName(x): the reference's type NAME for the expression —
+    typeof() rewritten into reference spelling via a replace chain
+    (src/Functions/toTypeName.cpp renders the DataType name)."""
+    e = f"typeof({arg})"
+    for old, new in _TYPE_NAME_SUBS:
+        e = f"replace({e}, '{old}', '{new}')"
+    # tuple() structs carry col1..colN labels the reference never prints;
+    # comma spacing matches the reference's renderer
+    e = f"regexp_replace({e}, 'col[0-9]+:', '')"
+    e = f"replace({e}, ',', ', ')"
+    return e
 
 
 def _rand_expr_for_type(spark_type: str, h: str) -> str:
@@ -2777,7 +2887,7 @@ def _translate_from(toks: list[str]) -> list[str]:
                 _is_ident(toks[i + 3])
                 and _kw(toks[i + 3]) not in _SQL_KEYWORDS
             ):
-                out.append("AS numbers")
+                out.append("AS __numbers")
             i += 3
             continue
         # numbers(n) table function (system.numbers semantics)
@@ -2804,7 +2914,7 @@ def _translate_from(toks: list[str]) -> list[str]:
                 close + 1 < n and _is_ident(toks[close + 1])
                 and _kw(toks[close + 1]) not in _SQL_KEYWORDS
             ):
-                out.append("AS numbers")
+                out.append("AS __numbers")
             i = close + 1
             continue
         if up == "ANY" and i + 1 < n and _kw(toks[i + 1]) in (
@@ -2907,7 +3017,7 @@ def _translate_from(toks: list[str]) -> list[str]:
                 dedup = (
                     f"(SELECT * EXCEPT (__rn) FROM (SELECT __any.*, "
                     f"row_number() OVER (PARTITION BY {key_list} "
-                    f"ORDER BY {key_list}) AS __rn "
+                    f"ORDER BY monotonically_increasing_id()) AS __rn "
                     f"FROM {factor_sql} AS __any) WHERE __rn = 1)"
                 )
                 side = "LEFT" if "LEFT" in dirs else "INNER"
@@ -2949,7 +3059,7 @@ def _translate_from(toks: list[str]) -> list[str]:
                 dedup_l = (
                     f"(SELECT * EXCEPT (__rn) FROM (SELECT __any.*, "
                     f"row_number() OVER (PARTITION BY {key_list} "
-                    f"ORDER BY {key_list}) AS __rn "
+                    f"ORDER BY monotonically_increasing_id()) AS __rn "
                     f"FROM {left_sql} AS __any) WHERE __rn = 1)"
                 )
                 del out[start:]
@@ -2961,7 +3071,7 @@ def _translate_from(toks: list[str]) -> list[str]:
                 continue
             dedup = (
                 f"(SELECT * EXCEPT (__rn) FROM (SELECT __any.*, row_number() "
-                f"OVER (PARTITION BY {key_list} ORDER BY {key_list}) AS __rn "
+                f"OVER (PARTITION BY {key_list} ORDER BY monotonically_increasing_id()) AS __rn "
                 f"FROM {factor_sql} AS __any) WHERE __rn = 1)"
             )
             side = (
@@ -3400,7 +3510,14 @@ def _render_with_limit_by(q: _Select) -> str:
     semantics: dedup-to-n per key after ORDER BY, before final LIMIT)."""
     assert q.limit_by is not None
     n_expr, by_cols = q.limit_by
-    by_sql = _emit(_translate_expr(by_cols))
+    # an alias on a BY expression (`LIMIT 1 BY 1 AS one`) names the key
+    # for the select list; PARTITION BY takes the bare expression
+    by_items = []
+    for it in _split_top(by_cols, ","):
+        if len(it) >= 3 and _kw(it[-2]) == "AS" and _is_ident(it[-1]):
+            it = it[:-2]
+        by_items.append(_emit(_translate_expr(it)))
+    by_sql = ", ".join(by_items)
     # without ORDER BY the reference keeps the first-encountered rows per
     # key (stream order, LimitByTransform.cpp); partition order stands in
     # for stream order — exact for the single-part/sorted-insert tables
@@ -3447,9 +3564,257 @@ def _translate_select_tokens(toks: list[str]) -> tuple[str, dict[str, str]]:
         return "( " + _translate_query_text(toks[1:-1]) + " )", {}
     q = _parse_select(toks)
     _apply_array_join(q)
+    _outer_join_default_fill(q)
     settings = _parse_settings(q.settings)
     sql_text = _render_with_limit_by(q) if q.limit_by else _render(q)
     return sql_text, settings
+
+
+def _subq_cols(inner: list[str]) -> dict[str, str]:
+    """Column name -> guessed default for an inline subquery's select
+    list (numeric 0 / string '' / date epoch, inferred from the raw
+    expression text)."""
+    cols: dict[str, str] = {}
+    depth = 0
+    body: list[str] = []
+    for tk in inner[1:]:
+        if tk == "(":
+            depth += 1
+        elif tk == ")":
+            depth -= 1
+        if depth == 0 and _kw(tk) in (
+            "FROM", "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "UNION",
+        ):
+            break
+        body.append(tk)
+    for item in _split_top(body, ","):
+        if not item:
+            continue
+        if len(item) >= 3 and _kw(item[-2]) == "AS" and _is_ident(item[-1]):
+            name, expr = item[-1], item[:-2]
+        elif len(item) == 1 and _is_ident(item[0]):
+            name, expr = item[0], item
+        else:
+            continue
+        txt = " ".join(expr)
+        if re.search(r"'|toString|concat|substring|String", txt):
+            cols[name] = "''"
+        elif re.search(r"toDate\b", txt):
+            cols[name] = "DATE '1970-01-01'"
+        else:
+            cols[name] = "0"
+    return cols
+
+
+def _join_fill_cols(
+    q: _Select,
+) -> tuple[dict[str, tuple[str, str]], dict[str, list[tuple[str, str]]]]:
+    """For each LEFT/FULL JOIN in the FROM clause whose right side's
+    column list is derivable (inline subquery select list, or a script
+    table with a registered schema), map column name ->
+    (qualifier, default_sql).  Drives the reference's join_use_nulls=0
+    semantics: unmatched rows carry TYPE DEFAULTS, not NULLs
+    (src/Interpreters/HashJoin.h LEFT-join comment)."""
+    toks = q.from_
+    n = len(toks)
+    fill: dict[str, tuple[str, str]] = {}
+    star: dict[str, list[tuple[str, str]]] = {}
+    i = 0
+    while i < n:
+        if _kw(toks[i]) not in ("LEFT", "FULL"):
+            i += 1
+            continue
+        j = i + 1
+        while j < n and _kw(toks[j]) in ("ANY", "ALL", "OUTER", "SEMI", "ANTI"):
+            if _kw(toks[j]) in ("SEMI", "ANTI"):
+                break  # semi/anti produce no right columns
+            j += 1
+        if j >= n or _kw(toks[j]) != "JOIN":
+            i += 1
+            continue
+        k = j + 1
+        cols: dict[str, str] = {}
+        ralias = None
+        if k < n and toks[k] == "(":
+            close = _match_paren(toks, k)
+            inner = toks[k + 1 : close]
+            if inner and _kw(inner[0]) == "SELECT":
+                cols = _subq_cols(inner)
+            k = close + 1
+        elif k < n and _is_ident(toks[k]) and _kw(toks[k]) not in _SQL_KEYWORDS:
+            tname = toks[k]
+            schema = (_SCRIPT_SCHEMAS_CTX.get() or {}).get(tname)
+            if schema:
+                cols = {c: d for c, _, d in schema}
+            k += 1
+        if k < n and _kw(toks[k]) == "AS":
+            k += 1
+        if k < n and _is_ident(toks[k]) and _kw(toks[k]) not in _SQL_KEYWORDS:
+            ralias = toks[k]
+        # USING keys come from the left side on LEFT joins — exclude
+        if ralias and cols:
+            # alias.* expansion fills EVERY right column, keys included
+            star[ralias] = list(cols.items())
+        for x in range(k, min(k + 40, n)):
+            if _kw(toks[x]) == "USING":
+                y = x + 1
+                key_toks = []
+                if y < n and toks[y] == "(":
+                    key_toks = toks[y + 1 : _match_paren(toks, y)]
+                else:
+                    while y < n and (_is_ident(toks[y]) or toks[y] == ","):
+                        if _kw(toks[y]) in _SQL_KEYWORDS and toks[y] != ",":
+                            break
+                        key_toks.append(toks[y])
+                        y += 1
+                for kt in key_toks:
+                    cols.pop(kt, None)
+                break
+            if _kw(toks[x]) in ("JOIN", "ON") or toks[x] == "(":
+                break
+        for name, dd in cols.items():
+            fill[name] = (ralias or "", dd)
+        i = k
+    # RIGHT/FULL joins additionally fill the LEFT side's columns
+    i = 0
+    while i < n:
+        if _kw(toks[i]) not in ("RIGHT", "FULL"):
+            i += 1
+            continue
+        j = i + 1
+        while j < n and _kw(toks[j]) in ("ANY", "ALL", "OUTER"):
+            j += 1
+        if j >= n or _kw(toks[j]) != "JOIN":
+            i += 1
+            continue
+        lcols: dict[str, str] = {}
+        lalias = None
+        e = i - 1
+        while e >= 0 and _kw(toks[e]) in ("ANY", "ALL", "GLOBAL", "OUTER"):
+            e -= 1
+        if (
+            e >= 1
+            and _is_ident(toks[e])
+            and _kw(toks[e]) not in _SQL_KEYWORDS
+            and (toks[e - 1] == ")" or _is_ident(toks[e - 1]))
+        ):
+            lalias = toks[e]
+            e -= 1
+            if e >= 0 and _kw(toks[e]) == "AS":
+                e -= 1
+        if e >= 0 and toks[e] == ")":
+            d, y = 0, e
+            while y >= 0:
+                if toks[y] == ")":
+                    d += 1
+                elif toks[y] == "(":
+                    d -= 1
+                    if d == 0:
+                        break
+                y -= 1
+            inner = toks[y + 1 : e]
+            if inner and _kw(inner[0]) == "SELECT":
+                lcols = _subq_cols(inner)
+        elif e >= 0 and _is_ident(toks[e]) and _kw(toks[e]) not in _SQL_KEYWORDS:
+            schema = (_SCRIPT_SCHEMAS_CTX.get() or {}).get(toks[e])
+            if schema:
+                lcols = {c: dd for c, _, dd in schema}
+            lalias = lalias or toks[e]
+        if lcols:
+            if lalias:
+                star[lalias] = list(lcols.items())
+            for x in range(j + 1, min(j + 60, n)):
+                if _kw(toks[x]) == "USING":
+                    y2 = x + 1
+                    key_toks = []
+                    if y2 < n and toks[y2] == "(":
+                        key_toks = toks[y2 + 1 : _match_paren(toks, y2)]
+                    else:
+                        while y2 < n and (_is_ident(toks[y2]) or toks[y2] == ","):
+                            if (
+                                _kw(toks[y2]) in _SQL_KEYWORDS
+                                and toks[y2] != ","
+                            ):
+                                break
+                            key_toks.append(toks[y2])
+                            y2 += 1
+                    for kt in key_toks:
+                        lcols.pop(kt, None)
+                    break
+                if _kw(toks[x]) in ("JOIN",):
+                    break
+            for name, dd in lcols.items():
+                fill[name] = (lalias or "", dd)
+        i = j + 1
+    return fill, star
+
+
+def _outer_join_default_fill(q: _Select) -> None:
+    # join_use_nulls=1: the reference emits NULLs (like Spark) — no fill
+    if str((_SETTINGS_CTX.get() or {}).get("join_use_nulls", "0")) == "1":
+        return
+    fill, star = _join_fill_cols(q)
+    if not fill and not star:
+        return
+
+    def subst(ts: list[str]) -> list[str]:
+        res: list[str] = []
+        i = 0
+        m = len(ts)
+        while i < m:
+            t = ts[i]
+            # alias.* of a filled right side: expand to coalesced columns
+            if (
+                t in star
+                and i + 2 < m
+                and ts[i + 1] == "."
+                and ts[i + 2] == "*"
+            ):
+                exp = ", ".join(
+                    f"coalesce({t}.{c}, {d}) AS {c}" for c, d in star[t]
+                )
+                res.append(exp)
+                i += 3
+                continue
+            # qualified: alias . col
+            if (
+                i + 2 < m
+                and ts[i + 1] == "."
+                and ts[i + 2] in fill
+                and fill[ts[i + 2]][0] == t
+            ):
+                dd = fill[ts[i + 2]][1]
+                res.append(f"coalesce({t}.{ts[i + 2]}, {dd})")
+                i += 3
+                continue
+            # bare column reference (not qualified, not a call, not an
+            # alias position — after AS or directly after an operand)
+            prev = ts[i - 1] if i > 0 else ""
+            if (
+                t in fill
+                and prev != "."
+                and _kw(prev) != "AS"
+                and not (
+                    prev.endswith((")", "]"))
+                    or prev.startswith("'")
+                    or re.match(r"^[0-9]", prev)
+                    or (_is_ident(prev) and _kw(prev) not in _SQL_KEYWORDS)
+                )
+                and (i + 1 >= m or ts[i + 1] not in (".", "("))
+            ):
+                dd = fill[t][1]
+                res.append(f"coalesce({t}, {dd})")
+                i += 1
+                continue
+            res.append(t)
+            i += 1
+        return res
+
+    q.select = subst(q.select)
+    q.where = subst(q.where)
+    q.having = subst(q.having)
+    q.group_by = subst(q.group_by)
+    q.order_by = subst(q.order_by)
 
 
 def _parse_settings(toks: list[str]) -> dict[str, str]:
@@ -3485,6 +3850,10 @@ def _subst_scalar_aliases(
 
 def _translate_query_text(toks: list[str]) -> str:
     """UNION-aware, WITH-aware entry for a (sub)query token list."""
+    # inner `expr AS name` aliases are scoped per SELECT: the top-level
+    # hoist in translate() skips subquery bodies, so hoist again at each
+    # query scope (no-op when the scope has none)
+    toks = _hoist_inner_aliases(toks)
     # WITH cte AS (SELECT ...), expr AS name, ... SELECT ...
     if toks and _kw(toks[0]) == "WITH":
         n = len(toks)

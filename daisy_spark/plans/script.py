@@ -231,6 +231,9 @@ class ScriptRunner:
         self.storage_join_meta: dict[str, dict] = {}
         #: CREATE DICTIONARY registry: name -> dialect _DICTS_CTX meta
         self.dictionaries: dict[str, dict] = {}
+        #: SET statement state (join_use_nulls etc.) — published to the
+        #: dialect during execute()
+        self.settings: dict[str, str] = {}
 
     # -- public ----------------------------------------------------------
 
@@ -246,9 +249,11 @@ class ScriptRunner:
         from daisy_spark.plans.dialect import (
             _DICTS_CTX,
             _SCRIPT_SCHEMAS_CTX,
+            _SETTINGS_CTX,
             _STORAGE_JOIN_CTX,
         )
 
+        token4 = _SETTINGS_CTX.set(self.settings)
         token3 = _DICTS_CTX.set(self.dictionaries)
         token = _STORAGE_JOIN_CTX.set(self.storage_join_meta)
         schemas = {
@@ -265,6 +270,7 @@ class ScriptRunner:
             _SCRIPT_SCHEMAS_CTX.reset(token2)
             _STORAGE_JOIN_CTX.reset(token)
             _DICTS_CTX.reset(token3)
+            _SETTINGS_CTX.reset(token4)
 
     def _execute(self, stmt: str) -> DataFrame | None:
         toks = tokenize(stmt.strip().rstrip(";"))
@@ -1255,9 +1261,13 @@ class ScriptRunner:
                 raise DialectError("INSERT ... FORMAT not supported")
             src = dialect_sql(self.spark, _emit(toks[i:]))
             by_name = {c.name: c for c in t.cols}
+            # POSITIONAL mapping (the reference maps INSERT SELECT by
+            # position); rename first so duplicate source column names
+            # (e.g. `toString(x) AS s, s`) can't make F.col ambiguous
+            src = src.toDF(*[f"__ins{x}" for x in range(len(src.columns))])
             sel = [
-                F.col(f.name).cast(by_name[tc].spark_type).alias(tc)
-                for f, tc in zip(src.schema.fields, target_cols)
+                F.col(f"__ins{x}").cast(by_name[tc].spark_type).alias(tc)
+                for x, tc in zip(range(len(src.columns)), target_cols)
             ]
             batch = self._fill_defaults(t, src.select(*sel), target_cols)
         else:
@@ -1435,6 +1445,7 @@ class ScriptRunner:
                 if "=" in p:
                     eq = p.index("=")
                     settings[_emit(p[:eq]).strip()] = _emit(p[eq + 1 :]).strip("' ")
+            self.settings.update(settings)
             apply_settings(self.spark, settings)
         except Exception:  # noqa: BLE001 - unknown knobs are no-ops
             pass

@@ -288,6 +288,17 @@ CORPUS = [
 ]
 
 
+def _fmt_f32(v):
+    """Float32 columns render at 32-bit shortest round-trip."""
+    if isinstance(v, float):
+        import numpy as np
+
+        if v != v or v in (float("inf"), float("-inf")) or v == int(v):
+            return _fmt(v)
+        return str(np.float32(v))
+    return _fmt(v)
+
+
 def _fmt(v, nested=False):
     import decimal
 
@@ -352,8 +363,13 @@ def test_reference_case(spark, name):
             df = runner.execute(s)
             if df is None:
                 continue
+            f32 = [fld.dataType.simpleString() == "float"
+                   for fld in df.schema.fields]
             for r in df.collect():
-                outs.append("\t".join(_fmt(v) for v in r))
+                outs.append("\t".join(
+                    _fmt_f32(v) if is32 else _fmt(v)
+                    for v, is32 in zip(r, f32)
+                ))
     finally:
         runner.close()
     assert "\n".join(outs).strip() == expected.strip(), name

@@ -84,6 +84,18 @@ def fmt(v, nested=False):
     return str(v)
 
 
+def fmt_f32(v):
+    """Float32 columns: the reference prints the float's SHORTEST
+    round-trip at 32-bit precision (21.99, not 21.989999771118164)."""
+    if isinstance(v, float):
+        import numpy as np
+
+        if v != v or v in (float("inf"), float("-inf")) or v == int(v):
+            return fmt(v)
+        return str(np.float32(v))
+    return fmt(v)
+
+
 def new_session():
     from pyspark.sql import SparkSession
 
@@ -197,8 +209,13 @@ def main():
                 df = runner.execute(s)
                 if df is None:
                     continue
+                f32 = [fld.dataType.simpleString() == "float"
+                       for fld in df.schema.fields]
                 for r in df.collect():
-                    outs.append("\t".join(fmt(v) for v in r))
+                    outs.append("\t".join(
+                        fmt_f32(v) if is32 else fmt(v)
+                        for v, is32 in zip(r, f32)
+                    ))
             got = "\n".join(outs).strip()
             if got == exp.strip():
                 st["matched"].append(name)
