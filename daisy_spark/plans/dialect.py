@@ -575,6 +575,20 @@ def _dict_has_expr(a: list[str]) -> str:
     )
 
 
+#: query nesting depth during translation: WITH TOTALS emits its hidden
+#: `__is_total` marker only for the OUTERMOST select (subquery totals
+#: stay inline — the marker would leak into the outer column list)
+_QDEPTH: "contextvars.ContextVar[int]" = contextvars.ContextVar(
+    "daisy_query_depth", default=0
+)
+
+#: opt-in for the `__is_total` marker column: only the script engine
+#: (which strips it and renders the separate totals block) sets this;
+#: direct translate()/sql() callers keep a clean column list
+_TOTALS_BLOCK_CTX: "contextvars.ContextVar[bool]" = contextvars.ContextVar(
+    "daisy_totals_block", default=False
+)
+
 #: session settings of the active ScriptRunner (SET statements) — e.g.
 #: join_use_nulls=1 switches outer-join fills from type defaults to NULL
 _SETTINGS_CTX: "contextvars.ContextVar[dict | None]" = contextvars.ContextVar(
@@ -3446,10 +3460,27 @@ def _render(q: _Select) -> str:
         wheres.append("CAST(( " + _emit(_translate_expr(q.where)) + " ) AS BOOLEAN)")
     if wheres:
         parts.append("WHERE " + " AND ".join(wheres))
+    totals_bypass = None
     if q.group_by:
         keys = _emit(_translate_expr(q.group_by))
         if q.with_totals:
-            parts.append(f"GROUP BY GROUPING SETS (({keys}), ())")
+            if not _TOTALS_BLOCK_CTX.get():
+                parts.append(f"GROUP BY GROUPING SETS (({keys}), ())")
+            elif _QDEPTH.get() <= 1:
+                # outermost WITH TOTALS: tag the totals row so the script
+                # runner can emit it as the reference's separate block
+                # (regular rows, empty line, totals with key defaults);
+                # totals_mode default is before_having — the totals row
+                # bypasses HAVING.  grouping_id() (not grouping(expr))
+                # also works for constant group keys.
+                parts.append(f"GROUP BY GROUPING SETS (({keys}), ())")
+                parts[0] += ", IF(grouping_id() = 0, 0, 1) AS __is_total"
+                totals_bypass = "grouping_id() != 0"
+            else:
+                # subquery WITH TOTALS: row-reading consumers see only
+                # the regular rows (TotalsHavingTransform keeps totals in
+                # a side block) — plain GROUP BY is exactly that
+                parts.append("GROUP BY " + keys)
         elif q.with_rollup:
             parts.append(f"GROUP BY {keys} WITH ROLLUP")
         elif q.with_cube:
@@ -3457,9 +3488,10 @@ def _render(q: _Select) -> str:
         else:
             parts.append("GROUP BY " + keys)
     if q.having:
-        parts.append(
-            "HAVING CAST(( " + _emit(_translate_expr(q.having)) + " ) AS BOOLEAN)"
-        )
+        hv = "CAST(( " + _emit(_translate_expr(q.having)) + " ) AS BOOLEAN)"
+        if totals_bypass:
+            hv = f"({hv} OR {totals_bypass})"
+        parts.append("HAVING " + hv)
     if q.fill:
         # ORDER BY col WITH FILL -> integer grid FULL JOIN around the
         # fill-less query: generated rows carry NULL in non-key columns
@@ -3850,6 +3882,14 @@ def _subst_scalar_aliases(
 
 def _translate_query_text(toks: list[str]) -> str:
     """UNION-aware, WITH-aware entry for a (sub)query token list."""
+    tok_d = _QDEPTH.set(_QDEPTH.get() + 1)
+    try:
+        return _translate_query_text_inner(toks)
+    finally:
+        _QDEPTH.reset(tok_d)
+
+
+def _translate_query_text_inner(toks: list[str]) -> str:
     # inner `expr AS name` aliases are scoped per SELECT: the top-level
     # hoist in translate() skips subquery bodies, so hoist again at each
     # query scope (no-op when the scope has none)

@@ -253,6 +253,9 @@ class ScriptRunner:
             _STORAGE_JOIN_CTX,
         )
 
+        from daisy_spark.plans.dialect import _TOTALS_BLOCK_CTX
+
+        token5 = _TOTALS_BLOCK_CTX.set(True)
         token4 = _SETTINGS_CTX.set(self.settings)
         token3 = _DICTS_CTX.set(self.dictionaries)
         token = _STORAGE_JOIN_CTX.set(self.storage_join_meta)
@@ -271,6 +274,7 @@ class ScriptRunner:
             _STORAGE_JOIN_CTX.reset(token)
             _DICTS_CTX.reset(token3)
             _SETTINGS_CTX.reset(token4)
+            _TOTALS_BLOCK_CTX.reset(token5)
 
     def _execute(self, stmt: str) -> DataFrame | None:
         toks = tokenize(stmt.strip().rstrip(";"))
@@ -283,7 +287,9 @@ class ScriptRunner:
             if self.live_views:
                 toks = self._resolve_live_views(toks)
                 stmt = _emit(toks)
-            return dialect_sql(self.spark, self._rewrite_star(toks, stmt))
+            return self._split_totals(
+                dialect_sql(self.spark, self._rewrite_star(toks, stmt))
+            )
         if head == "WATCH":
             return self._watch(toks)
         if head == "CREATE":
@@ -1053,6 +1059,36 @@ class ScriptRunner:
             lv["version"] += 1
             lv["last"] = canon
         return rows, df.schema, lv["version"]
+
+    def _split_totals(self, df: DataFrame | None) -> DataFrame | None:
+        """WITH TOTALS: the dialect tags the totals row with a hidden
+        `__is_total` marker.  The reference emits totals as a SEPARATE
+        block (empty line, then one row with group keys at their type
+        defaults — Processors/Transforms/TotalsHavingTransform.cpp).
+        Regular rows come back as the DataFrame; the rendered totals rows
+        ride on the `_daisy_totals` attribute for script-level renderers."""
+        if df is None or "__is_total" not in df.columns:
+            return df
+        regular = df.filter(F.col("__is_total") == 0).drop("__is_total")
+        trows = df.filter(F.col("__is_total") == 1).drop("__is_total").collect()
+        fields = [f for f in df.schema.fields if f.name != "__is_total"]
+        fixed = []
+        for r in trows:
+            vals = []
+            for f, v in zip(fields, r):
+                if v is None:
+                    t = f.dataType.simpleString()
+                    if t in (
+                        "tinyint", "smallint", "int", "bigint",
+                        "double", "float",
+                    ) or t.startswith("decimal"):
+                        v = 0
+                    elif t == "string":
+                        v = ""
+                vals.append(v)
+            fixed.append(tuple(vals))
+        regular._daisy_totals = fixed  # type: ignore[attr-defined]
+        return regular
 
     def _lv_sources_empty(self, toks: list[str]) -> bool:
         """True iff every script-engine table referenced by the live-view

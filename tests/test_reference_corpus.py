@@ -370,6 +370,13 @@ def test_reference_case(spark, name):
                     _fmt_f32(v) if is32 else _fmt(v)
                     for v, is32 in zip(r, f32)
                 ))
+            # WITH TOTALS: separate block after an empty line
+            for r in getattr(df, "_daisy_totals", None) or []:
+                outs.append("")
+                outs.append("\t".join(
+                    _fmt_f32(v) if is32 else _fmt(v)
+                    for v, is32 in zip(r, f32)
+                ))
     finally:
         runner.close()
     assert "\n".join(outs).strip() == expected.strip(), name

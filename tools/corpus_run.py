@@ -216,6 +216,13 @@ def main():
                         fmt_f32(v) if is32 else fmt(v)
                         for v, is32 in zip(r, f32)
                     ))
+                # WITH TOTALS: separate block after an empty line
+                for r in getattr(df, "_daisy_totals", None) or []:
+                    outs.append("")
+                    outs.append("\t".join(
+                        fmt_f32(v) if is32 else fmt(v)
+                        for v, is32 in zip(r, f32)
+                    ))
             got = "\n".join(outs).strip()
             if got == exp.strip():
                 st["matched"].append(name)
