@@ -677,12 +677,15 @@ FUNC_MAP: dict[str, object] = {
         "(CASE WHEN abs(CAST({0} AS DOUBLE)) = double('inf') THEN 1 ELSE 0 END)"
     ),
     "visibleWidth": "length(CAST({0} AS STRING))",
-    "empty": "(coalesce(length({0}), 0) = 0)",
-    "notEmpty": "(coalesce(length({0}), 0) > 0)",
+    # empty/notEmpty see FixedString \0 padding as emptiness
+    "empty": "(coalesce(length(TRIM(TRAILING chr(0) FROM {0})), 0) = 0)",
+    "notEmpty": "(coalesce(length(TRIM(TRAILING chr(0) FROM {0})), 0) > 0)",
     # no-op wrappers (materialization/nullability are physical concepts
     # the reference exposes; Spark's optimizer owns both)
     "materialize": "{0}", "toNullable": "{0}", "assumeNotNullSafe": "{0}",
-    "toFixedString": "{0}", "toLowCardinality": "{0}", "identity": "{0}",
+    # FixedString(n) is \0-padded to its width (DataTypeFixedString)
+    "toFixedString": "rpad(CAST({0} AS STRING), {1}, chr(0))",
+    "toLowCardinality": "{0}", "identity": "{0}",
     "ignore": lambda a: "0",
     "sleep": lambda a: "0", "sleepEachRow": lambda a: "0",
     "arrayWithConstant": "array_repeat({1}, CAST({0} AS INT))",
@@ -804,7 +807,8 @@ FUNC_MAP: dict[str, object] = {
     "toDecimal64": lambda a: f"CAST({a[0]} AS DECIMAL(18, {a[1] if len(a) > 1 else 0}))",
     "toDecimal128": lambda a: f"CAST({a[0]} AS DECIMAL(38, {a[1] if len(a) > 1 else 0}))",
     # type conversion
-    "toString": "CAST({0} AS STRING)",
+    # toString strips FixedString \0 padding (convertToString)
+    "toString": "TRIM(TRAILING chr(0) FROM CAST({0} AS STRING))",
     "toUInt8": "CAST({0} AS SMALLINT)", "toUInt16": "CAST({0} AS INT)",
     "toUInt32": "CAST({0} AS BIGINT)", "toUInt64": "CAST({0} AS BIGINT)",
     "toInt8": "CAST({0} AS TINYINT)", "toInt16": "CAST({0} AS SMALLINT)",
@@ -1920,6 +1924,17 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
         if up == "CAST" and i + 1 < n and toks[i + 1] == "(":
             close = _match_paren(toks, i + 1)
             inner = toks[i + 2 : close]
+
+            def _fixed_len(type_toks: list[str]) -> str | None:
+                # FixedString(n): \0-padded to n (DataTypeFixedString)
+                if (
+                    len(type_toks) >= 4
+                    and _kw(type_toks[0]) == "FIXEDSTRING"
+                    and type_toks[1] == "("
+                ):
+                    return type_toks[2]
+                return None
+
             # find top-level AS
             depth = 0
             as_idx = None
@@ -1938,7 +1953,16 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                     and len(parts[1]) == 1
                     and parts[1][0][:1] == "'"
                 ):
-                    typ, _ = _map_type(tokenize(parts[1][0][1:-1]), 0)
+                    type_toks = tokenize(parts[1][0][1:-1])
+                    fl = _fixed_len(type_toks)
+                    if fl is not None:
+                        e = _emit(_translate_expr(parts[0]))
+                        out.append(
+                            f"rpad(CAST({e} AS STRING), {fl}, chr(0))"
+                        )
+                        i = close + 1
+                        continue
+                    typ, _ = _map_type(type_toks, 0)
                     out += (
                         ["CAST", "("]
                         + _translate_expr(parts[0])
@@ -1948,8 +1972,15 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                     continue
                 out += ["CAST", "("] + _translate_expr(inner) + [")"]
             else:
+                type_toks = inner[as_idx + 1 :]
+                fl = _fixed_len(type_toks)
+                if fl is not None:
+                    e = _emit(_translate_expr(inner[:as_idx]))
+                    out.append(f"rpad(CAST({e} AS STRING), {fl}, chr(0))")
+                    i = close + 1
+                    continue
                 expr = _translate_expr(inner[:as_idx])
-                typ, _ = _map_type(inner[as_idx + 1 :], 0)
+                typ, _ = _map_type(type_toks, 0)
                 out += ["CAST", "("] + expr + ["AS", typ, ")"]
             i = close + 1
             continue
@@ -3529,12 +3560,28 @@ def _render(q: _Select) -> str:
             out += " OFFSET " + _emit(_translate_expr(q.offset))
         return out
     if q.order_by:
-        parts.append("ORDER BY " + _emit(_translate_expr(q.order_by)))
+        parts.append("ORDER BY " + _order_by_sql(q.order_by))
     if q.limit:
         parts.append("LIMIT " + _emit(_translate_expr(q.limit)))
     if q.offset:
         parts.append("OFFSET " + _emit(_translate_expr(q.offset)))
     return " ".join(parts)
+
+
+def _order_by_sql(order_toks: list[str]) -> str:
+    """Render ORDER BY items with the reference's NULL placement defaults
+    (sortColumnDescription: NULLS LAST ascending, NULLS FIRST descending —
+    the exact opposite of Spark's defaults), unless spelled explicitly."""
+    items = []
+    for it in _split_top(order_toks, ","):
+        if not it:
+            continue
+        has_nulls = any(_kw(t) == "NULLS" for t in it)
+        sql_item = _emit(_translate_expr(it))
+        if not has_nulls and not any(_kw(t) == "COLLATE" for t in it):
+            sql_item += " NULLS LAST"
+        items.append(sql_item)
+    return " , ".join(items)
 
 
 def _render_with_limit_by(q: _Select) -> str:

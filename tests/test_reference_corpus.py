@@ -288,6 +288,32 @@ CORPUS = [
 ]
 
 
+def js_float(s: str) -> str:
+    """Shortest-round-trip float digits in the reference's notation
+    (ECMAScript Number::toString rules: positional for
+    10^-7 < |x| < 10^21, exponential outside)."""
+    if "e" not in s and "E" not in s:
+        return s
+    mant, _, exp = s.partition("e")
+    e = int(exp)
+    neg = mant.startswith("-")
+    digits = mant.lstrip("-").replace(".", "")
+    point = mant.lstrip("-").find(".")
+    if point < 0:
+        point = len(mant.lstrip("-"))
+    e10 = e + point - 1
+    digits = digits.rstrip("0") or "0"
+    sign = "-" if neg else ""
+    if -7 < e10 < 21:
+        if e10 >= len(digits) - 1:
+            return sign + digits + "0" * (e10 - len(digits) + 1)
+        if e10 >= 0:
+            return sign + digits[: e10 + 1] + "." + digits[e10 + 1 :]
+        return sign + "0." + "0" * (-e10 - 1) + digits
+    m = digits[0] + ("." + digits[1:] if len(digits) > 1 else "")
+    return f"{sign}{m}e{'+' if e10 >= 0 else '-'}{abs(e10)}"
+
+
 def _fmt_f32(v):
     """Float32 columns render at 32-bit shortest round-trip."""
     if isinstance(v, float):
@@ -328,21 +354,22 @@ def _fmt(v, nested=False):
             return "-inf"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return repr(v)
+        return js_float(repr(v))
     if isinstance(v, tuple):  # Row (struct) — ClickHouse tuple rendering
         return "(" + ",".join(_fmt(x, nested=True) for x in v) + ")"
     if isinstance(v, list):
         return "[" + ",".join(_fmt(x, nested=True) for x in v) + "]"
     if isinstance(v, str) and nested:
         # ClickHouse TSV quotes strings inside composite values
-        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        return "'" + (v.replace("\\", "\\\\").replace("\x00", "\\0")
+                      .replace("'", "\\'")) + "'"
     if isinstance(v, str):
         # TSV escaping (writeEscapedString): backslash + control chars
         # + apostrophe
         return (
             v.replace("\\", "\\\\").replace("\t", "\\t")
             .replace("\n", "\\n").replace("\r", "\\r")
-            .replace("'", "\\'")
+            .replace("\x00", "\\0").replace("'", "\\'")
         )
     return str(v)
 
