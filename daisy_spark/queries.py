@@ -161,6 +161,11 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
+    # join order A/B'd at sf1 (6M lineitem): l⋈o first, broadcast-c
+    # after, beats pre-joining c into orders (3.1s vs 3.9s hot) — column
+    # pruning keeps the post-join intermediate narrow, and the orderkey
+    # partitioning from the join is reused by the groupBy, so the
+    # broadcast probe is pure map-side work either way
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -195,6 +200,10 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
+    # join order A/B'd at sf1: pre-joining o⋈c (one custkey shuffle of
+    # the smaller tables, then one orderkey shuffle) measures WITHIN
+    # NOISE of l⋈o-first — column pruning already narrows the reshuffled
+    # intermediate to ~5 columns, so keep the straightforward order
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
