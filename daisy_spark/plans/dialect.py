@@ -207,6 +207,25 @@ def _map_type(toks: list[str], i: int) -> tuple[str, int]:
     if up == "FIXEDSTRING" and i + 1 < len(toks) and toks[i + 1] == "(":
         close = _match_paren(toks, i + 1)
         return "STRING", close + 1
+    if up == "AGGREGATEFUNCTION" and i + 1 < len(toks) and toks[i + 1] == "(":
+        # AggregateFunction(f, T...) columns store finalized partials in
+        # this engine (fooState lowers to foo) — the stored type is f's
+        # RESULT type over T (DataTypeAggregateFunction)
+        close = _match_paren(toks, i + 1)
+        parts = _split_top(toks[i + 2 : close], ",")
+        fname = _kw(parts[0][0]) if parts and parts[0] else ""
+        arg_t = "BIGINT"
+        if len(parts) > 1 and parts[1]:
+            arg_t, _ = _map_type(parts[1], 0)
+        if fname in ("COUNT", "UNIQ", "UNIQEXACT", "UNIQCOMBINED", "UNIQHLL12"):
+            return "BIGINT", close + 1
+        if fname in ("AVG", "AVGWEIGHTED", "QUANTILE", "MEDIAN"):
+            return "DOUBLE", close + 1
+        if fname in ("GROUPARRAY", "GROUPUNIQARRAY"):
+            return f"ARRAY<{arg_t}>", close + 1
+        if fname in ("QUANTILES",):
+            return "ARRAY<DOUBLE>", close + 1
+        return arg_t, close + 1
     if up == "DECIMAL" and i + 1 < len(toks) and toks[i + 1] == "(":
         close = _match_paren(toks, i + 1)
         return "DECIMAL(" + _emit(toks[i + 2 : close]) + ")", close + 1
@@ -689,8 +708,11 @@ FUNC_MAP: dict[str, object] = {
     "ignore": lambda a: "0",
     "sleep": lambda a: "0", "sleepEachRow": lambda a: "0",
     "arrayWithConstant": "array_repeat({1}, CAST({0} AS INT))",
-    "hasAny": "arrays_overlap({0}, {1})",
-    "hasAll": "forall({1}, x -> array_contains({0}, x))",
+    # exists+equality instead of array_contains/overlap: comparison
+    # coercion reconciles struct element types (Int32 vs Int64 fields)
+    # that the array-function checker rejects in legacy mode
+    "hasAny": "exists({1}, __ha -> exists({0}, __hb -> __hb = __ha))",
+    "hasAll": "forall({1}, __ha -> exists({0}, __hb -> __hb = __ha))",
     # occurrence number of each element among its equals (first=1, ...)
     "arrayEnumerateUniq": (
         "transform({0}, (x, i) -> "
@@ -957,7 +979,7 @@ FUNC_MAP: dict[str, object] = {
         "regexp_extract({0}, concat('\"', {1}, '\":\\\\s*([^,}}]*)'), 1))"
     ),
     # arrays / higher-order (lambda-first in the reference, array-first in Spark)
-    "has": "array_contains({0}, {1})", "indexOf": "array_position({0}, {1})",
+    "has": "exists({0}, __hb -> __hb = {1})", "indexOf": "array_position({0}, {1})",
     "countEqual": "size(filter({0}, __e -> __e <=> {1}))",
     "arrayJoin": "explode({0})",
     "arrayMap": "transform({1}, {0})", "arrayFilter": "filter({1}, {0})",

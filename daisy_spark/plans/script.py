@@ -234,6 +234,13 @@ class ScriptRunner:
         #: SET statement state (join_use_nulls etc.) — published to the
         #: dialect during execute()
         self.settings: dict[str, str] = {}
+        # the reference wraps on overflow, nulls on bad casts, and yields
+        # defaults/NULL on out-of-range subscripts — Spark's non-ANSI
+        # mode is the matching behavior set.  Session-scoped for the
+        # runner's lifetime (plans analyze lazily, after execute()
+        # returns); close() restores the previous value.
+        self._prev_ansi = spark.conf.get("spark.sql.ansi.enabled", "true")
+        spark.conf.set("spark.sql.ansi.enabled", "false")
 
     # -- public ----------------------------------------------------------
 
@@ -340,6 +347,10 @@ class ScriptRunner:
         raise DialectError(f"unsupported statement: {head}")
 
     def close(self) -> None:
+        try:
+            self.spark.conf.set("spark.sql.ansi.enabled", self._prev_ansi)
+        except Exception:  # noqa: BLE001
+            pass
         for name in list(self.tables):
             self._drop_views(name)
         for name in list(self.dictionaries):
