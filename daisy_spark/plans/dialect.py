@@ -2089,9 +2089,14 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 # compose with themselves (avg-like merges are NOT sound
                 # on finalized values and fall through to their base)
                 base = t[:-5]
+                # uniq partials are per-group-disjoint in an
+                # AggregatingMergeTree, so their finalized counts ADD
                 tmpl = (
                     "sum({0})"
-                    if base == "count"
+                    if base in (
+                        "count", "uniq", "uniqExact", "uniqCombined",
+                        "uniqHLL12",
+                    )
                     else FUNC_MAP.get(base, base + "({*})")
                 )
             if tmpl is None:
