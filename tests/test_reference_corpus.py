@@ -285,6 +285,57 @@ CORPUS = [
     "00939_limit_by_offset.sql",
     # round-3 growth XIII: SHOW CREATE [TEMPORARY] TABLE / DATABASE
     "00564_temporary_table_management.sql", "00604_show_create_database.sql",
+    # round-4 growth: dictionaries, scale-safe ASOF, sibling aliases,
+    # outer-join default fills, WITH TOTALS blocks, TSV fidelity
+    "00003_reinterpret_as_string.sql", "00015_totals_having_constants.sql",
+    "00016_totals_having_constants.sql", "00040_array_enumerate_uniq.sql",
+    "00049_any_left_join.sql", "00050_any_left_join.sql",
+    "00055_join_two_numbers.sql", "00056_join_number_string.sql",
+    "00064_negate_bug.sql", "00098_c_union_all.sql",
+    "00106_totals_after_having.sql", "00134_aggregation_by_fixed_string_of_size_1_2_4_8.sql",
+    "00166_functions_of_aggregation_states.sql", "00178_function_replicate.sql",
+    "00179_lambdas_with_common_expressions_and_filter.sql", "00190_non_constant_array_of_constant_data.sql",
+    "00196_float32_formatting.sql", "00197_if_fixed_string.sql",
+    "00198_group_by_empty_arrays.sql", "00219_full_right_join_column_order.sql",
+    "00237_group_by_arrays.sql", "00255_array_concat_string.sql",
+    "00283_column_cut.sql", "00352_external_sorting_and_constants.sql",
+    "00374_any_last_if_merge.sql", "00394_replaceall_vector_fixed.sql",
+    "00426_nulls_sorting.sql", "00444_join_use_nulls.sql",
+    "00445_join_nullable_keys.sql", "00448_replicate_nullable_tuple_generic.sql",
+    "00450_higher_order_and_nullable.sql", "00457_log_tinylog_stripelog_nullable.sql",
+    "00469_comparison_of_strings_containing_null_char.sql", "00470_identifiers_in_double_quotes.sql",
+    "00471_sql_style_quoting.sql", "00487_if_array_fixed_string.sql",
+    "00493_substring_of_fixedstring.sql", "00504_mergetree_arrays_rw.sql",
+    "00514_interval_operators.sql", "00526_array_join_with_arrays_of_nullable.sql",
+    "00530_arrays_of_nothing.sql", "00532_topk_generic.sql",
+    "00537_quarters.sql", "00542_access_to_temporary_table_in_readonly_mode.sql",
+    "00549_join_use_nulls.sql", "00555_right_join_excessive_rows.sql",
+    "00558_parse_floats.sql", "00562_in_subquery_merge_tree.sql",
+    "00568_empty_function_with_fixed_string.sql", "00578_merge_table_and_table_virtual_column.sql",
+    "00633_func_or_in.sql", "00661_array_has_silviucpp.sql",
+    "00674_has_array_enum.sql", "00700_decimal_in_keys.sql",
+    "00714_create_temporary_table_with_in_clause.sql", "00739_array_element_nullable_string_mattrobenolt.sql",
+    "00752_low_cardinality_lambda_argument.sql", "00834_not_between.sql",
+    "00863_comma_join_in.sql", "00881_unknown_identifier_in_in.sql",
+    "00904_array_with_constant_2.sql", "00906_low_cardinality_rollup.sql",
+    "00950_test_gorilla_codec.sql", "00980_full_join_crash_fancyqlx.sql",
+    "01009_insert_select_nicelulu.sql", "01012_reset_running_accumulate.sql",
+    "01012_select_limit_x_0.sql", "01015_random_constant.sql",
+    "01030_concatenate_equal_fixed_strings.sql", "01034_order_by_pk_prefix.sql",
+    "01041_create_dictionary_if_not_exists.sql", "01043_dictionary_attribute_properties_values.sql",
+    "01047_no_alias_columns_with_table_aliases.sql", "01062_pm_multiple_all_join_same_value.sql",
+    "01067_join_null.sql", "01091_query_profiler_does_not_hang.sql",
+    "01117_comma_and_others_join_mix.sql", "01125_dict_ddl_cannot_add_column.sql",
+    "01354_tuple_low_cardinality_array_mapped_bug.sql", "01376_null_logical.sql",
+    "01385_not_function.sql", "01391_join_on_dict_crash.sql",
+    "01410_nullable_key.sql", "01417_update_permutation_crash.sql",
+    "01419_skip_index_compact_parts.sql", "01457_order_by_nulls_first.sql",
+    "01496_signedness_conversion_monotonicity.sql", "01515_mv_and_array_join_optimisation_bag.sql",
+    "01526_complex_key_dict_direct_layout.sql", "01537_fuzz_count_equal.sql",
+    "01552_dict_fixedstring.sql", "01622_codec_zstd_long.sql",
+    "01665_substring_ubsan.sql", "01710_join_use_nulls.sql",
+    "01760_ddl_dictionary_use_current_database_name.sql", "01764_table_function_dictionary.sql",
+    "01780_dict_get_or_null.sql", "01821_dictionary_primary_key_wrong_order.sql",
 ]
 
 
