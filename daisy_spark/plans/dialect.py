@@ -1781,7 +1781,7 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
             re.match(r"^\.[0-9]+$", t)
             and i > 0
             and (
-                toks[i - 1] in (")", "]")
+                toks[i - 1].endswith((")", "]"))
                 or (_is_ident(toks[i - 1]) and _kw(toks[i - 1]) not in _SQL_KEYWORDS)
             )
         ):
@@ -1924,7 +1924,7 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
         if t == "(" :
             close = _match_paren(toks, i)
             inner = toks[i + 1 : close]
-            if inner and _kw(inner[0]) in ("SELECT", "WITH"):
+            if _is_query_tokens(inner):
                 out += ["(", _translate_query_text(inner), ")"]
                 i = close + 1
                 continue
@@ -2078,6 +2078,17 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                     out.append(PARAMETRIC_MAP[t_base](args, args2))  # type: ignore[operator]
                     i = close2 + 1
                     continue
+                # parametric -Merge (quantilesMerge(0.5)(col)): the stored
+                # column already holds the finalized result; with one
+                # partial per group any_value is exact
+                if (
+                    t.endswith("Merge")
+                    and t[:-5] in PARAMETRIC_MAP
+                    and args2
+                ):
+                    out.append(f"any_value({args2[0]}, true)")
+                    i = close2 + 1
+                    continue
                 if t in UNSUPPORTED_FUNCS:
                     raise DialectError(
                         f"{t} has no single-expression Spark SQL form; "
@@ -2117,20 +2128,31 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 tmpl = FUNC_MAP.get(t[:-5], t[:-5] + "({*})")
             if tmpl is None and t.endswith("Merge") and len(t) > 5:
                 # states are stored finalized here, so -Merge re-aggregates
-                # the partials: countMerge sums counts; sum/min/max/any
-                # compose with themselves (avg-like merges are NOT sound
-                # on finalized values and fall through to their base)
+                # the partials over the STORED single column: count/uniq
+                # partials (per-group-disjoint in an AggregatingMergeTree)
+                # ADD; sum/min/max/any compose with themselves; combinator
+                # suffixes (-If etc.) were applied at State time, so the
+                # merge always sees one plain column
                 base = t[:-5]
-                # uniq partials are per-group-disjoint in an
-                # AggregatingMergeTree, so their finalized counts ADD
-                tmpl = (
-                    "sum({0})"
-                    if base in (
-                        "count", "uniq", "uniqExact", "uniqCombined",
-                        "uniqHLL12",
+                root = base
+                for suf in ("If", "Distinct", "OrNull", "OrDefault", "Array"):
+                    if root.endswith(suf) and len(root) > len(suf):
+                        root = root[: -len(suf)]
+                if root in (
+                    "count", "uniq", "uniqExact", "uniqCombined",
+                    "uniqHLL12",
+                ):
+                    tmpl = "sum({0})"
+                elif root in ("any", "anyLast", "groupArray"):
+                    tmpl = (
+                        "flatten(collect_list({0}))"
+                        if root == "groupArray"
+                        else "any_value({0}, true)"
                     )
-                    else FUNC_MAP.get(base, base + "({*})")
-                )
+                elif root in ("sum", "min", "max", "avg"):
+                    tmpl = f"{root}({{0}})"
+                else:
+                    tmpl = FUNC_MAP.get(base, base + "({*})")
             if tmpl is None:
                 # pass through (Spark-native or user function)
                 out += [t, "("] + ([",".join(args)] if args else []) + [")"]
@@ -2752,6 +2774,27 @@ def _generate_random_tvf(args: list[str]) -> str:
 _ASOF_COUNTER = [0]
 
 
+def _is_query_tokens(inner: list[str]) -> bool:
+    """True when a parenthesized group is a (sub)query: starts with
+    SELECT/WITH, or is a parenthesized UNION of selects
+    (``(SELECT ...) UNION ALL SELECT ...``)."""
+    if not inner:
+        return False
+    if _kw(inner[0]) in ("SELECT", "WITH"):
+        return True
+    if inner[0] != "(":
+        return False
+    d = 0
+    for tk in inner:
+        if tk == "(":
+            d += 1
+        elif tk == ")":
+            d -= 1
+        elif d == 0 and _kw(tk) == "UNION":
+            return True
+    return False
+
+
 def _asof_pop_left(out: list[str]):
     """Identify the trailing FROM item already emitted to ``out`` — the
     ASOF join's left side.  Returns (start_index, left_sql,
@@ -2920,7 +2963,7 @@ def _translate_from(toks: list[str]) -> list[str]:
         if t == "(":
             close = _match_paren(toks, i)
             inner = toks[i + 1 : close]
-            if inner and _kw(inner[0]) in ("SELECT", "WITH"):
+            if _is_query_tokens(inner):
                 out += ["(", _translate_query_text(inner), ")"]
             else:
                 out += ["("] + _translate_expr(inner) + [")"]
@@ -3042,7 +3085,7 @@ def _translate_from(toks: list[str]) -> list[str]:
             if k < n and toks[k] == "(":
                 fc = _match_paren(toks, k)
                 inner = toks[k + 1 : fc]
-                if inner and _kw(inner[0]) in ("SELECT", "WITH"):
+                if _is_query_tokens(inner):
                     factor_sql = "( " + _translate_query_text(inner) + " )"
                 else:
                     factor_sql = "( " + _emit(_translate_expr(inner)) + " )"
@@ -3212,7 +3255,7 @@ def _translate_from(toks: list[str]) -> list[str]:
             if k < n and toks[k] == "(":
                 fc = _match_paren(toks, k)
                 inner = toks[k + 1 : fc]
-                if inner and _kw(inner[0]) in ("SELECT", "WITH"):
+                if _is_query_tokens(inner):
                     rhs_sql = "( " + _translate_query_text(inner) + " )"
                 else:
                     rhs_sql = "( " + _emit(_translate_expr(inner)) + " )"
@@ -3488,6 +3531,15 @@ def _translate_from(toks: list[str]) -> list[str]:
             if i + 1 >= n:
                 raise DialectError("SAMPLE needs a fraction")
             frac = toks[i + 1]
+            consumed = 2
+            # `SAMPLE 1/2` — a fraction written as division
+            if (
+                i + 3 < n
+                and toks[i + 2] == "/"
+                and re.match(r"^[0-9.]+$", toks[i + 3])
+            ):
+                frac = str(float(frac) / float(toks[i + 3]))
+                consumed = 4
             try:
                 f = float(frac)
             except ValueError as exc:
@@ -3496,7 +3548,7 @@ def _translate_from(toks: list[str]) -> list[str]:
                 out += ["TABLESAMPLE", "(", str(f * 100), "PERCENT", ")"]
             else:
                 out += ["TABLESAMPLE", "(", str(int(f)), "ROWS", ")"]
-            i += 2
+            i += consumed
             continue
         out.append(t)
         i += 1
