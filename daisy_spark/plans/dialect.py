@@ -265,9 +265,30 @@ def _map_type(toks: list[str], i: int) -> tuple[str, int]:
         vt, _ = _map_type(parts[1], 0)
         return f"MAP<{kt}, {vt}>", close + 1
     # enums carry their string labels in queries; values are strings here
-    if up in ("ENUM8", "ENUM16") and i + 1 < len(toks) and toks[i + 1] == "(":
+    if up in ("ENUM", "ENUM8", "ENUM16") and i + 1 < len(toks) and toks[i + 1] == "(":
         close = _match_paren(toks, i + 1)
         return "STRING", close + 1
+    # sized decimals: Decimal32(s)=9 digits, 64(s)=18, 128/256(s)=38-cap
+    if up in ("DECIMAL32", "DECIMAL64", "DECIMAL128", "DECIMAL256") and (
+        i + 1 < len(toks) and toks[i + 1] == "("
+    ):
+        close = _match_paren(toks, i + 1)
+        scale = _emit(toks[i + 2 : close]) or "0"
+        prec = {"DECIMAL32": 9, "DECIMAL64": 18}.get(up, 38)
+        return f"DECIMAL({prec}, {scale})", close + 1
+    # SimpleAggregateFunction(f, T) stores plain T values
+    if up == "SIMPLEAGGREGATEFUNCTION" and i + 1 < len(toks) and toks[i + 1] == "(":
+        close = _match_paren(toks, i + 1)
+        parts = _split_top(toks[i + 2 : close], ",")
+        if len(parts) > 1 and parts[1]:
+            inner_t, _ = _map_type(parts[1], 0)
+            return inner_t, close + 1
+        return "BIGINT", close + 1
+    if up in ("INT128", "UINT128", "INT256", "UINT256"):
+        return "DECIMAL(38, 0)", i + 1
+    # LowCardinality aliases: <Type>WithDictionary
+    if up.endswith("WITHDICTIONARY") and up[: -len("WITHDICTIONARY")] in TYPE_MAP:
+        return TYPE_MAP[up[: -len("WITHDICTIONARY")]], i + 1
     if up in TYPE_MAP:
         return TYPE_MAP[up], i + 1
     return t, i + 1  # pass through Spark-native types
