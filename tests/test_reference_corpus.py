@@ -336,6 +336,12 @@ CORPUS = [
     "01665_substring_ubsan.sql", "01710_join_use_nulls.sql",
     "01760_ddl_dictionary_use_current_database_name.sql", "01764_table_function_dictionary.sql",
     "01780_dict_get_or_null.sql", "01821_dictionary_primary_key_wrong_order.sql",
+    # round-4 growth II: sized decimals, SimpleAggregateFunction, bare
+    # Enum, -Merge roots, parenthesized-union subqueries, isConstant
+    "00612_union_query_with_subquery.sql", "00712_prewhere_with_sampling.sql",
+    "00737_decimal_group_by.sql", "00880_decimal_in_key.sql",
+    "01113_local_dictionary_type_conversion.sql", "01251_string_comparison.sql",
+    "01285_data_skip_index_over_aggregation.sql", "01670_sign_function.sql",
 ]
 
 
