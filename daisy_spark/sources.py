@@ -34,6 +34,12 @@ FORMAT_MAP: dict[str, tuple[str, dict[str, str]]] = {
 }
 
 
+#: row-based binary formats decoded by pure-Python wire codecs
+#: (formats_binary.py) — they need a schema (or, for Protobuf, a
+#: {field_no: (name, type)} map passed via ``options["fields"]``)
+BINARY_FORMATS = {"MsgPack", "RowBinary", "Protobuf", "ProtobufSingle"}
+
+
 def read_format(
     spark: SparkSession,
     path: str,
@@ -42,9 +48,25 @@ def read_format(
     options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Read ``path`` in a reference-named format."""
+    if fmt in BINARY_FORMATS:
+        from daisy_spark import formats_binary as fb
+
+        if fmt == "MsgPack":
+            return fb.read_msgpack(spark, path, schema)
+        if fmt == "RowBinary":
+            return fb.read_row_binary(spark, path, schema)
+        fields = (options or {}).get("fields")
+        if not isinstance(fields, dict):
+            raise ValueError(
+                "Protobuf needs options={'fields': {field_no: (name, type)}}"
+            )
+        return fb.read_protobuf(
+            spark, path, fields, single=fmt == "ProtobufSingle"
+        )
     if fmt not in FORMAT_MAP:
         raise ValueError(
-            f"format {fmt!r} not supported; available: {sorted(FORMAT_MAP)}"
+            f"format {fmt!r} not supported; available: "
+            f"{sorted(FORMAT_MAP) + sorted(BINARY_FORMATS)}"
         )
     spark_fmt, defaults = FORMAT_MAP[fmt]
     reader = spark.read.format(spark_fmt)
