@@ -642,6 +642,15 @@ _SCRIPT_SCHEMAS_CTX: "contextvars.ContextVar[dict | None]" = contextvars.Context
     "daisy_script_schemas", default=None
 )
 
+#: SAMPLE BY key expressions of the active ScriptRunner's tables:
+#: name -> translated key expression.  SAMPLE f on such a table becomes a
+#: deterministic key-range filter (the reference's sampling reads a
+#: prefix of the sampling-key space — repeatable, never Bernoulli;
+#: Storages/MergeTree/MergeTreeDataSelectExecutor.cpp).
+_SAMPLE_BY_CTX: "contextvars.ContextVar[dict | None]" = contextvars.ContextVar(
+    "daisy_sample_by", default=None
+)
+
 
 def _active_join_meta() -> dict:
     scoped = _STORAGE_JOIN_CTX.get()
@@ -3565,8 +3574,24 @@ def _translate_from(toks: list[str]) -> list[str]:
                 f = float(frac)
             except ValueError as exc:
                 raise DialectError(f"unsupported SAMPLE argument {frac!r}") from exc
-            if f <= 1.0:
-                out += ["TABLESAMPLE", "(", str(f * 100), "PERCENT", ")"]
+            # keyed table: SAMPLE f reads the prefix of the sampling-key
+            # space (key < f * keyspace), deterministic and repeatable.
+            # Key space is taken as 2^32 (the reference's common
+            # intHash32-style keys); wider keys fold via pmod — still a
+            # uniform, key-coherent, repeatable f-fraction.
+            sample_tabs = _SAMPLE_BY_CTX.get() or {}
+            prev = out[-1].strip("`") if out else ""
+            if f <= 1.0 and prev in sample_tabs:
+                key = sample_tabs[prev]
+                out[-1] = (
+                    f"(SELECT * FROM {prev} WHERE "
+                    f"pmod(CAST({key} AS BIGINT), 4294967296) < "
+                    f"{f} * 4294967296) AS {prev}"
+                )
+            elif f <= 1.0:
+                # REPEATABLE pins the Bernoulli seed: runs are stable
+                out += ["TABLESAMPLE", "(", str(f * 100), "PERCENT", ")",
+                        "REPEATABLE", "(", "91", ")"]
             else:
                 out += ["TABLESAMPLE", "(", str(int(f)), "ROWS", ")"]
             i += consumed

@@ -177,6 +177,7 @@ class _Table:
     sort_keys: list[str] = field(default_factory=list)
     df: DataFrame | None = None
     aka: list[str] = field(default_factory=list)  # Buffer proxy names
+    sample_by: str = ""  # SAMPLE BY key expression (translated)
 
 
 _ENGINE_KIND = {
@@ -260,8 +261,12 @@ class ScriptRunner:
             _STORAGE_JOIN_CTX,
         )
 
-        from daisy_spark.plans.dialect import _TOTALS_BLOCK_CTX
+        from daisy_spark.plans.dialect import _SAMPLE_BY_CTX, _TOTALS_BLOCK_CTX
 
+        token6 = _SAMPLE_BY_CTX.set({
+            name: t.sample_by
+            for name, t in self.tables.items() if t.sample_by
+        })
         token5 = _TOTALS_BLOCK_CTX.set(True)
         token4 = _SETTINGS_CTX.set(self.settings)
         token3 = _DICTS_CTX.set(self.dictionaries)
@@ -282,6 +287,7 @@ class ScriptRunner:
             _DICTS_CTX.reset(token3)
             _SETTINGS_CTX.reset(token4)
             _TOTALS_BLOCK_CTX.reset(token5)
+            _SAMPLE_BY_CTX.reset(token6)
 
     def _execute(self, stmt: str) -> DataFrame | None:
         toks = tokenize(stmt.strip().rstrip(";"))
@@ -534,6 +540,7 @@ class ScriptRunner:
             i = close + 1
         engine, engine_args = "Memory", []
         order_keys: list[str] = []
+        sample_by = ""
         as_select: list[str] | None = None
         buffer_target: str | None = None
         n = len(toks)
@@ -610,7 +617,13 @@ class ScriptRunner:
                         engine_args.append(_emit(p).strip('`"'))
             elif up == "ORDER" and i + 1 < n and _kw(toks[i + 1]) == "BY":
                 order_keys, i = self._parse_key_list(toks, i + 2)
-            elif up in ("PRIMARY", "PARTITION", "SAMPLE") and i + 1 < n:
+            elif up == "SAMPLE" and i + 1 < n:
+                # SAMPLE BY expr: recorded so dialect SAMPLE f reads become
+                # a deterministic key-range filter (the reference's
+                # sampling is keyed and repeatable, never Bernoulli)
+                sample_keys, i = self._parse_key_list(toks, i + 2)
+                sample_by = sample_keys[0] if sample_keys else ""
+            elif up in ("PRIMARY", "PARTITION") and i + 1 < n:
                 _, i = self._parse_key_list(toks, i + 2)
             elif up in ("SETTINGS", "TTL", "COMMENT"):
                 # trailing storage knobs -- no read-semantics impact here
@@ -663,7 +676,10 @@ class ScriptRunner:
             spec = TableSpec(
                 name=name, path="", engine="MergeTree", order_by=ident_keys
             )
-        t = _Table(name=name, cols=cols, spec=spec, sort_keys=order_keys)
+        t = _Table(
+            name=name, cols=cols, spec=spec, sort_keys=order_keys,
+            sample_by=sample_by,
+        )
         if engine == "Null":
             # Null engine discards all inserts; only the schema exists
             t.spec = TableSpec(name=name, path="", engine="Null")
