@@ -2306,15 +2306,10 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                     )
                 i = unit_at + 1
                 continue
-        # system.one's virtual `dummy` column (always UInt8 0)
-        if (
-            t == "dummy"
-            and (i == 0 or toks[i - 1] != ".")
-            and (i + 1 >= n or toks[i + 1] != "(")
-        ):
-            out.append("CAST(0 AS INT)")
-            i += 1
-            continue
+        # system.one's `dummy` column resolves against the implicit
+        # system.one FROM injected by _translate_select_tokens — no
+        # constant folding (folding loses the column NAME, which joins
+        # and USING clauses need)
         # nan / inf literals (Field.h float specials)
         if (
             t in ("nan", "inf")
@@ -2626,7 +2621,84 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
             continue
         out.append(t)
         i += 1
-    return _boolify_logic_operands(out)
+    return _date_arith_pass(_boolify_logic_operands(out))
+
+
+_DATE_HEADS = (
+    "to_date(", "current_date(", "date_add(", "date_sub(", "make_date(",
+    "last_day(", "DATE '",
+)
+_TS_HEADS = (
+    "current_timestamp(", "to_timestamp(", "timestamp_seconds(",
+    "date_trunc(", "from_unixtime(", "TIMESTAMP '",
+)
+
+
+def _dt_kind(tok: str) -> str | None:
+    if tok.startswith(_DATE_HEADS) or tok.endswith("AS DATE)"):
+        return "date"
+    if tok.startswith(_TS_HEADS) or tok.endswith("AS TIMESTAMP)"):
+        return "ts"
+    return None
+
+
+def _date_arith_pass(toks: list[str]) -> list[str]:
+    """Reference date arithmetic: Date ± N adds days, DateTime ± N adds
+    seconds, date - date is Int32 (src/Functions/FunctionDateOrDate
+    TimeAddInterval.h; DateTime stores epoch seconds).  Spark rejects
+    timestamp + int — rewrite the infix forms whose operand KIND is
+    visible in the emitted token (translated calls collapse to single
+    tokens, so a prefix test identifies them)."""
+    res = list(toks)
+    i = 1
+    while i < len(res) - 1:
+        op = res[i]
+        if op not in ("+", "-"):
+            i += 1
+            continue
+        left, right = res[i - 1], res[i + 1]
+        # precedence guard: leave `a + b * c` shapes to Spark
+        if i + 2 < len(res) and res[i + 2] in ("*", "/", "%"):
+            i += 1
+            continue
+        if i - 2 >= 0 and res[i - 2] in ("*", "/", "%"):
+            i += 1
+            continue
+        lk, rk = _dt_kind(left), _dt_kind(right)
+        repl = None
+        if lk and rk and op == "-":
+            if lk == "date" and rk == "date":
+                repl = f"CAST(datediff({left}, {right}) AS INT)"
+            else:
+                repl = (
+                    f"CAST(unix_timestamp({left}) - unix_timestamp({right}) "
+                    f"AS INT)"
+                )
+        elif lk and not rk and "INTERVAL" not in right.upper() and (
+            right[:1].isdigit() or right[:1].isalpha() or right[:1] in "(`"
+        ):
+            if lk == "date":
+                fn = "date_add" if op == "+" else "date_sub"
+                repl = f"{fn}({left}, CAST({right} AS INT))"
+            else:
+                repl = (
+                    f"({left} {op} make_interval(0, 0, 0, 0, 0, 0, {right}))"
+                )
+        elif rk and not lk and op == "+" and "INTERVAL" not in left.upper() and (
+            left[:1].isdigit() or left[:1].isalpha() or left[:1] in "(`"
+        ):
+            if rk == "date":
+                repl = f"date_add({right}, CAST({left} AS INT))"
+            else:
+                repl = (
+                    f"({right} + make_interval(0, 0, 0, 0, 0, 0, {left}))"
+                )
+        if repl is not None:
+            res[i - 1 : i + 2] = [repl]
+            i = max(i - 1, 1)
+        else:
+            i += 1
+    return res
 
 
 _BOOL_LEFT_EDGE = {"(", ",", "AND", "OR", "NOT", "WHEN", "THEN", "ELSE",
@@ -4222,15 +4294,378 @@ def _render_with_limit_by(q: _Select) -> str:
     return out
 
 
+_JOIN_EDGE_KW = {
+    "JOIN", "ANY", "ASOF", "SEMI", "ANTI", "LEFT", "RIGHT", "INNER",
+    "FULL", "CROSS", "GLOBAL", "ALL", "ARRAY",
+}
+
+
+def _from_item_cols(src: list[str]) -> dict[str, str] | None:
+    """Ordered column -> default map for a FROM item whose shape makes
+    the list derivable: inline subquery, numbers/one virtual tables, or
+    a script table with a registered schema.  None when unknown."""
+    if src and src[0] == "(":
+        close = _match_paren(src, 0)
+        inner = src[1:close]
+        if inner and _kw(inner[0]) in ("SELECT", "WITH"):
+            return _subq_cols(inner)
+        return None
+    txt = "".join(t.strip("`") for t in src)
+    if txt in ("system.numbers", "system.numbers_mt") or re.match(
+        r"^numbers(_mt)?\(", txt
+    ):
+        return {"number": "0"}
+    if txt == "system.one":
+        return {"dummy": "0"}
+    schemas = _SCRIPT_SCHEMAS_CTX.get() or {}
+    if txt in schemas:
+        return {c: d for c, _, d in schemas[txt]}
+    return None
+
+
+def _split_single_join(f: list[str]) -> tuple[
+    list[str], list[str], list[str], list[str]
+] | None:
+    """Split a FROM clause with exactly ONE top-level JOIN into
+    (left_item, join_words, right_item(+alias), tail).  None when the
+    shape is anything else."""
+    n = len(f)
+    depth = 0
+    join_at = -1
+    for i, t in enumerate(f):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and _kw(t) == "JOIN":
+            if join_at >= 0:
+                return None
+            join_at = i
+        elif depth == 0 and t == ",":
+            return None  # comma join
+    if join_at < 0:
+        return None
+    # join words run backwards over the modifier keywords
+    ws = join_at
+    while ws > 0 and _kw(f[ws - 1]) in (
+        "ANY", "ALL", "LEFT", "RIGHT", "INNER", "FULL", "OUTER", "GLOBAL",
+        "SEMI", "ANTI", "ASOF", "CROSS",
+    ):
+        ws -= 1
+    left = f[:ws]
+    words = f[ws : join_at + 1]
+    # right item: source (+ optional alias), then ON/USING tail
+    k = join_at + 1
+    if k < n and f[k] == "(":
+        k = _match_paren(f, k) + 1
+    else:
+        while k < n and (
+            (_is_ident(f[k]) and _kw(f[k]) not in _SQL_KEYWORDS)
+            or f[k] == "."
+        ):
+            k += 1
+    if k < n and _kw(f[k]) == "AS":
+        k += 1
+        if k < n:
+            k += 1
+    elif k < n and _is_ident(f[k]) and _kw(f[k]) not in _SQL_KEYWORDS:
+        k += 1
+    return left, words, f[join_at + 1 : k], f[k:]
+
+
+def _using_alias_rewrite(q: _Select) -> None:
+    """The reference resolves ``USING k`` against the SELECT list's
+    aliases too: ``SELECT 1 AS k FROM t JOIN u USING k`` joins on the
+    computed k even when t has no such column
+    (Interpreters/TranslateQualifiedNamesVisitor).  Spark's USING demands
+    a real left column — when a USING key is a select-list alias and the
+    left FROM item's columns are known not to include it, wrap the left
+    item so the alias becomes a column: ``(SELECT __l.*, 1 AS k FROM t
+    AS __l)``."""
+    f = q.from_
+    if "USING" not in {_kw(t) for t in f}:
+        return
+    # select-list aliases: name -> expression tokens
+    aliases: dict[str, list[str]] = {}
+    for item in _split_top(q.select, ","):
+        if len(item) >= 3 and _kw(item[-2]) == "AS" and _is_ident(item[-1]):
+            aliases[item[-1].strip("`")] = item[:-2]
+    if not aliases:
+        return
+    # first FROM item: source tokens [+ AS alias], up to the first join kw
+    i = 0
+    n = len(f)
+    if f and f[0] == "(":
+        src_end = _match_paren(f, 0) + 1
+    else:
+        src_end = 0
+        while src_end < n and not (
+            _kw(f[src_end]) in _JOIN_EDGE_KW or f[src_end] == ","
+        ):
+            src_end += 1
+        # a trailing bare alias is part of the item
+    item_end = src_end
+    alias_toks: list[str] = []
+    if item_end < n and _kw(f[item_end]) == "AS":
+        alias_toks = f[item_end : item_end + 2]
+        item_end += 2
+    elif (
+        f and f[0] == "(" and item_end < n and _is_ident(f[item_end])
+        and _kw(f[item_end]) not in _JOIN_EDGE_KW | _SQL_KEYWORDS
+    ):
+        alias_toks = [f[item_end]]
+        item_end += 1
+    src = f[:src_end]
+    if f and f[0] == "(":
+        src_txt = ""
+        left_cols = set(_subq_cols(f[1 : src_end - 1]))
+    else:
+        # strip the alias off a bare-name item: `system.one AS xxx`
+        if len(src) >= 2 and _kw(src[-2]) == "AS":
+            alias_toks = src[-2:]
+            src = src[:-2]
+        src_txt = "".join(t.strip("`") for t in src)
+        if src_txt in ("system.numbers", "system.numbers_mt") or re.match(
+            r"^numbers(_mt)?\(", src_txt
+        ):
+            left_cols = {"number"}
+        elif src_txt == "system.one":
+            left_cols = {"dummy"}
+        else:
+            schemas = _SCRIPT_SCHEMAS_CTX.get() or {}
+            if src_txt in schemas:
+                left_cols = {c[0] for c in schemas[src_txt]}
+            else:
+                return  # unknown left side — leave untouched
+    # USING keys at depth 0
+    keys: list[str] = []
+    depth = 0
+    j = 0
+    while j < n:
+        tk = f[j]
+        if tk == "(":
+            depth += 1
+        elif tk == ")":
+            depth -= 1
+        elif depth == 0 and _kw(tk) == "USING":
+            k = j + 1
+            if k < n and f[k] == "(":
+                kc = _match_paren(f, k)
+                keys += [x.strip("`") for x in f[k + 1 : kc] if _is_ident(x)]
+                j = kc
+            else:
+                while k < n and (_is_ident(f[k]) or f[k] == ","):
+                    if _kw(f[k]) in _SQL_KEYWORDS and f[k] != ",":
+                        break
+                    if f[k] != ",":
+                        keys.append(f[k].strip("`"))
+                    k += 1
+                j = k
+        j += 1
+    missing = [
+        k for k in keys if k in aliases and k not in left_cols
+    ]
+    if not missing:
+        return
+    add: list[str] = []
+    for k in missing:
+        add += [","] + aliases[k] + ["AS", k]
+    # no inner alias: bare names need none, and the system.numbers /
+    # system.one expansions arrive self-aliased
+    wrapped = ["(", "SELECT", "*"] + add + ["FROM"] + src + [")"]
+    if not alias_toks and src and src[0] != "(":
+        # Spark wants an alias on a FROM subquery; reuse the table name
+        # so qualified references keep resolving
+        bare = src_txt.split(".")[-1].split("(")[0]
+        if bare and _is_ident(bare):
+            alias_toks = ["AS", bare]
+    q.from_ = wrapped + alias_toks + f[item_end:]
+
+
+def _bare_star_fill(q: _Select) -> None:
+    """``SELECT *`` over a LEFT/FULL USING join: expand the star so the
+    right side's columns can carry the reference's type-default fill
+    (join_use_nulls=0).  Only fires when both sides' column lists are
+    derivable; Spark's star order for USING joins (keys, left rest,
+    right rest) matches the reference's."""
+    if [t for t in q.select if t.strip()] != ["*"]:
+        return
+    if str((_SETTINGS_CTX.get() or {}).get("join_use_nulls", "0")) == "1":
+        return
+    parts = _split_single_join(q.from_)
+    if not parts:
+        return
+    left, words, right, tail = parts
+    kws = {_kw(w) for w in words}
+    if not ({"LEFT", "FULL"} & kws) or {"SEMI", "ANTI"} & kws:
+        return
+    lsrc = list(left)
+    if len(lsrc) >= 2 and _kw(lsrc[-2]) == "AS":
+        lsrc = lsrc[:-2]
+    elif (
+        lsrc and lsrc[0] != "(" and _is_ident(lsrc[-1])
+        and len(lsrc) > 1 and lsrc[-2] != "."
+    ):
+        lsrc = lsrc[:-1]
+    rsrc = list(right)
+    if len(rsrc) >= 2 and _kw(rsrc[-2]) == "AS":
+        rsrc = rsrc[:-2]
+    elif (
+        rsrc and rsrc[0] == "(" and _is_ident(rsrc[-1])
+        and _match_paren(rsrc, 0) < len(rsrc) - 1
+    ):
+        rsrc = rsrc[:-1]
+    lcols = _from_item_cols(lsrc)
+    rcols = _from_item_cols(rsrc)
+    if not lcols or not rcols:
+        return
+    keys: list[str] = []
+    for j, t in enumerate(tail):
+        if _kw(t) == "USING":
+            k = j + 1
+            if k < len(tail) and tail[k] == "(":
+                keys = [
+                    x.strip("`") for x in tail[k + 1 : _match_paren(tail, k)]
+                    if _is_ident(x)
+                ]
+            else:
+                while k < len(tail) and (_is_ident(tail[k]) or tail[k] == ","):
+                    if _kw(tail[k]) in _SQL_KEYWORDS and tail[k] != ",":
+                        break
+                    if tail[k] != ",":
+                        keys.append(tail[k].strip("`"))
+                    k += 1
+            break
+    if not keys:
+        return  # ON joins keep NULL semantics here
+    # plain names — _outer_join_default_fill adds the coalesce fills
+    items = list(keys)
+    items += [c for c in lcols if c not in keys]
+    items += [c for c in rcols if c not in keys]
+    q.select = tokenize(", ".join(items))
+
+
+_AGG_HINT_RE = re.compile(
+    r"(?i)^(count|sum\w*|min\w*|max\w*|avg\w*|any\w*|uniq\w*|group\w*|"
+    r"quantile\w*|median\w*|topK\w*|corr\w*|covar\w*|var\w*|stddev\w*|"
+    r"skew\w*|kurt\w*|argMin\w*|argMax\w*|histogram|entropy|deltaSum\w*|"
+    r"retention|windowFunnel|sequence\w*|collect_\w+)$"
+)
+
+
+def _stream_order_join_rewrite(
+    q: _Select,
+) -> tuple[list[str], list[str], list[str]] | None:
+    """The reference's hash join streams the LEFT side and, per left
+    row, emits right matches in right INSERTION order — so a top-level
+    join without ORDER BY still has a deterministic row order.  Spark's
+    shuffles scramble it.  For the script engine's OUTERMOST select over
+    exactly one join, attach per-side stream ids and sort on them (ids
+    stripped by an outer wrapper; LIMIT moves outside so it takes the
+    stream PREFIX).  Returns the stashed (limit, offset) when applied."""
+    if _QDEPTH.get() > 1 or not _TOTALS_BLOCK_CTX.get():
+        return None
+    if (
+        q.order_by or q.group_by or q.having or q.distinct or q.limit_by
+        or q.with_totals or q.with_rollup or q.with_cube or q.array_join
+        or q.aj_hoists or q.fill or q.lateral or q.is_stream
+    ):
+        return None
+    parts = _split_single_join(q.from_)
+    if not parts:
+        return None
+    left, words, right, tail = parts
+    kws = {_kw(w) for w in words}
+    if "ASOF" in kws:
+        return None
+    semi = bool({"SEMI", "ANTI"} & kws)
+    # aggregates / windows / qualified stars in the select list leave the
+    # row-stream model — skip
+    for j, t in enumerate(q.select):
+        if _kw(t) == "OVER":
+            return None
+        if t == "*" and j >= 1 and q.select[j - 1] == ".":
+            return None
+        if (
+            _AGG_HINT_RE.match(t)
+            and j + 1 < len(q.select)
+            and q.select[j + 1] == "("
+        ):
+            return None
+
+    def wrap(item: list[str], idcol: str) -> list[str]:
+        src = list(item)
+        alias: list[str] = []
+        if len(src) >= 2 and _kw(src[-2]) == "AS":
+            alias, src = ["AS", src[-1]], src[:-2]
+        elif (
+            src and src[0] == "(" and _is_ident(src[-1])
+            and _match_paren(src, 0) < len(src) - 1
+        ):
+            alias, src = ["AS", src[-1]], src[:-1]
+        elif (
+            src and src[0] != "(" and len(src) > 1 and _is_ident(src[-1])
+            and src[-2] != "."
+        ):
+            alias, src = ["AS", src[-1]], src[:-1]
+        if not alias:
+            if src and src[0] == "(":
+                alias = ["AS", f"__jw_{idcol[-1]}"]
+            else:
+                bare = "".join(x.strip("`") for x in src).split(".")[-1]
+                alias = ["AS", bare] if _is_ident(bare) else ["AS", "__jw"]
+        return (
+            ["(", "SELECT", "*", ",", "monotonically_increasing_id", "(",
+             ")", "AS", idcol, "FROM"] + src + [")"] + alias
+        )
+
+    new_from = wrap(left, "__jord_l") + words
+    ids = ["__jord_l"]
+    if semi:
+        new_from += right
+    else:
+        new_from += wrap(right, "__jord_r")
+        ids.append("__jord_r")
+    q.from_ = new_from + tail
+    if [t for t in q.select if t.strip()] != ["*"]:
+        for c in ids:
+            q.select = q.select + [",", c]
+    lim, off = q.limit, q.offset
+    q.limit, q.offset = [], []
+    return ids, lim, off
+
+
 def _translate_select_tokens(toks: list[str]) -> tuple[str, dict[str, str]]:
     # fully parenthesized query part: ( SELECT ... )
     if toks and toks[0] == "(" and _match_paren(toks, 0) == len(toks) - 1:
         return "( " + _translate_query_text(toks[1:-1]) + " )", {}
     q = _parse_select(toks)
+    # a FROM-less SELECT reads system.one implicitly in the reference;
+    # materialize that when it actually references the `dummy` column
+    if not q.from_ and any(
+        t.strip("`") == "dummy"
+        for t in q.select + q.where + q.group_by + q.having + q.order_by
+    ):
+        q.from_ = ["system", ".", "one"]
+    _using_alias_rewrite(q)
     _apply_array_join(q)
+    _bare_star_fill(q)
     _outer_join_default_fill(q)
+    stash = _stream_order_join_rewrite(q)
     settings = _parse_settings(q.settings)
     sql_text = _render_with_limit_by(q) if q.limit_by else _render(q)
+    if stash is not None:
+        ids, lim, off = stash
+        id_list = ", ".join(ids)
+        order = ", ".join(f"{c} NULLS LAST" for c in ids)
+        sql_text = (
+            f"SELECT * EXCEPT ({id_list}) FROM ( {sql_text} ) AS __jord "
+            f"ORDER BY {order}"
+        )
+        if lim:
+            sql_text += " LIMIT " + _emit(_translate_expr(lim))
+        if off:
+            sql_text += " OFFSET " + _emit(_translate_expr(off))
     return sql_text, settings
 
 

@@ -342,6 +342,23 @@ CORPUS = [
     "00737_decimal_group_by.sql", "00880_decimal_in_key.sql",
     "01113_local_dictionary_type_conversion.sql", "01251_string_comparison.sql",
     "01285_data_skip_index_over_aggregation.sql", "01670_sign_function.sql",
+    # round-4 growth III: long-tail functions, USING aliases,
+    # stream-order joins, date arithmetic
+    "00448_to_string_cut_to_zero.sql", "00479_date_and_datetime_to_number.sql",
+    "00557_array_resize.sql", "00688_low_cardinality_defaults.sql",
+    "00704_arrayCumSumLimited_arrayDifference.sql", "00710_array_enumerate_dense.sql",
+    "00712_prewhere_with_sampling_and_alias.sql", "00743_limit_by_not_found_column.sql",
+    "00800_low_cardinality_array_group_by_arg.sql", "00968_roundAge.sql",
+    "00969_roundDuration.sql", "00978_ml_math.sql",
+    "01017_bithamming_distance.sql", "01019_array_fill.sql",
+    "01020_function_array_compact.sql", "01051_random_printable_ascii.sql",
+    "01065_array_zip_mixed_const.sql", "01260_ubsan_decimal_parse.sql",
+    "01276_random_string.sql", "01281_sum_nullable.sql",
+    "01322_monotonous_order_by_with_different_variables.sql", "01326_hostname_alias.sql",
+    "01373_is_zero_or_null.sql", "01376_array_fill_empty.sql",
+    "01658_test_base64Encode_mysql_compatibility.sql", "01659_test_base64Decode_mysql_compatibility.sql",
+    "01666_test_FunctionIPv4NumToString_mysql_compatibility.sql", "01667_test_FunctionIPv4StringToNum_mysql_compatibility.sql",
+    "01716_array_difference_overflow.sql",
 ]
 
 
