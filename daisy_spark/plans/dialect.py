@@ -676,6 +676,33 @@ def _join_get_expr(a: list[str], or_null: bool) -> str:
     return f"coalesce({sub}, {meta['defaults'].get(col, 'NULL')})"
 
 
+def _bool_lambda(lam: str) -> str:
+    """Wrap a translated SQL lambda's body in a boolean cast (reference
+    predicates are UInt8)."""
+    head, arrow, body = lam.partition("->")
+    if not arrow:
+        return lam
+    return f"{head}-> CAST(({body.strip()}) AS BOOLEAN)"
+
+
+def _untuple_expr(arg: str) -> str:
+    """untuple(t): expand a tuple into ``_ut_N`` columns (the
+    reference's naming, src/Functions/tupleElement + untuple)."""
+    labels = [int(x) for x in re.findall(r"'col(\d+)'", arg)]
+    if arg.startswith("named_struct") and labels:
+        return ", ".join(
+            f"({arg}).col{i} AS _ut_{i}" for i in range(1, max(labels) + 1)
+        )
+    s = arg.strip()
+    if s.startswith("(") and s.endswith(")"):
+        parts = [p.strip() for p in _split_top(tokenize(s[1:-1]), ",") if p]
+        if len(parts) > 1:
+            return ", ".join(
+                f"{_emit(p)} AS _ut_{i}" for i, p in enumerate(parts, 1)
+            )
+    _raise_dialect("untuple needs a tuple literal")
+
+
 def _conv_backrefs(repl: str) -> str:
     """Convert re2-style ``\\1`` backrefs in a LITERAL replacement string
     to java.util.regex ``$1`` (and escape literal ``$``)."""
@@ -1192,9 +1219,32 @@ FUNC_MAP: dict[str, object] = {
     "has": "exists({0}, __hb -> __hb = {1})", "indexOf": "array_position({0}, {1})",
     "countEqual": "size(filter({0}, __e -> __e <=> {1}))",
     "arrayJoin": "explode({0})",
-    "arrayMap": "transform({1}, {0})", "arrayFilter": "filter({1}, {0})",
-    "arrayExists": "exists({1}, {0})", "arrayAll": "forall({1}, {0})",
-    "arrayCount": "size(filter({1}, {0}))",
+    "arrayMap": "transform({1}, {0})",
+    # reference HOF predicates return UInt8 — Spark's demand BOOLEAN, so
+    # the lambda body gets a boolean cast (FunctionsHigherOrder.h)
+    "arrayFilter": lambda a: f"filter({a[1]}, {_bool_lambda(a[0])})",
+    "arrayExists": lambda a: (
+        f"exists({a[1]}, {_bool_lambda(a[0])})"
+        if len(a) > 1
+        else f"exists({a[0]}, __ae -> CAST(__ae AS BOOLEAN))"
+    ),
+    "arrayAll": lambda a: (
+        f"forall({a[1]}, {_bool_lambda(a[0])})"
+        if len(a) > 1
+        else f"forall({a[0]}, __aa -> CAST(__aa AS BOOLEAN))"
+    ),
+    "arrayCount": lambda a: (
+        f"size(filter({a[1]}, {_bool_lambda(a[0])}))"
+        if len(a) > 1
+        else f"size(filter({a[0]}, __ac -> CAST(__ac AS BOOLEAN)))"
+    ),
+    "arrayFirst": lambda a: (
+        f"element_at(filter({a[1]}, {_bool_lambda(a[0])}), 1)"
+    ),
+    "arrayFirstIndex": lambda a: (
+        f"coalesce(array_position(transform({a[1]}, "
+        f"{_bool_lambda(a[0])}), true), 0)"
+    ),
     "arraySum": lambda a: (
         f"aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
         if len(a) == 1
@@ -1723,6 +1773,29 @@ FUNC_MAP: dict[str, object] = {
     "uniqExactIf": "count(DISTINCT CASE WHEN CAST({1} AS BOOLEAN) THEN {0} END)",
     "sumOrNull": "IF(count({0}) = 0, NULL, sum({0}))",
     "minOrNull": "min({0})", "maxOrNull": "max({0})", "avgOrNull": "avg({0})",
+    "countOrNull": lambda a: (
+        f"IF(count({a[0] if a else '*'}) = 0, NULL, "
+        f"count({a[0] if a else '*'}))"
+    ),
+    # untuple(t): expands the tuple into _ut_N columns (the reference
+    # names them by element index); arity read off the translated
+    # named_struct literal
+    "untuple": lambda a: _untuple_expr(a[0]),
+    # initializeAggregation('aggState', v): the state after aggregating
+    # the single value v; finalized rendering (states are finalized here)
+    "initializeAggregation": lambda a: (
+        (lambda root, v: (
+            v if root in ("sum", "min", "max", "any", "anyLast", "first")
+            else "1" if root.startswith(("uniq", "count"))
+            else f"array({v})" if root in ("groupArray", "groupUniqArray")
+            else _raise_dialect(f"initializeAggregation: {root}")
+        ))(
+            re.sub(
+                r"(State)$", "", a[0].strip("'")
+            ),
+            ", ".join(a[1:]),
+        )
+    ),
     # -ForEach: elementwise aggregation over array columns — fold the
     # collected arrays pairwise, padding the accumulator to each row's
     # length (AggregateFunctionForEach.h semantics: result length = max)
