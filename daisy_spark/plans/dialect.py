@@ -676,6 +676,20 @@ def _join_get_expr(a: list[str], or_null: bool) -> str:
     return f"coalesce({sub}, {meta['defaults'].get(col, 'NULL')})"
 
 
+def _null_in_expr(a: list[str], neg: bool) -> str:
+    """nullIn(x, set): IN with transform_null_in=1 — NULL matches NULL
+    (null-safe equality per element; src/Functions/in.cpp)."""
+    s = a[1].strip()
+    if s.startswith("(") and s.endswith(")"):
+        elems = [
+            _emit(p) for p in _split_top(tokenize(s[1:-1]), ",") if p
+        ]
+    else:
+        elems = [s]
+    ors = " OR ".join(f"({a[0]} <=> {e})" for e in elems)
+    return f"(NOT ({ors}))" if neg else f"({ors})"
+
+
 def _bool_lambda(lam: str) -> str:
     """Wrap a translated SQL lambda's body in a boolean cast (reference
     predicates are UInt8)."""
@@ -1773,6 +1787,17 @@ FUNC_MAP: dict[str, object] = {
     "uniqExactIf": "count(DISTINCT CASE WHEN CAST({1} AS BOOLEAN) THEN {0} END)",
     "sumOrNull": "IF(count({0}) = 0, NULL, sum({0}))",
     "minOrNull": "min({0})", "maxOrNull": "max({0})", "avgOrNull": "avg({0})",
+    # function spellings of the IN operators (src/Functions/in.cpp);
+    # GLOBAL variants are a distribution hint only
+    "in": lambda a: f"({a[0]} IN {a[1] if a[1].startswith('(') else '(' + a[1] + ')'})",
+    "notIn": lambda a: f"({a[0]} NOT IN {a[1] if a[1].startswith('(') else '(' + a[1] + ')'})",
+    "globalIn": lambda a: f"({a[0]} IN {a[1] if a[1].startswith('(') else '(' + a[1] + ')'})",
+    "globalNotIn": lambda a: f"({a[0]} NOT IN {a[1] if a[1].startswith('(') else '(' + a[1] + ')'})",
+    # nullIn = IN under transform_null_in=1: NULL matches NULL (null-safe)
+    "nullIn": lambda a: _null_in_expr(a, neg=False),
+    "notNullIn": lambda a: _null_in_expr(a, neg=True),
+    "globalNullIn": lambda a: _null_in_expr(a, neg=False),
+    "globalNotNullIn": lambda a: _null_in_expr(a, neg=True),
     "countOrNull": lambda a: (
         f"IF(count({a[0] if a else '*'}) = 0, NULL, "
         f"count({a[0] if a else '*'}))"
@@ -2694,7 +2719,118 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
             continue
         out.append(t)
         i += 1
-    return _date_arith_pass(_boolify_logic_operands(out))
+    return _tuple_in_pass(_date_arith_pass(_boolify_logic_operands(out)))
+
+
+def _tuple_in_pass(toks: list[str]) -> list[str]:
+    """Tuple IN over literal tuple lists: Spark's struct IN demands
+    exact field types, the reference coerces per element
+    (Interpreters/Set.cpp).  Expand ``(a, b) IN ((p, q), ...)`` to
+    elementwise equality ORs before the tuple becomes a typed struct;
+    a scalar list whose length equals the tuple arity is ONE tuple."""
+    res = list(toks)
+    # scalar IN: drop literal NULL items — the reference's set ignores
+    # them (a NULL element never matches; Spark's IN would poison the
+    # whole result to NULL instead)
+    i = 0
+    while i < len(res):
+        if _kw(res[i]) != "IN" or i + 1 >= len(res) or res[i + 1] != "(":
+            i += 1
+            continue
+        close = _match_paren(res, i + 1)
+        inner = res[i + 2 : close]
+        if any(_kw(x) in ("SELECT", "WITH") for x in inner) or not any(
+            _kw(x) == "NULL" for x in inner
+        ):
+            i = close + 1
+            continue
+        items = [
+            it for it in _split_top(inner, ",")
+            if it and not (len(it) == 1 and _kw(it[0]) == "NULL")
+        ]
+        if not items:
+            i = close + 1
+            continue
+        new_inner: list[str] = []
+        for k2, it in enumerate(items):
+            if k2:
+                new_inner.append(",")
+            new_inner += it
+        res[i + 2 : close] = new_inner
+        i += 1
+    i = 0
+    while i < len(res):
+        if res[i] != "(":
+            i += 1
+            continue
+        lclose = _match_paren(res, i)
+        elems = [
+            _emit(p) for p in _split_top(res[i + 1 : lclose], ",") if p
+        ]
+        if len(elems) < 2:
+            i += 1
+            continue
+        j = lclose + 1
+        neg = False
+        if j < len(res) and _kw(res[j]) == "NOT":
+            neg = True
+            j += 1
+        if not (j < len(res) and _kw(res[j]) == "IN"):
+            i += 1
+            continue
+        j += 1
+        if not (j < len(res) and res[j] == "("):
+            i += 1
+            continue
+        close = _match_paren(res, j)
+        inner = res[j + 1 : close]
+        if any(_kw(x) in ("SELECT", "WITH") for x in inner):
+            i += 1
+            continue
+        items = [x for x in _split_top(inner, ",") if x]
+        rows: list[list[str]] = []
+        if len(items) == len(elems) and not any(
+            it[0] == "(" for it in items
+        ):
+            if any(len(it) == 1 and _kw(it[0]) == "NULL" for it in items):
+                i += 1
+                continue
+            rows = [[_emit(it) for it in items]]
+        else:
+            ok = bool(items)
+            for it in items:
+                if it[0] != "(" or _match_paren(it, 0) != len(it) - 1:
+                    ok = False
+                    break
+                sub = [
+                    _emit(p) for p in _split_top(it[1:-1], ",") if p
+                ]
+                if len(sub) != len(elems):
+                    ok = False
+                    break
+                rows.append(sub)
+            if not ok:
+                i += 1
+                continue
+            # set rows carrying literal NULL elements never match
+            rows = [
+                r for r in rows
+                if not any(x.strip().upper() == "NULL" for x in r)
+            ]
+        ors = " OR ".join(
+            "(" + " AND ".join(
+                f"({le} = {re_})" for le, re_ in zip(elems, row)
+            ) + ")"
+            for row in rows
+        ) or "(1 = 0)"
+        # a left tuple with a NULL element compares as NULL (the
+        # reference's tuple IN is NULL-propagating on the LEFT side)
+        null_guard = " OR ".join(f"(({e}) IS NULL)" for e in elems)
+        ors = f"CASE WHEN {null_guard} THEN NULL ELSE ({ors}) END"
+        expr = f"(NOT ({ors}))" if neg else f"({ors})"
+        res[i : close + 1] = [expr]
+        i += 1
+    return res
 
 
 _DATE_HEADS = (
