@@ -4550,8 +4550,9 @@ def _split_single_join(f: list[str]) -> tuple[
             if join_at >= 0:
                 return None
             join_at = i
-        elif depth == 0 and t == ",":
-            return None  # comma join
+        elif depth == 0 and t == "," and join_at < 0:
+            return None  # comma join (commas after the JOIN belong to
+            # a bare USING key list)
     if join_at < 0:
         return None
     # join words run backwards over the modifier keywords
@@ -4689,6 +4690,93 @@ def _using_alias_rewrite(q: _Select) -> None:
         if bare and _is_ident(bare):
             alias_toks = ["AS", bare]
     q.from_ = wrapped + alias_toks + f[item_end:]
+
+
+def _item_src_alias(item: list[str]) -> tuple[list[str], str]:
+    """Split a FROM item into (source tokens, alias); bare tables use
+    their own (unqualified) name as the alias."""
+    src = list(item)
+    alias = ""
+    if len(src) >= 2 and _kw(src[-2]) == "AS":
+        alias, src = src[-1].strip("`"), src[:-2]
+    elif (
+        src and src[0] == "(" and _is_ident(src[-1])
+        and _match_paren(src, 0) < len(src) - 1
+    ):
+        alias, src = src[-1].strip("`"), src[:-1]
+    elif (
+        src and src[0] != "(" and len(src) > 1 and _is_ident(src[-1])
+        and src[-2] != "."
+        and _kw(src[-1]) not in _SQL_KEYWORDS
+    ):
+        alias, src = src[-1].strip("`"), src[:-1]
+    if not alias and src and src[0] != "(":
+        alias = "".join(t.strip("`") for t in src).split(".")[-1]
+    return src, alias
+
+
+def _qualify_ambiguous(q: _Select) -> None:
+    """Unqualified column names that exist on BOTH sides of a join
+    resolve to the LEFT side in the reference
+    (TranslateQualifiedNamesVisitor); Spark raises AMBIGUOUS_REFERENCE.
+    Qualify such bare references with the left alias when both column
+    lists are derivable."""
+    parts = _split_single_join(q.from_)
+    if not parts:
+        return
+    left, words, right, tail = parts
+    lsrc, lalias = _item_src_alias(left)
+    rsrc, ralias = _item_src_alias(right)
+    if not lalias:
+        return
+    lcols = _from_item_cols(lsrc)
+    rcols = _from_item_cols(rsrc)
+    if not lcols or not rcols:
+        return
+    keys: set[str] = set()
+    for j, t in enumerate(tail):
+        if _kw(t) == "USING":
+            k = j + 1
+            if k < len(tail) and tail[k] == "(":
+                keys = {
+                    x.strip("`") for x in tail[k + 1 : _match_paren(tail, k)]
+                    if _is_ident(x)
+                }
+            else:
+                while k < len(tail) and (_is_ident(tail[k]) or tail[k] == ","):
+                    if _kw(tail[k]) in _SQL_KEYWORDS and tail[k] != ",":
+                        break
+                    if tail[k] != ",":
+                        keys.add(tail[k].strip("`"))
+                    k += 1
+            break
+    both = (set(lcols) & set(rcols)) - keys
+    if not both:
+        return
+
+    def subst(ts: list[str]) -> list[str]:
+        res: list[str] = []
+        for j, t in enumerate(ts):
+            name = t.strip("`")
+            prev = ts[j - 1] if j > 0 else ""
+            nxt = ts[j + 1] if j + 1 < len(ts) else ""
+            if (
+                name in both
+                and prev != "."
+                and _kw(prev) != "AS"
+                and nxt not in (".", "(")
+            ):
+                res += [lalias, ".", t]
+            else:
+                res.append(t)
+        return res
+
+    q.select = subst(q.select)
+    q.where = subst(q.where)
+    q.prewhere = subst(q.prewhere)
+    q.group_by = subst(q.group_by)
+    q.having = subst(q.having)
+    q.order_by = subst(q.order_by)
 
 
 def _bare_star_fill(q: _Select) -> None:
@@ -4857,6 +4945,7 @@ def _translate_select_tokens(toks: list[str]) -> tuple[str, dict[str, str]]:
     ):
         q.from_ = ["system", ".", "one"]
     _using_alias_rewrite(q)
+    _qualify_ambiguous(q)
     _apply_array_join(q)
     _bare_star_fill(q)
     _outer_join_default_fill(q)
