@@ -1101,10 +1101,23 @@ FUNC_MAP: dict[str, object] = {
     "toFloat64OrNull": "try_cast({0} AS DOUBLE)",
     "toDateOrNull": "try_cast({0} AS DATE)",
     # numeric argument = days since epoch (FunctionsConversion)
+    # toDate(UInt) is epoch DAYS; strings/dates parse directly.  When
+    # the argument's kind isn't visible at translate time, a string
+    # round-trip dispatches at runtime (date-parse first, else days)
     "toDate": lambda a: (
         f"date_add(DATE '1970-01-01', CAST({a[0]} AS INT))"
         if a and (a[0].isdigit() or a[0].lstrip("-").isdigit())
         else f"CAST({a[0]} AS DATE)"
+        if a and (
+            a[0].startswith("'") or _dt_kind(a[0])
+            or a[0].startswith(("concat(", "substring(", "substr("))
+        )
+        else (
+            # outer CAST: marks the result date-typed for _dt_kind
+            f"CAST(coalesce(try_cast(CAST({a[0]} AS STRING) AS DATE), "
+            f"date_add(DATE '1970-01-01', CAST(try_cast("
+            f"CAST({a[0]} AS STRING) AS DOUBLE) AS INT))) AS DATE)"
+        )
     ),
     # reference parses an all-digit string as a unix timestamp
     # (FunctionsConversion: parseDateTime accepts numeric strings)
@@ -1114,6 +1127,18 @@ FUNC_MAP: dict[str, object] = {
         else f"timestamp_seconds({a[0]})"
         if a[0].isdigit()
         else f"CAST({a[0]} AS TIMESTAMP)"
+        if a[0].startswith("'") or _dt_kind(a[0])
+        or a[0].startswith(("concat(", "substring(", "substr("))
+        else (
+            f"CAST(coalesce(try_cast(CAST({a[0]} AS STRING) AS TIMESTAMP), "
+            f"timestamp_seconds(CAST(try_cast("
+            f"CAST({a[0]} AS STRING) AS DOUBLE) AS BIGINT))) AS TIMESTAMP)"
+        )
+    ),
+    "parseDateTimeBestEffortOrNull": "try_cast({0} AS TIMESTAMP)",
+    "parseDateTimeBestEffortOrZero": (
+        "coalesce(try_cast({0} AS TIMESTAMP), "
+        "to_timestamp('1970-01-01 00:00:00'))"
     ),
     "toUUID": "CAST({0} AS STRING)",
     "toDateTime64": lambda a: f"CAST({a[0]} AS TIMESTAMP)",
@@ -1491,6 +1516,26 @@ FUNC_MAP: dict[str, object] = {
     # re-merge of sum states is a cumulative window sum in stream order
     # (src/Functions/runningAccumulate.cpp); the optional second argument
     # resets accumulation on change, i.e. a window partition
+    # runningDifference(x): x - previous x in stream order, 0 for the
+    # first row (src/Functions/runningDifference.h; whole result = one
+    # block here, same assumption as blockSize)
+    "runningDifference": lambda a: (
+        f"(CASE WHEN ({a[0]}) IS NULL THEN NULL "
+        f"ELSE coalesce({a[0]} - lag({a[0]}) IGNORE NULLS OVER "
+        f"(ORDER BY monotonically_increasing_id()), 0) END)"
+    ),
+    # neighbor(x, offset[, default]): value offset rows away in stream
+    # order (src/Functions/neighbor.cpp)
+    "neighbor": lambda a: (
+        f"lead({a[0]}, {a[1]}, {a[2] if len(a) > 2 else '0'}) OVER "
+        f"(ORDER BY monotonically_increasing_id())"
+        if not a[1].lstrip("(").startswith("-")
+        else (
+            f"lag({a[0]}, {a[1].strip('()').lstrip('-')}, "
+            f"{a[2] if len(a) > 2 else '0'}) OVER "
+            f"(ORDER BY monotonically_increasing_id())"
+        )
+    ),
     "runningAccumulate": lambda a: (
         f"sum({a[0]}) OVER ("
         + (f"PARTITION BY {a[1]} " if len(a) > 1 else "")
@@ -2174,10 +2219,7 @@ PARAMETRIC_MAP: dict[str, object] = {
 
 #: recognizably-reference functions with NO sound SQL translation; the
 #: error points at the DataFrame-level implementation.
-UNSUPPORTED_FUNCS = {
-    "neighbor": "window lag/lead via daisy_spark.queries window examples",
-    "runningDifference": "window lag via delta_sum_df",
-}
+UNSUPPORTED_FUNCS: dict[str, str] = {}
 
 
 # ---------------------------------------------------------------------------

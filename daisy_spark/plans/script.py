@@ -912,9 +912,21 @@ class ScriptRunner:
         ):
             i += 3
         name, i = self._table_name(toks, i)
+        decl: list[_Col] = []
+        if i < len(toks) and toks[i] == "(":
+            # optional declared column list: the SELECT's outputs are
+            # CAST to the declared types (StorageView type conversion)
+            close = _match_paren(toks, i)
+            decl = self._parse_coldefs(toks[i + 1 : close])
+            i = close + 1
         if _kw(toks[i]) != "AS":
             raise DialectError("CREATE VIEW requires AS SELECT")
         df = dialect_sql(self.spark, _emit(toks[i + 1 :]))
+        if decl and len(decl) == len(df.columns):
+            df = df.select(*[
+                F.col(old).cast(c.spark_type).alias(c.name)
+                for old, c in zip(df.columns, decl)
+            ])
         df.createOrReplaceTempView(name)
         df.createOrReplaceTempView(name + "__final")
         self.tables[name] = _Table(
