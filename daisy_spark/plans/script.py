@@ -242,6 +242,11 @@ class ScriptRunner:
         # returns); close() restores the previous value.
         self._prev_ansi = spark.conf.get("spark.sql.ansi.enabled", "true")
         spark.conf.set("spark.sql.ansi.enabled", "false")
+        # the reference has no positional GROUP BY — `GROUP BY 1` groups
+        # by the CONSTANT 1 (enable_positional_arguments is off in this
+        # snapshot); Spark's ordinal interpretation must be disabled
+        self._prev_gbo = spark.conf.get("spark.sql.groupByOrdinal", "true")
+        spark.conf.set("spark.sql.groupByOrdinal", "false")
 
     # -- public ----------------------------------------------------------
 
@@ -355,6 +360,7 @@ class ScriptRunner:
     def close(self) -> None:
         try:
             self.spark.conf.set("spark.sql.ansi.enabled", self._prev_ansi)
+            self.spark.conf.set("spark.sql.groupByOrdinal", self._prev_gbo)
         except Exception:  # noqa: BLE001
             pass
         for name in list(self.tables):
