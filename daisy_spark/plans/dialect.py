@@ -4413,8 +4413,13 @@ def _render(q: _Select) -> str:
                 # bypasses HAVING.  grouping_id() (not grouping(expr))
                 # also works for constant group keys.
                 parts.append(f"GROUP BY GROUPING SETS (({keys}), ())")
-                parts[0] += ", IF(grouping_id() = 0, 0, 1) AS __is_total"
-                totals_bypass = "grouping_id() != 0"
+                # constant-only grouping keys can yield a NULL
+                # grouping_id for the global set — NULL means totals
+                parts[0] += (
+                    ", IF(coalesce(grouping_id(), 1) = 0, 0, 1)"
+                    " AS __is_total"
+                )
+                totals_bypass = "coalesce(grouping_id(), 1) != 0"
             else:
                 # subquery WITH TOTALS: row-reading consumers see only
                 # the regular rows (TotalsHavingTransform keeps totals in
@@ -4469,6 +4474,18 @@ def _render(q: _Select) -> str:
         return out
     if q.order_by:
         parts.append("ORDER BY " + _order_by_sql(q.order_by))
+    if q.limit and totals_bypass:
+        # LIMIT applies to the REGULAR rows only; the totals row rides
+        # in its side block regardless (TotalsHavingTransform)
+        n = _emit(_translate_expr(q.limit))
+        inner = " ".join(parts)
+        return (
+            f"SELECT * EXCEPT (__trn) FROM (SELECT *, row_number() OVER "
+            f"(PARTITION BY __is_total ORDER BY "
+            f"monotonically_increasing_id()) AS __trn "
+            f"FROM ( {inner} )) "
+            f"WHERE coalesce(__is_total, 1) = 1 OR __trn <= ({n})"
+        )
     if q.limit:
         parts.append("LIMIT " + _emit(_translate_expr(q.limit)))
     if q.offset:

@@ -1114,8 +1114,11 @@ class ScriptRunner:
         ride on the `_daisy_totals` attribute for script-level renderers."""
         if df is None or "__is_total" not in df.columns:
             return df
-        regular = df.filter(F.col("__is_total") == 0).drop("__is_total")
-        trows = df.filter(F.col("__is_total") == 1).drop("__is_total").collect()
+        # constant-only group keys leave the marker NULL for the global
+        # set (Spark null-extends the whole expression) — NULL = totals
+        marker = F.coalesce(F.col("__is_total"), F.lit(1))
+        regular = df.filter(marker == 0).drop("__is_total")
+        trows = df.filter(marker == 1).drop("__is_total").collect()
         fields = [f for f in df.schema.fields if f.name != "__is_total"]
         fixed = []
         for r in trows:
