@@ -728,6 +728,43 @@ def _conv_backrefs(repl: str) -> str:
     return repl
 
 
+_DD_UNITS = {
+    "YEAR": "YEAR", "YY": "YEAR", "YYYY": "YEAR",
+    "QUARTER": "QUARTER", "QQ": "QUARTER", "Q": "QUARTER",
+    "MONTH": "MONTH", "MM": "MONTH", "M": "MONTH",
+    "WEEK": "WEEK", "WK": "WEEK", "WW": "WEEK",
+    "DAY": "DAY", "DD": "DAY", "D": "DAY",
+    "HOUR": "HOUR", "HH": "HOUR",
+    "MINUTE": "MINUTE", "MI": "MINUTE", "N": "MINUTE",
+    "SECOND": "SECOND", "SS": "SECOND", "S": "SECOND",
+}
+
+
+def _dd_unit(tok: str) -> str:
+    """dateDiff unit: quoted ('month') or bare SQL keyword (MONTH, QQ,
+    SQL_TSI_MONTH) — normalized to Spark's unit keyword."""
+    u = tok.strip().strip("'").upper()
+    if u.startswith("SQL_TSI_"):
+        u = u[8:]
+    return _DD_UNITS.get(u, u)
+
+
+def _ts_add_expr(a: list[str], sign: int) -> str:
+    """DATE_ADD/DATE_SUB/timestamp_add/timestamp_sub: (unit, n, d) or
+    (d, INTERVAL n unit) forms; result stays a Date when the input is."""
+    if len(a) == 2:
+        # (d, interval) form
+        base, iv = a[0], a[1]
+        expr = f"({base} {'+' if sign > 0 else '-'} {iv})"
+    else:
+        unit, n, base = _dd_unit(a[0]), a[1], a[2]
+        n = n if sign > 0 else f"-({n})"
+        expr = f"timestampadd({unit}, {n}, {base})"
+    if _dt_kind(base) == "date":
+        return f"CAST({expr} AS DATE)"
+    return expr
+
+
 def _gcd_expr(x: str, y: str) -> str:
     """gcd via a fixed-depth Euclid fold (64-bit gcd terminates in < 45
     iterations — Fibonacci worst case; src/Functions/gcdLcmImpl.h)."""
@@ -1104,8 +1141,9 @@ FUNC_MAP: dict[str, object] = {
     # toDate(UInt) is epoch DAYS; strings/dates parse directly.  When
     # the argument's kind isn't visible at translate time, a string
     # round-trip dispatches at runtime (date-parse first, else days)
+    # numeric days wrap in UInt16 (DataTypeDate stores 16-bit days)
     "toDate": lambda a: (
-        f"date_add(DATE '1970-01-01', CAST({a[0]} AS INT))"
+        f"date_add(DATE '1970-01-01', CAST(pmod({a[0]}, 65536) AS INT))"
         if a and (a[0].isdigit() or a[0].lstrip("-").isdigit())
         else f"CAST({a[0]} AS DATE)"
         if a and (
@@ -1115,8 +1153,8 @@ FUNC_MAP: dict[str, object] = {
         else (
             # outer CAST: marks the result date-typed for _dt_kind
             f"CAST(coalesce(try_cast(CAST({a[0]} AS STRING) AS DATE), "
-            f"date_add(DATE '1970-01-01', CAST(try_cast("
-            f"CAST({a[0]} AS STRING) AS DOUBLE) AS INT))) AS DATE)"
+            f"date_add(DATE '1970-01-01', CAST(pmod(try_cast("
+            f"CAST({a[0]} AS STRING) AS DOUBLE), 65536) AS INT))) AS DATE)"
         )
     ),
     # reference parses an all-digit string as a unix timestamp
@@ -1130,9 +1168,11 @@ FUNC_MAP: dict[str, object] = {
         if a[0].startswith("'") or _dt_kind(a[0])
         or a[0].startswith(("concat(", "substring(", "substr("))
         else (
+            # numeric seconds wrap in UInt32 (DataTypeDateTime storage)
             f"CAST(coalesce(try_cast(CAST({a[0]} AS STRING) AS TIMESTAMP), "
-            f"timestamp_seconds(CAST(try_cast("
-            f"CAST({a[0]} AS STRING) AS DOUBLE) AS BIGINT))) AS TIMESTAMP)"
+            f"timestamp_seconds(CAST(pmod(try_cast("
+            f"CAST({a[0]} AS STRING) AS DOUBLE), 4294967296) AS BIGINT))) "
+            f"AS TIMESTAMP)"
         )
     ),
     "parseDateTimeBestEffortOrNull": "try_cast({0} AS TIMESTAMP)",
@@ -1176,7 +1216,16 @@ FUNC_MAP: dict[str, object] = {
     "addMonths": "({0} + make_interval(0, {1}, 0, 0, 0, 0, 0))",
     "addYears": "({0} + make_interval({1}, 0, 0, 0, 0, 0, 0))",
     "subtractDays": "({0} - make_interval(0, 0, 0, {1}, 0, 0, 0))",
-    "dateDiff": "timestampdiff({0}, {1}, {2})",
+    "dateDiff": lambda a: f"timestampdiff({_dd_unit(a[0])}, {a[1]}, {a[2]})",
+    "date_diff": lambda a: f"timestampdiff({_dd_unit(a[0])}, {a[1]}, {a[2]})",
+    "date_add": lambda a: _ts_add_expr(a, 1),
+    "dateAdd": lambda a: _ts_add_expr(a, 1),
+    "date_sub": lambda a: _ts_add_expr(a, -1),
+    "dateSub": lambda a: _ts_add_expr(a, -1),
+    "timestamp_add": lambda a: _ts_add_expr(a, 1),
+    "timestampAdd": lambda a: _ts_add_expr(a, 1),
+    "timestamp_sub": lambda a: _ts_add_expr(a, -1),
+    "timestampSub": lambda a: _ts_add_expr(a, -1),
     "formatDateTime": _format_datetime,
     "timeSlot": "timestamp_seconds(floor(unix_timestamp({0}) / 1800) * 1800)",
     # strings
@@ -1187,7 +1236,7 @@ FUNC_MAP: dict[str, object] = {
     # expressions that are syntactically array-producing use size()
     "length": lambda a: (
         f"size({a[0]})"
-        if any(m in a[0] for m in (
+        if any(m in a[0].replace(" ", "") for m in (
             "collect_list(", "collect_set(", "array(", "array_distinct(",
             "array_intersect(", "array_union(", "array_except(",
             "array_remove(", "array_repeat(", "slice(", "split(",
@@ -1319,7 +1368,26 @@ FUNC_MAP: dict[str, object] = {
         )
         + ")), 'UTF-8')"
     ),
-    "arraySlice": "slice({0}, {1}, {2})",
+    # arraySlice: 2-arg takes to the end; negative LENGTH drops |len|
+    # trailing elements (src/Functions/array/arraySlice.cpp)
+    # out-of-range/zero offsets yield an empty slice (the reference
+    # clamps; Spark's slice raises) — the CASE guards evaluation
+    "arraySlice": lambda a: (
+        f"(CASE WHEN ({a[1]}) = 0 OR "
+        f"abs(CAST({a[1]} AS DOUBLE)) > size({a[0]}) "
+        f"THEN slice({a[0]}, 1, 0) "
+        f"ELSE slice({a[0]}, CAST({a[1]} AS INT), size({a[0]})) END)"
+        if len(a) == 2
+        else (
+            f"(CASE WHEN ({a[1]}) = 0 OR "
+            f"abs(CAST({a[1]} AS DOUBLE)) > size({a[0]}) "
+            f"THEN slice({a[0]}, 1, 0) "
+            f"ELSE slice({a[0]}, CAST({a[1]} AS INT), "
+            f"CAST(greatest(CASE WHEN ({a[2]}) < 0 THEN "
+            f"size({a[0]}) + ({a[2]}) - ({a[1]}) + 1 "
+            f"ELSE ({a[2]}) END, 0) AS INT)) END)"
+        )
+    ),
     # flatten of a bare [] literal: Spark cannot type array(); the
     # reference returns []
     "arrayFlatten": lambda a: (
@@ -1593,7 +1661,16 @@ FUNC_MAP: dict[str, object] = {
         "'(..)')))), 'UTF-8'), NULL)"
     ),
     "rand64": "CAST(rand() * 9.223372036854776e18 AS BIGINT)",
-    "bar": "repeat('█', CAST(least({0} / {2} * {3}, {3}) AS INT))",
+    # bar(x, min, max[, width=80]): whole blocks only (the reference
+    # also renders 1/8 partials; NaN/negative widths give empty)
+    "bar": lambda a: (
+        f"repeat('█', CAST((CASE WHEN isnan("
+        f"(CAST({a[0]} AS DOUBLE) - ({a[1]})) / (({a[2]}) - ({a[1]}))) "
+        f"THEN 0 ELSE coalesce(greatest(least("
+        f"(CAST({a[0]} AS DOUBLE) - ({a[1]})) / (({a[2]}) - ({a[1]})) "
+        f"* {a[3] if len(a) > 3 else 80}, "
+        f"{a[3] if len(a) > 3 else 80}), 0), 0) END) AS INT))"
+    ),
     "least": "least({*})", "greatest": "greatest({*})",
     "intHash64": "xxhash64({0})", "farmHash64": "xxhash64({*})",
     "intHash32": "(abs(xxhash64({0})) % 4294967296)",
@@ -1646,7 +1723,10 @@ FUNC_MAP: dict[str, object] = {
         "shiftleft(CAST({0} AS BIGINT), 64 - CAST({1} AS INT)))"
     ),
     # string/misc aliases
-    "mid": "substring({0}, {1}, {2})",
+    "mid": lambda a: f"substring({', '.join(a)})",
+    "substr": lambda a: f"substring({', '.join(a)})",
+    "lcase": "lower({0})", "ucase": "upper({0})",
+    "locate": lambda a: _position_expr(a),
     "sigmoid": "(1.0 / (1.0 + exp(-(CAST({0} AS DOUBLE)))))",
     # erf/erfc via commons-math3 (on Spark's classpath); reflect returns
     # the double's shortest round-trip string — cast back is exact
@@ -2450,6 +2530,11 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
         # system.one FROM injected by _translate_select_tokens — no
         # constant folding (folding loses the column NAME, which joins
         # and USING clauses need)
+        # infix MOD keyword (MySQL-compat spelling of %)
+        if up == "MOD" and i > 0 and _ends_operand(toks[i - 1]):
+            out.append("%")
+            i += 1
+            continue
         # nan / inf literals (Field.h float specials)
         if (
             t in ("nan", "inf")
@@ -2641,6 +2726,9 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
             and (
                 up not in _SQL_KEYWORDS
                 or up == "RANGE"
+                # LEFT/RIGHT directly before '(' are the string
+                # functions, never join words (joins need JOIN after)
+                or up in ("LEFT", "RIGHT")
                 or (
                     up in ("AND", "OR", "NOT")
                     and (i == 0 or not _ends_operand(toks[i - 1]))
@@ -2711,9 +2799,9 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 i = close + 1
                 continue
             tmpl = FUNC_MAP.get(t)
-            if tmpl is None and t.isupper():
-                # SQL-keyword function forms are case-insensitive in the
-                # reference (EXTRACT, POSITION, ...)
+            if tmpl is None and t != t.lower():
+                # SQL-compat alias names are case-insensitive in the
+                # reference (EXTRACT, Locate, UCASE, DATE_DIFF, ...)
                 tmpl = FUNC_MAP.get(t.lower())
             if tmpl is None and t.endswith("State") and len(t) > 5:
                 # fooState(...) + finalizeAggregation -> foo(...); base

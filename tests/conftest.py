@@ -22,6 +22,9 @@ def spark():
         .master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
+        # corpus cases materialize up to ~10M-row script tables
+        # (e.g. 01079_order_by_pk) — default heap OOMs
+        .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
     s.sparkContext.setLogLevel("ERROR")

@@ -359,6 +359,23 @@ CORPUS = [
     "01658_test_base64Encode_mysql_compatibility.sql", "01659_test_base64Decode_mysql_compatibility.sql",
     "01666_test_FunctionIPv4NumToString_mysql_compatibility.sql", "01667_test_FunctionIPv4StringToNum_mysql_compatibility.sql",
     "01716_array_difference_overflow.sql",
+    # round-4 growth IV: ambiguous-ref qualification, tuple IN,
+    # totals edge cases, GROUP BY literal semantics
+    "00052_all_left_join.sql", "00054_join_string.sql",
+    "00057_join_aliases.sql", "00067_replicate_segfault.sql",
+    "00069_date_arithmetic.sql", "00098_l_union_all.sql",
+    "00099_join_many_blocks_segfault.sql", "00122_join_with_subquery_with_subquery.sql",
+    "00138_table_aliases.sql", "00140_parse_unix_timestamp_as_datetime.sql",
+    "00169_join_constant_keys.sql", "00202_cross_join.sql",
+    "00317_in_tuples_and_out_of_range_values.sql", "00360_to_date_from_string_with_datetime.sql",
+    "00653_running_difference.sql", "00717_default_join_type.sql",
+    "00810_in_operators_segfault.sql", "00876_wrong_arraj_join_column.sql",
+    "00935_to_iso_week_first_year.sql", "01009_insert_select_data_loss.sql",
+    "01064_pm_all_join_const_and_nullable.sql", "01079_order_by_pk.sql",
+    "01392_column_resolve.sql", "01455_optimize_trivial_insert_select.sql",
+    "01504_view_type_conversion.sql", "01594_storage_join_uuid.sql",
+    "01616_untuple_access_field.sql", "01665_running_difference_ubsan.sql",
+    "01787_arena_assert_column_nothing.sql", "01823_array_low_cardinality_KuliginStepan.sql",
 ]
 
 
@@ -459,8 +476,16 @@ def test_reference_case(spark, name):
     txt = open(path, encoding="utf-8").read()
     runner = ScriptRunner(spark)
     outs = []
+    echo = False
     try:
         for s in split_statements(txt):
+            if "-- { echoOn" in s or "-- { echo }" in s:
+                echo = True
+            elif "-- { echoOff" in s:
+                echo = False
+            if echo:
+                # clickhouse-test echo mode: statement text precedes output
+                outs.append(s.strip() + ";")
             df = runner.execute(s)
             if df is None:
                 continue

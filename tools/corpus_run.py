@@ -234,7 +234,16 @@ def main():
         watchdog.start()
         try:
             outs = []
+            echo = False
             for s in stmts:
+                if "-- { echoOn" in s or "-- { echo }" in s:
+                    echo = True
+                elif "-- { echoOff" in s:
+                    echo = False
+                if echo:
+                    # clickhouse-test echo mode: the statement text (with
+                    # its comment lines) precedes its own output
+                    outs.append(s.strip() + ";")
                 df = runner.execute(s)
                 if df is None:
                     continue
