@@ -974,9 +974,19 @@ FUNC_MAP: dict[str, object] = {
         "(CASE WHEN abs(CAST({0} AS DOUBLE)) = double('inf') THEN 1 ELSE 0 END)"
     ),
     "visibleWidth": "length(CAST({0} AS STRING))",
-    # empty/notEmpty see FixedString \0 padding as emptiness
-    "empty": "(coalesce(length(TRIM(TRAILING chr(0) FROM {0})), 0) = 0)",
-    "notEmpty": "(coalesce(length(TRIM(TRAILING chr(0) FROM {0})), 0) > 0)",
+    # empty/notEmpty see FixedString \0 padding as emptiness; array
+    # arguments (arrayish text or known array-typed script column) test
+    # size instead
+    "empty": lambda a: (
+        f"(size({a[0]}) = 0)"
+        if _is_arrayish(a[0])
+        else f"(coalesce(length(TRIM(TRAILING chr(0) FROM {a[0]})), 0) = 0)"
+    ),
+    "notEmpty": lambda a: (
+        f"(size({a[0]}) > 0)"
+        if _is_arrayish(a[0])
+        else f"(coalesce(length(TRIM(TRAILING chr(0) FROM {a[0]})), 0) > 0)"
+    ),
     # no-op wrappers (materialization/nullability are physical concepts
     # the reference exposes; Spark's optimizer owns both)
     "materialize": "{0}", "toNullable": "{0}", "assumeNotNullSafe": "{0}",
@@ -1235,15 +1245,7 @@ FUNC_MAP: dict[str, object] = {
     # splits it into length()/size().  Heuristic on the translated arg:
     # expressions that are syntactically array-producing use size()
     "length": lambda a: (
-        f"size({a[0]})"
-        if any(m in a[0].replace(" ", "") for m in (
-            "collect_list(", "collect_set(", "array(", "array_distinct(",
-            "array_intersect(", "array_union(", "array_except(",
-            "array_remove(", "array_repeat(", "slice(", "split(",
-            "sequence(", "flatten(", "shuffle(", "sort_array(",
-            "array_sort(", "map_keys(", "map_values(", "transform(",
-        ))
-        else f"length({a[0]})"
+        f"size({a[0]})" if _is_arrayish(a[0]) else f"length({a[0]})"
     ),
     "trimBoth": "trim({0})", "trimLeft": "ltrim({0})", "trimRight": "rtrim({0})",
     "startsWith": "startswith({0}, {1})", "endsWith": "endswith({0}, {1})",
@@ -2526,6 +2528,19 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                     )
                 i = unit_at + 1
                 continue
+        # Nested flattened columns: `nest.x` is ONE column whose name
+        # contains a dot (script-engine Nested expansion) — backtick it
+        # so Spark doesn't read it as alias.column
+        if (
+            _is_ident(t)
+            and i + 2 < n
+            and toks[i + 1] == "."
+            and _is_ident(toks[i + 2])
+            and f"{t.strip('`')}.{toks[i + 2].strip('`')}" in _dotted_cols()
+        ):
+            out.append(f"`{t.strip('`')}.{toks[i + 2].strip('`')}`")
+            i += 3
+            continue
         # system.one's `dummy` column resolves against the implicit
         # system.one FROM injected by _translate_select_tokens — no
         # constant folding (folding loses the column NAME, which joins
@@ -3485,6 +3500,42 @@ def _subst_tokens(toks: list[str], subs: dict[str, str]) -> list[str]:
     return out
 
 
+_ARRAYISH_HEADS = (
+    "collect_list(", "collect_set(", "array(", "array_distinct(",
+    "array_intersect(", "array_union(", "array_except(", "array_remove(",
+    "array_repeat(", "slice(", "split(", "sequence(", "flatten(",
+    "shuffle(", "sort_array(", "array_sort(", "map_keys(", "map_values(",
+    "transform(", "filter(", "reverse(array", "arrays_zip(", "zip_with(",
+)
+
+
+def _is_arrayish(txt: str) -> bool:
+    """Whether a translated expression is visibly array-valued: an
+    array-producing call, or a script column declared Array(...)."""
+    compact = txt.replace(" ", "")
+    if any(m in compact for m in _ARRAYISH_HEADS):
+        return True
+    name = compact.strip("`")
+    schemas = _SCRIPT_SCHEMAS_CTX.get() or {}
+    for cols in schemas.values():
+        for c, st, _ in cols:
+            if c == name and st.startswith("array"):
+                return True
+    return False
+
+
+def _dotted_cols() -> set[str]:
+    """Column names containing a dot (Nested flattened members) across
+    the active script-engine tables."""
+    schemas = _SCRIPT_SCHEMAS_CTX.get() or {}
+    out: set[str] = set()
+    for cols in schemas.values():
+        for c, _, _ in cols:
+            if "." in c:
+                out.add(c)
+    return out
+
+
 def _apply_array_join(q: _Select) -> None:
     """[LEFT] ARRAY JOIN items -> LATERAL VIEW posexplode(first) plus
     positional element_at() for the remaining arrays (the reference
@@ -3497,29 +3548,104 @@ def _apply_array_join(q: _Select) -> None:
     items = [p for p in _split_top(toks, ",") if p]
     if not items:
         raise DialectError("ARRAY JOIN with no arrays")
-    exprs: list[tuple[str, str | None]] = []
+    dotted = _dotted_cols()
+    #: (expr_sql, bare-name key or (qual, member) dotted key)
+    exprs: list[tuple[str, object]] = []
     for it in items:
         alias = None
         if len(it) >= 3 and _kw(it[-2]) == "AS" and _is_ident(it[-1]):
             alias, it = it[-1], it[:-2]
+        if len(it) == 1 and _is_ident(it[0]):
+            name = it[0].strip("`")
+            members = sorted(d for d in dotted if d.startswith(name + "."))
+            if members:
+                # Nested group: every member array joins in lockstep;
+                # elements are referenced as (alias or name).member
+                for d in members:
+                    sub = d.split(".", 1)[1]
+                    exprs.append((f"`{d}`", ((alias or name), sub)))
+                continue
+        if (
+            len(it) == 3 and it[1] == "." and alias is None
+            and f"{it[0].strip('`')}.{it[2].strip('`')}" in dotted
+        ):
+            d = f"{it[0].strip('`')}.{it[2].strip('`')}"
+            exprs.append((f"`{d}`", tuple(d.split(".", 1))))
+            continue
         name = alias or (it[0] if len(it) == 1 and _is_ident(it[0]) else None)
         exprs.append((_emit(_translate_expr(it)), name))
     fn = "posexplode_outer" if left else "posexplode"
     e0, n0 = exprs[0]
     q.lateral = f"LATERAL VIEW {fn}({e0}) __aj AS __aj_pos, __aj_v0"
+    # `SELECT *` with ARRAY JOIN: the reference replaces each joined
+    # column by its ELEMENT in the star — expand the star from the FROM
+    # item's schema so the substitutions below can apply
+    if [t for t in q.select if t.strip()] == ["*"]:
+        src = list(q.from_)
+        if len(src) >= 2 and _kw(src[-2]) == "AS":
+            src = src[:-2]
+        elif (
+            src and src[0] != "(" and len(src) > 1 and _is_ident(src[-1])
+            and src[-2] != "."
+        ):
+            src = src[:-1]
+        cols = _from_item_cols(src)
+        if cols:
+            # dotted names expand to `a . b` triples so the element
+            # substitutions below can match them
+            fixed: list[str] = []
+            for c in cols:
+                if fixed:
+                    fixed.append(",")
+                if "." in c:
+                    a_, b_ = c.split(".", 1)
+                    fixed += [a_, ".", b_]
+                else:
+                    fixed.append(c)
+            q.select = fixed
     subs: dict[str, str] = {}
-    if n0:
+    dotted_subs: dict[tuple[str, str], str] = {}
+    if isinstance(n0, tuple):
+        dotted_subs[n0] = "__aj_v0"
+    elif n0:
         subs[n0] = "__aj_v0"
     for ek, nk in exprs[1:]:
-        if nk:
-            subs[nk] = f"element_at({ek}, __aj_pos + 1)"
-    if subs:
-        q.select = _subst_tokens(q.select, subs)
-        q.prewhere = _subst_tokens(q.prewhere, subs)
-        q.where = _subst_tokens(q.where, subs)
-        q.group_by = _subst_tokens(q.group_by, subs)
-        q.having = _subst_tokens(q.having, subs)
-        q.order_by = _subst_tokens(q.order_by, subs)
+        repl = f"element_at({ek}, __aj_pos + 1)"
+        if isinstance(nk, tuple):
+            dotted_subs[nk] = repl
+        elif nk:
+            subs[nk] = repl
+    for attr in (
+        "select", "prewhere", "where", "group_by", "having", "order_by",
+    ):
+        ts = getattr(q, attr)
+        if subs:
+            ts = _subst_tokens(ts, subs)
+        if dotted_subs:
+            ts = _subst_dotted(ts, dotted_subs)
+        setattr(q, attr, ts)
+
+
+def _subst_dotted(
+    ts: list[str], subs: dict[tuple[str, str], str]
+) -> list[str]:
+    """Replace ``qual . member`` token triples (Nested element refs
+    after ARRAY JOIN) with their element expressions."""
+    res: list[str] = []
+    i = 0
+    while i < len(ts):
+        if (
+            i + 2 < len(ts)
+            and ts[i + 1] == "."
+            and (ts[i].strip("`"), ts[i + 2].strip("`")) in subs
+            and (i == 0 or ts[i - 1] != ".")
+        ):
+            res.append(subs[(ts[i].strip("`"), ts[i + 2].strip("`"))])
+            i += 3
+            continue
+        res.append(ts[i])
+        i += 1
+    return res
 
 
 #: Spark typeof() name -> reference type name, applied as a nested

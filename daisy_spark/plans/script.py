@@ -166,6 +166,10 @@ class _Col:
     # immutable afterwards, so insert-time == read-time) but excluded
     # from SELECT * like the reference's non-physical columns
     hidden: bool = False
+    # ALTER ADD COLUMN doesn't materialize data for existing parts: the
+    # column reads as the CURRENT type's default until an insert writes
+    # it — a later MODIFY re-defaults instead of casting
+    virtual_default: bool = False
     default_kind: str = "DEFAULT"
 
 
@@ -332,6 +336,8 @@ class ScriptRunner:
             return self.spark.createDataFrame([(1,)], "result INT")
         if head == "SET":
             return self._set(toks)
+        if head == "ALTER":
+            return self._alter(toks)
         if head == "SHOW":
             j = 1
             if j < len(toks) and _kw(toks[j]) == "TEMPORARY":
@@ -1105,6 +1111,207 @@ class ScriptRunner:
             lv["last"] = canon
         return rows, df.schema, lv["version"]
 
+    # -- ALTER TABLE (src/Storages/AlterCommands.cpp; mutations are
+    # synchronous rewrites here — single-node Memory storage) ----------
+    def _alter(self, toks: list[str]) -> None:
+        i = 1
+        if _kw(toks[i]) == "TABLE":
+            i += 1
+        name, i = self._table_name(toks, i)
+        if name not in self.tables:
+            raise DialectError(f"ALTER on unknown table {name}")
+        t = self.tables[name]
+        if t.df is None:
+            t.df = self._empty_df(t)
+        acts = [a for a in _split_top(toks[i:], ",") if a]
+        if acts and _kw(acts[0][0]) == "UPDATE":
+            # UPDATE c1 = e1, c2 = e2 WHERE pred — commas belong to the
+            # assignment list, not to an action list
+            self._alter_update(t, toks[i:])
+        else:
+            for action in acts:
+                self._alter_action(t, action)
+        self._register(t)
+        return None
+
+    def _alter_update(self, t: _Table, a: list[str]) -> None:
+        w = next((k for k in range(len(a)) if _kw(a[k]) == "WHERE"), -1)
+        if w < 0:
+            raise DialectError("ALTER UPDATE requires WHERE")
+        pred = _emit(_translate_expr(a[w + 1 :]))
+        for asg in _split_top(a[1:w], ","):
+            if not asg:
+                continue
+            eq = next(k for k in range(len(asg)) if asg[k] == "=")
+            cname = "".join(x.strip('`"') for x in asg[:eq])
+            expr = _emit(_translate_expr(asg[eq + 1 :]))
+            ctype = next(
+                c.spark_type for c in t.cols if c.name == cname
+            )
+            t.df = t.df.withColumn(
+                cname,
+                F.expr(
+                    f"IF(CAST(({pred}) AS BOOLEAN), "
+                    f"CAST(({expr}) AS {ctype}), `{cname}`)"
+                ),
+            )
+
+    def _alter_action(self, t: _Table, a: list[str]) -> None:
+        op = _kw(a[0])
+        j = 1
+        if op == "ADD" and j < len(a) and _kw(a[j]) == "COLUMN":
+            j += 1
+            if_not_exists = False
+            if (
+                j + 2 < len(a) and _kw(a[j]) == "IF"
+                and _kw(a[j + 1]) == "NOT" and _kw(a[j + 2]) == "EXISTS"
+            ):
+                if_not_exists = True
+                j += 3
+            # position suffix: AFTER col | FIRST
+            after = None
+            first = False
+            body = a[j:]
+            if len(body) >= 2 and _kw(body[-2]) == "AFTER":
+                after, body = body[-1].strip('`"'), body[:-2]
+            elif body and _kw(body[-1]) == "FIRST":
+                first, body = True, body[:-1]
+            new_cols = self._parse_coldefs(body)
+            self._infer_untyped(new_cols)
+            if (
+                if_not_exists and body and _is_ident(body[0])
+                and any(
+                    x.name.startswith(body[0].strip('`"') + ".")
+                    or x.name == body[0].strip('`"')
+                    for x in t.cols
+                )
+            ):
+                # IF NOT EXISTS checks the declared NAME (a Nested group
+                # counts as existing if any member does)
+                return
+            for c in new_cols:
+                if any(x.name == c.name for x in t.cols):
+                    continue
+                d = c.default or _type_default(c.spark_type, c.nullable)
+                if "." in c.name and c.spark_type.lower().startswith("array<"):
+                    # a new Nested member keeps the group's offsets: the
+                    # default array matches the sibling's length
+                    # (NestedColumn shared offsets)
+                    prefix = c.name.split(".", 1)[0] + "."
+                    sib = next(
+                        (x for x in t.cols
+                         if x.name.startswith(prefix) and x.name != c.name),
+                        None,
+                    )
+                    if sib is not None and not c.default:
+                        elem = _type_default(c.spark_type[6:-1], False)
+                        d = (
+                            f"transform(`{sib.name}`, __nd -> "
+                            f"CAST({elem} AS {c.spark_type[6:-1]}))"
+                        )
+                t.df = t.df.withColumn(c.name, F.expr(d).cast(c.spark_type))
+                if not c.default:
+                    c.virtual_default = True
+                if first:
+                    t.cols.insert(0, c)
+                    first = False
+                    after = c.name  # siblings follow in declared order
+                elif after is not None:
+                    idx = next(
+                        (k + 1 for k, x in enumerate(t.cols)
+                         if x.name == after), len(t.cols),
+                    )
+                    t.cols.insert(idx, c)
+                    after = c.name
+                else:
+                    t.cols.append(c)
+            t.df = t.df.select(*[f"`{c.name}`" for c in t.cols])
+            return
+        if op == "DROP" and j < len(a) and _kw(a[j]) == "COLUMN":
+            j += 1
+            if j + 1 < len(a) and _kw(a[j]) == "IF" and _kw(a[j + 1]) == "EXISTS":
+                j += 2
+            cname = "".join(x.strip('`"') for x in a[j:])
+            # dropping a Nested group name drops every member column
+            doomed = {
+                c.name for c in t.cols
+                if c.name == cname or c.name.startswith(cname + ".")
+            }
+            t.cols = [c for c in t.cols if c.name not in doomed]
+            for d in doomed:
+                t.df = t.df.drop(d)
+            return
+        if op == "MODIFY" and j < len(a) and _kw(a[j]) == "COLUMN":
+            j += 1
+            if_exists = False
+            if j + 1 < len(a) and _kw(a[j]) == "IF" and _kw(a[j + 1]) == "EXISTS":
+                if_exists = True
+                j += 2
+            cname = a[j].strip('`"')
+            j += 1
+            while j + 1 < len(a) and a[j] == "." and _is_ident(a[j + 1]):
+                cname += "." + a[j + 1].strip('`"')
+                j += 2
+            col = next((c for c in t.cols if c.name == cname), None)
+            if col is None:
+                if if_exists:
+                    return
+                raise DialectError(f"MODIFY unknown column {cname}")
+            rest = a[j:]
+            if rest and _kw(rest[0]) in ("DEFAULT", "MATERIALIZED", "ALIAS"):
+                col.default = _emit(_translate_expr(rest[1:]))
+                col.default_raw = _render_compact(rest[1:])
+                return
+            if not rest:
+                return
+            spark_type, _ = _map_type(rest, 0)
+            col.spark_type = spark_type
+            col.ch_type = _render_compact(rest)
+            if col.virtual_default:
+                new_val = F.expr(
+                    _type_default(spark_type, col.nullable)
+                ).cast(spark_type)
+            else:
+                new_val = F.col(f"`{cname}`").cast(spark_type)
+            t.df = t.df.withColumn(cname, new_val).select(
+                *[f"`{c.name}`" for c in t.cols]
+            )
+            return
+        if op == "RENAME" and j < len(a) and _kw(a[j]) == "COLUMN":
+            j += 1
+            sep = next(
+                (k for k in range(j, len(a)) if _kw(a[k]) == "TO"), -1
+            )
+            old = "".join(x.strip('`"') for x in a[j:sep])
+            new = "".join(x.strip('`"') for x in a[sep + 1 :])
+            for c in t.cols:
+                if c.name == old:
+                    c.name = new
+            t.df = t.df.withColumnRenamed(old, new)
+            return
+        if op == "CLEAR" and j < len(a) and _kw(a[j]) == "COLUMN":
+            j += 1
+            if j + 1 < len(a) and _kw(a[j]) == "IF" and _kw(a[j + 1]) == "EXISTS":
+                j += 2
+            cname = a[j].strip('`"')
+            col = next((c for c in t.cols if c.name == cname), None)
+            if col is None:
+                return
+            d = col.default or _type_default(col.spark_type, col.nullable)
+            t.df = t.df.withColumn(
+                cname, F.expr(d).cast(col.spark_type)
+            ).select(*[f"`{c.name}`" for c in t.cols])
+            return
+        if op == "DELETE":
+            # ALTER ... DELETE WHERE pred — synchronous mutation
+            k = 1 if _kw(a[1]) == "WHERE" else 0
+            pred = _emit(_translate_expr(a[k + 1 :]))
+            t.df = t.df.filter(F.expr(f"NOT CAST(({pred}) AS BOOLEAN)"))
+            return
+        if op == "COMMENT":
+            return
+        raise DialectError(f"unsupported ALTER action {_emit(a[:2])}")
+
     def _split_totals(self, df: DataFrame | None) -> DataFrame | None:
         """WITH TOTALS: the dialect tags the totals row with a hidden
         `__is_total` marker.  The reference emits totals as a SEPARATE
@@ -1200,8 +1407,35 @@ class ScriptRunner:
                 continue
             name = part[0].strip('`"')
             j = 1
-            nullable = any(_kw(x) == "NULLABLE" for x in part[1:3])
-            if len(part) > 1 and _kw(part[1]) in (
+            # dotted names: Nested member columns (`nest.x Array(T)`)
+            while (
+                j + 1 < len(part) and part[j] == "."
+                and _is_ident(part[j + 1])
+            ):
+                name += "." + part[j + 1].strip('`"')
+                j += 2
+            # Nested(a T, b U) = parallel arrays named name.a, name.b
+            # (DataTypeNested flattens to Array columns; docs/nested)
+            if (
+                len(part) > j + 1
+                and _kw(part[j]) == "NESTED"
+                and part[j + 1] == "("
+            ):
+                close = _match_paren(part, j + 1)
+                for mem in _split_top(part[j + 2 : close], ","):
+                    if not mem:
+                        continue
+                    mname = mem[0].strip('`"')
+                    mtype, _ = _map_type(mem, 1)
+                    cols.append(_Col(
+                        f"{name}.{mname}",
+                        f"array<{mtype}>",
+                        f"Array({_render_compact(mem[1:])})",
+                        False,
+                    ))
+                continue
+            nullable = any(_kw(x) == "NULLABLE" for x in part[j : j + 2])
+            if len(part) > j and _kw(part[j]) in (
                 "DEFAULT", "MATERIALIZED", "ALIAS",
             ):
                 # no declared type: inferred from the default expression
@@ -1331,11 +1565,15 @@ class ScriptRunner:
         if i < len(toks) and toks[i] == "(":
             close = _match_paren(toks, i)
             target_cols = [
-                x.strip('`"')
+                # dotted Nested member names arrive as `n . a` tokens
+                x.replace(" ", "").strip('`"')
                 for p in _split_top(toks[i + 1 : close], ",")
                 for x in [_emit(p)]
             ]
             i = close + 1
+        for c in t.cols:
+            if c.name in target_cols:
+                c.virtual_default = False
         kw = _kw(toks[i]) if i < len(toks) else ""
         rest: list[str] = []
         if kw == "VALUES":
@@ -1421,8 +1659,29 @@ class ScriptRunner:
         for c in t.cols:
             if c.name not in provided:
                 d = c.default or _type_default(c.spark_type, c.nullable)
+                if (
+                    "." in c.name
+                    and c.spark_type.lower().startswith("array<")
+                    and not c.default
+                ):
+                    # missing Nested members share the group's offsets:
+                    # default arrays match a PROVIDED sibling's length
+                    prefix = c.name.split(".", 1)[0] + "."
+                    sib = next(
+                        (p for p in provided
+                         if p.startswith(prefix) and p != c.name),
+                        None,
+                    )
+                    if sib is not None:
+                        elem_t = c.spark_type[6:-1]
+                        elem = _type_default(elem_t, False)
+                        d = (
+                            f"transform(`{sib}`, __nd -> "
+                            f"CAST({elem} AS {elem_t}))"
+                        )
                 df = df.withColumn(c.name, F.expr(d).cast(c.spark_type))
-        return df.select(*[c.name for c in t.cols])
+        # backticks: Nested member columns carry dots in their NAMES
+        return df.select(*[f"`{c.name}`" for c in t.cols])
 
     def _sorted_batch(self, t: _Table, batch: DataFrame) -> DataFrame:
         """One insert = one part: single partition, primary-key sorted,

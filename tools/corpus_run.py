@@ -31,8 +31,8 @@ STATE = "/tmp/corpus_state.json"
 # DDL/INSERT scripts run through plans.script.ScriptRunner; only the
 # statement classes with no Spark mapping stay excluded.
 SKIP_RE = re.compile(
-    r"(?i)\b(ALTER|SYSTEM\s+(?:STOP|START|FLUSH|RELOAD|DROP|SYNC|RESTART)"
-    r"|ATTACH|DETACH|RENAME"
+    r"(?i)\b(SYSTEM\s+(?:STOP|START|FLUSH|RELOAD|DROP|SYNC|RESTART)"
+    r"|ATTACH|DETACH|RENAME\s+TABLE"
     r"|KILL|system\.(?!numbers|one\b)|remote\(|cluster\(|file\(|url\(|FORMAT\s"
     r"|serverError|clientError)"
 )
