@@ -765,6 +765,47 @@ def _ts_add_expr(a: list[str], sign: int) -> str:
     return expr
 
 
+def _default_value_of(arg: str) -> str:
+    """defaultValueOfArgumentType(x): type default, classified from the
+    translated expression TEXT (src/Functions/defaultValueOfArgument
+    Type.cpp) — 0 / '' / epoch date(-time); composites render as the
+    reference's TSV literal."""
+    s = arg.strip()
+    compact = s.replace(" ", "")
+    if compact.startswith("array(") or _is_arrayish(s):
+        return "array()"
+    if compact.startswith("named_struct("):
+        elems = _struct_literal_elems(s)
+        if elems is not None:
+            fields = []
+            for i, e in enumerate(elems, 1):
+                fields.append(f"'col{i}', {_default_scalar_text(e)}")
+            return f"named_struct({', '.join(fields)})"
+        return "''"
+    return _default_scalar_text(s)
+
+
+def _struct_literal_elems(s: str) -> list[str] | None:
+    if not (s.startswith("named_struct(") and s.endswith(")")):
+        return None
+    parts = [_emit(p) for p in _split_top(tokenize(s[13:-1]), ",") if p]
+    return [parts[i] for i in range(1, len(parts), 2)]
+
+
+def _default_scalar_text(e: str) -> str:
+    """SQL expression for a scalar's type default (the TSV renderer
+    turns values into the reference's spelling)."""
+    e = e.replace(" ", "")
+    k = _dt_kind(e)
+    if k == "date":
+        return "DATE '1970-01-01'"
+    if k == "ts":
+        return "to_timestamp('1970-01-01 00:00:00')"
+    if e.startswith("'"):
+        return "''"
+    return "0"
+
+
 def _gcd_expr(x: str, y: str) -> str:
     """gcd via a fixed-depth Euclid fold (64-bit gcd terminates in < 45
     iterations — Fibonacci worst case; src/Functions/gcdLcmImpl.h)."""
@@ -1815,6 +1856,9 @@ FUNC_MAP: dict[str, object] = {
         if len(a) == 1
         else "0"
     ),
+    # default value of the ARGUMENT's type, inferred at translate time
+    # from the translated literal (the corpus calls it on literals only)
+    "defaultValueOfArgumentType": lambda a: _default_value_of(a[0]),
     "gcd": lambda a: _gcd_expr(a[0], a[1]),
     "lcm": lambda a: (
         f"CAST(abs(CAST({a[0]} AS BIGINT) * CAST({a[1]} AS BIGINT)) / "
@@ -2985,6 +3029,7 @@ _DATE_HEADS = (
 _TS_HEADS = (
     "current_timestamp(", "to_timestamp(", "timestamp_seconds(",
     "date_trunc(", "from_unixtime(", "TIMESTAMP '",
+    "from_utc_timestamp(", "to_utc_timestamp(", "timestampadd(",
 )
 
 
