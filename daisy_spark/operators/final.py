@@ -55,15 +55,108 @@ def summing_final(
     Columns outside key+summed take an arbitrary surviving value (`any`),
     matching the reference's 'first row of the merge range'.
     """
-    numeric = list(summed) or [
-        f.name
-        for f in df.schema.fields
-        if f.name not in key and f.dataType.typeName() in
-        ("byte", "short", "integer", "long", "float", "double", "decimal")
+    # Nested groups named *Map merge as MAPS: first member is the key,
+    # the rest sum per key; zero-sum entries drop and keys sort
+    # (SummingSortedAlgorithm::MapDescription)
+    orig_cols = list(df.columns)
+    prefixes: dict[str, list[str]] = {}
+    for c in df.columns:
+        if "." in c:
+            prefixes.setdefault(c.split(".", 1)[0], []).append(c)
+    def _elem_numeric(col: str) -> bool:
+        f = next(x for x in df.schema.fields if x.name == col)
+        t = f.dataType.simpleString()
+        return t.startswith("array<") and t[6:-1] in (
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+        )
+
+    # a *Map group maps only when every VALUE column sums (numeric
+    # array elements); otherwise rows keep first-row semantics
+    map_groups = {
+        p: cols for p, cols in prefixes.items()
+        if p.endswith("Map") and len(cols) >= 2 and p not in key
+        and all(_elem_numeric(c) for c in cols[1:])
+    }
+    map_cols = {c for cols in map_groups.values() for c in cols}
+    if summed:
+        # explicit column list: ONLY those sum (group names drop out —
+        # the map merge below covers them)
+        numeric = [
+            c for c in summed if c not in map_cols and c not in map_groups
+        ]
+    else:
+        numeric = [
+            f.name
+            for f in df.schema.fields
+            if f.name not in key and f.name not in map_cols
+            and f.dataType.typeName() in
+            ("byte", "short", "integer", "long", "float", "double", "decimal")
+        ]
+    others = [
+        c for c in df.columns
+        if c not in key and c not in numeric and c not in map_cols
     ]
-    others = [c for c in df.columns if c not in key and c not in numeric]
-    aggs = [F.sum(c).alias(c) for c in numeric] + [F.first(c).alias(c) for c in others]
+    pair_tmp: dict[str, str] = {}
+    for p, cols in map_groups.items():
+        idc, vals = cols[0], cols[1:]
+        fields = ", ".join(
+            [f"element_at(`{idc}`, __i) AS k"]
+            + [
+                f"element_at(`{v}`, __i) AS v{x}"
+                for x, v in enumerate(vals)
+            ]
+        )
+        tmp = f"__mp_{p.replace('.', '_')}"
+        df = df.withColumn(
+            tmp,
+            F.expr(
+                f"transform(sequence(1, size(`{idc}`)), "
+                f"__i -> struct({fields}))"
+            ),
+        )
+        pair_tmp[p] = tmp
+    aggs = [F.sum(f"`{c}`").alias(c) for c in numeric]
+    aggs += [F.first(f"`{c}`").alias(c) for c in others]
+    aggs += [
+        F.flatten(F.collect_list(tmp)).alias(tmp)
+        for tmp in pair_tmp.values()
+    ]
     out = df.groupBy(*key).agg(*aggs)
+    for p, tmp in pair_tmp.items():
+        cols = map_groups[p]
+        idc, vals = cols[0], cols[1:]
+        sums = ", ".join(
+            [f"__k AS k"]
+            + [
+                f"aggregate(filter({tmp}, __x -> __x.k <=> __k), "
+                f"CAST(0 AS DOUBLE), (__a, __x) -> __a + __x.v{x}) AS v{x}"
+                for x in range(len(vals))
+            ]
+        )
+        alive = " OR ".join(f"__m.v{x} <> 0" for x in range(len(vals)))
+        merged = (
+            f"filter(transform(array_sort(array_distinct("
+            f"transform({tmp}, __x -> __x.k))), __k -> struct({sums})), "
+            f"__m -> {alive})"
+        )
+        out = out.withColumn("__merged", F.expr(merged))
+        out = out.withColumn(
+            idc, F.expr("transform(__merged, __m -> __m.k)")
+        )
+        id_type = next(
+            f.dataType.simpleString() for f in df.schema.fields
+            if f.name == idc
+        )
+        out = out.withColumn(idc, F.col(f"`{idc}`").cast(id_type))
+        for x, v in enumerate(vals):
+            v_type = next(
+                f.dataType.simpleString() for f in df.schema.fields
+                if f.name == v
+            )
+            out = out.withColumn(
+                v, F.expr(f"transform(__merged, __m -> __m.v{x})")
+            ).withColumn(v, F.col(f"`{v}`").cast(v_type))
+        out = out.drop("__merged", tmp)
     if numeric:
         # SummingSortedAlgorithm.cpp: a fully-merged row is dropped when
         # every summed column is zero ("empty part" behaviour)
@@ -72,7 +165,7 @@ def summing_final(
             cond = F.col(c) != 0
             alive = cond if alive is None else (alive | cond)
         out = out.filter(alive)
-    return out.select(*df.columns)
+    return out.select(*[f"`{c}`" for c in orig_cols])
 
 
 def collapsing_final(df: DataFrame, key: Sequence[str], sign: str) -> DataFrame:
