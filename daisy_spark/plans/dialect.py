@@ -1859,6 +1859,20 @@ FUNC_MAP: dict[str, object] = {
     # default value of the ARGUMENT's type, inferred at translate time
     # from the translated literal (the corpus calls it on literals only)
     "defaultValueOfArgumentType": lambda a: _default_value_of(a[0]),
+    # schema lookup answered at translate time from the active script
+    # tables (src/Functions/hasColumnInTable.cpp)
+    "hasColumnInTable": lambda a: (
+        "1"
+        if (
+            (lambda tbl, col, schemas: any(
+                c[0] == col for c in schemas.get(tbl, [])
+            ))(
+                a[-2].strip("'"), a[-1].strip("'"),
+                _SCRIPT_SCHEMAS_CTX.get() or {},
+            )
+        )
+        else "0"
+    ),
     "gcd": lambda a: _gcd_expr(a[0], a[1]),
     "lcm": lambda a: (
         f"CAST(abs(CAST({a[0]} AS BIGINT) * CAST({a[1]} AS BIGINT)) / "
@@ -2572,6 +2586,17 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                     )
                 i = unit_at + 1
                 continue
+        # qualified system.one references: system.one.dummy / system.one.*
+        # drop the database qualifier (the FROM item is aliased `one`)
+        if (
+            _kw(t.strip('`"')) == "SYSTEM"
+            and i + 3 < n
+            and toks[i + 1] == "."
+            and _kw(toks[i + 2].strip('`"')) == "ONE"
+            and toks[i + 3] == "."
+        ):
+            i += 2  # drop the database qualifier; `one . col` follows
+            continue
         # Nested flattened columns: `nest.x` is ONE column whose name
         # contains a dot (script-engine Nested expansion) — backtick it
         # so Spark doesn't read it as alias.column
@@ -4058,7 +4083,9 @@ def _translate_from(toks: list[str]) -> list[str]:
                 )
             )
             if not follows_alias:
-                out.append("AS __one")
+                # alias `one` so qualified `one.dummy` references keep
+                # resolving (reference table-name qualification)
+                out.append("AS one")
             i += 3
             continue
         # system.numbers — the unbounded integer sequence; a capped lazy
