@@ -376,6 +376,30 @@ CORPUS = [
     "01504_view_type_conversion.sql", "01594_storage_join_uuid.sql",
     "01616_untuple_access_field.sql", "01665_running_difference_ubsan.sql",
     "01787_arena_assert_column_nothing.sql", "01823_array_low_cardinality_KuliginStepan.sql",
+    # round-4 growth V: ALTER TABLE, Nested columns, SQL compat
+    # aliases, echo-mode, deterministic SAMPLE, stream-order joins
+    "00014_select_from_table_with_nested.sql", "00030_alter_table.sql",
+    "00038_totals_limit.sql", "00121_drop_column_zookeeper.sql",
+    "00147_alter_nested_default.sql", "00262_alter_alias.sql",
+    "00361_shared_array_offsets_and_squash_blocks.sql", "00363_defaults.sql",
+    "00394_new_nested_column_keeps_offsets.sql", "00468_array_join_multiple_arrays_and_use_original_column.sql",
+    "00554_nested_and_table_engines.sql", "00571_alter_nullable.sql",
+    "00576_nested_and_prewhere.sql", "00615_nullable_alter_optimize.sql",
+    "00665_alter_nullable_string_to_nullable_uint8.sql", "00688_low_cardinality_alter_add_column.sql",
+    "00688_low_cardinality_nullable_cast.sql", "00712_prewhere_with_missing_columns_2.sql",
+    "00759_kodieg.sql", "00765_sql_compatibility_aliases.sql",
+    "00950_default_prewhere.sql", "01047_simple_aggregate_sizes_of_columns_bug.sql",
+    "01079_new_range_reader_segfault.sql", "01097_one_more_range_reader_test.sql",
+    "01101_prewhere_after_alter.sql", "01114_alter_modify_compact_parts.sql",
+    "01130_in_memory_parts_default.sql", "01130_in_memory_parts_nested.sql",
+    "01266_default_prewhere_reqq.sql", "01299_alter_merge_tree.sql",
+    "01345_array_join_LittleMaverick.sql", "01346_array_join_mrxotey.sql",
+    "01349_mutation_datetime_key.sql", "01413_alter_update_supertype.sql",
+    "01415_inconsistent_merge_tree_settings.sql", "01497_alias_on_default_array.sql",
+    "01497_mutation_support_for_storage_memory.sql", "01506_buffer_table_alter_block_structure.sql",
+    "01511_different_expression_with_same_alias.sql", "01550_mutation_subquery.sql",
+    "01654_bar_nan.sql", "01661_arraySlice_ubsan.sql",
+    "01845_add_testcase_for_arrayElement.sql",
 ]
 
 
