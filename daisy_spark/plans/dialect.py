@@ -1968,6 +1968,86 @@ FUNC_MAP: dict[str, object] = {
     "toStartOfInterval": lambda a: _to_start_of_interval_expr(a),
     # aggregate combinators (long tail)
     "groupArrayArray": "flatten(collect_list({0}))",
+    # -Array combinator over TWO-argument argMin/argMax: all element
+    # pairs across rows compete (AggregateFunctionArray + argMin)
+    "argMinArray": (
+        "element_at(array_sort(flatten(collect_list(zip_with({0}, {1}, "
+        "(__v, __w) -> named_struct('v', __v, 'w', __w)))), "
+        "(__l, __r) -> CASE WHEN __l.w < __r.w THEN -1 "
+        "WHEN __l.w > __r.w THEN 1 ELSE 0 END), 1).v"
+    ),
+    "argMaxArray": (
+        "element_at(array_sort(flatten(collect_list(zip_with({0}, {1}, "
+        "(__v, __w) -> named_struct('v', __v, 'w', __w)))), "
+        "(__l, __r) -> CASE WHEN __l.w > __r.w THEN -1 "
+        "WHEN __l.w < __r.w THEN 1 ELSE 0 END), 1).v"
+    ),
+    "visitParamExtractBool": (
+        "CAST(get_json_object({0}, concat('$.', {1})) = 'true' AS INT)"
+    ),
+    "toDateTimeOrNull": "try_cast({0} AS TIMESTAMP)",
+    "bitmaskToArray": (
+        "transform(filter(sequence(0, 62), "
+        "__b -> (shiftright(CAST({0} AS BIGINT), __b) & 1) = 1), "
+        "__b -> shiftleft(CAST(1 AS BIGINT), __b))"
+    ),
+    # simpleJSON* are the documented names of the visitParam* family
+    "simpleJSONExtractInt": (
+        "CAST(get_json_object({0}, concat('$.', {1})) AS BIGINT)"
+    ),
+    "simpleJSONExtractUInt": (
+        "CAST(get_json_object({0}, concat('$.', {1})) AS BIGINT)"
+    ),
+    "simpleJSONExtractFloat": (
+        "CAST(get_json_object({0}, concat('$.', {1})) AS DOUBLE)"
+    ),
+    "simpleJSONExtractBool": (
+        "CAST(get_json_object({0}, concat('$.', {1})) = 'true' AS INT)"
+    ),
+    "simpleJSONHas": (
+        "CAST(get_json_object({0}, concat('$.', {1})) IS NOT NULL AS INT)"
+    ),
+    "simpleJSONExtractString": (
+        "coalesce(get_json_object({0}, concat('$.', {1})), "
+        "regexp_extract({0}, concat('\"', {1}, '\":\\\\s*\"([^\"]*)'), 1))"
+    ),
+    "simpleJSONExtractRaw": (
+        "coalesce(get_json_object({0}, concat('$.', {1})), "
+        "regexp_extract({0}, concat('\"', {1}, '\":\\\\s*([^,}}]*)'), 1))"
+    ),
+    "bitmaskToList": (
+        "concat_ws(',', transform(filter(sequence(0, 62), "
+        "__b -> (shiftright(CAST({0} AS BIGINT), __b) & 1) = 1), "
+        "__b -> CAST(shiftleft(CAST(1 AS BIGINT), __b) AS STRING)))"
+    ),
+    "groupUniqArrayIf": (
+        "collect_set(CASE WHEN CAST({1} AS BOOLEAN) THEN {0} END)"
+    ),
+    "MACStringToOUI": (
+        "(CASE WHEN size(split({0}, ':')) = 6 THEN "
+        "aggregate(slice(split({0}, ':'), 1, 3), CAST(0 AS BIGINT), "
+        "(__a, __h) -> __a * 256 + CAST(conv(__h, 16, 10) AS BIGINT)) "
+        "ELSE 0 END)"
+    ),
+    "boundingRatio": (
+        "((max_by(CAST({1} AS DOUBLE), {0}) - "
+        "min_by(CAST({1} AS DOUBLE), {0})) / "
+        "(max(CAST({0} AS DOUBLE)) - min(CAST({0} AS DOUBLE))))"
+    ),
+    "uniqCombined64": "approx_count_distinct({*})",
+    "lgamma": (
+        "CAST(reflect('org.apache.commons.math3.special.Gamma', "
+        "'logGamma', CAST({0} AS DOUBLE)) AS DOUBLE)"
+    ),
+    "tgamma": (
+        "CAST(reflect('org.apache.commons.math3.special.Gamma', "
+        "'gamma', CAST({0} AS DOUBLE)) AS DOUBLE)"
+    ),
+    # UTF16LE bytes of ASCII text hash like the UTF8 form
+    "javaHashUTF16LE": (
+        "aggregate(sequence(1, length({0})), 0, "
+        "(__h, __i) -> CAST(31 * __h + ascii(substring({0}, __i, 1)) AS INT))"
+    ),
     "uniqExactArray": "size(array_distinct(flatten(collect_list({0}))))",
     "uniqExactIf": "count(DISTINCT CASE WHEN CAST({1} AS BOOLEAN) THEN {0} END)",
     "sumOrNull": "IF(count({0}) = 0, NULL, sum({0}))",

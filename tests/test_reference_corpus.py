@@ -400,6 +400,8 @@ CORPUS = [
     "01511_different_expression_with_same_alias.sql", "01550_mutation_subquery.sql",
     "01654_bar_nan.sql", "01661_arraySlice_ubsan.sql",
     "01845_add_testcase_for_arrayElement.sql",
+    "00146_summing_merge_tree_nested_map.sql", "00148_summing_merge_tree_nested_map_multiple_values.sql",
+    "00461_default_value_of_argument_type.sql", "00625_summing_merge_tree_merge.sql",
 ]
 
 
