@@ -1098,11 +1098,14 @@ FUNC_MAP: dict[str, object] = {
     "divideOrZero": "coalesce((CAST({0} AS DOUBLE) / nullif({1}, 0)), 0.0)",
     # range(n) = [0..n-1]; Spark sequence(0, n-1) flips to descending for
     # n<=0, so the empty case is explicit
+    # empty branch as a zero-length SLICE of a sequence: keeps the
+    # element type BIGINT (bare array() is ARRAY<VOID>, which breaks
+    # downstream element_at/aggregate type checks)
     "range": lambda a: (
-        f"(CASE WHEN ({a[0]}) <= 0 THEN array() "
+        f"(CASE WHEN ({a[0]}) <= 0 THEN slice(sequence(0, 0), 1, 0) "
         f"ELSE sequence(0, ({a[0]}) - 1) END)"
         if len(a) == 1
-        else f"(CASE WHEN ({a[1]}) <= ({a[0]}) THEN array() "
+        else f"(CASE WHEN ({a[1]}) <= ({a[0]}) THEN slice(sequence(0, 0), 1, 0) "
         f"ELSE sequence({a[0]}, ({a[1]}) - 1) END)"
     ),
     # component after the last slash OF EITHER KIND (path.cpp splits on
@@ -2063,6 +2066,28 @@ FUNC_MAP: dict[str, object] = {
     "notNullIn": lambda a: _null_in_expr(a, neg=True),
     "globalNullIn": lambda a: _null_in_expr(a, neg=False),
     "globalNotNullIn": lambda a: _null_in_expr(a, neg=True),
+    # reference sums/averages UInt8 comparison results directly — wrap
+    # visibly-boolean arguments (top-level comparison/logic operator)
+    "sum": lambda a: (
+        f"sum(CAST(({a[0]}) AS INT))"
+        if _is_boolish(a[0])
+        else f"sum({a[0]})"
+    ),
+    "avg": lambda a: (
+        f"avg(CAST(({a[0]}) AS INT))"
+        if _is_boolish(a[0])
+        else f"avg({a[0]})"
+    ),
+    "min": lambda a: (
+        f"min(CAST(({a[0]}) AS INT))"
+        if len(a) == 1 and _is_boolish(a[0])
+        else f"min({', '.join(a)})"
+    ),
+    "max": lambda a: (
+        f"max(CAST(({a[0]}) AS INT))"
+        if len(a) == 1 and _is_boolish(a[0])
+        else f"max({', '.join(a)})"
+    ),
     "countOrNull": lambda a: (
         f"IF(count({a[0] if a else '*'}) = 0, NULL, "
         f"count({a[0] if a else '*'}))"
@@ -3659,6 +3684,33 @@ _ARRAYISH_HEADS = (
 )
 
 
+_BOOLISH_KW = {"OR", "AND", "NOT", "LIKE", "RLIKE", "ILIKE", "IN", "IS",
+               "BETWEEN", "EXISTS"}
+
+
+def _is_boolish(txt: str) -> bool:
+    """Whether a translated expression is visibly boolean-valued: a
+    top-level comparison or logical operator."""
+    try:
+        toks = tokenize(txt)
+    except Exception:  # noqa: BLE001
+        return False
+    if toks and _kw(toks[0]) in ("CASE", "IF"):
+        return False  # conditionals carry inner comparisons, any type
+    depth = 0
+    for t in toks:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and (
+            t in ("=", "<", ">", "<=", ">=", "<>", "!=", "==")
+            or _kw(t) in _BOOLISH_KW
+        ):
+            return True
+    return False
+
+
 def _is_arrayish(txt: str) -> bool:
     """Whether a translated expression is visibly array-valued: an
     array-producing call, or a script column declared Array(...)."""
@@ -3669,7 +3721,7 @@ def _is_arrayish(txt: str) -> bool:
     schemas = _SCRIPT_SCHEMAS_CTX.get() or {}
     for cols in schemas.values():
         for c, st, _ in cols:
-            if c == name and st.startswith("array"):
+            if c == name and st.lower().startswith("array"):
                 return True
     return False
 
