@@ -320,12 +320,22 @@ def _multi_if(args: list[str]) -> str:
     return " ".join(parts)
 
 
-def _array_sort(args: list[str]) -> str:
+def _array_sort(args: list[str], desc: bool = False) -> str:
     if len(args) == 1:
-        return f"array_sort({args[0]})"
-    raise DialectError(
-        "arraySort with a key lambda has no Spark SQL form; "
-        "sort structs via array_sort(transform(...)) manually"
+        return (
+            f"reverse(array_sort({args[0]}))" if desc
+            else f"array_sort({args[0]})"
+        )
+    # key lambda: comparator over the inlined key expression
+    # (ArraySort.h sorts by func(x) ascending)
+    lam, arr = args[0], args[1]
+    kl = _inline_lambda(lam, "__sl")
+    kr = _inline_lambda(lam, "__sr")
+    lt, gt = ("1", "-1") if desc else ("-1", "1")
+    return (
+        f"array_sort({arr}, (__sl, __sr) -> "
+        f"CASE WHEN {kl} < {kr} THEN {lt} "
+        f"WHEN {kl} > {kr} THEN {gt} ELSE 0 END)"
     )
 
 
@@ -1922,11 +1932,7 @@ FUNC_MAP: dict[str, object] = {
         "NOT (__s.v <=> element_at({0}, __s.i))), __s -> __s.v)"
     ),
     "arrayResize": _array_resize,
-    "arrayReverseSort": lambda a: (
-        f"reverse(array_sort({a[0]}))"
-        if len(a) == 1
-        else _raise_dialect("arrayReverseSort with a key lambda")
-    ),
+    "arrayReverseSort": lambda a: _array_sort(a, desc=True),
     "arrayZip": "arrays_zip({*})",
     "arrayFill": lambda a: _array_fill_expr(a, reverse=False),
     "arrayReverseFill": lambda a: _array_fill_expr(a, reverse=True),
@@ -2103,6 +2109,9 @@ FUNC_MAP: dict[str, object] = {
             v if root in ("sum", "min", "max", "any", "anyLast", "first")
             else "1" if root.startswith(("uniq", "count"))
             else f"array({v})" if root in ("groupArray", "groupUniqArray")
+            # sumMap single-row state = the (keys, values) tuple itself
+            else f"named_struct('col1', {a[1]}, 'col2', {a[2]})"
+            if root == "sumMap" and len(a) > 2
             else _raise_dialect(f"initializeAggregation: {root}")
         ))(
             re.sub(
