@@ -402,6 +402,10 @@ CORPUS = [
     "01845_add_testcase_for_arrayElement.sql",
     "00146_summing_merge_tree_nested_map.sql", "00148_summing_merge_tree_nested_map_multiple_values.sql",
     "00461_default_value_of_argument_type.sql", "00625_summing_merge_tree_merge.sql",
+    "00027_argMinMax.sql", "00027_simple_argMinArray.sql",
+    "00103_ipv4_num_to_string_class_c.sql", "00234_disjunctive_equality_chains_optimization.sql",
+    "00755_avg_value_size_hint_passing.sql", "00931_low_cardinality_read_with_empty_array.sql",
+    "01136_multiple_sets.sql",
 ]
 
 
