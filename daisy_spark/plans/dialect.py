@@ -700,6 +700,52 @@ def _null_in_expr(a: list[str], neg: bool) -> str:
     return f"(NOT ({ors}))" if neg else f"({ors})"
 
 
+def _respell_literal(tok: str) -> str:
+    """Decode the reference's C-style escapes Spark lacks (\\xHH, \\a,
+    \\v, \\f, \\?) into real bytes, then re-emit a Spark-safe literal
+    (parsers/Lexer escape rules).  Hex escapes are BYTES — consecutive
+    ones may form one UTF-8 character."""
+    body = tok[1:-1]
+    buf = bytearray()
+    i = 0
+    n = len(body)
+    while i < n:
+        c = body[i]
+        if c == "\\" and i + 1 < n:
+            nx = body[i + 1]
+            if nx == "x" and i + 3 < n:
+                try:
+                    buf.append(int(body[i + 2 : i + 4], 16))
+                    i += 4
+                    continue
+                except ValueError:
+                    pass
+            if nx == "a":
+                buf.append(7)
+                i += 2
+                continue
+            if nx == "v":
+                buf.append(11)
+                i += 2
+                continue
+            if nx == "f":
+                buf.append(12)
+                i += 2
+                continue
+            if nx == "?":
+                buf.append(63)
+                i += 2
+                continue
+            buf += c.encode() + nx.encode("utf-8", "surrogatepass")
+            i += 2
+            continue
+        buf += c.encode("utf-8", "surrogatepass")
+        i += 1
+    s = buf.decode("utf-8", "replace")
+    # keep the surviving backslash escapes as written; escape nothing new
+    return "'" + s + "'"
+
+
 def _bool_lambda(lam: str) -> str:
     """Wrap a translated SQL lambda's body in a boolean cast (reference
     predicates are UInt8)."""
@@ -1024,7 +1070,17 @@ FUNC_MAP: dict[str, object] = {
     "isInfinite": (
         "(CASE WHEN abs(CAST({0} AS DOUBLE)) = double('inf') THEN 1 ELSE 0 END)"
     ),
-    "visibleWidth": "length(CAST({0} AS STRING))",
+    # composite renders: no space after commas, tuples use parens
+    "visibleWidth": lambda a: (
+        f"length(replace(CAST({a[0]} AS STRING), ', ', ','))"
+        if _is_arrayish(a[0])
+        else (
+            f"length(translate(replace(CAST({a[0]} AS STRING), ', ', ','), "
+            f"'{{}}', '()'))"
+        )
+        if a[0].replace(" ", "").startswith("named_struct(")
+        else f"length(CAST({a[0]} AS STRING))"
+    ),
     # empty/notEmpty see FixedString \0 padding as emptiness; array
     # arguments (arrayish text or known array-typed script column) test
     # size instead
@@ -1500,15 +1556,19 @@ FUNC_MAP: dict[str, object] = {
     "avgWeighted": "(sum({0} * {1}) / sum({1}))",
     # multi-argument uniq counts distinct TUPLES; a bare arg list would
     # land in approx_count_distinct's rsd parameter
+    # the reference's uniq/uniqCombined are EXACT below their adaptive
+    # sampling threshold (~tens of thousands) — every stateless test
+    # sits under it, so exact counting reproduces their output; the
+    # 100-TB path stays functions/aggregates.uniq_* (HLL sketches)
     "uniq": lambda a: (
-        f"approx_count_distinct({a[0]})"
+        f"count(DISTINCT {a[0]})"
         if len(a) == 1
-        else f"approx_count_distinct(struct({', '.join(a)}))"
+        else f"count(DISTINCT struct({', '.join(a)}))"
     ),
     "uniqCombined": lambda a: (
-        f"approx_count_distinct({a[0]})"
+        f"count(DISTINCT {a[0]})"
         if len(a) == 1
-        else f"approx_count_distinct(struct({', '.join(a)}))"
+        else f"count(DISTINCT struct({', '.join(a)}))"
     ),
     "uniqHLL12": lambda a: (
         f"approx_count_distinct({a[0]})"
@@ -2700,6 +2760,14 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                     )
                 i = unit_at + 1
                 continue
+        # literals carrying escapes Spark's lexer lacks
+        if t.startswith("'") and (
+            "\\x" in t or "\\a" in t or "\\v" in t or "\\f" in t
+            or "\\?" in t
+        ):
+            out.append(_respell_literal(t))
+            i += 1
+            continue
         # qualified system.one references: system.one.dummy / system.one.*
         # drop the database qualifier (the FROM item is aliased `one`)
         if (
