@@ -1664,10 +1664,25 @@ FUNC_MAP: dict[str, object] = {
     # misc
     "e": "exp(1)", "pi": "pi()", "sqrt": "sqrt({0})", "cbrt": "cbrt({0})",
     "exp2": "pow(CAST(2 AS DOUBLE), {0})",
-    "exp10": "pow(CAST(10 AS DOUBLE), {0})",
+    # integral powers of ten parse exactly from scientific notation
+    # (pow() is one ulp off for large negative exponents)
+    "exp10": (
+        "(CASE WHEN ({0}) = floor({0}) AND abs({0}) < 400 "
+        "THEN CAST(concat('1e', CAST({0} AS BIGINT)) AS DOUBLE) "
+        "ELSE pow(CAST(10 AS DOUBLE), {0}) END)"
+    ),
     "log1p": "log1p({0})", "expm1": "expm1({0})",
-    "intExp2": "CAST(pow(2, {0}) AS BIGINT)",
-    "intExp10": "CAST(pow(10, {0}) AS BIGINT)",
+    # bit shift keeps 64-bit exactness where pow() would round
+    "intExp2": (
+        "(CASE WHEN ({0}) BETWEEN 0 AND 63 "
+        "THEN shiftleft(CAST(1 AS BIGINT), CAST({0} AS INT)) "
+        "ELSE CAST(pow(2, {0}) AS BIGINT) END)"
+    ),
+    "intExp10": (
+        "(CASE WHEN ({0}) BETWEEN 0 AND 18 "
+        "THEN CAST(CAST(concat('1e', CAST({0} AS BIGINT)) AS DOUBLE) AS BIGINT) "
+        "ELSE CAST(pow(10, {0}) AS BIGINT) END)"
+    ),
     "toTypeName": lambda a: _to_type_name_expr(a[0]),
     "generateUUIDv4": "uuid()",
     "rand": "CAST(rand() * 4294967296 AS BIGINT)",
@@ -2134,15 +2149,25 @@ FUNC_MAP: dict[str, object] = {
     "globalNotNullIn": lambda a: _null_in_expr(a, neg=True),
     # reference sums/averages UInt8 comparison results directly — wrap
     # visibly-boolean arguments (top-level comparison/logic operator)
+    # empty-set keyless aggregation: the reference yields type defaults
+    # (sum 0, avg nan — AggregateFunctionAvg returns 0/0) where Spark
+    # yields NULL; the coalesce only ever fires on that empty case
     "sum": lambda a: (
-        f"sum(CAST(({a[0]}) AS INT))"
+        f"coalesce(sum(CAST(({a[0]}) AS INT)), 0)"
         if _is_boolish(a[0])
+        # visibly-Nullable inputs keep NULL (AggregateFunctionNull):
+        # only non-nullable empty sets read back as 0
         else f"sum({a[0]})"
+        if re.search(r"(?i)\bnull\b|nullif|tonullable|try_cast", a[0])
+        else f"coalesce(sum({a[0]}), 0)"
     ),
     "avg": lambda a: (
-        f"avg(CAST(({a[0]}) AS INT))"
+        f"coalesce(avg(CAST(({a[0]}) AS INT)), double('NaN'))"
         if _is_boolish(a[0])
+        # Nullable inputs keep NULL on empty (AggregateFunctionNull)
         else f"avg({a[0]})"
+        if ("nullif" in a[0].lower() or "tonullable" in a[0].lower())
+        else f"coalesce(avg({a[0]}), double('NaN'))"
     ),
     "min": lambda a: (
         f"min(CAST(({a[0]}) AS INT))"

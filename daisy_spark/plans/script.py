@@ -1273,6 +1273,13 @@ class ScriptRunner:
                 ).cast(spark_type)
             else:
                 new_val = F.col(f"`{cname}`").cast(spark_type)
+            fs = re.match(r"FixedString\((\d+)\)", col.ch_type)
+            if fs:
+                # FixedString(n) pads stored values to width with NULs
+                new_val = F.rpad(
+                    F.col(f"`{cname}`").cast("string"),
+                    int(fs.group(1)), "\x00",
+                )
             t.df = t.df.withColumn(cname, new_val).select(
                 *[f"`{c.name}`" for c in t.cols]
             )

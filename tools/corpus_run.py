@@ -65,7 +65,7 @@ def js_float(s: str) -> str:
             return sign + digits[: e10 + 1] + "." + digits[e10 + 1 :]
         return sign + "0." + "0" * (-e10 - 1) + digits
     m = digits[0] + ("." + digits[1:] if len(digits) > 1 else "")
-    return f"{sign}{m}e{'+' if e10 >= 0 else '-'}{abs(e10)}"
+    return f"{sign}{m}e{'' if e10 >= 0 else '-'}{abs(e10)}"
 
 
 def fmt(v, nested=False):
@@ -91,7 +91,7 @@ def fmt(v, nested=False):
             return "inf"
         if v == float("-inf"):
             return "-inf"
-        if v == int(v) and abs(v) < 1e15:
+        if v == int(v) and abs(v) < 9007199254740992:
             return str(int(v))
         return js_float(repr(v))
     if isinstance(v, tuple):  # Row (struct) — ClickHouse tuple rendering
