@@ -29,11 +29,17 @@ stateless tests): ASOF JOIN (scale-safe union+window plan; correlated
 lateral only as the multi-join-left fallback), ANY JOIN (right-dedup),
 parametric aggregates (topK, windowFunnel, sequenceMatch/Count,
 quantile* families, histogram), scalar WITH aliases, ORDER BY WITH
-FILL, dictGet over CREATE DICTIONARY registrations, and the
-numbers/numbers_mt/generateRandom/merge/dictionary table functions.
-Still deliberately unsupported: RIGHT/FULL ASOF (absent in the
-reference too — HashJoin.h supports ASOF x LEFT/INNER only) and
-runningDifference/neighbor outside an explicit window context.
+FILL, dictGet over CREATE DICTIONARY registrations, the
+numbers/numbers_mt/generateRandom/merge/dictionary table functions,
+USING keys naming select-list aliases (left-item wrap), left-side
+qualification of cross-side-ambiguous columns, tuple IN over literal
+tuple lists (elementwise, NULL-aware), Date/DateTime infix arithmetic,
+stream-order join determinism for the script engine's outermost joins,
+Nested flattened columns (dotted names, ARRAY JOIN groups), SQL-compat
+aliases (lcase/DATE_DIFF/infix MOD...), and runningDifference/neighbor
+as stream-order windows.  Still deliberately unsupported: RIGHT/FULL
+ASOF (absent in the reference too — HashJoin.h supports ASOF x
+LEFT/INNER only).
 """
 
 from __future__ import annotations

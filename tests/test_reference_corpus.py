@@ -406,6 +406,9 @@ CORPUS = [
     "00103_ipv4_num_to_string_class_c.sql", "00234_disjunctive_equality_chains_optimization.sql",
     "00755_avg_value_size_hint_passing.sql", "00931_low_cardinality_read_with_empty_array.sql",
     "01136_multiple_sets.sql",
+    "00046_stored_aggregates_simple.sql", "00280_hex_escape_sequence.sql",
+    "00349_visible_width.sql", "00534_exp10.sql",
+    "00666_uniq_complex_types.sql", "01555_or_fill.sql",
 ]
 
 
