@@ -182,6 +182,7 @@ class _Table:
     df: DataFrame | None = None
     aka: list[str] = field(default_factory=list)  # Buffer proxy names
     sample_by: str = ""  # SAMPLE BY key expression (translated)
+    partition_by: str = ""  # PARTITION BY expression (translated)
 
 
 _ENGINE_KIND = {
@@ -553,6 +554,7 @@ class ScriptRunner:
         engine, engine_args = "Memory", []
         order_keys: list[str] = []
         sample_by = ""
+        partition_by = ""
         as_select: list[str] | None = None
         buffer_target: str | None = None
         n = len(toks)
@@ -635,7 +637,12 @@ class ScriptRunner:
                 # sampling is keyed and repeatable, never Bernoulli)
                 sample_keys, i = self._parse_key_list(toks, i + 2)
                 sample_by = sample_keys[0] if sample_keys else ""
-            elif up in ("PRIMARY", "PARTITION") and i + 1 < n:
+            elif up == "PARTITION" and i + 1 < n:
+                # PARTITION BY expr: recorded so ALTER ... DROP PARTITION
+                # can filter the matching rows out
+                part_keys, i = self._parse_key_list(toks, i + 2)
+                partition_by = part_keys[0] if part_keys else ""
+            elif up == "PRIMARY" and i + 1 < n:
                 _, i = self._parse_key_list(toks, i + 2)
             elif up in ("SETTINGS", "TTL", "COMMENT"):
                 # trailing storage knobs -- no read-semantics impact here
@@ -690,7 +697,7 @@ class ScriptRunner:
             )
         t = _Table(
             name=name, cols=cols, spec=spec, sort_keys=order_keys,
-            sample_by=sample_by,
+            sample_by=sample_by, partition_by=partition_by,
         )
         if engine == "Null":
             # Null engine discards all inserts; only the schema exists
@@ -1316,6 +1323,19 @@ class ScriptRunner:
             t.df = t.df.filter(F.expr(f"NOT CAST(({pred}) AS BOOLEAN)"))
             return
         if op == "COMMENT":
+            return
+        if op == "DROP" and j < len(a) and _kw(a[j]) == "PARTITION":
+            # DROP PARTITION v: remove rows whose partition expression
+            # equals the literal (single-expression partitioning)
+            if not t.partition_by:
+                raise DialectError("DROP PARTITION on unpartitioned table")
+            lit = _emit(_translate_expr(a[j + 1 :]))
+            t.df = t.df.filter(
+                F.expr(
+                    f"NOT (CAST({t.partition_by} AS STRING) <=> "
+                    f"CAST({lit} AS STRING))"
+                )
+            )
             return
         raise DialectError(f"unsupported ALTER action {_emit(a[:2])}")
 
