@@ -409,6 +409,7 @@ CORPUS = [
     "00046_stored_aggregates_simple.sql", "00280_hex_escape_sequence.sql",
     "00349_visible_width.sql", "00534_exp10.sql",
     "00666_uniq_complex_types.sql", "01555_or_fill.sql",
+    "00579_merge_tree_partition_and_primary_keys_using_same_expression.sql",
 ]
 
 
