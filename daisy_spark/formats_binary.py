@@ -37,6 +37,7 @@ __all__ = [
     "read_row_binary",
     "write_msgpack",
     "write_row_binary",
+    "write_protobuf",
     "msgpack_encode",
     "msgpack_decode_stream",
 ]
@@ -353,15 +354,13 @@ def _rb_decode_rows(buf: bytes, types: list[str], nullable: list[bool]):
         row = []
         for typ, nl in zip(types, nullable):
             if nl:
+                # Nullable(T): a single 0x01 byte means NULL with NO value
+                # payload after it; 0x00 is followed by the value
+                # (reference SerializationNullable::deserializeBinary —
+                # flag byte only, never a default value).
                 isnull = buf[p]
                 p += 1
                 if isnull:
-                    # the null marker is followed by a default value
-                    if typ == "string":
-                        ln, p = _pb_read_varint(buf, p)
-                        p += ln
-                    else:
-                        p += _RB_FIXED[typ][1]
                     row.append(None)
                     continue
             if typ == "string":
@@ -382,22 +381,34 @@ def _rb_decode_rows(buf: bytes, types: list[str], nullable: list[bool]):
         yield row
 
 
-def _rb_encode_row(row, types: list[str]) -> bytes:
+def _rb_encode_row(
+    row, types: list[str], nullable: list[bool] | None = None
+) -> bytes:
     import datetime
 
     out = bytearray()
     epoch = datetime.date(1970, 1, 1)
-    for v, typ in zip(row, types):
+    nls = nullable if nullable is not None else (False,) * len(types)
+    for v, typ, nl in zip(row, types, nls):
+        if nl:
+            # mirror of the decoder: 0x01 alone for NULL, 0x00 + value
+            # otherwise (reference SerializationNullable::serializeBinary)
+            if v is None:
+                out += b"\x01"
+                continue
+            out += b"\x00"
         if typ == "string":
             raw = v.encode("utf-8") if isinstance(v, str) else bytes(v or b"")
             out += _pb_write_varint(len(raw)) + raw
         elif typ == "date":
+            if isinstance(v, datetime.datetime):
+                v = v.date()
             out += struct.pack("<H", (v - epoch).days)
         elif typ == "datetime":
             ts = int(v.replace(tzinfo=datetime.timezone.utc).timestamp())
             out += struct.pack("<I", ts)
         else:
-            out += struct.pack(_RB_FIXED[typ][0], v)
+            out += struct.pack(_RB_FIXED[typ][0], int(v) if "int" in typ else v)
     return bytes(out)
 
 
@@ -515,38 +526,57 @@ def read_row_binary(spark: SparkSession, path: str, schema: str) -> DataFrame:
 # Writers — one output file per partition, encoded executor-side
 # ---------------------------------------------------------------------------
 
-def _write_partitioned(df: DataFrame, path: str, encode_rows) -> None:
+def _write_partitioned(df: DataFrame, path: str, encode_batch) -> None:
     """Each partition encodes its rows and writes part-NNNNN.bin under
     ``path`` (posix/NFS paths; object stores would plug a different
-    opener).  Encoding happens on executors; the driver moves no data."""
+    opener).  Rows reach Python as Arrow record batches (``mapInArrow``
+    — no per-Row deserialization, nulls preserved exactly); encoding
+    happens on executors, the driver moves no data."""
     import os
 
     os.makedirs(path, exist_ok=True)
 
-    def write_part(idx, rows):
-        payload = encode_rows(rows)
-        if payload:
-            with open(os.path.join(path, f"part-{idx:05d}.bin"), "wb") as f:
-                f.write(payload)
-        return iter(())
+    def write_parts(batches):
+        import pyarrow as pa
+        from pyspark import TaskContext
 
-    df.rdd.mapPartitionsWithIndex(write_part).count()
+        idx = TaskContext.get().partitionId()
+        fpath = os.path.join(path, f"part-{idx:05d}.bin")
+        opened = False
+        for batch in batches:
+            payload = encode_batch(batch)
+            if payload:
+                with open(fpath, "wb" if not opened else "ab") as f:
+                    f.write(payload)
+                opened = True
+        yield pa.RecordBatch.from_pydict({"n": [0]})
+
+    df.mapInArrow(write_parts, schema="n long").count()
 
 
 def write_msgpack(df: DataFrame, path: str) -> None:
-    def encode(rows):
+    names = list(df.columns)
+
+    def encode(batch):
         return b"".join(
-            b"".join(msgpack_encode(v) for v in row) for row in rows
+            b"".join(msgpack_encode(row[n]) for n in names)
+            for row in batch.to_pylist()
         )
 
     _write_partitioned(df, path, encode)
 
 
 def write_row_binary(df: DataFrame, path: str, schema: str) -> None:
-    types = [t for _, t, _ in _parse_schema(schema)]
+    cols = _parse_schema(schema)
+    names = [n for n, _, _ in cols]
+    types = [t for _, t, _ in cols]
+    nullable = [nl for _, _, nl in cols]
 
-    def encode(rows):
-        return b"".join(_rb_encode_row(row, types) for row in rows)
+    def encode(batch):
+        return b"".join(
+            _rb_encode_row([row[n] for n in names], types, nullable)
+            for row in batch.to_pylist()
+        )
 
     _write_partitioned(df, path, encode)
 
@@ -554,10 +584,10 @@ def write_row_binary(df: DataFrame, path: str, schema: str) -> None:
 def write_protobuf(
     df: DataFrame, path: str, fields: dict[int, tuple[str, str]]
 ) -> None:
-    def encode(rows):
+    def encode(batch):
         out = bytearray()
-        for row in rows:
-            msg = _pb_encode_message(row.asDict(), fields)
+        for row in batch.to_pylist():
+            msg = _pb_encode_message(row, fields)
             out += _pb_write_varint(len(msg)) + msg
         return bytes(out)
 

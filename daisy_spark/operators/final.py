@@ -125,11 +125,27 @@ def summing_final(
     for p, tmp in pair_tmp.items():
         cols = map_groups[p]
         idc, vals = cols[0], cols[1:]
+        # the reference sums nested-map numerics in their native width
+        # (SummingSortedAlgorithm.cpp) — accumulate integrals in BIGINT
+        # (no 2^53 precision loss), floats in DOUBLE
+        elem_types = []
+        for v in vals:
+            st = next(
+                f.dataType.simpleString() for f in df.schema.fields
+                if f.name == v
+            )
+            inner = st[6:-1] if st.startswith("array<") else st
+            elem_types.append(
+                "BIGINT"
+                if inner in ("tinyint", "smallint", "int", "bigint")
+                else "DOUBLE"
+            )
         sums = ", ".join(
             [f"__k AS k"]
             + [
                 f"aggregate(filter({tmp}, __x -> __x.k <=> __k), "
-                f"CAST(0 AS DOUBLE), (__a, __x) -> __a + __x.v{x}) AS v{x}"
+                f"CAST(0 AS {elem_types[x]}), "
+                f"(__a, __x) -> __a + __x.v{x}) AS v{x}"
                 for x in range(len(vals))
             ]
         )

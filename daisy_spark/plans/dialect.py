@@ -712,7 +712,17 @@ def _respell_literal(tok: str) -> str:
     (parsers/Lexer escape rules).  Hex escapes are BYTES — consecutive
     ones may form one UTF-8 character."""
     body = tok[1:-1]
-    buf = bytearray()
+    out: list[str] = []   # escape-safe literal pieces
+    buf = bytearray()     # pending decoded raw bytes
+
+    def _flush() -> None:
+        if buf:
+            s = bytes(buf).decode("utf-8", "replace")
+            # decoded bytes may be a quote (\x27) or backslash (\x5c):
+            # re-escape them so the rebuilt literal stays well-formed
+            out.append(s.replace("\\", "\\\\").replace("'", "\\'"))
+            buf.clear()
+
     i = 0
     n = len(body)
     while i < n:
@@ -742,14 +752,16 @@ def _respell_literal(tok: str) -> str:
                 buf.append(63)
                 i += 2
                 continue
-            buf += c.encode() + nx.encode("utf-8", "surrogatepass")
+            # surviving escapes Spark understands (\n, \t, \', \\, ...)
+            # pass through as written
+            _flush()
+            out.append(c + nx)
             i += 2
             continue
         buf += c.encode("utf-8", "surrogatepass")
         i += 1
-    s = buf.decode("utf-8", "replace")
-    # keep the surviving backslash escapes as written; escape nothing new
-    return "'" + s + "'"
+    _flush()
+    return "'" + "".join(out) + "'"
 
 
 def _bool_lambda(lam: str) -> str:
@@ -2161,18 +2173,18 @@ FUNC_MAP: dict[str, object] = {
     "sum": lambda a: (
         f"coalesce(sum(CAST(({a[0]}) AS INT)), 0)"
         if _is_boolish(a[0])
-        # visibly-Nullable inputs keep NULL (AggregateFunctionNull):
-        # only non-nullable empty sets read back as 0
+        # Nullable inputs (by text or declared schema) keep NULL
+        # (AggregateFunctionNull): only non-nullable empty sets read 0
         else f"sum({a[0]})"
-        if re.search(r"(?i)\bnull\b|nullif|tonullable|try_cast", a[0])
+        if _agg_input_nullable(a[0])
         else f"coalesce(sum({a[0]}), 0)"
     ),
     "avg": lambda a: (
         f"coalesce(avg(CAST(({a[0]}) AS INT)), double('NaN'))"
         if _is_boolish(a[0])
-        # Nullable inputs keep NULL on empty (AggregateFunctionNull)
+        # same Nullable guard as sum (AggregateFunctionNull)
         else f"avg({a[0]})"
-        if ("nullif" in a[0].lower() or "tonullable" in a[0].lower())
+        if _agg_input_nullable(a[0])
         else f"coalesce(avg({a[0]}), double('NaN'))"
     ),
     "min": lambda a: (
@@ -3816,6 +3828,32 @@ def _is_boolish(txt: str) -> bool:
             or _kw(t) in _BOOLISH_KW
         ):
             return True
+    return False
+
+
+def _agg_input_nullable(txt: str) -> bool:
+    """Whether an aggregate's input expression is Nullable — so the
+    empty-set default (sum→0, avg→nan) must NOT apply: the reference
+    wraps aggregates over Nullable inputs in AggregateFunctionNull,
+    which returns NULL for empty/all-NULL input
+    (src/AggregateFunctions/AggregateFunctionNull.h).  Detected by
+    visible null-producing text, or — for a bare column reference — by
+    the active script table's declared Nullable(...)."""
+    if re.search(r"(?i)\bnull\b|nullif|tonullable|try_cast", txt):
+        return True
+    name = txt.strip().strip("`")
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", name):
+        return False
+    candidates = {name}
+    if "." in name:
+        candidates.add(name.split(".", 1)[1])  # strip a table qualifier
+    schemas = _SCRIPT_SCHEMAS_CTX.get() or {}
+    for cols in schemas.values():
+        for c, _, default in cols:
+            # _type_default renders "NULL" exactly when the column is
+            # declared Nullable (script.py:_type_default)
+            if c in candidates and default == "NULL":
+                return True
     return False
 
 

@@ -1142,10 +1142,16 @@ class ScriptRunner:
         return None
 
     def _alter_update(self, t: _Table, a: list[str]) -> None:
+        # All assignments of one UPDATE command form a single mutation
+        # stage evaluated against PRE-mutation values (reference
+        # MutationsInterpreter.cpp:517 — one column_to_updated map), so
+        # `UPDATE a = b, b = a` swaps.  Build every new-column expression
+        # first, then apply them in one select over the snapshot.
         w = next((k for k in range(len(a)) if _kw(a[k]) == "WHERE"), -1)
         if w < 0:
             raise DialectError("ALTER UPDATE requires WHERE")
         pred = _emit(_translate_expr(a[w + 1 :]))
+        updated: dict[str, str] = {}
         for asg in _split_top(a[1:w], ","):
             if not asg:
                 continue
@@ -1155,13 +1161,14 @@ class ScriptRunner:
             ctype = next(
                 c.spark_type for c in t.cols if c.name == cname
             )
-            t.df = t.df.withColumn(
-                cname,
-                F.expr(
-                    f"IF(CAST(({pred}) AS BOOLEAN), "
-                    f"CAST(({expr}) AS {ctype}), `{cname}`)"
-                ),
+            updated[cname] = (
+                f"IF(CAST(({pred}) AS BOOLEAN), "
+                f"CAST(({expr}) AS {ctype}), `{cname}`)"
             )
+        t.df = t.df.select(*[
+            F.expr(updated[f]).alias(f) if f in updated else F.col(f"`{f}`")
+            for f in t.df.columns
+        ])
 
     def _alter_action(self, t: _Table, a: list[str]) -> None:
         op = _kw(a[0])

@@ -92,11 +92,13 @@ def test_row_binary_spark_roundtrip(spark, tmp_path):
 
 
 def test_row_binary_nullable(spark, tmp_path):
-    # Nullable(T) columns carry a 1-byte null marker before the value
-    # (reference RowBinary nullable serialization)
+    # Nullable(T): one flag byte per value — 0x01 alone means NULL (no
+    # payload follows), 0x00 is followed by the value (reference
+    # SerializationNullable::serializeBinary/deserializeBinary)
     payload = (
-        b"\x00" + struct.pack("<q", 5) + b"\x00\x03abc"
-        + b"\x01" + struct.pack("<q", 0) + b"\x00\x00"
+        b"\x00" + struct.pack("<q", 5) + b"\x00\x03abc"  # (5, "abc")
+        + b"\x01" + b"\x00\x00"                          # (NULL, "")
+        + b"\x01" + b"\x01"                              # (NULL, NULL)
     )
     p = tmp_path / "nb"
     p.mkdir()
@@ -107,9 +109,25 @@ def test_row_binary_nullable(spark, tmp_path):
     )
     got = sorted(
         ((r.id, r.s) for r in back.collect()),
+        key=lambda t: (t[0] is None, t[0] or 0, t[1] is None, t[1] or ""),
+    )
+    assert got == [(5, "abc"), (None, ""), (None, None)]
+
+
+def test_row_binary_nullable_roundtrip(spark, tmp_path):
+    # writer emits the same flag-byte layout its reader consumes
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "c")], "id long, s string"
+    )
+    sch = "id Nullable(Int64), s Nullable(String)"
+    out = str(tmp_path / "rbn")
+    fb.write_row_binary(df, out, sch)
+    back = read_format(spark, out, "RowBinary", schema=sch)
+    got = sorted(
+        ((r.id, r.s) for r in back.collect()),
         key=lambda t: (t[0] is None, t[0] or 0),
     )
-    assert got == [(5, "abc"), (None, "")]
+    assert got == [(1, "a"), (2, None), (None, "c")]
 
 
 def test_protobuf_spark_roundtrip(spark, tmp_path):

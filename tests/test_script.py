@@ -147,3 +147,47 @@ def test_datetime_from_digit_string(runner):
     runner.execute("CREATE TABLE ts (t DateTime) ENGINE = Memory")
     runner.execute("INSERT INTO ts VALUES ('1234567890')")
     assert rows(runner.execute("SELECT toUInt32(t) FROM ts")) == [(1234567890,)]
+
+
+def test_alter_update_single_mutation_stage(runner):
+    # All assignments of one UPDATE evaluate against pre-mutation values
+    # (reference MutationsInterpreter.cpp:517: one column_to_updated map)
+    runner.execute(
+        "CREATE TABLE swp (a UInt32, b UInt32) ENGINE = MergeTree ORDER BY a"
+    )
+    runner.execute("INSERT INTO swp VALUES (1, 10), (2, 20)")
+    runner.execute("ALTER TABLE swp UPDATE a = b, b = a WHERE 1")
+    assert rows(runner.execute("SELECT a, b FROM swp ORDER BY a")) == [
+        (10, 1), (20, 2),
+    ]
+
+
+def test_empty_set_agg_defaults_respect_declared_nullability(runner):
+    # sum/avg over an empty set: non-nullable input reads back 0 / nan;
+    # a declared Nullable column keeps NULL even as a bare reference
+    # (reference AggregateFunctionNull wrapping — the guard must consult
+    # the schema, not just the expression text)
+    runner.execute(
+        "CREATE TABLE esd (a UInt32, b Nullable(Int64)) ENGINE = Memory"
+    )
+    got = rows(runner.execute("SELECT sum(a), sum(b), avg(b) FROM esd"))
+    assert len(got) == 1
+    s_a, s_b, a_b = got[0]
+    assert s_a == 0
+    assert s_b is None
+    assert a_b is None
+
+
+def test_summing_map_merge_integer_width(runner):
+    # nested-*Map values sum in native integer width, not DOUBLE —
+    # 2^53+1 must survive exactly (SummingSortedAlgorithm.cpp sums
+    # integrals without a float detour)
+    big = (1 << 53) + 1
+    runner.execute(
+        "CREATE TABLE smw (k UInt8, vMap Nested(id UInt16, val Int64)) "
+        "ENGINE = SummingMergeTree ORDER BY k"
+    )
+    runner.execute(f"INSERT INTO smw VALUES (1, [7], [{big}])")
+    runner.execute("INSERT INTO smw VALUES (1, [7], [1])")
+    got = rows(runner.execute("SELECT `vMap.val` FROM smw FINAL"))
+    assert got == [([big + 1],)]
