@@ -351,17 +351,19 @@ def simhash_candidates(
     df: DataFrame,
     id_col: str,
     simhash_col: str = "simhash",
-    max_hamming: int = 7,
+    max_hamming: int = 5,
     max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Candidate pairs within SimHash Hamming radius ``max_hamming``, via
     the Manku/Google multi-block scheme: a pair within radius r leaves at
     least (bands - r) bands untouched, so matching on every combination of
-    (bands - r) bands GUARANTEES recall up to r.  Tighter radii buy wider
-    join keys (r=5 ⇒ C(8,3)=56 probes of 24-bit keys); the default r=7
-    probes the 8 single bands — 8-bit keys, so on huge corpora buckets get
-    big and ``max_bucket_size`` (or :func:`minhash_dedup_pairs`, whose
-    keys are 64-bit) is the scale valve.
+    (bands - r) bands GUARANTEES recall up to r.  The default r=5 probes
+    C(8,3)=56 combinations of 24-bit keys — the scale-safe configuration
+    (fine-grained buckets).  Radius 7 stays reachable by argument but
+    probes the 8 single bands — 8-bit keys, so on huge corpora buckets
+    get big and ``max_bucket_size`` (or :func:`minhash_dedup_pairs`,
+    whose keys are 64-bit) is the scale valve; prefer MinHash for loose
+    thresholds.
 
     Scale shape: explode to |combos| rows/doc, one shuffle on the combo
     key, join within buckets; ``max_bucket_size`` bounds degenerate-bucket
@@ -421,7 +423,7 @@ def simhash_dedup_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    max_hamming: int = 7,
+    max_hamming: int = 5,
     jaccard_threshold: float = 0.9,
     shingle_k: int = 3,
 ) -> DataFrame:

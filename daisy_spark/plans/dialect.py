@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import contextvars
 import re
+import struct
 from dataclasses import dataclass, field
 
 __all__ = ["translate", "sql", "DialectError", "TranslateResult"]
@@ -706,6 +707,365 @@ def _null_in_expr(a: list[str], neg: bool) -> str:
     return f"(NOT ({ors}))" if neg else f"({ors})"
 
 
+_CH_INT_MINS = frozenset(
+    {-128, -32768, -2147483648, -9223372036854775808}
+)
+
+
+def _int_div_expr(a: list[str], or_zero: bool) -> str:
+    """intDiv / intDivOrZero (src/Functions/intDiv.cpp,
+    intDivOrZero.cpp): C++ truncating division; OrZero additionally
+    maps division-by-zero AND signed-overflow (type_min / -1,
+    DivisionUtils.h divisionLeadsToFPE) to 0.  Integer-literal args
+    constant-fold with the reference's literal typing (a negative
+    literal takes the smallest IntN that holds it, so only the exact
+    type minima can overflow)."""
+    l, r = a[0].strip(), a[1].strip()
+    # tokenized unary minus renders as "- 128" — normalize for the
+    # literal check only
+    lc = re.sub(r"^-\s+", "-", l)
+    rc = re.sub(r"^-\s+", "-", r)
+    if re.fullmatch(r"-?\d+", lc) and re.fullmatch(r"-?\d+", rc):
+        li, ri = int(lc), int(rc)
+        if ri == 0 or (li in _CH_INT_MINS and ri == -1):
+            if or_zero:
+                return "0"
+        else:
+            q = abs(li) // abs(ri)
+            return str(-q if (li < 0) != (ri < 0) else q)
+    if or_zero:
+        return (
+            f"coalesce(CAST(CAST({l} AS DOUBLE) / nullif(({r}), 0) "
+            f"AS BIGINT), 0)"
+        )
+    return f"CAST(CAST({l} AS DOUBLE) / ({r}) AS BIGINT)"
+
+
+#: reference-exact hash families (functions/chhash.py implements the
+#: published algorithms; FunctionsHashing.h defines arg/combine rules)
+_EXACT_HASH_KINDS = {
+    "cityHash64": "city", "sipHash64": "sip", "halfMD5": "md5",
+    "murmurHash2_32": "m2_32", "murmurHash2_64": "m2_64",
+    "gccMurmurHash": "gcc", "murmurHash3_32": "m3_32",
+    "murmurHash3_64": "m3_64",
+}
+
+_HASH_CONV_FNS = {
+    "TOUINT8": (1, False), "TOUINT16": (2, False), "TOUINT32": (4, False),
+    "TOUINT64": (8, False), "TOINT8": (1, True), "TOINT16": (2, True),
+    "TOINT32": (4, True), "TOINT64": (8, True),
+}
+
+_HASH_INT_TYPES = {
+    "UINT8": (1, False), "UINT16": (2, False), "UINT32": (4, False),
+    "UINT64": (8, False), "INT8": (1, True), "INT16": (2, True),
+    "INT32": (4, True), "INT64": (8, True),
+}
+
+
+def _ch_str_bytes(tok: str) -> bytes:
+    """Decode a reference string literal token to raw bytes
+    (parsers/Lexer escape rules; hex escapes are bytes)."""
+    body = tok[1:-1]
+    buf = bytearray()
+    i, n = 0, len(body)
+    esc = {"n": 10, "t": 9, "r": 13, "0": 0, "b": 8, "f": 12, "a": 7,
+           "v": 11, "\\": 92, "'": 39, '"': 34, "?": 63}
+    while i < n:
+        c = body[i]
+        if c == "\\" and i + 1 < n:
+            nx = body[i + 1]
+            if nx == "x" and i + 3 < n:
+                try:
+                    buf.append(int(body[i + 2 : i + 4], 16))
+                    i += 4
+                    continue
+                except ValueError:
+                    pass
+            if nx in esc:
+                buf.append(esc[nx])
+                i += 2
+                continue
+            buf += nx.encode("utf-8")
+            i += 2
+            continue
+        buf += c.encode("utf-8")
+        i += 1
+    return bytes(buf)
+
+
+def _parse_hash_lit(toks: list[str]):
+    """Parse raw argument tokens into a typed literal node for exact
+    hashing: ("int", v, width) | ("float", v, width) | ("str", bytes) |
+    ("array", [nodes]) | ("tuple", [nodes]); None when not a literal."""
+    while (
+        len(toks) >= 3 and toks[0] == "(" and _match_paren(toks, 0) == len(toks) - 1
+        and not any(
+            t == "," for k, t in enumerate(toks[1:-1])
+            if _paren_depth_at(toks[1:-1], k) == 0
+        )
+    ):
+        toks = toks[1:-1]
+    if not toks:
+        return None
+    head = _kw(toks[0])
+    if (
+        head in ("MATERIALIZE", "TOFIXEDSTRING") and len(toks) >= 3
+        and toks[1] == "(" and _match_paren(toks, 1) == len(toks) - 1
+    ):
+        inner = _split_top(toks[2:-1], ",")
+        return _parse_hash_lit(inner[0]) if inner else None
+    if (
+        head in _HASH_CONV_FNS and len(toks) >= 3 and toks[1] == "("
+        and _match_paren(toks, 1) == len(toks) - 1
+    ):
+        sub = _parse_hash_lit(toks[2:-1])
+        return _retype_hash_lit(sub, *_HASH_CONV_FNS[head])
+    if (
+        head in ("TOFLOAT32", "TOFLOAT64") and len(toks) >= 3
+        and toks[1] == "(" and _match_paren(toks, 1) == len(toks) - 1
+    ):
+        sub = _parse_hash_lit(toks[2:-1])
+        if sub and sub[0] in ("int", "float"):
+            return ("float", float(sub[1]), 4 if head == "TOFLOAT32" else 8)
+        return None
+    if head == "CAST" and len(toks) >= 3 and toks[1] == "(" and _match_paren(toks, 1) == len(toks) - 1:
+        inner = toks[2:-1]
+        as_idx = next(
+            (k for k, t in enumerate(inner)
+             if _kw(t) == "AS" and _paren_depth_at(inner, k) == 0),
+            None,
+        )
+        if as_idx is None:
+            return None
+        sub = _parse_hash_lit(inner[:as_idx])
+        typ = _kw(inner[as_idx + 1])
+        if typ in _HASH_INT_TYPES:
+            return _retype_hash_lit(sub, *_HASH_INT_TYPES[typ])
+        if typ in ("FLOAT32", "FLOAT64") and sub and sub[0] in ("int", "float"):
+            return ("float", float(sub[1]), 4 if typ == "FLOAT32" else 8)
+        if typ == "STRING" and sub and sub[0] == "str":
+            return sub
+        if typ == "FIXEDSTRING" and sub and sub[0] == "str":
+            # FixedString(n): zero-pad to n
+            try:
+                fl = int(inner[as_idx + 3])
+                return ("str", sub[1].ljust(fl, b"\x00"))
+            except (ValueError, IndexError):
+                return None
+        return None
+    if len(toks) == 1:
+        t = toks[0]
+        if re.fullmatch(r"\d+", t):
+            v = int(t)
+            w = 1 if v < 256 else 2 if v < 65536 else 4 if v < 2**32 else 8
+            return ("int", v, w)
+        if re.fullmatch(r"(?i)\d+\.\d*(e[+-]?\d+)?|\.\d+(e[+-]?\d+)?|\d+e[+-]?\d+", t):
+            return ("float", float(t), 8)
+        if t[:1] == "'" and t[-1:] == "'":
+            return ("str", _ch_str_bytes(t))
+        return None
+    if toks[0] == "-" and len(toks) == 2:
+        sub = _parse_hash_lit(toks[1:])
+        if sub and sub[0] == "int":
+            v = -sub[1]
+            w = 1 if v >= -128 else 2 if v >= -32768 else 4 if v >= -(2**31) else 8
+            return ("int", v, w)
+        if sub and sub[0] == "float":
+            return ("float", -sub[1], sub[2])
+        return None
+    if toks[0] == "(" and _match_paren(toks, 0) == len(toks) - 1:
+        parts = _split_top(toks[1:-1], ",")
+        subs = [_parse_hash_lit(p) for p in parts if p]
+        if any(s is None for s in subs) or not subs:
+            return None
+        return ("tuple", subs)
+    if toks[0] == "[":
+        depth = 0
+        for k, t in enumerate(toks):
+            if t == "[" or t == "(":
+                depth += 1
+            elif t == "]" or t == ")":
+                depth -= 1
+                if depth == 0:
+                    if k != len(toks) - 1:
+                        return None
+                    break
+        parts = _split_top(toks[1:-1], ",")
+        subs = [_parse_hash_lit(p) for p in parts if p]
+        if any(s is None for s in subs):
+            return None
+        return ("array", subs)
+    return None
+
+
+def _paren_depth_at(toks: list[str], idx: int) -> int:
+    d = 0
+    for t in toks[:idx]:
+        if t in ("(", "["):
+            d += 1
+        elif t in (")", "]"):
+            d -= 1
+    return d
+
+
+def _retype_hash_lit(sub, width: int, signed: bool):
+    if not sub or sub[0] != "int":
+        return None
+    v = sub[1] & ((1 << (8 * width)) - 1)
+    if signed and v >= (1 << (8 * width - 1)):
+        v -= 1 << (8 * width)
+    return ("int", v, width)
+
+
+def _flatten_hash_args(nodes):
+    out = []
+    for nd in nodes:
+        if nd[0] == "tuple":
+            out.extend(_flatten_hash_args(nd[1]))
+        else:
+            out.append(nd)
+    return out
+
+
+def _sql_inthash64impl(e: str) -> str:
+    """IntHash64Impl as pure Spark SQL (BIGINT arithmetic wraps like the
+    reference's UInt64): intHash64(x ^ 0x4CF2D2BAAE6DA887)."""
+    m1 = 0xFF51AFD7ED558CCD - 2**64
+    m2 = 0xC4CEB9FE1A85EC53 - 2**64
+    x1 = f"(CAST(({e}) AS BIGINT) ^ {0x4CF2D2BAAE6DA887})"
+    x2 = f"({x1} ^ shiftrightunsigned({x1}, 33))"
+    x3 = f"({x2} * {m1})"
+    x4 = f"({x3} ^ shiftrightunsigned({x3}, 33))"
+    x5 = f"({x4} * {m2})"
+    return f"({x5} ^ shiftrightunsigned({x5}, 33))"
+
+
+def _sql_hash128to64(lo: str, hi: str) -> str:
+    kmul = 0x9DDFEA08EB382D69 - 2**64
+    a1 = f"((({lo}) ^ ({hi})) * {kmul})"
+    a2 = f"({a1} ^ shiftrightunsigned({a1}, 47))"
+    b1 = f"((({hi}) ^ {a2}) * {kmul})"
+    b2 = f"({b1} ^ shiftrightunsigned({b1}, 47))"
+    return f"({b2} * {kmul})"
+
+
+def _int_hash_fn(a0: str, bits: int) -> str:
+    """intHash64 / intHash32 — constant-fold integer literals, else
+    exact SQL (64-bit) or the registered UDF (32-bit rotations blow up
+    textually)."""
+    from daisy_spark.functions import chhash
+
+    t = re.sub(r"^-\s+", "-", a0.strip())
+    if re.fullmatch(r"-?\d+", t):
+        v = int(t) & ((1 << 64) - 1)
+        h = (
+            chhash.int_hash64_impl(v) if bits == 64
+            else chhash.int_hash32_impl(v)
+        )
+        if h < (1 << 63):
+            return f"CAST({h} AS BIGINT)"
+        return f"CAST('{h}' AS DECIMAL(20, 0))"
+    if bits == 64:
+        return _unsigned_u64(_sql_inthash64impl(a0))
+    return f"ch_inthash32({a0})"
+
+
+def _unsigned_u64(e: str) -> str:
+    """Render a signed-BIGINT hash as the reference's UInt64: lift to
+    DECIMAL(20,0) and add 2^64 for negatives (also makes ORDER BY sort
+    unsigned, matching the reference)."""
+    return (
+        f"(CAST(({e}) AS DECIMAL(20, 0)) + IF(({e}) < 0, "
+        f"CAST(18446744073709551616 AS DECIMAL(21, 0)), 0))"
+    )
+
+
+def _hash_arg_is_stringish(raw: list[str]) -> bool:
+    """Whether a non-literal hash argument is string-valued: a declared
+    String column or a visibly string-producing head."""
+    if len(raw) == 1 and _is_ident(raw[0]):
+        name = raw[0].strip('`"')
+        schemas = _SCRIPT_SCHEMAS_CTX.get() or {}
+        for cols in schemas.values():
+            for c, st, _ in cols:
+                if c == name:
+                    return st.upper().startswith("STRING")
+        return False
+    head = _kw(raw[0]) if raw else ""
+    return head in (
+        "TOSTRING", "CONCAT", "SUBSTRING", "SUBSTR", "LOWER", "UPPER",
+        "REVERSE", "HEX", "REPLACEALL", "TRIM",
+    ) or (raw and raw[0][:1] == "'")
+
+
+def _exact_hash_call(t: str, arg_parts: list[list[str]], args: list[str]) -> str | None:
+    """Lower cityHash64/sipHash64/murmur*/halfMD5 with reference-exact
+    values.  All-literal calls fold at translate time (chhash.fold);
+    cityHash64 over dynamic args lowers to IntHash64Impl/Hash128to64
+    in pure SQL for numerics and a registered UDF for strings.  Returns
+    None to fall back to the approximate xxhash64 mapping."""
+    from daisy_spark.functions import chhash
+
+    kind = _EXACT_HASH_KINDS[t]
+    nodes = [_parse_hash_lit(p) for p in arg_parts if p]
+    if nodes and all(nd is not None for nd in nodes):
+        flat = _flatten_hash_args(nodes)
+        try:
+            h = chhash.fold(kind, flat)
+        except (ValueError, KeyError, struct.error):
+            h = None
+        if h is not None:
+            if h < (1 << 63):
+                return f"CAST({h} AS BIGINT)"
+            return f"CAST('{h}' AS DECIMAL(20, 0))"
+    if kind != "city":
+        return None
+    # dynamic cityHash64: per-arg IntHash64Impl (numeric) or CityHash64
+    # UDF (string), folded with Hash128to64 — all JVM-side except the
+    # string hash itself
+    per = []
+    for raw, nd, a in zip(arg_parts, nodes, args):
+        if nd is not None and nd[0] != "array":
+            flat = _flatten_hash_args([nd])
+            try:
+                hv = chhash.fold(kind, flat)
+                per.append(str(chhash._to_i64(hv)))
+                continue
+            except (ValueError, KeyError, struct.error):
+                pass
+        if _hash_arg_is_stringish(raw):
+            per.append(f"ch_cityhash64_str({a})")
+        else:
+            per.append(_sql_inthash64impl(a))
+    h = per[0]
+    for nxt in per[1:]:
+        h = _sql_hash128to64(h, nxt)
+    return _unsigned_u64(h)
+    """substring/substr/mid with the reference's rules
+    (src/Functions/substring.cpp / GatherUtils): offset 0 yields '';
+    negative offsets count from the end; a negative length ends the
+    slice |length| characters before the end.  Plain substring keeps the
+    VIRTUAL start when it falls before the string (off-string positions
+    consume length: substring('hello', -10, 7) = 'he'), while
+    substringUTF8 CLAMPS the start first (same call yields 'hello')."""
+    if len(a) < 2:
+        return f"substring({', '.join(a)})"
+    s, p = a[0], a[1]
+    ln = f"length({s})"
+    sv = f"IF(({p}) < 0, {ln} + ({p}) + 1, CAST(({p}) AS INT))"
+    if utf8:
+        sv = f"greatest({sv}, 1)"
+    start = f"greatest({sv}, 1)"
+    if len(a) == 2:
+        size = f"greatest({ln} - {start} + 1, 0)"
+        return f"IF(({p}) = 0, '', substring({s}, {start}, {size}))"
+    n = a[2]
+    endp = f"IF(({n}) < 0, {ln} + ({n}), {sv} + CAST(({n}) AS INT) - 1)"
+    size = f"greatest(least({endp}, {ln}) - {start} + 1, 0)"
+    return f"IF(({p}) = 0, '', substring({s}, {start}, {size}))"
+
+
 def _respell_literal(tok: str) -> str:
     """Decode the reference's C-style escapes Spark lacks (\\xHH, \\a,
     \\v, \\f, \\?) into real bytes, then re-emit a Spark-safe literal
@@ -1057,7 +1417,7 @@ FUNC_MAP: dict[str, object] = {
     # C++ integer division); double-divide + BIGINT cast matches for both
     # numeric kinds (exactness loss only beyond 2^53)
     "divide": "(CAST({0} AS DOUBLE) / {1})",
-    "intDiv": "CAST(CAST({0} AS DOUBLE) / ({1}) AS BIGINT)",
+    "intDiv": lambda a: _int_div_expr(a, or_zero=False),
     "if": lambda a: f"IF(CAST({a[0]} AS BOOLEAN), {a[1]}, {a[2]})",
     "modulo": "({0} % {1})", "negate": "(-{0})",
     "equals": "({0} = {1})", "notEquals": "({0} <> {1})",
@@ -1177,7 +1537,7 @@ FUNC_MAP: dict[str, object] = {
     "toIntervalMonth": "make_interval(0, {0}, 0, 0, 0, 0, 0)",
     "toIntervalYear": "make_interval({0}, 0, 0, 0, 0, 0, 0)",
     # div/mod-by-zero tolerant variants (reference intDivOrZero.cpp)
-    "intDivOrZero": "coalesce(CAST(CAST({0} AS DOUBLE) / nullif(({1}), 0) AS BIGINT), 0)",
+    "intDivOrZero": lambda a: _int_div_expr(a, or_zero=True),
     "moduloOrZero": "coalesce(({0} % nullif({1}, 0)), 0)",
     "divideOrZero": "coalesce((CAST({0} AS DOUBLE) / nullif({1}, 0)), 0.0)",
     # range(n) = [0..n-1]; Spark sequence(0, n-1) flips to descending for
@@ -1205,11 +1565,7 @@ FUNC_MAP: dict[str, object] = {
     ),
     "toISOWeek": "extract(WEEK FROM {0})",
     "toISOYear": "extract(YEAROFWEEK FROM {0})",
-    "substringUTF8": lambda a: (
-        f"substring({a[0]}, {a[1]}, {a[2]})"
-        if len(a) > 2
-        else f"substring({a[0]}, {a[1]})"
-    ),
+    "substringUTF8": lambda a: _substring_expr(a, utf8=True),
     "CRC32": "crc32(CAST({0} AS BINARY))",
     "CRC32IEEE": "crc32(CAST({0} AS BINARY))",
     "multiSearchAllPositions": (
@@ -1370,10 +1726,12 @@ FUNC_MAP: dict[str, object] = {
     "lowerUTF8": "lower({0})", "upperUTF8": "upper({0})",
     "char_length": "length({0})", "lengthUTF8": "length({0})",
     # reference length() is polymorphic over strings AND arrays; Spark
-    # splits it into length()/size().  Heuristic on the translated arg:
-    # expressions that are syntactically array-producing use size()
+    # splits it into octet_length()/size().  Heuristic on the translated
+    # arg: expressions that are syntactically array-producing use size().
+    # String length is BYTES in the reference (lengthUTF8 is characters)
     "length": lambda a: (
-        f"size({a[0]})" if _is_arrayish(a[0]) else f"length({a[0]})"
+        f"size({a[0]})" if _is_arrayish(a[0])
+        else f"octet_length({a[0]})"
     ),
     "trimBoth": "trim({0})", "trimLeft": "ltrim({0})", "trimRight": "rtrim({0})",
     "startsWith": "startswith({0}, {1})", "endsWith": "endswith({0}, {1})",
@@ -1410,7 +1768,12 @@ FUNC_MAP: dict[str, object] = {
     "leftPad": "lpad({0}, {1}, {2})", "rightPad": "rpad({0}, {1}, {2})",
     "countSubstrings": "(size(split({0}, {1})) - 1)",
     "base64Encode": "base64({0})", "base64Decode": "CAST(unbase64({0}) AS STRING)",
-    "hex": "hex({0})", "unhex": "unhex({0})",
+    # reference hex() prints whole BYTES — odd-length integer hex gets a
+    # leading zero (hex(UInt8 3) = '03'; src/Functions/FunctionsCoding.h)
+    "hex": (
+        "IF(length(hex({0})) % 2 = 1, concat('0', hex({0})), hex({0}))"
+    ),
+    "unhex": "unhex({0})",
     # JSON (props-style extraction; FunctionsJSON.h)
     "JSONExtractString": "get_json_object({0}, concat('$.', {1}))",
     "JSONExtractInt": "CAST(get_json_object({0}, concat('$.', {1})) AS BIGINT)",
@@ -1703,7 +2066,21 @@ FUNC_MAP: dict[str, object] = {
     ),
     "toTypeName": lambda a: _to_type_name_expr(a[0]),
     "generateUUIDv4": "uuid()",
-    "rand": "CAST(rand() * 4294967296 AS BIGINT)",
+    # rand(N): the seed arg only labels INDEPENDENT streams — the same N
+    # yields the SAME value everywhere it appears (src/Functions/
+    # rand.cpp), which expressions like `f(rand(1)) = g(rand(1))` rely
+    # on.  Spark's stateful per-row ids desync inside conditional
+    # branches, so seeded rand folds to a translate-time literal per
+    # seed: consistent within the query, distinct across seeds.  (Tests
+    # can only ever depend on that consistency, never on exact values.)
+    "rand": lambda a: (
+        "CAST(rand() * 4294967296 AS BIGINT)" if not a or not a[0].strip()
+        else "CAST({} AS BIGINT)".format(
+            __import__("random").Random(
+                __import__("zlib").crc32(a[0].encode())
+            ).randrange(2**32)
+        )
+    ),
     # randConstant: one random value shared by every row of the query
     # (src/Functions/randConstant.cpp).  A scalar subquery over rand() is
     # re-evaluated per row by Spark, so fold a Python-drawn literal at
@@ -1821,8 +2198,19 @@ FUNC_MAP: dict[str, object] = {
         f"{a[3] if len(a) > 3 else 80}), 0), 0) END) AS INT))"
     ),
     "least": "least({*})", "greatest": "greatest({*})",
-    "intHash64": "xxhash64({0})", "farmHash64": "xxhash64({*})",
-    "intHash32": "(abs(xxhash64({0})) % 4294967296)",
+    # intHash64/intHash32 (src/Common/HashTable/Hash.h via
+    # IntHash64Impl/IntHash32Impl): literal args fold exactly at
+    # translate time; dynamic intHash64 lowers to exact wrap-around
+    # BIGINT arithmetic, dynamic intHash32 to a registered UDF
+    "intHash64": lambda a: _int_hash_fn(a[0], 64),
+    "intHash32": lambda a: _int_hash_fn(a[0], 32),
+    "farmHash64": "xxhash64({*})",
+    # approximate fallbacks for murmur over non-literal args (literal
+    # calls fold exactly via _exact_hash_call)
+    "murmurHash2_32": "(abs(xxhash64({*})) % 4294967296)",
+    "murmurHash2_64": "xxhash64({*})",
+    "murmurHash3_64": "xxhash64({*})",
+    "gccMurmurHash": "xxhash64({*})",
     "IPv4NumToString": (
         "concat(CAST(shiftright({0}, 24) % 256 AS STRING), '.', "
         "CAST(shiftright({0}, 16) % 256 AS STRING), '.', "
@@ -1872,8 +2260,9 @@ FUNC_MAP: dict[str, object] = {
         "shiftleft(CAST({0} AS BIGINT), 64 - CAST({1} AS INT)))"
     ),
     # string/misc aliases
-    "mid": lambda a: f"substring({', '.join(a)})",
-    "substr": lambda a: f"substring({', '.join(a)})",
+    "mid": lambda a: _substring_expr(a),
+    "substr": lambda a: _substring_expr(a),
+    "substring": lambda a: _substring_expr(a),
     "lcase": "lower({0})", "ucase": "upper({0})",
     "locate": lambda a: _position_expr(a),
     "sigmoid": "(1.0 / (1.0 + exp(-(CAST({0} AS DOUBLE)))))",
@@ -2125,8 +2514,10 @@ FUNC_MAP: dict[str, object] = {
     "groupUniqArrayIf": (
         "collect_set(CASE WHEN CAST({1} AS BOOLEAN) THEN {0} END)"
     ),
+    # accepts both the full XX:XX:XX:XX:XX:XX form and the 3-group OUI
+    # prefix (src/Functions/FunctionsCoding.h parses the first 3 groups)
     "MACStringToOUI": (
-        "(CASE WHEN size(split({0}, ':')) = 6 THEN "
+        "(CASE WHEN size(split({0}, ':')) IN (3, 6) THEN "
         "aggregate(slice(split({0}, ':'), 1, 3), CAST(0 AS BIGINT), "
         "(__a, __h) -> __a * 256 + CAST(conv(__h, 16, 10) AS BIGINT)) "
         "ELSE 0 END)"
@@ -3107,6 +3498,12 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 out.append(_generate_random_tvf(args))
                 i = close + 1
                 continue
+            if t in _EXACT_HASH_KINDS:
+                exact = _exact_hash_call(t, arg_parts, args)
+                if exact is not None:
+                    out.append(exact)
+                    i = close + 1
+                    continue
             tmpl = FUNC_MAP.get(t)
             if tmpl is None and t != t.lower():
                 # SQL-compat alias names are case-insensitive in the

@@ -794,12 +794,14 @@ ORACLE_SQL.update(ORACLE_SQL_STATS)
 # the cap is then all round-3-green queries, which stay locally verified by
 # tools/driver_sim.py.
 _GRADE_FIRST = [
-    # not graded in round 3 (rode on round-2 rows)
-    "dialect_sql", "final_replacing", "final_summing", "final_versioned",
-    "cube", "limit_with_ties", "sample_fraction", "top_k", "sequence_match",
-    "histogram", "segment_sum", "stats", "combinators", "cross_join",
+    # not graded in round 4 (rode on round-3 rows)
+    "final_collapsing", "quantiles", "group_array", "uniq_approx",
+    "logistic_regression", "groups_frame", "ttests", "map_aggs",
+    "moving_sum", "rank_stats", "running_diff", "interval_overlap",
+    "civ", "scalar_coding",
     # changed this round: need a fresh driver row
-    "agg_state_merge",
+    "final_summing", "dedup_simhash", "dialect_sql", "script_engine",
+    "shipping_priority", "region_revenue", "with_fill",
 ]
 QUERIES = {
     **{n: QUERIES[n] for n in _GRADE_FIRST},

@@ -83,7 +83,8 @@ def fmt(v, nested=False):
     if isinstance(v, bool):
         return "1" if v else "0"
     if isinstance(v, decimal.Decimal):
-        return str(v)  # ClickHouse renders decimals at full scale
+        # full scale, positional — str(Decimal('0E-8')) is scientific
+        return format(v, "f")
     if isinstance(v, float):
         if v != v:
             return "nan"
