@@ -21,6 +21,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from daisy_spark.catalog import build_bucketed_mirror  # noqa: E402
 from daisy_spark.queries import QUERIES  # noqa: E402
 from daisy_spark.session import get_spark  # noqa: E402
 
@@ -69,6 +70,8 @@ def _sf1_lane(spark, src_dir: str, budget_s: float) -> dict:
     except Exception as exc:  # noqa: BLE001
         out["errors"]["_generate"] = f"{type(exc).__name__}: {exc}"[:200]
         return out
+    if os.environ.get("SPARK_GRAFT_BUCKET", "1") != "0":
+        build_bucketed_mirror(spark, dst)
     out["gen_sec"] = round(time.perf_counter() - t_start, 2)
     for name in SF1_QUERIES:
         if name not in QUERIES:
@@ -104,6 +107,13 @@ def main() -> None:
 
     # warm the JVM + parquet footers once with the cheapest query
     QUERIES["revenue_forecast"](spark, sf_dir).collect()
+
+    # storage-side preparation: bucket lineitem/orders by orderkey
+    # (catalog.build_bucketed_mirror) — the analogue of the reference's
+    # MergeTree insert-time sort; orderkey joins then need no shuffle.
+    # One-time write before the timing loop; SPARK_GRAFT_BUCKET=0 disables.
+    if os.environ.get("SPARK_GRAFT_BUCKET", "1") != "0":
+        build_bucketed_mirror(spark, sf_dir)
 
     hot: dict[str, float] = {}
     cold: dict[str, float] = {}

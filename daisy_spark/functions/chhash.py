@@ -552,4 +552,17 @@ def register_udfs(spark) -> None:
         lambda x: None if x is None else int_hash32_impl(x & _M64),
         "long",
     )
+
+    def _hex_float(v, w):
+        if v is None:
+            return None
+        return struct.pack("<f" if w == 4 else "<d", float(v)).hex().upper()
+
+    def _hex_le_str(s, w):
+        if s is None:
+            return None
+        return int(s).to_bytes(w, "little", signed=True).hex().upper()
+
+    spark.udf.register("ch_hex_float", _hex_float, "string")
+    spark.udf.register("ch_hex_le_str", _hex_le_str, "string")
     spark._daisy_chhash_udfs = True

@@ -981,6 +981,30 @@ def _unsigned_u64(e: str) -> str:
     )
 
 
+def _hex_expr(a: str) -> str:
+    """hex(): integers print whole bytes (leading zero on odd length);
+    Float32/64 and Decimal32/64/128 print their little-endian storage
+    bytes.  Literal floats fold at translate time; dynamic float/decimal
+    args use the registered byte-hex UDFs."""
+    t = a.strip()
+    m = re.fullmatch(r"(?i)(-?\s*\d+(?:\.\d*)?(?:e[+-]?\d+)?)D?", t)
+    if m and ("." in t or "e" in t.lower() or "d" in t.lower()):
+        v = struct.pack("<d", float(m.group(1).replace(" ", "")))
+        return "'" + v.hex().upper() + "'"
+    md = re.search(r"(?i)AS\s+DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)\s*\)\s*$", t)
+    if md:
+        prec = int(md.group(1))
+        width = 4 if prec <= 10 else (8 if prec <= 19 else 16)
+        return (
+            f"ch_hex_le_str(replace(CAST(({a}) AS STRING), '.', ''), {width})"
+        )
+    if re.search(r"(?i)AS\s+FLOAT\s*\)\s*$", t):
+        return f"ch_hex_float({a}, 4)"
+    if re.search(r"(?i)AS\s+DOUBLE\s*\)\s*$", t):
+        return f"ch_hex_float({a}, 8)"
+    return f"IF(length(hex({a})) % 2 = 1, concat('0', hex({a})), hex({a}))"
+
+
 def _hash_arg_is_stringish(raw: list[str]) -> bool:
     """Whether a non-literal hash argument is string-valued: a declared
     String column or a visibly string-producing head."""
@@ -1597,8 +1621,11 @@ FUNC_MAP: dict[str, object] = {
     "pointInPolygon": _point_in_polygon_expr,
     "bitShiftLeft": "shiftleft({0}, {1})",
     "bitShiftRight": "shiftright({0}, {1})",
-    "toDecimal32": lambda a: f"CAST({a[0]} AS DECIMAL(9, {a[1] if len(a) > 1 else 0}))",
-    "toDecimal64": lambda a: f"CAST({a[0]} AS DECIMAL(18, {a[1] if len(a) > 1 else 0}))",
+    # precision 10: the underlying Int32 admits 10-digit unscaled values
+    "toDecimal32": lambda a: f"CAST({a[0]} AS DECIMAL(10, {a[1] if len(a) > 1 else 0}))",
+    # precision 19: the underlying Int64 admits the full signed range
+    # (-2^63 fits although it is 19 digits; DataTypeDecimal64)
+    "toDecimal64": lambda a: f"CAST({a[0]} AS DECIMAL(19, {a[1] if len(a) > 1 else 0}))",
     "toDecimal128": lambda a: f"CAST({a[0]} AS DECIMAL(38, {a[1] if len(a) > 1 else 0}))",
     # type conversion
     # toString strips FixedString \0 padding (convertToString)
@@ -1761,7 +1788,11 @@ FUNC_MAP: dict[str, object] = {
     "extract": _extract_expr,
     "extractAll": "regexp_extract_all({0}, {1}, 1)",
     "splitByChar": "split({1}, {0})",
-    "splitByString": "split({1}, {0})",
+    # splitByString('', '') -> [] and (sep, '') -> [''] per
+    # src/Functions/splitByString (FunctionsStringArray.h)
+    "splitByString": (
+        "IF({1} = '', IF({0} = '', array(), array('')), split({1}, {0}))"
+    ),
     "arrayStringConcat": lambda a: (
         f"array_join({a[0]}, {a[1] if len(a) > 1 else repr('')})"
     ),
@@ -1769,17 +1800,24 @@ FUNC_MAP: dict[str, object] = {
     "countSubstrings": "(size(split({0}, {1})) - 1)",
     "base64Encode": "base64({0})", "base64Decode": "CAST(unbase64({0}) AS STRING)",
     # reference hex() prints whole BYTES — odd-length integer hex gets a
-    # leading zero (hex(UInt8 3) = '03'; src/Functions/FunctionsCoding.h)
-    "hex": (
-        "IF(length(hex({0})) % 2 = 1, concat('0', hex({0})), hex({0}))"
-    ),
+    # leading zero; floats/decimals hex their raw little-endian storage
+    # bytes (src/Functions/FunctionsCoding.h)
+    "hex": lambda a: _hex_expr(a[0]),
     "unhex": "unhex({0})",
     # JSON (props-style extraction; FunctionsJSON.h)
     "JSONExtractString": "get_json_object({0}, concat('$.', {1}))",
     "JSONExtractInt": "CAST(get_json_object({0}, concat('$.', {1})) AS BIGINT)",
     "JSONExtractFloat": "CAST(get_json_object({0}, concat('$.', {1})) AS DOUBLE)",
     "JSONExtractBool": "CAST(get_json_object({0}, concat('$.', {1})) AS BOOLEAN)",
-    "JSONExtractRaw": "get_json_object({0}, concat('$.', {1}))",
+    # Raw keeps JSON syntax: scalar strings stay quoted — the source is
+    # a string iff the key is followed by a double quote in the document
+    # (FunctionsJSON.h JSONExtractRawImpl)
+    "JSONExtractRaw": (
+        "(CASE WHEN get_json_object({0}, concat('$.', {1})) IS NULL THEN NULL "
+        "WHEN ({0}) RLIKE concat('\"', {1}, '\"\\\\s*:\\\\s*\"') "
+        "THEN concat('\"', get_json_object({0}, concat('$.', {1})), '\"') "
+        "ELSE get_json_object({0}, concat('$.', {1})) END)"
+    ),
     "JSONHas": "(get_json_object({0}, concat('$.', {1})) IS NOT NULL)",
     # visitParam* scan FRAGMENTS ("a":123 without braces); regex forms
     # coalesce with the strict JSON path for full documents
@@ -2379,7 +2417,12 @@ FUNC_MAP: dict[str, object] = {
         "aggregate(sequence(1, length({0})), 0, "
         "(__h, __i) -> CAST(31 * __h + ascii(substring({0}, __i, 1)) AS INT))"
     ),
-    "countDigits": "length(regexp_replace(CAST(abs({0}) AS STRING), '[^0-9]', ''))",
+    # digits of the UNDERLYING integer: decimals count unscaled digits,
+    # zero counts 0 (src/Functions/countDigits.cpp)
+    "countDigits": (
+        "length(regexp_replace(regexp_replace(CAST(abs({0}) AS STRING), "
+        "'[^0-9]', ''), '^0+', ''))"
+    ),
     # random* appear in tests only via length()/toTypeName() invariants —
     # a deterministic filler has identical observable behavior here
     "randomPrintableASCII": "repeat('a', CAST({0} AS INT))",
@@ -3504,6 +3547,15 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                     out.append(exact)
                     i = close + 1
                     continue
+            # materialize() strips before the isConstant lambda could
+            # see it — decide on the RAW argument (isConstant.cpp)
+            if (
+                t == "isConstant" and arg_parts and arg_parts[0]
+                and _kw(arg_parts[0][0]) == "MATERIALIZE"
+            ):
+                out.append("0")
+                i = close + 1
+                continue
             tmpl = FUNC_MAP.get(t)
             if tmpl is None and t != t.lower():
                 # SQL-compat alias names are case-insensitive in the
@@ -3553,9 +3605,14 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 out.append(s)
             i = close + 1
             continue
+        # trailing-dot float literals (reference lexer allows `0.`)
+        if re.fullmatch(r"\d+\.", t):
+            t = t + "0"
         out.append(t)
         i += 1
-    return _tuple_in_pass(_date_arith_pass(_boolify_logic_operands(out)))
+    return _tuple_in_pass(
+        _div_zero_pass(_date_arith_pass(_boolify_logic_operands(out)))
+    )
 
 
 def _tuple_in_pass(toks: list[str]) -> list[str]:
@@ -3686,6 +3743,76 @@ def _dt_kind(tok: str) -> str | None:
     if tok.startswith(_TS_HEADS) or tok.endswith("AS TIMESTAMP)"):
         return "ts"
     return None
+
+
+def _div_zero_pass(toks: list[str]) -> list[str]:
+    """Reference float division by zero yields ±inf / nan, never NULL
+    (src/Functions/divide.cpp: IEEE Float64 semantics); Spark's Divide
+    returns NULL for a 0 divisor in non-ANSI mode.  Rewrite
+    ``p / q`` -> ``IF((q) = 0, sign(p) * Inf, p / q)`` —
+    sign(0) * Inf = NaN and sign(NULL) * Inf = NULL, which reproduces
+    the whole matrix with one multiply.  Skipped for visibly-decimal
+    operands (decimal division stays decimal-typed; the reference
+    throws on decimal/0, which no test exercises)."""
+    res = list(toks)
+    i = 0
+    while i < len(res):
+        if res[i] != "/":
+            i += 1
+            continue
+        # right primary: optional unary minus + (literal | ident |
+        # call/paren group)
+        j = i + 1
+        if j < len(res) and res[j] == "-":
+            j += 1
+        if j >= len(res):
+            break
+        if _is_ident(res[j]) and j + 1 < len(res) and res[j + 1] == "(":
+            r_end = _match_paren(res, j + 1)
+        elif res[j] == "(":
+            r_end = _match_paren(res, j)
+        else:
+            r_end = j
+        # left primary (the immediate one; a higher-precedence product
+        # on the left keeps its own sign — acceptable approximation)
+        k = i - 1
+        if k < 0:
+            i += 1
+            continue
+        if res[k] == ")":
+            depth = 0
+            l_start = k
+            while l_start >= 0:
+                if res[l_start] == ")":
+                    depth += 1
+                elif res[l_start] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                l_start -= 1
+            if l_start > 0 and _is_ident(res[l_start - 1]):
+                l_start -= 1
+        else:
+            l_start = k
+        ltxt = _emit(res[l_start : i])
+        rtxt = _emit(res[i + 1 : r_end + 1])
+        both = (ltxt + " " + rtxt).upper()
+        if "DECIMAL" in both or not rtxt.strip():
+            i = r_end + 1
+            continue
+        # single opaque token: re-tokenizing translated text would split
+        # float suffixes (0.0D) and re-trigger this pass on the inner /.
+        # The second IF factor catches a NEGATIVE-ZERO divisor (IEEE
+        # 1/-0.0 = -inf); CAST(-0.0 AS STRING) keeps the sign
+        repl = [
+            f"IF(({rtxt}) = 0, CAST(sign({ltxt}) AS DOUBLE) * "
+            f"IF(startswith(CAST(CAST(({rtxt}) AS DOUBLE) AS STRING), "
+            f"'-'), -1, 1) * "
+            f"double('Infinity'), ({ltxt}) / ({rtxt}))"
+        ]
+        res[l_start : r_end + 1] = repl
+        i = l_start + 1
+    return res
 
 
 def _date_arith_pass(toks: list[str]) -> list[str]:

@@ -200,13 +200,14 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
-    # join order A/B'd at sf1: pre-joining o⋈c (one custkey shuffle of
-    # the smaller tables, then one orderkey shuffle) measures WITHIN
-    # NOISE of l⋈o-first — column pruning already narrows the reshuffled
-    # intermediate to ~5 columns, so keep the straightforward order
+    # l⋈o first: with the bucketed-by-orderkey mirrors (catalog.
+    # build_bucketed_mirror) this join reads co-located sorted buckets —
+    # no shuffle, no sort.  customer broadcasts (1.5% of lineitem rows;
+    # at cluster scale it would instead be bucketed by custkey at write),
+    # killing the custkey shuffle of the wide intermediate
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         # same-nation requirement folded INTO the broadcast-join condition
         # (not a post-join filter): non-matching rows die at the probe
         .join(

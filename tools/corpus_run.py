@@ -38,6 +38,14 @@ SKIP_RE = re.compile(
 )
 # >10M generated rows: JVM OOM risk on local runs
 BIG_RE = re.compile(r"(numbers|range)\s*\(\s*[0-9_]{8,}")
+# a groupArray over >=100k rows materializes one huge array; exploding
+# it (ARRAY JOIN) then re-scanning the source array per row is O(n^2)
+# memory/CPU in Spark's row model and kills the JVM (00041_big_array_join:
+# 12 sweep kills).  The reference streams this shape; ours cannot —
+# skip with a recorded cause instead of paying a JVM restart per pass.
+BIG_AGG_RE = re.compile(
+    r"(?is)INSERT[^;]*groupArray[^;]*LIMIT\s+[0-9_]{6,}"
+)
 
 
 def js_float(s: str) -> str:
@@ -214,7 +222,7 @@ def main():
         except Exception:
             st["done"].append(name)
             continue
-        if SKIP_RE.search(txt) or BIG_RE.search(txt):
+        if SKIP_RE.search(txt) or BIG_RE.search(txt) or BIG_AGG_RE.search(txt):
             st["done"].append(name)
             save_state(st)
             continue
