@@ -856,6 +856,8 @@ def _parse_hash_lit(toks: list[str]):
         return None
     if len(toks) == 1:
         t = toks[0]
+        if _kw(t) == "NULL":
+            return ("null",)
         if re.fullmatch(r"\d+", t):
             v = int(t)
             w = 1 if v < 256 else 2 if v < 65536 else 4 if v < 2**32 else 8
@@ -1155,37 +1157,272 @@ _FN_TYPE_NAMES = {
 }
 
 
-def _type_name_of_raw(toks: list[str]) -> str | None:
-    """Reference type NAME of a raw literal / fixed-return-type call,
-    for toTypeName — None when not statically derivable."""
+_CH_NUM_ORDER = {
+    "UInt8": (8, False), "UInt16": (16, False), "UInt32": (32, False),
+    "UInt64": (64, False), "Int8": (8, True), "Int16": (16, True),
+    "Int32": (32, True), "Int64": (64, True),
+}
+
+
+def _ch_unwrap(t: str) -> str:
+    return t[9:-1] if t.startswith("Nullable(") else t
+
+
+def _ch_wrap(t: str) -> str:
+    return t if t.startswith("Nullable(") else f"Nullable({t})"
+
+
+def _ch_supertype(a: str | None, b: str | None) -> str | None:
+    """Least common supertype of two reference types
+    (DataTypes/getLeastSupertype.cpp, numeric ladder + Nullable union).
+    None when unknown/unsupported."""
+    if a is None or b is None:
+        return None
+    nullable = a.startswith("Nullable(") or b.startswith("Nullable(")
+    ua, ub = _ch_unwrap(a), _ch_unwrap(b)
+    if ua == "Nothing":
+        res = ub
+    elif ub == "Nothing":
+        res = ua
+    elif ua == ub:
+        res = ua
+    elif ua in ("Float32", "Float64") or ub in ("Float32", "Float64"):
+        fa, fb = ua in ("Float32", "Float64"), ub in ("Float32", "Float64")
+        if fa and fb:
+            res = "Float64" if "Float64" in (ua, ub) else "Float32"
+        else:
+            it = ub if fa else ua
+            fl = ua if fa else ub
+            bits = _CH_NUM_ORDER.get(it, (64, True))[0]
+            res = fl if fl == "Float64" or bits <= 16 else "Float64"
+    elif ua in _CH_NUM_ORDER and ub in _CH_NUM_ORDER:
+        wa, sa = _CH_NUM_ORDER[ua]
+        wb, sb = _CH_NUM_ORDER[ub]
+        if sa == sb:
+            res = f"{'Int' if sa else 'UInt'}{max(wa, wb)}"
+        else:
+            uw = wa if not sa else wb
+            sw = wa if sa else wb
+            need = max(uw * 2, sw)
+            if need > 64:
+                return None
+            res = f"Int{need}"
+    else:
+        return None
+    return _ch_wrap(res) if nullable else res
+
+
+def _ch_type_of(toks: list[str], env: dict[str, str]) -> str | None:
+    """Reference type of a raw expression — a compact static inferencer
+    covering literals, conversion functions, Nullable combinators
+    (ifNull/nullIf/coalesce/assumeNotNull), conditionals (if / ?:),
+    least/greatest, and top-level comparisons.  None when not
+    derivable (caller falls back to a runtime typeof rendering)."""
+    toks = list(toks)
+    while (
+        len(toks) >= 3 and toks[0] == "(" and _match_paren(toks, 0) == len(toks) - 1
+    ):
+        toks = toks[1:-1]
     if not toks:
         return None
+    # ternary  c ? a : b  (lowest precedence)
+    depth = 0
+    qpos = cpos = None
+    for k, t in enumerate(toks):
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif depth == 0 and t == "?" and qpos is None:
+            qpos = k
+        elif depth == 0 and t == ":" and qpos is not None and cpos is None:
+            cpos = k
+    if qpos is not None and cpos is not None:
+        return _ch_supertype(
+            _ch_type_of(toks[qpos + 1 : cpos], env),
+            _ch_type_of(toks[cpos + 1 :], env),
+        )
+    # top-level comparison / logical => UInt8
+    depth = 0
+    for k, t in enumerate(toks):
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif depth == 0 and (
+            t in ("=", "==", "!=", "<>", "<", ">", "<=", ">=")
+            or _kw(t) in ("AND", "OR", "NOT", "LIKE", "IN")
+        ):
+            return "UInt8"
     head = _kw(toks[0])
     call = (
         len(toks) >= 3 and toks[1] == "("
         and _match_paren(toks, 1) == len(toks) - 1
     )
-    if head == "MATERIALIZE" and call:
-        return _type_name_of_raw(toks[2:-1])
-    if head in _FN_TYPE_NAMES and call:
-        return _FN_TYPE_NAMES[head]
-    if head == "TONULLABLE" and call:
-        inner = _type_name_of_raw(toks[2:-1])
-        if inner is None:
+    if call:
+        parts = [p for p in _split_top(toks[2:-1], ",") if p]
+        if head == "MATERIALIZE":
+            return _ch_type_of(parts[0], env) if parts else None
+        if head in _FN_TYPE_NAMES:
+            return _FN_TYPE_NAMES[head]
+        if head == "TONULLABLE":
+            inner = _ch_type_of(parts[0], env) if parts else None
+            return _ch_wrap(inner) if inner else None
+        if head == "ASSUMENOTNULL":
+            inner = _ch_type_of(parts[0], env) if parts else None
+            return _ch_unwrap(inner) if inner else None
+        if head in _HASH_CONV_FNS:
+            w, signed = _HASH_CONV_FNS[head]
+            return f"{'Int' if signed else 'UInt'}{8 * w}"
+        if head in ("TOFLOAT32", "TOFLOAT64"):
+            return "Float32" if head == "TOFLOAT32" else "Float64"
+        if head == "TOSTRING":
+            return "String"
+        if head == "TODATE":
+            return "Date"
+        if head == "TODATETIME":
+            return "DateTime"
+        if head == "CAST":
+            inner_toks = toks[2:-1]
+            as_idx = next(
+                (
+                    k for k, tk in enumerate(inner_toks)
+                    if _kw(tk) == "AS"
+                    and _paren_depth_at(inner_toks, k) == 0
+                ),
+                None,
+            )
+            type_text = None
+            if as_idx is not None:
+                type_text = _compact_type_text(inner_toks[as_idx + 1 :])
+            elif len(parts) == 2 and len(parts[1]) == 1 and parts[1][0][:1] == "'":
+                type_text = parts[1][0][1:-1]
+            if type_text and re.match(
+                r"(?:Nullable\(|LowCardinality\(|Array\(|Tuple\(|FixedString\(|"
+                r"Decimal|UInt|Int|Float|String|Date|Enum)",
+                type_text,
+            ):
+                return type_text
             return None
-        if inner.startswith("Nullable("):
-            return inner
-        return f"Nullable({inner})"
+        if head == "NULLIF":
+            inner = _ch_type_of(parts[0], env) if parts else None
+            return _ch_wrap(inner) if inner else None
+        if head == "IFNULL" and len(parts) == 2:
+            ta = _ch_type_of(parts[0], env)
+            tb = _ch_type_of(parts[1], env)
+            if ta is None or tb is None:
+                return None
+            if not ta.startswith("Nullable("):
+                return ta
+            return _ch_supertype(_ch_unwrap(ta), tb)
+        if head == "COALESCE":
+            if not parts:
+                return "Nullable(Nothing)"
+            ts = [_ch_type_of(p, env) for p in parts]
+            if any(t is None for t in ts):
+                return None
+            res = ts[0]
+            for t in ts[1:]:
+                res = _ch_supertype(res, t)
+                if res is None:
+                    return None
+            # non-Nullable iff the LAST argument is non-Nullable
+            if ts[-1] and not ts[-1].startswith("Nullable("):
+                return _ch_unwrap(res)
+            return res
+        if head == "IF" and len(parts) == 3:
+            return _ch_supertype(
+                _ch_type_of(parts[1], env), _ch_type_of(parts[2], env)
+            )
+        if head == "ARRAYJOIN" and parts:
+            at = _ch_type_of(parts[0], env)
+            if at and at.startswith("Array("):
+                return at[6:-1]
+            return None
+        if head == "GROUPARRAY" and parts:
+            t = _ch_type_of(parts[0], env)
+            return f"Array({_ch_unwrap(t)})" if t else None
+        if head == "AVG" and parts:
+            t = _ch_type_of(parts[0], env)
+            if t is None:
+                return None
+            return _ch_wrap("Float64") if t.startswith("Nullable(") else "Float64"
+        if head == "SUM" and parts:
+            t = _ch_type_of(parts[0], env)
+            if t is None:
+                return None
+            u = _ch_unwrap(t)
+            if u in ("Float32", "Float64"):
+                r = "Float64"
+            elif u in _CH_NUM_ORDER:
+                r = "Int64" if _CH_NUM_ORDER[u][1] else "UInt64"
+            else:
+                return None
+            return _ch_wrap(r) if t.startswith("Nullable(") else r
+        if head in ("MIN", "MAX", "ANY", "ANYLAST") and parts:
+            return _ch_type_of(parts[0], env)
+        if head == "COUNT":
+            return "UInt64"
+        if head in ("LEAST", "GREATEST") and len(parts) == 2:
+            st = _ch_supertype(
+                _ch_type_of(parts[0], env), _ch_type_of(parts[1], env)
+            )
+            if st is not None:
+                return st
+            # Int64/UInt64 mix has no integral supertype: for literal
+            # args the reference keeps the WINNING side's type
+            na = _parse_hash_lit(parts[0])
+            nb = _parse_hash_lit(parts[1])
+            if na and nb and na[0] == "int" and nb[0] == "int":
+                win = (
+                    parts[0] if (
+                        (na[1] < nb[1]) == (head == "LEAST")
+                    ) else parts[1]
+                )
+                return _ch_type_of(win, env)
+            return None
+    # modulo: ResultOfModulo = divisor's type family (small)
+    depth = 0
+    for k, t in enumerate(toks):
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif depth == 0 and t == "%" and 0 < k < len(toks) - 1:
+            tb = _ch_type_of(toks[k + 1 :], env)
+            if tb and _ch_unwrap(tb) in _CH_NUM_ORDER:
+                return tb
+            return None
     if len(toks) == 1 and _kw(toks[0]) == "NULL":
         return "Nullable(Nothing)"
-    if head in _HASH_CONV_FNS and call:
-        w, signed = _HASH_CONV_FNS[head]
-        return f"{'Int' if signed else 'UInt'}{8 * w}"
-    if head in ("TOFLOAT32", "TOFLOAT64") and call:
-        return "Float32" if head == "TOFLOAT32" else "Float64"
+    if len(toks) == 1 and _is_ident(toks[0]) and toks[0].strip("`") in env:
+        return env[toks[0].strip("`")]
     node = _parse_hash_lit(toks)
     if node is None:
         return None
+    return _hash_node_type(node)
+
+
+def _compact_type_text(toks: list[str]) -> str:
+    """Canonical reference type spelling from tokens:
+    Nullable ( UInt8 ) -> Nullable(UInt8)."""
+    out = ""
+    for t in toks:
+        if t in ("(", ")"):
+            out = out.rstrip() + t
+        elif t == ",":
+            out = out.rstrip() + ", "
+        else:
+            if out and not out.endswith("("):
+                out += " " if out.endswith(",") else ""
+            out += t
+    return out
+
+
+def _hash_node_type(node) -> str | None:
+    """Reference type of a parsed literal node (incl. composites)."""
+    if node[0] == "null":
+        return "Nullable(Nothing)"
     if node[0] == "int":
         v = node[1]
         if v >= 0:
@@ -1200,7 +1437,79 @@ def _type_name_of_raw(toks: list[str]) -> str | None:
         return "Float64"
     if node[0] == "str":
         return "String"
+    if node[0] == "array":
+        st = "Nothing"
+        for e in node[1]:
+            et = _hash_node_type(e)
+            st = _ch_supertype(st, et)
+            if st is None:
+                return None
+        return f"Array({st})"
+    if node[0] == "tuple":
+        ets = [_hash_node_type(e) for e in node[1]]
+        if any(t is None for t in ets):
+            return None
+        return "Tuple(" + ", ".join(ets) + ")"
     return None
+
+
+#: default column environment: the numbers/one TVF columns every
+#: stateless test leans on
+_TYPE_ENV_DEFAULT = {"number": "UInt64", "dummy": "UInt8"}
+
+#: per-query column type environment (subquery select items inferred by
+#: _subquery_type_env), consulted by the toTypeName intercept
+_TYPE_ENV_CTX: "contextvars.ContextVar[dict | None]" = contextvars.ContextVar(
+    "daisy_type_env", default=None
+)
+
+
+def _subquery_type_env(from_toks: list[str]) -> dict[str, str]:
+    """Column -> reference type for aliased items of FROM (SELECT ...)
+    subqueries, so toTypeName(x) can resolve x defined one level down."""
+    env = dict(_TYPE_ENV_DEFAULT)
+    i = 0
+    n = len(from_toks)
+    while i < n:
+        if (
+            from_toks[i] == "(" and i + 1 < n
+            and _kw(from_toks[i + 1]) == "SELECT"
+        ):
+            close = _match_paren(from_toks, i)
+            inner = from_toks[i + 2 : close]
+            stop = next(
+                (
+                    k for k, t in enumerate(inner)
+                    if _paren_depth_at(inner, k) == 0
+                    and _kw(t) in (
+                        "FROM", "WHERE", "GROUP", "ORDER", "LIMIT",
+                        "HAVING", "SETTINGS", "UNION",
+                    )
+                ),
+                len(inner),
+            )
+            sub_env = (
+                _subquery_type_env(inner[stop:])
+                if stop < len(inner) else dict(_TYPE_ENV_DEFAULT)
+            )
+            for item in _split_top(inner[:stop], ","):
+                if (
+                    len(item) >= 3 and _kw(item[-2]) == "AS"
+                    and _is_ident(item[-1])
+                    and _paren_depth_at(item, len(item) - 2) == 0
+                ):
+                    t = _ch_type_of(item[:-2], sub_env)
+                    if t:
+                        env[item[-1].strip('`"')] = t
+            i = close + 1
+            continue
+        i += 1
+    return env
+
+
+def _type_name_of_raw(toks: list[str]) -> str | None:
+    env = _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+    return _ch_type_of(toks, env)
 
 
 def _hash_arg_is_stringish(raw: list[str]) -> bool:
@@ -1668,6 +1977,11 @@ FUNC_MAP: dict[str, object] = {
     # conditionals
     "multiIf": _multi_if, "ifNull": "coalesce({0}, {1})",
     "nullIf": "nullif({0}, {1})", "assumeNotNull": "{0}",
+    # coalesce() with no/only-NULL args is legal in the reference
+    "coalesce": lambda a: (
+        "NULL" if not a or not any(x.strip() for x in a)
+        else f"coalesce({', '.join(a)})"
+    ),
     "ifNotFinite": "(CASE WHEN isnan({0}) OR {0} = double('inf') OR {0} = double('-inf') THEN {1} ELSE {0} END)",
     "isNull": "({0} IS NULL)", "isNotNull": "({0} IS NOT NULL)",
     # number classification — UInt8 0/1 like the reference, so results
@@ -4311,6 +4625,13 @@ def _parse_select(toks: list[str]) -> _Select:
     q.order_by = bucket.get("ORDER BY", [])
     if any(_kw(t) == "FILL" for t in q.order_by):
         q.order_by, q.fill = _extract_fill(q.order_by)
+    # type-introspection calls need the RAW defining expression, before
+    # the translated sibling-alias substitution below rewrites the name
+    if "toTypeName" in q.select:
+        q.select = _subst_aliases_into_typefns(q.select)
+        _TYPE_ENV_CTX.set(
+            _subquery_type_env(q.from_) if q.from_ else None
+        )
     # reference semantics: SELECT aliases are visible in WHERE/PREWHERE/
     # HAVING (ExpressionAnalyzer alias preference); Spark resolves only
     # real columns there, so inline the aliased expression
@@ -4606,6 +4927,9 @@ def _agg_input_nullable(txt: str) -> bool:
     name = txt.strip().strip("`")
     if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", name):
         return False
+    env = _TYPE_ENV_CTX.get()
+    if env and env.get(name, "").startswith("Nullable("):
+        return True
     candidates = {name}
     if "." in name:
         candidates.add(name.split(".", 1)[1])  # strip a table qualifier
@@ -5675,6 +5999,49 @@ def _translate_from(toks: list[str]) -> list[str]:
             continue
         out.append(t)
         i += 1
+    return out
+
+
+def _subst_aliases_into_typefns(sel: list[str]) -> list[str]:
+    """Substitute earlier select-item aliases into toTypeName(...)
+    arguments (`1 AS x, toTypeName(x)`): the static type inferencer
+    needs the defining expression, while the VALUE stays resolved by
+    Spark's lateral alias — so only type-introspection calls get the
+    textual substitution."""
+    items = _split_top(sel, ",")
+    aliases: dict[str, list[str]] = {}
+    out: list[str] = []
+    for item in items:
+        it = list(item)
+        # substitute inside toTypeName call regions
+        k = 0
+        while k < len(it) - 1:
+            if it[k] == "toTypeName" and it[k + 1] == "(":
+                close = _match_paren(it, k + 1)
+                region = it[k + 2 : close]
+                rep: list[str] = []
+                for j, tk in enumerate(region):
+                    nm = tk.strip('`"')
+                    if (
+                        _is_ident(tk) and nm in aliases
+                        and (j == 0 or region[j - 1] != ".")
+                        and (j + 1 >= len(region) or region[j + 1] not in (".", "("))
+                    ):
+                        rep += ["("] + aliases[nm] + [")"]
+                    else:
+                        rep.append(tk)
+                it[k + 2 : close] = rep
+                k = k + 2 + len(rep) + 1
+                continue
+            k += 1
+        if (
+            len(it) >= 3 and _kw(it[-2]) == "AS" and _is_ident(it[-1])
+            and _paren_depth_at(it, len(it) - 2) == 0
+        ):
+            aliases[it[-1].strip('`"')] = it[:-2]
+        if out:
+            out.append(",")
+        out += it
     return out
 
 

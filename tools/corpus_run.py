@@ -93,6 +93,12 @@ def fmt(v, nested=False):
     if isinstance(v, decimal.Decimal):
         # full scale, positional — str(Decimal('0E-8')) is scientific
         return format(v, "f")
+    if isinstance(v, datetime.timedelta):
+        # DateTime-DateTime renders seconds, Date-Date renders days
+        # (reference subtraction yields Int32, never an interval)
+        if v.seconds or v.microseconds:
+            return str(int(v.total_seconds()))
+        return str(v.days)
     if isinstance(v, float):
         if v != v:
             return "nan"
