@@ -983,6 +983,31 @@ def _unsigned_u64(e: str) -> str:
     )
 
 
+def _substring_expr(a: list[str], utf8: bool = False) -> str:
+    """substring/substr/mid with the reference's rules
+    (src/Functions/substring.cpp / GatherUtils): offset 0 yields '';
+    negative offsets count from the end; a negative length ends the
+    slice |length| characters before the end.  Plain substring keeps the
+    VIRTUAL start when it falls before the string (off-string positions
+    consume length: substring('hello', -10, 7) = 'he'), while
+    substringUTF8 CLAMPS the start first (same call yields 'hello')."""
+    if len(a) < 2:
+        return f"substring({', '.join(a)})"
+    s, p = a[0], a[1]
+    ln = f"length({s})"
+    sv = f"IF(({p}) < 0, {ln} + ({p}) + 1, CAST(({p}) AS INT))"
+    if utf8:
+        sv = f"greatest({sv}, 1)"
+    start = f"greatest({sv}, 1)"
+    if len(a) == 2:
+        size = f"greatest({ln} - {start} + 1, 0)"
+        return f"IF(({p}) = 0, '', substring({s}, {start}, {size}))"
+    n = a[2]
+    endp = f"IF(({n}) < 0, {ln} + ({n}), {sv} + CAST(({n}) AS INT) - 1)"
+    size = f"greatest(least({endp}, {ln}) - {start} + 1, 0)"
+    return f"IF(({p}) = 0, '', substring({s}, {start}, {size}))"
+
+
 def _quantile_interp(arr: str, level: str) -> str:
     """Interpolated quantile over an array (reference 'quantile' /
     'median': linear interpolation on the sorted set)."""
