@@ -1,0 +1,170 @@
+"""Reference-exact geo distance functions.
+
+Implements the published sphinxsearch-derived fast geodist algorithm the
+reference uses (src/Functions/greatCircleDistance.cpp, Apache-2.0 from
+sphinxsearch): cos/asin-sqrt/metric lookup tables in FLOAT32 arithmetic,
+flat-ellipsoid model under 13 degrees of longitude difference, haversine
+beyond.  Float32 ops are mirrored with numpy.float32 so results are
+bit-comparable with the reference's printed shortest-round-trip floats.
+
+Python UDF surface (corpus/test scale) — not a 100-TB hot path.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+_PI = 3.14159265358979323846
+_RAD_IN_DEG = np.float32(_PI / 180.0)
+_RAD_IN_DEG_HALF = np.float32(_PI / 360.0)
+_COS_LUT_SIZE = 1024
+_ASIN_SQRT_LUT_SIZE = 512
+_METRIC_LUT_SIZE = 1024
+_EARTH_RADIUS = np.float32(6371007.180918475)
+_EARTH_DIAMETER = np.float32(2) * _EARTH_RADIUS
+
+_cos_lut = np.array(
+    [math.cos(2 * _PI * i / _COS_LUT_SIZE) for i in range(_COS_LUT_SIZE + 1)],
+    dtype=np.float32,
+)
+_asin_sqrt_lut = np.array(
+    [
+        math.asin(math.sqrt(i / _ASIN_SQRT_LUT_SIZE))
+        for i in range(_ASIN_SQRT_LUT_SIZE + 1)
+    ],
+    dtype=np.float32,
+)
+_sphere_metric_lut = np.zeros(_METRIC_LUT_SIZE + 1, dtype=np.float32)
+_sphere_metric_meters_lut = np.zeros(_METRIC_LUT_SIZE + 1, dtype=np.float32)
+_wgs84_metric_meters_lut = np.zeros(2 * (_METRIC_LUT_SIZE + 1), dtype=np.float32)
+for _i in range(_METRIC_LUT_SIZE + 1):
+    _latitude = _i * (_PI / _METRIC_LUT_SIZE) - _PI * 0.5
+    _wgs84_metric_meters_lut[_i * 2] = (
+        111132.09 - 566.05 * math.cos(2 * _latitude)
+        + 1.20 * math.cos(4 * _latitude)
+    ) ** 2
+    _wgs84_metric_meters_lut[_i * 2 + 1] = (
+        111415.13 * math.cos(_latitude) - 94.55 * math.cos(3 * _latitude)
+        + 0.12 * math.cos(5 * _latitude)
+    ) ** 2
+    _sphere_metric_meters_lut[_i] = (
+        float(_EARTH_DIAMETER) * _PI / 360
+    ) ** 2 * math.cos(_latitude) ** 2
+    _sphere_metric_lut[_i] = np.float32(math.cos(_latitude)) ** 2
+
+
+def _deg_diff(f: np.float32) -> np.float32:
+    f = np.float32(abs(float(f)))
+    if f > 180:
+        f = np.float32(360) - f
+    return f
+
+
+def _fast_cos(x: np.float32) -> np.float32:
+    y = np.float32(abs(float(x))) * np.float32(_COS_LUT_SIZE / _PI / 2)
+    i = int(y)
+    y -= np.float32(i)
+    i &= _COS_LUT_SIZE - 1
+    return _cos_lut[i] + (_cos_lut[i + 1] - _cos_lut[i]) * y
+
+
+def _fast_sin(x: np.float32) -> np.float32:
+    y = np.float32(abs(float(x))) * np.float32(_COS_LUT_SIZE / _PI / 2)
+    i = int(y)
+    y -= np.float32(i)
+    i = (i - _COS_LUT_SIZE // 4) & (_COS_LUT_SIZE - 1)
+    return _cos_lut[i] + (_cos_lut[i + 1] - _cos_lut[i]) * y
+
+
+def _fast_asin_sqrt(x: np.float32) -> np.float32:
+    if x < np.float32(0.122):
+        y = np.float32(math.sqrt(float(x)))
+        return (
+            y + x * y * np.float32(0.166666666666666)
+            + x * x * y * np.float32(0.075)
+            + x * x * x * y * np.float32(0.044642857142857)
+        )
+    if x < np.float32(0.948):
+        x = x * np.float32(_ASIN_SQRT_LUT_SIZE)
+        i = int(x)
+        return _asin_sqrt_lut[i] + (
+            _asin_sqrt_lut[i + 1] - _asin_sqrt_lut[i]
+        ) * (x - np.float32(i))
+    return np.float32(math.asin(math.sqrt(float(x))))
+
+
+def distance(
+    lon1: float, lat1: float, lon2: float, lat2: float, method: str
+) -> float:
+    """method: 'degrees' | 'sphere' | 'wgs84'."""
+    lon1 = np.float32(lon1)
+    lat1 = np.float32(lat1)
+    lon2 = np.float32(lon2)
+    lat2 = np.float32(lat2)
+    lat_diff = _deg_diff(lat1 - lat2)
+    lon_diff = _deg_diff(lon1 - lon2)
+    if lon_diff < 13:
+        latitude_midpoint = (
+            (lat1 + lat2 + np.float32(180))
+            * np.float32(_METRIC_LUT_SIZE)
+            / np.float32(360)
+        )
+        idx = int(latitude_midpoint) & (_METRIC_LUT_SIZE - 1)
+        frac = latitude_midpoint - np.float32(int(latitude_midpoint))
+        if method == "degrees":
+            k_lat = np.float32(1)
+            k_lon = _sphere_metric_lut[idx] + (
+                _sphere_metric_lut[idx + 1] - _sphere_metric_lut[idx]
+            ) * frac
+        elif method == "sphere":
+            k_lat = np.float32((float(_EARTH_DIAMETER) * _PI / 360) ** 2)
+            k_lon = _sphere_metric_meters_lut[idx] + (
+                _sphere_metric_meters_lut[idx + 1]
+                - _sphere_metric_meters_lut[idx]
+            ) * frac
+        else:
+            k_lat = _wgs84_metric_meters_lut[idx * 2] + (
+                _wgs84_metric_meters_lut[(idx + 1) * 2]
+                - _wgs84_metric_meters_lut[idx * 2]
+            ) * frac
+            k_lon = _wgs84_metric_meters_lut[idx * 2 + 1] + (
+                _wgs84_metric_meters_lut[(idx + 1) * 2 + 1]
+                - _wgs84_metric_meters_lut[idx * 2 + 1]
+            ) * frac
+        return float(
+            np.float32(
+                math.sqrt(
+                    float(
+                        k_lat * lat_diff * lat_diff
+                        + k_lon * lon_diff * lon_diff
+                    )
+                )
+            )
+        )
+    a = (
+        _fast_sin(lat_diff * _RAD_IN_DEG_HALF) ** 2
+        + _fast_cos(lat1 * _RAD_IN_DEG)
+        * _fast_cos(lat2 * _RAD_IN_DEG)
+        * _fast_sin(lon_diff * _RAD_IN_DEG_HALF) ** 2
+    )
+    if method == "degrees":
+        return float(np.float32(360.0 / _PI) * _fast_asin_sqrt(a))
+    return float(_EARTH_DIAMETER * _fast_asin_sqrt(a))
+
+
+def register_udfs(spark) -> None:
+    if getattr(spark, "_daisy_chgeo_udfs", False):
+        return
+
+    def _mk(method):
+        return lambda a, b, c, d: (
+            None if None in (a, b, c, d)
+            else distance(a, b, c, d, method)
+        )
+
+    spark.udf.register("ch_great_circle_distance", _mk("sphere"), "float")
+    spark.udf.register("ch_geo_distance", _mk("wgs84"), "float")
+    spark.udf.register("ch_great_circle_angle", _mk("degrees"), "float")
+    spark._daisy_chgeo_udfs = True

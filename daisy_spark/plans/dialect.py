@@ -983,6 +983,49 @@ def _unsigned_u64(e: str) -> str:
     )
 
 
+def _url_params_expr(url: str) -> str:
+    """Array of URL parameter tokens per the reference tokenizer
+    (extractURLParameters.cpp): region after the first [?#], pieces
+    split on [&#], a '?' inside the name restarts the token."""
+    region = f"regexp_replace({url}, '^[^?#]*[?#]', '')"
+    toks = (
+        f"transform(split({region}, '[&#]'), "
+        f"__p -> regexp_replace(__p, '^[^=]*\\\\?', ''))"
+    )
+    # the LAST piece is unterminated: the reference tokenizer drops it
+    # unless it carries '=' (find_first_symbols hits end -> no token)
+    return (
+        f"IF(({url}) RLIKE '[?#]', "
+        f"transform(filter(zip_with({toks}, "
+        f"sequence(1, size({toks})), (__t, __i) -> "
+        f"struct(__t AS t, __i AS i)), __s -> __s.t != '' AND "
+        f"(__s.i < size({toks}) OR __s.t RLIKE '=')), "
+        f"__s -> __s.t), array())"
+    )
+
+
+def _bar_expr(a: list[str]) -> str:
+    """bar(x, min, max[, width]) — reference UnicodeBar::render
+    (src/Common/UnicodeBar.cpp): clamp to [0, width], floor(w) full
+    blocks, then the floor(frac*8)-th eighth-block (list '▏▎▍▌▋▋▊'
+    with the duplicated ▋, exactly as the reference renders)."""
+    w = a[3] if len(a) > 3 else "80"
+    x, lo, hi = a[0], a[1], a[2]
+    wv = (
+        f"(CASE WHEN isnan(CAST({x} AS DOUBLE)) THEN 0D "
+        f"WHEN CAST({x} AS DOUBLE) <= ({lo}) THEN 0D "
+        f"WHEN CAST({x} AS DOUBLE) >= ({hi}) THEN CAST(({w}) AS DOUBLE) "
+        f"ELSE (CAST({x} AS DOUBLE) - ({lo})) / (({hi}) - ({lo})) "
+        f"* ({w}) END)"
+    )
+    rem = f"CAST(floor(({wv} - floor({wv})) * 8) AS INT)"
+    return (
+        f"concat(repeat('█', CAST(floor({wv}) AS INT)), "
+        f"element_at(array('', '▏', '▎', '▍', '▌', '▋', '▋', '▊'), "
+        f"{rem} + 1))"
+    )
+
+
 def _substring_expr(a: list[str], utf8: bool = False) -> str:
     """substring/substr/mid with the reference's rules
     (src/Functions/substring.cpp / GatherUtils): offset 0 yields '';
@@ -2128,23 +2171,46 @@ FUNC_MAP: dict[str, object] = {
         "(CASE WHEN {0} IS NULL OR {0} = '' THEN {0} "
         "WHEN substring({0}, -1, 1) = {1} THEN {0} ELSE concat({0}, {1}) END)"
     ),
-    "extractURLParameter": "coalesce(parse_url({0}, 'QUERY', {1}), '')",
-    "extractURLParameters": (
-        "(CASE WHEN coalesce(parse_url({0}, 'QUERY'), '') = '' THEN array() "
-        "ELSE split(parse_url({0}, 'QUERY'), '&') END)"
+    # URL parameter family (src/Functions/URL/extractURLParameters.cpp
+    # tokenizer): the parameter region starts after the first ? or #,
+    # pieces split on & / #, and a '?' inside a piece's NAME restarts
+    # the token ('#test?e=f' yields e=f, not test?e=f).  Fragment
+    # parameters count — parse_url('QUERY') alone cannot see them.
+    "extractURLParameter": lambda a: (
+        f"coalesce(element_at(transform(filter({_url_params_expr(a[0])}, "
+        f"__p -> __p = {a[1]} OR startswith(__p, concat({a[1]}, '='))), "
+        f"__p -> IF(__p = {a[1]}, '', "
+        f"substring(__p, length({a[1]}) + 2))), 1), '')"
     ),
-    "extractURLParameterNames": (
-        "(CASE WHEN coalesce(parse_url({0}, 'QUERY'), '') = '' THEN array() "
-        "ELSE transform(split(parse_url({0}, 'QUERY'), '&'), "
-        "s -> split_part(s, '=', 1)) END)"
+    "extractURLParameters": lambda a: _url_params_expr(a[0]),
+    "extractURLParameterNames": lambda a: (
+        f"transform({_url_params_expr(a[0])}, "
+        f"__p -> regexp_extract(__p, '^([^=]*)', 1))"
     ),
-    # haversine on the reference's 6371 km sphere
-    # (src/Functions/greatCircleDistance.cpp); args (lon1, lat1, lon2, lat2)
+    # delete one `name=value` parameter plus ONE adjoining separator
+    # (src/Functions/URL/cutURLParameter.cpp: the pattern is name + '=',
+    # so valueless parameters are never cut; the FOLLOWING & is consumed
+    # when present, else the preceding &; ? and # stay in place)
+    "cutURLParameter": (
+        "regexp_replace({0}, concat("
+        "'(?<=[?#&])', {1}, '=[^&#]*&', "
+        "'|&', {1}, '=[^&#]*', "
+        "'|(?<=[?#])', {1}, '=[^&#]*'), '')"
+    ),
+    # the reference's sphinxsearch-derived fast geodist (float32 LUT
+    # model, src/Functions/greatCircleDistance.cpp) — exact UDFs in
+    # functions/chgeo.py; args (lon1, lat1, lon2, lat2)
     "greatCircleDistance": (
-        "(2 * 6371000.0 * asin(sqrt("
-        "pow(sin(radians(({3}) - ({1})) / 2), 2) + "
-        "cos(radians({1})) * cos(radians({3})) * "
-        "pow(sin(radians(({2}) - ({0})) / 2), 2))))"
+        "ch_great_circle_distance(CAST({0} AS FLOAT), CAST({1} AS FLOAT), "
+        "CAST({2} AS FLOAT), CAST({3} AS FLOAT))"
+    ),
+    "geoDistance": (
+        "ch_geo_distance(CAST({0} AS FLOAT), CAST({1} AS FLOAT), "
+        "CAST({2} AS FLOAT), CAST({3} AS FLOAT))"
+    ),
+    "greatCircleAngle": (
+        "ch_great_circle_angle(CAST({0} AS FLOAT), CAST({1} AS FLOAT), "
+        "CAST({2} AS FLOAT), CAST({3} AS FLOAT))"
     ),
     "pointInPolygon": _point_in_polygon_expr,
     "bitShiftLeft": "shiftleft({0}, {1})",
@@ -2762,14 +2828,9 @@ FUNC_MAP: dict[str, object] = {
     "rand64": "CAST(rand() * 9.223372036854776e18 AS BIGINT)",
     # bar(x, min, max[, width=80]): whole blocks only (the reference
     # also renders 1/8 partials; NaN/negative widths give empty)
-    "bar": lambda a: (
-        f"repeat('█', CAST((CASE WHEN isnan("
-        f"(CAST({a[0]} AS DOUBLE) - ({a[1]})) / (({a[2]}) - ({a[1]}))) "
-        f"THEN 0 ELSE coalesce(greatest(least("
-        f"(CAST({a[0]} AS DOUBLE) - ({a[1]})) / (({a[2]}) - ({a[1]})) "
-        f"* {a[3] if len(a) > 3 else 80}, "
-        f"{a[3] if len(a) > 3 else 80}), 0), 0) END) AS INT))"
-    ),
+    # UnicodeBar::render — whole blocks + one eighth-block partial
+    # (remainder list has ▋ twice, matching the reference byte-for-byte)
+    "bar": lambda a: _bar_expr(a),
     "least": "least({*})", "greatest": "greatest({*})",
     # intHash64/intHash32 (src/Common/HashTable/Hash.h via
     # IntHash64Impl/IntHash32Impl): literal args fold exactly at

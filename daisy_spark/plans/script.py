@@ -222,11 +222,13 @@ class ScriptRunner:
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
-        # exact-hash UDFs for dynamic cityHash64/intHash32 args
-        # (functions/chhash.py; idempotent per session)
+        # exact-hash / geo UDFs for dynamic args (functions/chhash.py,
+        # functions/chgeo.py; idempotent per session)
+        from daisy_spark.functions.chgeo import register_udfs as _geo_udfs
         from daisy_spark.functions.chhash import register_udfs
 
         register_udfs(spark)
+        _geo_udfs(spark)
         self.tables: dict[str, _Table] = {}
         #: LIVE VIEW registry: name -> {toks, version, last} — evaluated
         #: lazily on read; version counts distinct-result evaluations
