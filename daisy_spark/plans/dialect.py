@@ -858,6 +858,10 @@ def _parse_hash_lit(toks: list[str]):
         t = toks[0]
         if _kw(t) == "NULL":
             return ("null",)
+        if re.fullmatch(r"0[xX][0-9a-fA-F]+", t):
+            v = int(t, 16)
+            w = 1 if v < 256 else 2 if v < 65536 else 4 if v < 2**32 else 8
+            return ("int", v, w)
         if re.fullmatch(r"\d+", t):
             v = int(t)
             w = 1 if v < 256 else 2 if v < 65536 else 4 if v < 2**32 else 8
@@ -1344,8 +1348,13 @@ def _ch_type_of(toks: list[str], env: dict[str, str]) -> str | None:
             return f"{'Int' if signed else 'UInt'}{8 * w}"
         if head in ("TOFLOAT32", "TOFLOAT64"):
             return "Float32" if head == "TOFLOAT32" else "Float64"
-        if head == "TOSTRING":
+        if head == "TOSTRING" or head == "REINTERPRETASSTRING":
             return "String"
+        if head == "REINTERPRETASFIXEDSTRING" and parts:
+            nd = _parse_hash_lit(parts[0])
+            if nd and nd[0] == "int":
+                return f"FixedString({nd[2]})"
+            return None
         if head == "TODATE":
             return "Date"
         if head == "TODATETIME":
@@ -2223,7 +2232,17 @@ FUNC_MAP: dict[str, object] = {
     "toDecimal128": lambda a: f"CAST({a[0]} AS DECIMAL(38, {a[1] if len(a) > 1 else 0}))",
     # type conversion
     # toString strips FixedString \0 padding (convertToString)
-    "toString": "TRIM(TRAILING chr(0) FROM CAST({0} AS STRING))",
+    # integral Float64 values print bare (reference shortest-round-trip:
+    # toString(10.0) = '10', toString(1e7) = '10000000'); Spark CAST
+    # renders '10.0' / '1.0E7' — re-render those positionally
+    "toString": (
+        "(CASE WHEN TRIM(TRAILING chr(0) FROM CAST({0} AS STRING)) "
+        "RLIKE '^-?[0-9]+(\\\\.0)?([eE][+]?[0-9]+)?$' "
+        "AND try_cast({0} AS DOUBLE) = floor(try_cast({0} AS DOUBLE)) "
+        "AND abs(try_cast({0} AS DOUBLE)) < 1e38 "
+        "THEN CAST(try_cast({0} AS DECIMAL(38, 0)) AS STRING) "
+        "ELSE TRIM(TRAILING chr(0) FROM CAST({0} AS STRING)) END)"
+    ),
     # unsigned conversions WRAP modulo 2^bits like the reference
     # (src/Functions/FunctionsConversion.h — C++ integral conversion);
     # signed ones wrap via Spark's non-ANSI narrowing CAST
@@ -2470,7 +2489,10 @@ FUNC_MAP: dict[str, object] = {
         if len(a) == 1
         else f"aggregate(transform({a[1]}, {a[0]}), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
     ),
-    "arrayDistinct": "array_distinct({0})",
+    # NULL elements are excluded (src/Functions/array/arrayDistinct.cpp)
+    "arrayDistinct": (
+        "filter(array_distinct({0}), __x -> __x IS NOT NULL)"
+    ),
     "arraySort": _array_sort,
     "arrayReverse": "reverse({0})", "arrayConcat": "concat({*})",
     "arrayPushBack": "concat({0}, array({1}))",
@@ -4007,13 +4029,18 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 return None
 
             def _enum_cast(expr_toks, type_toks) -> str | None:
-                # CAST(x AS Enum8('a' = 1, ...)): numbers resolve to
-                # their LABEL, labels pass through (DataTypeEnum.cpp)
+                # CAST(x AS Enum8('a' = 1, ...)): a STRING source passes
+                # through label-typed; numeric sources stay NUMERIC
+                # (most consumers compare/hash the value — 00674; label
+                # rendering of numeric enum casts is a known divergence)
                 if (
                     len(type_toks) < 4
                     or _kw(type_toks[0]) not in ("ENUM", "ENUM8", "ENUM16")
                     or type_toks[1] != "("
                 ):
+                    return None
+                nd = _parse_hash_lit(expr_toks)
+                if nd is not None and nd[0] in ("int", "float"):
                     return None
                 body = type_toks[2 : _match_paren(type_toks, 1)]
                 pairs = []
@@ -5502,7 +5529,9 @@ def _translate_from(toks: list[str]) -> list[str]:
             out += ["LEFT", up]
             i += 2
             continue
-        # bare `USING k1, k2` -> `USING (k1, k2)` (Spark requires parens)
+        # bare `USING k1, k2` -> `USING (k1, k2)` (Spark requires parens);
+        # duplicated keys collapse (the reference dedups the USING list —
+        # `USING (a, a, b)` ≡ `USING (a, b)`)
         if up == "USING" and i + 1 < n and toks[i + 1] != "(":
             key_toks: list[str] = []
             k = i + 1
@@ -5514,8 +5543,27 @@ def _translate_from(toks: list[str]) -> list[str]:
                 k += 1
             if not key_toks:
                 raise DialectError("USING with no columns")
+            keys = list(dict.fromkeys(x for x in key_toks if x != ","))
+            key_toks = []
+            for x in keys:
+                if key_toks:
+                    key_toks.append(",")
+                key_toks.append(x)
             out += ["USING", "("] + key_toks + [")"]
             i = k
+            continue
+        if up == "USING" and i + 1 < n and toks[i + 1] == "(":
+            close7 = _match_paren(toks, i + 1)
+            keys = list(dict.fromkeys(
+                x for x in toks[i + 2 : close7] if x != ","
+            ))
+            key_toks = []
+            for x in keys:
+                if key_toks:
+                    key_toks.append(",")
+                key_toks.append(x)
+            out += ["USING", "("] + key_toks + [")"]
+            i = close7 + 1
             continue
         # system.one — the single-row dummy table
         if (
