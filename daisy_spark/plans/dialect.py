@@ -1594,13 +1594,30 @@ def _hash_arg_is_stringish(raw: list[str]) -> bool:
     String column or a visibly string-producing head."""
     if len(raw) == 1 and _is_ident(raw[0]):
         name = raw[0].strip('`"')
+        env = _TYPE_ENV_CTX.get() or {}
+        if name in env:
+            return _ch_unwrap(env[name]).startswith(
+                ("String", "FixedString")
+            )
         schemas = _SCRIPT_SCHEMAS_CTX.get() or {}
         for cols in schemas.values():
             for c, st, _ in cols:
                 if c == name:
                     return st.upper().startswith("STRING")
         return False
+    t = _ch_type_of(raw, _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT)
+    if t is not None:
+        return _ch_unwrap(t).startswith(("String", "FixedString"))
     head = _kw(raw[0]) if raw else ""
+    if head == "ARRAYJOIN" and len(raw) >= 3:
+        inner = _ch_type_of(
+            _split_top(raw[2:-1], ",")[0] if raw[2:-1] else [],
+            _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT,
+        )
+        if inner and inner.startswith("Array("):
+            return _ch_unwrap(inner[6:-1]).startswith(
+                ("String", "FixedString")
+            )
     return head in (
         "TOSTRING", "CONCAT", "SUBSTRING", "SUBSTR", "LOWER", "UPPER",
         "REVERSE", "HEX", "REPLACEALL", "TRIM",
@@ -2238,9 +2255,13 @@ FUNC_MAP: dict[str, object] = {
     "toString": (
         "(CASE WHEN TRIM(TRAILING chr(0) FROM CAST({0} AS STRING)) "
         "RLIKE '^-?[0-9]+(\\\\.0)?([eE][+]?[0-9]+)?$' "
-        "AND try_cast({0} AS DOUBLE) = floor(try_cast({0} AS DOUBLE)) "
-        "AND abs(try_cast({0} AS DOUBLE)) < 1e38 "
-        "THEN CAST(try_cast({0} AS DECIMAL(38, 0)) AS STRING) "
+        "AND try_cast(TRIM(TRAILING chr(0) FROM CAST({0} AS STRING)) "
+        "AS DOUBLE) = floor(try_cast(TRIM(TRAILING chr(0) FROM "
+        "CAST({0} AS STRING)) AS DOUBLE)) "
+        "AND abs(try_cast(TRIM(TRAILING chr(0) FROM CAST({0} AS STRING)) "
+        "AS DOUBLE)) < 1e38 "
+        "THEN CAST(try_cast(TRIM(TRAILING chr(0) FROM "
+        "CAST({0} AS STRING)) AS DECIMAL(38, 0)) AS STRING) "
         "ELSE TRIM(TRAILING chr(0) FROM CAST({0} AS STRING)) END)"
     ),
     # unsigned conversions WRAP modulo 2^bits like the reference
@@ -2582,7 +2603,13 @@ FUNC_MAP: dict[str, object] = {
     "MD5": "md5({0})", "SHA256": "sha2({0}, 256)", "SHA1": "sha1({0})",
     # aggregates
     # -If conditions are UInt8 in the reference — always boolean-cast
-    "count": "count({*})", "countIf": "count_if(CAST({0} AS BOOLEAN))",
+    "count": "count({*})",
+    # 2-arg countIf(x, cond) counts ROWS where cond (x only contributes
+    # NULL-skipping, AggregateFunctionCount with -If combinator)
+    "countIf": lambda a: (
+        f"count_if(CAST({a[0]} AS BOOLEAN))" if len(a) == 1
+        else f"count(CASE WHEN CAST({a[1]} AS BOOLEAN) THEN {a[0]} END)"
+    ),
     "sumIf": "sum(CASE WHEN CAST({1} AS BOOLEAN) THEN {0} END)",
     "avgIf": "avg(CASE WHEN CAST({1} AS BOOLEAN) THEN {0} END)",
     "minIf": "min(CASE WHEN CAST({1} AS BOOLEAN) THEN {0} END)",
@@ -4688,6 +4715,14 @@ def _parse_select(toks: list[str]) -> _Select:
                 if ph is None:
                     ph = f"__ajh{len(q.aj_hoists)}"
                     q.aj_hoists.append((ph, arg))
+                    # record the exploded element's reference type so
+                    # downstream raw-token consumers (exact hashes,
+                    # toTypeName) can resolve the placeholder
+                    at = _ch_type_of(arg, _TYPE_ENV_DEFAULT)
+                    if at and at.startswith("Array("):
+                        env = dict(_TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT)
+                        env[ph] = at[6:-1]
+                        _TYPE_ENV_CTX.set(env)
                 out2.append(ph)
                 i2 = close2 + 1
             else:
