@@ -1472,6 +1472,12 @@ def _ch_type_of(toks: list[str], env: dict[str, str]) -> str | None:
             return None
     if len(toks) == 1 and _kw(toks[0]) == "NULL":
         return "Nullable(Nothing)"
+    if len(toks) == 1 and toks[0] in ("nan", "inf"):
+        return "Float64"
+    if (
+        len(toks) == 2 and toks[0] == "-" and toks[1] in ("nan", "inf")
+    ):
+        return "Float64"
     if len(toks) == 1 and _is_ident(toks[0]) and toks[0].strip("`") in env:
         return env[toks[0].strip("`")]
     node = _parse_hash_lit(toks)
@@ -6361,7 +6367,10 @@ def _render(q: _Select) -> str:
             out += " OFFSET " + _emit(_translate_expr(q.offset))
         return out
     if q.order_by:
-        parts.append("ORDER BY " + _order_by_sql(q.order_by))
+        env = (
+            _subquery_type_env(q.from_) if q.from_ else _TYPE_ENV_DEFAULT
+        )
+        parts.append("ORDER BY " + _order_by_sql(q.order_by, env))
     if q.limit and totals_bypass:
         # LIMIT applies to the REGULAR rows only; the totals row rides
         # in its side block regardless (TotalsHavingTransform)
@@ -6381,18 +6390,53 @@ def _render(q: _Select) -> str:
     return " ".join(parts)
 
 
-def _order_by_sql(order_toks: list[str]) -> str:
+def _order_by_sql(
+    order_toks: list[str], env: dict[str, str] | None = None
+) -> str:
     """Render ORDER BY items with the reference's NULL placement defaults
     (sortColumnDescription: NULLS LAST ascending, NULLS FIRST descending —
-    the exact opposite of Spark's defaults), unless spelled explicitly."""
+    the exact opposite of Spark's defaults), unless spelled explicitly.
+
+    Float keys additionally pre-rank NaN ADJACENT to the NULL block
+    (the reference sorts nan with the nulls; Spark sorts NaN greatest):
+    a leading CASE rank puts NULL outermost, nan next, values last."""
     items = []
     for it in _split_top(order_toks, ","):
         if not it:
             continue
         has_nulls = any(_kw(t) == "NULLS" for t in it)
+        has_collate = any(_kw(t) == "COLLATE" for t in it)
+        # strip trailing direction/nulls for type inference
+        core = list(it)
+        nulls_first = None
+        desc = False
+        while core and _kw(core[-1]) in ("ASC", "DESC", "FIRST", "LAST", "NULLS"):
+            if _kw(core[-1]) == "DESC":
+                desc = True
+            if _kw(core[-1]) == "FIRST":
+                nulls_first = True
+            if _kw(core[-1]) == "LAST":
+                nulls_first = False
+            core.pop()
+        if nulls_first is None:
+            nulls_first = False  # reference default: NULLS LAST
         sql_item = _emit(_translate_expr(it))
-        if not has_nulls and not any(_kw(t) == "COLLATE" for t in it):
+        if not has_nulls and not has_collate:
             sql_item += " NULLS LAST"
+        t = _ch_type_of(core, env or _TYPE_ENV_DEFAULT)
+        if t is not None and _ch_unwrap(t) in ("Float32", "Float64"):
+            ce = _emit(_translate_expr(core))
+            if nulls_first:
+                rank = (
+                    f"(CASE WHEN ({ce}) IS NULL THEN 0 "
+                    f"WHEN isnan({ce}) THEN 1 ELSE 2 END)"
+                )
+            else:
+                rank = (
+                    f"(CASE WHEN ({ce}) IS NULL THEN 2 "
+                    f"WHEN isnan({ce}) THEN 1 ELSE 0 END)"
+                )
+            items.append(rank)
         items.append(sql_item)
     return " , ".join(items)
 
