@@ -184,6 +184,43 @@ def summing_final(
     return out.select(*[f"`{c}`" for c in orig_cols])
 
 
+def aggregating_final(df: DataFrame, key: Sequence[str]) -> DataFrame:
+    """AggregatingMergeTree merge: one row per key with STATE columns
+    combined (AggregatingSortedAlgorithm.cpp).  States live here in
+    mergeable finalized forms: set-based uniq states (arrays) merge by
+    concatenation (the reader's -Merge dedups), numeric count/sum
+    partials merge by SUM, anything else keeps the first value."""
+    key = [k for k in key if k in df.columns]
+    if not key:
+        return df
+    aggs = []
+    for f in df.schema.fields:
+        if f.name in key:
+            continue
+        t = f.dataType.typeName()
+        if t == "array":
+            aggs.append(
+                F.flatten(F.collect_list(f"`{f.name}`")).alias(f.name)
+            )
+        elif t == "struct" and set(
+            sf.name for sf in f.dataType.fields  # type: ignore[union-attr]
+        ) == {"s", "c"}:
+            # avg partial (sum, count): merge field-wise
+            aggs.append(
+                F.struct(
+                    F.sum(F.col(f"`{f.name}`").getField("s")).alias("s"),
+                    F.sum(F.col(f"`{f.name}`").getField("c")).alias("c"),
+                ).alias(f.name)
+            )
+        elif t in ("byte", "short", "integer", "long", "float", "double",
+                   "decimal"):
+            aggs.append(F.sum(f"`{f.name}`").alias(f.name))
+        else:
+            aggs.append(F.first(f"`{f.name}`", True).alias(f.name))
+    out = df.groupBy(*[f"`{k}`" for k in key]).agg(*aggs)
+    return out.select(*[f"`{c}`" for c in df.columns])
+
+
 def collapsing_final(df: DataFrame, key: Sequence[str], sign: str) -> DataFrame:
     """CollapsingSortedAlgorithm.cpp: +1/-1 rows cancel; a key survives when
     sum(sign) > 0 (unbalanced +1 remains)."""
@@ -226,8 +263,5 @@ def read_final(df: DataFrame, spec: TableSpec) -> DataFrame:
             df, spec.order_by, spec.sign_column, spec.version_column
         )
     if kind == "Aggregating":
-        # state columns merge via functions.states.merge_states (the
-        # -State/-Merge path); without declared states the Replacing
-        # behaviour (last row per key) is the closest contract
-        return replacing_final(df, spec.order_by, spec.version_column)
+        return aggregating_final(df, spec.order_by)
     raise ValueError(f"unknown engine {spec.engine}")

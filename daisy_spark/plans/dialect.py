@@ -224,14 +224,21 @@ def _map_type(toks: list[str], i: int) -> tuple[str, int]:
         arg_t = "BIGINT"
         if len(parts) > 1 and parts[1]:
             arg_t, _ = _map_type(parts[1], 0)
-        if fname in ("COUNT", "UNIQ", "UNIQEXACT", "UNIQCOMBINED", "UNIQHLL12"):
+        if fname in ("UNIQ", "UNIQEXACT", "UNIQCOMBINED", "UNIQHLL12"):
+            # set-based exact state (merges dedup across parts)
+            return f"ARRAY<{arg_t}>", close + 1
+        if fname == "COUNT":
             return "BIGINT", close + 1
-        if fname in ("AVG", "AVGWEIGHTED", "QUANTILE", "MEDIAN"):
-            return "DOUBLE", close + 1
+        if fname in ("AVG", "AVGWEIGHTED"):
+            # mergeable partial: (sum, count) — avg-of-avgs is wrong for
+            # unequal group sizes (AggregateFunctionAvg.h data = num/denom)
+            return "STRUCT<s: DOUBLE, c: BIGINT>", close + 1
+        if fname.startswith("QUANTILE") or fname == "MEDIAN":
+            # raw value multiset: quantiles cannot merge from finalized
+            # partials (QuantileReservoirSampler merges samples)
+            return "ARRAY<DOUBLE>", close + 1
         if fname in ("GROUPARRAY", "GROUPUNIQARRAY"):
             return f"ARRAY<{arg_t}>", close + 1
-        if fname in ("QUANTILES",):
-            return "ARRAY<DOUBLE>", close + 1
         return arg_t, close + 1
     if up == "DECIMAL" and i + 1 < len(toks) and toks[i + 1] == "(":
         close = _match_paren(toks, i + 1)
@@ -659,6 +666,16 @@ _SCRIPT_SCHEMAS_CTX: "contextvars.ContextVar[dict | None]" = contextvars.Context
     "daisy_script_schemas", default=None
 )
 
+#: AggregateFunction column registry of the active ScriptRunner:
+#: col_name -> (agg_fname, "(params)" or "").  Lets finalizeAggregation /
+#: -Merge resolve how a STORED state column finalizes
+#: (DataTypeAggregateFunction.h — states here live in mergeable
+#: finalized-ish forms: uniq=value set, avg=(sum,count), quantile=raw
+#: value array).
+_AGG_COLS_CTX: "contextvars.ContextVar[dict | None]" = contextvars.ContextVar(
+    "daisy_agg_cols", default=None
+)
+
 #: SAMPLE BY key expressions of the active ScriptRunner's tables:
 #: name -> translated key expression.  SAMPLE f on such a table becomes a
 #: deterministic key-range filter (the reference's sampling reads a
@@ -1008,6 +1025,79 @@ def _url_params_expr(url: str) -> str:
     )
 
 
+def _to_int_conv(a0: str, shape: str) -> str:
+    """toIntN/toUIntN over the argument's UNDERLYING integer: dates are
+    days since epoch, datetimes are unix seconds, everything else casts
+    to BIGINT (wrapping applied by ``shape``)."""
+    t = a0.strip()
+    if re.search(r"(?i)AS\s+DATE\s*\)\s*$", t) or re.match(
+        r"(?i)(to_date|date_add|date_sub|last_day)\s*\(", t
+    ):
+        e = f"datediff(({t}), DATE '1970-01-01')"
+    elif re.search(r"(?i)AS\s+TIMESTAMP\s*\)\s*$", t) or re.match(
+        r"(?i)(current_timestamp|to_timestamp|timestamp_seconds|"
+        r"date_trunc)\s*\(", t
+    ):
+        e = f"unix_timestamp({t})"
+    else:
+        e = f"CAST({t} AS BIGINT)"
+    return shape.format(e=e)
+
+
+def _array_quantiles_expr(arr: str, params: list[str], singular: bool) -> str:
+    """R-7 interpolated quantiles over an array-valued expression — the
+    -Merge path for stored quantile states (raw value multisets).  Binds
+    the sorted array once via a 1-element transform lambda so the
+    aggregate under ``arr`` is evaluated a single time."""
+    def q(p: str) -> str:
+        # low*(1-g) + high*g — the reference's exact float arithmetic
+        # (ReservoirSampler.h quantileInterpolated), NOT low+g*(high-low)
+        h = f"(size(s) - 1) * ({p})"
+        lo = f"CAST(floor({h}) AS INT) + 1"
+        return (
+            f"CAST(element_at(s, {lo}) AS DOUBLE) * (1.0d - ({h} - "
+            f"floor({h}))) + "
+            f"CAST(element_at(s, least({lo} + 1, size(s))) AS DOUBLE) * "
+            f"({h} - floor({h}))"
+        )
+
+    body = (
+        q(params[0]) if singular
+        else "array(" + ", ".join(q(p) for p in params) + ")"
+    )
+    return (
+        f"element_at(transform(array(array_sort({arr})), s -> {body}), 1)"
+    )
+
+
+def _finalize_agg_expr(a: list[str]) -> str:
+    """finalizeAggregation(state) — resolve how the state finalizes.  A
+    bare column consults the script engine's AggregateFunction column
+    registry; an inline fooState(..) expression is recognized by its
+    lowered SQL shape."""
+    e = a[0]
+    info = (_AGG_COLS_CTX.get() or {}).get(e.strip().strip("`"))
+    if info is not None:
+        fname, params = info
+        fl = fname.lower()
+        if fl.startswith("uniq"):
+            return f"size(array_distinct({e}))"
+        if fl in ("avg", "avgweighted"):
+            return f"(({e}).s / ({e}).c)"
+        if fl.startswith("quantile") or fl == "median":
+            inner = params.strip("()").strip()
+            ps = (
+                [p.strip() for p in inner.split(",")] if inner else ["0.5"]
+            )
+            return _array_quantiles_expr(e, ps, not fl.startswith("quantiles"))
+        return e
+    if "collect_set" in e:
+        return f"size(array_distinct({e}))"
+    if "named_struct('s'" in e:
+        return f"(({e}).s / ({e}).c)"
+    return e
+
+
 def _bar_expr(a: list[str]) -> str:
     """bar(x, min, max[, width]) — reference UnicodeBar::render
     (src/Common/UnicodeBar.cpp): clamp to [0, width], floor(w) full
@@ -1091,11 +1181,71 @@ def _array_reduce_expr(a: list[str]) -> str:
     if not m:
         raise DialectError(f"arrayReduce: unsupported name {a[0]}")
     name, params = m.group(1), m.group(2)
+    arrs = list(a[1:])
+    pspec = f"({params})" if params else ""
+
+    def recurse(new_name: str, new_arrs: list[str]) -> str:
+        return _array_reduce_expr([f"'{new_name}{pspec}'", *new_arrs])
+
+    # combinator peeling (outermost first).  -OrNull / -OrDefault wrap
+    # the inner result for the empty set; -State / -Merge follow this
+    # engine's stored-state model (uniq = value set, avg = (sum, count),
+    # groupArray/quantile = value list — DataTypeAggregateFunction.h)
+    if name.endswith("OrNull") and len(name) > 6:
+        core = recurse(name[:-6], arrs)
+        return f"IF(size({arrs[0]}) = 0, NULL, {core})"
+    if name.endswith("OrDefault") and len(name) > 9:
+        core = recurse(name[:-9], arrs)
+        return f"IF(size({arrs[0]}) = 0, CAST(0 AS DOUBLE), {core})"
+    if name.endswith("State") and len(name) > 5:
+        base = name[:-5]
+        x = arrs[0]
+        if base.endswith("Merge") and len(base) > 5:
+            # fooMergeState: merge partial states, keep the state form
+            b2 = base[:-5]
+            if b2.lower().startswith("uniq"):
+                return f"array_distinct(flatten({x}))"
+            if b2 in ("groupArray",):
+                return f"flatten({x})"
+            if b2 == "groupUniqArray":
+                return f"array_distinct(flatten({x}))"
+            return recurse(base, arrs)
+        if base.lower().startswith("uniq"):
+            return f"array_distinct(filter({x}, __s -> __s IS NOT NULL))"
+        if base == "avg":
+            return (
+                f"named_struct('s', aggregate({x}, CAST(0 AS DOUBLE), "
+                f"(__a, __v) -> __a + __v), "
+                f"'c', CAST(size({x}) AS BIGINT))"
+            )
+        if base == "count":
+            return f"CAST(size({x}) AS BIGINT)"
+        if base in ("groupArray", "groupUniqArray"):
+            return recurse(base, arrs)
+        if base.lower().startswith("quantile") or base == "median":
+            return f"transform({x}, __s -> CAST(__s AS DOUBLE))"
+        return recurse(base, arrs)  # scalar-mergeable finalized partials
     if name.endswith("Merge") and len(name) > 5:
-        # states are stored finalized here — merging partials = applying
-        # the base aggregate over the partial values
-        name = name[:-5]
-    arrs = a[1:]
+        base = name[:-5]
+        if base.lower().startswith("uniq") or base in (
+            "groupArray", "groupUniqArray",
+        ) or base.lower().startswith("quantile") or base in (
+            "median", "medianExact",
+        ):
+            # set / list states: union the partial arrays first
+            return recurse(base, [f"flatten({arrs[0]})", *arrs[1:]])
+        if base == "avg":
+            acc = (
+                f"aggregate({arrs[0]}, named_struct("
+                f"'s', CAST(0 AS DOUBLE), 'c', CAST(0 AS BIGINT)), "
+                f"(__a, __x) -> named_struct('s', __a.s + __x.s, "
+                f"'c', __a.c + __x.c))"
+            )
+            return f"(({acc}).s / ({acc}).c)"
+        if base == "count":
+            return recurse("sum", arrs)
+        # sum/min/max/any partials compose with themselves
+        return recurse(base, arrs)
     arr = arrs[0] if arrs else "array()"
     if name == "sumMap":
         ks = f"array_sort(array_distinct(flatten({arrs[0]})))"
@@ -1176,6 +1326,20 @@ def _array_reduce_expr(a: list[str]) -> str:
         levels = [p.strip() for p in (params or "0.5").split(",")]
         parts = ", ".join(_quantile_exact(arr, lv) for lv in levels)
         return f"array({parts})"
+    if name in ("stddevSamp", "stddevPop", "varSamp", "varPop"):
+        n = f"CAST(size({arr}) AS DOUBLE)"
+        s1 = f"aggregate({arr}, CAST(0 AS DOUBLE), (__a, __x) -> __a + __x)"
+        s2 = (
+            f"aggregate({arr}, CAST(0 AS DOUBLE), "
+            f"(__a, __x) -> __a + CAST(__x AS DOUBLE) * __x)"
+        )
+        if name.endswith("Pop"):
+            var = f"(({s2}) / {n} - pow(({s1}) / {n}, 2))"
+        else:
+            var = f"((({s2}) - pow({s1}, 2) / {n}) / ({n} - 1))"
+        return f"sqrt({var})" if name.startswith("stddev") else var
+    if name == "medianExact":
+        return _quantile_exact(arr, (params or "0.5").strip())
     if name in ("argMin", "argMax"):
         op = "<=" if name == "argMin" else ">="
         zipped = (
@@ -2272,15 +2436,17 @@ FUNC_MAP: dict[str, object] = {
     ),
     # unsigned conversions WRAP modulo 2^bits like the reference
     # (src/Functions/FunctionsConversion.h — C++ integral conversion);
-    # signed ones wrap via Spark's non-ANSI narrowing CAST
-    "toUInt8": "pmod(CAST({0} AS BIGINT), 256)",
-    "toUInt16": "pmod(CAST({0} AS BIGINT), 65536)",
-    "toUInt32": "pmod(CAST({0} AS BIGINT), 4294967296)",
-    "toUInt64": "CAST({0} AS BIGINT)",
-    "toInt8": "CAST(CAST({0} AS BIGINT) AS TINYINT)",
-    "toInt16": "CAST(CAST({0} AS BIGINT) AS SMALLINT)",
-    "toInt32": "CAST(CAST({0} AS BIGINT) AS INT)",
-    "toInt64": "CAST({0} AS BIGINT)",
+    # signed ones wrap via Spark's non-ANSI narrowing CAST.  Date args
+    # convert to days-since-epoch, DateTime to seconds (the underlying
+    # storage integers)
+    "toUInt8": lambda a: _to_int_conv(a[0], "pmod({e}, 256)"),
+    "toUInt16": lambda a: _to_int_conv(a[0], "pmod({e}, 65536)"),
+    "toUInt32": lambda a: _to_int_conv(a[0], "pmod({e}, 4294967296)"),
+    "toUInt64": lambda a: _to_int_conv(a[0], "{e}"),
+    "toInt8": lambda a: _to_int_conv(a[0], "CAST({e} AS TINYINT)"),
+    "toInt16": lambda a: _to_int_conv(a[0], "CAST({e} AS SMALLINT)"),
+    "toInt32": lambda a: _to_int_conv(a[0], "CAST({e} AS INT)"),
+    "toInt64": lambda a: _to_int_conv(a[0], "{e}"),
     "toFloat32": "CAST({0} AS FLOAT)", "toFloat64": "CAST({0} AS DOUBLE)",
     # -OrZero / -OrNull parse variants (FunctionsConversion.h): failed
     # parses yield 0 / NULL instead of an error
@@ -2319,10 +2485,13 @@ FUNC_MAP: dict[str, object] = {
             or a[0].startswith(("concat(", "substring(", "substr("))
         )
         else (
-            # outer CAST: marks the result date-typed for _dt_kind
-            f"CAST(coalesce(try_cast(CAST({a[0]} AS STRING) AS DATE), "
-            f"date_add(DATE '1970-01-01', CAST(pmod(try_cast("
-            f"CAST({a[0]} AS STRING) AS DOUBLE), 65536) AS INT))) AS DATE)"
+            # outer CAST: marks the result date-typed for _dt_kind.
+            # NUMERIC values are epoch days and must win over the date
+            # parser (Spark parses '16222' as year-16222)
+            f"CAST(coalesce(date_add(DATE '1970-01-01', "
+            f"CAST(pmod(try_cast(CAST({a[0]} AS STRING) AS DOUBLE), "
+            f"65536) AS INT)), "
+            f"try_cast(CAST({a[0]} AS STRING) AS DATE)) AS DATE)"
         )
     ),
     # reference parses an all-digit string as a unix timestamp
@@ -2680,7 +2849,9 @@ FUNC_MAP: dict[str, object] = {
         "CAST(floor(unix_timestamp({0}) / 60) AS BIGINT)"
     ),
     "toRelativeSecondNum": "unix_timestamp({0})",
-    "finalizeAggregation": "{0}",  # fooState(...) translates as foo(...)
+    # fooState(...) translates as foo(...); stored states resolve via
+    # the AggregateFunction column registry (_finalize_agg_expr)
+    "finalizeAggregation": _finalize_agg_expr,
     "joinGet": lambda a: _join_get_expr(a, False),
     "dictGet": lambda a: _dict_get_expr(a),
     "dictGetOrDefault": lambda a: _dict_get_expr(a, or_default=True),
@@ -3559,15 +3730,46 @@ def _quantile_exact_weighted_expr(p: list[str], a: list[str], single: bool) -> s
     return f"array({', '.join(one(lv) for lv in p)})"
 
 
+def _int_hash32_salt0_sql(e: str) -> str:
+    """intHash32<0> (src/Common/HashTable/Hash.h:389) as pure SQL —
+    each mixing step bound once via a 1-element transform lambda so the
+    text stays linear.  Logical right shifts, wrapping 64-bit adds and
+    multiply (non-ANSI mode)."""
+    def rot(k: str, r: int) -> str:
+        return f"(shiftrightunsigned({k}, {r}) | shiftleft({k}, {64 - r}))"
+
+    steps = [
+        lambda k: f"((~{k}) + shiftleft({k}, 18))",
+        lambda k: f"({k} ^ {rot(k, 31)})",
+        lambda k: f"({k} * CAST(21 AS BIGINT))",
+        lambda k: f"({k} ^ {rot(k, 11)})",
+        lambda k: f"({k} + shiftleft({k}, 6))",
+        lambda k: f"({k} ^ {rot(k, 22)})",
+    ]
+    body = "(__th6 & CAST(4294967295 AS BIGINT))"
+    for n in range(6, 0, -1):
+        inner = steps[n - 1](f"__th{n - 1}")
+        body = (
+            f"element_at(transform(array({inner}), __th{n} -> {body}), 1)"
+        )
+    return (
+        f"element_at(transform(array(CAST({e} AS BIGINT)), "
+        f"__th0 -> {body}), 1)"
+    )
+
+
 def _timing_clamp(x: str) -> str:
     """The reference's timing sketch value mapping
-    (src/AggregateFunctions/AggregateFunctionQuantileTiming.h): exact
-    below 1024, 16-wide buckets (rounded down) up to 30000, capped at
-    30000 above."""
+    (src/AggregateFunctions/QuantileTiming.h): exact below 1024, 16-wide
+    buckets up to 30000 whose representative value carries a hash
+    offset — (i * 16) + 1024 + (intHash32<0>(i) % 16 - 8)
+    (QuantileTiming.h:258) — capped at 30000 above."""
     v = f"CAST({x} AS BIGINT)"
+    i = f"CAST(({v} - 1024) / 16 AS BIGINT)"
+    off = f"(({_int_hash32_salt0_sql(i)} & 15) - 8)"
     return (
         f"(CASE WHEN {v} >= 30000 THEN CAST(30000 AS BIGINT) "
-        f"WHEN {v} >= 1024 THEN 1024 + CAST(({v} - 1024) / 16 AS BIGINT) * 16 "
+        f"WHEN {v} >= 1024 THEN 1024 + {i} * 16 + {off} "
         f"ELSE {v} END)"
     )
 
@@ -3599,19 +3801,39 @@ def _quantile_timing_weighted_expr(p: list[str], a: list[str], single: bool) -> 
         f"array_sort(collect_list(named_struct("
         f"'v', {_timing_clamp(a[0])}, 'w', CAST({a[1]} AS BIGINT))))"
     )
+    # total weight accumulates in UInt64 WITH wraparound (count is
+    # UInt64; QuantileTiming.h get(): pos = ceil(count * level), the
+    # scan accumulates per-bucket counts in double, >= pos takes the
+    # bucket, exhaustion -> BIG_THRESHOLD)
     total = f"aggregate({s}, CAST(0 AS BIGINT), (acc, e) -> acc + e.w)"
 
+    def u64d(x: str) -> str:
+        return (
+            f"(CAST({x} AS DOUBLE) + "
+            f"IF({x} < 0, 18446744073709551616.0d, 0.0d))"
+        )
+
     def one(level: str) -> str:
-        pos = f"(({level}) * {total})"
+        # double-valued ceil: Spark's ceil(DOUBLE) returns BIGINT and
+        # wraps for totals beyond 2^63 (the UBsan corpus case)
+        xd = f"({u64d(total)} * ({level}))"
+        pos = (
+            f"IF({xd} % 1.0d = 0.0d, {xd}, "
+            f"{xd} - ({xd} % 1.0d) + 1.0d)"
+        )
         scan = (
-            f"aggregate({s}, named_struct('c', CAST(0 AS BIGINT), "
+            f"aggregate({s}, named_struct('c', CAST(0 AS DOUBLE), "
             f"'r', CAST(NULL AS BIGINT)), (acc, e) -> "
             f"IF(acc.r IS NOT NULL OR e.w = 0, acc, "
-            f"IF(acc.c + e.w > {pos}, "
-            f"named_struct('c', acc.c + e.w, 'r', e.v), "
-            f"named_struct('c', acc.c + e.w, 'r', CAST(NULL AS BIGINT))))).r"
+            f"IF(acc.c + {u64d('e.w')} >= {pos}, "
+            f"named_struct('c', acc.c + {u64d('e.w')}, 'r', e.v), "
+            f"named_struct('c', acc.c + {u64d('e.w')}, "
+            f"'r', CAST(NULL AS BIGINT))))).r"
         )
-        return f"IF({total} = 0, double('nan'), CAST({scan} AS DOUBLE))"
+        return (
+            f"IF({total} = 0, double('nan'), "
+            f"CAST(coalesce({scan}, 30000) AS DOUBLE))"
+        )
 
     if single:
         return one(p[0])
@@ -4177,6 +4399,22 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
             arg_parts = (
                 [] if not raw_args else _split_top(raw_args, ",")
             )
+            # finalizeAggregation(fooState(..)) ≡ foo(..) — strip State
+            # BEFORE translating so parametric quantile states (whose
+            # lowered storage form is the raw multiset, params lost)
+            # still finalize with their params applied
+            if (
+                t == "finalizeAggregation"
+                and len(arg_parts) == 1
+                and len(arg_parts[0]) > 1
+                and arg_parts[0][1] == "("
+                and arg_parts[0][0].endswith("State")
+                and len(arg_parts[0][0]) > 5
+            ):
+                inner = [arg_parts[0][0][:-5]] + arg_parts[0][1:]
+                out.append(_emit(_translate_expr(inner)))
+                i = close + 1
+                continue
             args = [_emit(_translate_expr(p)) for p in arg_parts if p]
             # parametric: name(params)(args)
             if close + 1 < n and toks[close + 1] == "(":
@@ -4190,21 +4428,39 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 # -State composes with finalizeAggregation ({0}) to the
                 # plain aggregate inside a single query
                 t_base = t[:-5] if t.endswith("State") else t
+                if (
+                    t.endswith("State")
+                    and t_base.lower().startswith(("quantile", "median"))
+                    and args2
+                ):
+                    # quantile states STORE the raw value multiset
+                    # (params apply at merge time; partials aren't
+                    # mergeable once finalized)
+                    out.append(f"collect_list(CAST({args2[0]} AS DOUBLE))")
+                    i = close2 + 1
+                    continue
                 if t_base in PARAMETRIC_MAP:
                     out.append(PARAMETRIC_MAP[t_base](args, args2))  # type: ignore[operator]
                     i = close2 + 1
                     continue
-                # parametric -Merge (quantilesMerge(0.5)(col)): the stored
-                # column already holds the finalized result; with one
-                # partial per group any_value is exact
-                if (
-                    t.endswith("Merge")
-                    and t[:-5] in PARAMETRIC_MAP
-                    and args2
-                ):
-                    out.append(f"any_value({args2[0]}, true)")
-                    i = close2 + 1
-                    continue
+                # parametric -Merge (quantilesMerge(0.5)(col)): stored
+                # quantile states are raw-value arrays — re-aggregate;
+                # other parametric states store the finalized result and
+                # any_value is exact with one partial per group
+                if t.endswith("Merge") and args2:
+                    base = t[:-5]
+                    if base.lower().startswith(("quantile", "median")):
+                        out.append(_array_quantiles_expr(
+                            f"flatten(collect_list({args2[0]}))",
+                            args,
+                            not base.startswith("quantiles"),
+                        ))
+                        i = close2 + 1
+                        continue
+                    if base in PARAMETRIC_MAP:
+                        out.append(f"any_value({args2[0]}, true)")
+                        i = close2 + 1
+                        continue
                 if t in UNSUPPORTED_FUNCS:
                     raise DialectError(
                         f"{t} has no single-expression Spark SQL form; "
@@ -4261,8 +4517,25 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 tmpl = FUNC_MAP.get(t.lower())
             if tmpl is None and t.endswith("State") and len(t) > 5:
                 # fooState(...) + finalizeAggregation -> foo(...); base
-                # may itself be mapped or a passthrough aggregate
-                tmpl = FUNC_MAP.get(t[:-5], t[:-5] + "({*})")
+                # may itself be mapped or a passthrough aggregate.
+                # uniq-family states are EXACT mergeable sets
+                # (collect_set) so overlapping partials dedup on merge
+                # (DataTypeAggregateFunction columns, 00048)
+                if t[:-5] in (
+                    "uniq", "uniqExact", "uniqCombined", "uniqHLL12",
+                ):
+                    tmpl = "collect_set({0})"
+                elif t[:-5] == "avg":
+                    # mergeable (sum, count) partial — avg-of-avgs is
+                    # wrong for unequal group sizes
+                    tmpl = (
+                        "named_struct('s', CAST(sum({0}) AS DOUBLE), "
+                        "'c', count({0}))"
+                    )
+                elif t[:-5].lower().startswith(("quantile", "median")):
+                    tmpl = "collect_list(CAST({0} AS DOUBLE))"
+                else:
+                    tmpl = FUNC_MAP.get(t[:-5], t[:-5] + "({*})")
             if tmpl is None and t.endswith("Merge") and len(t) > 5:
                 # states are stored finalized here, so -Merge re-aggregates
                 # the partials over the STORED single column: count/uniq
@@ -4272,13 +4545,22 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 # merge always sees one plain column
                 base = t[:-5]
                 root = base
-                for suf in ("If", "Distinct", "OrNull", "OrDefault", "Array"):
-                    if root.endswith(suf) and len(root) > len(suf):
-                        root = root[: -len(suf)]
+                # never strip a combinator suffix off a BASE aggregate
+                # name (groupArray ends in 'Array' but is not -Array)
+                if root not in ("groupArray", "groupUniqArray"):
+                    for suf in (
+                        "If", "Distinct", "OrNull", "OrDefault", "Array",
+                    ):
+                        if root.endswith(suf) and len(root) > len(suf):
+                            root = root[: -len(suf)]
                 if root in (
-                    "count", "uniq", "uniqExact", "uniqCombined",
-                    "uniqHLL12",
+                    "uniq", "uniqExact", "uniqCombined", "uniqHLL12",
                 ):
+                    # set-based states: union + distinct count
+                    tmpl = (
+                        "size(array_distinct(flatten(collect_list({0}))))"
+                    )
+                elif root == "count":
                     tmpl = "sum({0})"
                 elif root in ("any", "anyLast", "groupArray"):
                     tmpl = (
@@ -4286,7 +4568,16 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                         if root == "groupArray"
                         else "any_value({0}, true)"
                     )
-                elif root in ("sum", "min", "max", "avg"):
+                elif root == "avg":
+                    # (sum, count) struct partials
+                    tmpl = "sum({0}.s) / sum({0}.c)"
+                elif root.lower().startswith(("quantile", "median")):
+                    tmpl_arr = "flatten(collect_list({0}))"
+                    p = ["0.5"]
+                    tmpl = _array_quantiles_expr(
+                        tmpl_arr, p, not root.startswith("quantiles")
+                    )
+                elif root in ("sum", "min", "max"):
                     tmpl = f"{root}({{0}})"
                 else:
                     tmpl = FUNC_MAP.get(base, base + "({*})")

@@ -296,9 +296,21 @@ class ScriptRunner:
             for name, t in self.tables.items()
         }
         token2 = _SCRIPT_SCHEMAS_CTX.set(schemas)
+        from daisy_spark.plans.dialect import _AGG_COLS_CTX
+        agg_cols: dict = {}
+        for t in self.tables.values():
+            for c in t.cols:
+                m = re.match(
+                    r"(?i)AggregateFunction\s*\(\s*(\w+)\s*(\([^)]*\))?",
+                    c.ch_type or "",
+                )
+                if m:
+                    agg_cols[c.name] = (m.group(1), m.group(2) or "")
+        token7 = _AGG_COLS_CTX.set(agg_cols)
         try:
             return self._execute(stmt)
         finally:
+            _AGG_COLS_CTX.reset(token7)
             _SCRIPT_SCHEMAS_CTX.reset(token2)
             _STORAGE_JOIN_CTX.reset(token)
             _DICTS_CTX.reset(token3)

@@ -410,6 +410,14 @@ CORPUS = [
     "00349_visible_width.sql", "00534_exp10.sql",
     "00666_uniq_complex_types.sql", "01555_or_fill.sql",
     "00579_merge_tree_partition_and_primary_keys_using_same_expression.sql",
+    "00047_stored_aggregates_complex.sql",
+    "00048_a_stored_aggregates_merge.sql",
+    "00048_b_stored_aggregates_merge.sql",
+    "00191_aggregating_merge_tree_and_final.sql",
+    "00271_agg_state_and_totals.sql",
+    "00291_array_reduce.sql",
+    "00523_aggregate_functions_in_group_array.sql",
+    "01690_quantilesTiming_ubsan.sql",
 ]
 
 
