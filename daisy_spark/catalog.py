@@ -158,13 +158,38 @@ def build_bucketed_mirror(
         tbl = f"{name}_bkt_{tag}"
         try:
             if not spark.catalog.tableExists(tbl):
-                df = load_table(spark, sf_dir, name)
-                (
-                    df.write.mode("overwrite")
-                    .bucketBy(buckets, key)
-                    .sortBy(key)
-                    .saveAsTable(tbl)
-                )
+                # a PREVIOUS session's mirror survives as files in the
+                # warehouse dir (the in-memory catalog does not) — and
+                # managed saveAsTable refuses an existing location.
+                # Re-attach those files as an EXTERNAL bucketed table:
+                # same bucket layout, zero rewrite cost per session.
+                wh = spark.conf.get(
+                    "spark.sql.warehouse.dir", "spark-warehouse"
+                ).removeprefix("file:")
+                loc = os.path.join(wh, tbl)
+                if os.path.exists(os.path.join(loc, "_SUCCESS")):
+                    df = load_table(spark, sf_dir, name)
+                    cols = ", ".join(
+                        f"`{f.name}` {f.dataType.simpleString()}"
+                        for f in df.schema.fields
+                    )
+                    spark.sql(
+                        f"CREATE TABLE `{tbl}` ({cols}) USING PARQUET "
+                        f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) "
+                        f"INTO {buckets} BUCKETS "
+                        f"LOCATION '{loc}'"
+                    )
+                else:
+                    import shutil
+
+                    shutil.rmtree(loc, ignore_errors=True)  # partial write
+                    df = load_table(spark, sf_dir, name)
+                    (
+                        df.write.mode("overwrite")
+                        .bucketBy(buckets, key)
+                        .sortBy(key)
+                        .saveAsTable(tbl)
+                    )
             BUCKETED_MIRRORS[(key_dir, name)] = tbl
         except Exception:  # noqa: BLE001
             # bucketing is an optimization only — never break a query

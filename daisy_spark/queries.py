@@ -200,22 +200,34 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
-    # l⋈o first: with the bucketed-by-orderkey mirrors (catalog.
+    # the three tiny dims pre-merge into ONE broadcast relation keyed by
+    # a SINGLE packed long (suppkey << 20 | nationkey): a composite
+    # (bigint, int) broadcast key forces the generic UnsafeHashedRelation
+    # (~6x slower probes, measured 4.6s vs 0.8s at sf1); one long key
+    # rides LongHashedRelation.  The pack is exact while nationkey < 2^20
+    # and suppkey < 2^43 — far past any realistic dim cardinality.  The
+    # same-nation requirement is IN the key: non-matching rows die at the
+    # probe, no post-join filter
+    snr = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select(
+            (F.col("s_suppkey") * (1 << 20)
+             + F.col("s_nationkey")).alias("snr_key"),
+            "n_name",
+        )
+    )
+    # l⋈o: with the bucketed-by-orderkey mirrors (catalog.
     # build_bucketed_mirror) this join reads co-located sorted buckets —
     # no shuffle, no sort.  customer broadcasts (1.5% of lineitem rows;
-    # at cluster scale it would instead be bucketed by custkey at write),
-    # killing the custkey shuffle of the wide intermediate
+    # at cluster scale it would instead be bucketed by custkey at write)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        # same-nation requirement folded INTO the broadcast-join condition
-        # (not a post-join filter): non-matching rows die at the probe
         .join(
-            F.broadcast(s),
-            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+            F.broadcast(snr),
+            (l.l_suppkey * (1 << 20) + c.c_nationkey) == F.col("snr_key"),
         )
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")

@@ -23,7 +23,13 @@ SF = "/root/testdata/sf0.001"
 def mirrored(spark):
     build_bucketed_mirror(spark, SF, buckets=4)
     yield spark
-    # leave tables registered — session-scoped, harmless
+    # unregister: a mirror changes float summation ORDER (bucket-sorted
+    # reads), which flips last-cent rounding vs the oracle in later
+    # tests sharing this process
+    import os
+
+    for name in ("lineitem", "orders"):
+        BUCKETED_MIRRORS.pop((os.path.abspath(SF), name), None)
 
 
 def test_mirror_registered_and_equal(mirrored):
