@@ -1098,6 +1098,92 @@ def _finalize_agg_expr(a: list[str]) -> str:
     return e
 
 
+#: base aggregate names that themselves END in a combinator-looking
+#: suffix and must never be peeled further
+_COMBINATOR_STOP = {
+    "groupArray", "groupUniqArray", "sumMap", "minMap", "maxMap",
+    "sequenceCount",
+}
+
+#: aggregate combinator suffixes, peeled right-to-left
+#: (AggregateFunctionCombinatorFactory order)
+_COMBINATOR_SUFS = ("If", "OrNull", "OrDefault", "Distinct", "Array")
+
+
+def _peel_combinators(name: str) -> tuple[str, list[str]]:
+    """Strip trailing aggregate combinators: 'avgOrDefaultIf' ->
+    ('avg', ['If', 'OrDefault']).  Stops at known base names."""
+    sufs: list[str] = []
+    while name not in _COMBINATOR_STOP:
+        for suf in _COMBINATOR_SUFS:
+            if name.endswith(suf) and len(name) > len(suf):
+                name = name[: -len(suf)]
+                sufs.append(suf)
+                break
+        else:
+            break
+    return name, sufs
+
+
+def _render_tmpl(tmpl, args: list[str]) -> str:
+    if callable(tmpl):
+        return tmpl(args)
+    s = str(tmpl)
+    s = s.replace("{*}", ", ".join(args) if args else "*")
+    for k, a in enumerate(args):
+        s = s.replace("{" + str(k) + "}", a)
+    return s
+
+
+def _ordefault_value(expr_text: str) -> str:
+    """-OrDefault's empty-set fill is the TYPE default
+    (AggregateFunctionOrFill.h): 0 / epoch / ''.  The value type is
+    inferred from the expression text (the corpus spells casts and
+    constructors explicitly)."""
+    t = expr_text
+    if re.search(r"(?i)\bNULL\b", t):
+        return "NULL"  # Nullable(T) defaults to NULL regardless of T
+    if re.search(r"(?i)AS TIMESTAMP|to_timestamp|timestamp_seconds", t):
+        return "TIMESTAMP '1970-01-01 00:00:00'"
+    if re.search(r"(?i)AS DATE\b|to_date\s*\(|DATE '", t):
+        return "DATE '1970-01-01'"
+    if "'" in t:
+        return "''"
+    return "0"
+
+
+def _agg_combinator_expr(t: str, args: list[str]) -> str | None:
+    """Generic -If / -OrNull / -OrDefault combinator synthesis for any
+    mapped aggregate (AggregateFunctionOrFill.h: empty input -> NULL /
+    type default; AggregateFunctionIf.h: condition filters rows).
+    Returns None when the peeled base is unknown."""
+    base, sufs = _peel_combinators(t)
+    if not sufs or "Array" in sufs or "Distinct" in sufs:
+        return None
+    tmpl = FUNC_MAP.get(base)
+    if tmpl is None:
+        if base in ("sum", "min", "max", "avg", "count", "any"):
+            tmpl = base + "({0})"
+        else:
+            return None
+    vargs = list(args)
+    if "If" in sufs:
+        if len(vargs) < 2:
+            return None
+        cond = vargs.pop()
+        vargs = [
+            f"(CASE WHEN CAST({cond} AS BOOLEAN) THEN {v} END)"
+            for v in vargs
+        ]
+    core = _render_tmpl(tmpl, vargs)
+    cnt = f"count({vargs[0]})"
+    if "OrNull" in sufs:
+        return f"IF({cnt} = 0, NULL, {core})"
+    if "OrDefault" in sufs:
+        return f"IF({cnt} = 0, {_ordefault_value(vargs[0])}, {core})"
+    return core
+
+
 def _bar_expr(a: list[str]) -> str:
     """bar(x, min, max[, width]) — reference UnicodeBar::render
     (src/Common/UnicodeBar.cpp): clamp to [0, width], floor(w) full
@@ -1196,7 +1282,10 @@ def _array_reduce_expr(a: list[str]) -> str:
         return f"IF(size({arrs[0]}) = 0, NULL, {core})"
     if name.endswith("OrDefault") and len(name) > 9:
         core = recurse(name[:-9], arrs)
-        return f"IF(size({arrs[0]}) = 0, CAST(0 AS DOUBLE), {core})"
+        return (
+            f"IF(size({arrs[0]}) = 0, "
+            f"{_ordefault_value(arrs[0])}, {core})"
+        )
     if name.endswith("State") and len(name) > 5:
         base = name[:-5]
         x = arrs[0]
@@ -1337,6 +1426,11 @@ def _array_reduce_expr(a: list[str]) -> str:
             var = f"(({s2}) / {n} - pow(({s1}) / {n}, 2))"
         else:
             var = f"((({s2}) - pow({s1}, 2) / {n}) / ({n} - 1))"
+            if re.search(r"(?i)DECIMAL", arr):
+                # the reference's Decimal variance keeps a positive
+                # scale residue in the numerator: n<=1 -> +inf, not 0/0
+                var = f"IF({n} <= 1, double('inf'), {var})"
+        var = f"coalesce({var}, double('nan'))"
         return f"sqrt({var})" if name.startswith("stddev") else var
     if name == "medianExact":
         return _quantile_exact(arr, (params or "0.5").strip())
@@ -2876,8 +2970,12 @@ FUNC_MAP: dict[str, object] = {
     "medianTimingWeighted": lambda a: _quantile_timing_weighted_expr(
         ["0.5"], a, True
     ),
-    "stddevPop": "stddev_pop({0})", "stddevSamp": "stddev_samp({0})",
-    "varPop": "var_pop({0})", "varSamp": "var_samp({0})",
+    # single-value/empty sample stats are nan in the reference
+    # (AggregateFunctionStatistics: 0/0), never NULL
+    "stddevPop": "coalesce(stddev_pop({0}), double('nan'))",
+    "stddevSamp": "coalesce(stddev_samp({0}), double('nan'))",
+    "varPop": "coalesce(var_pop({0}), double('nan'))",
+    "varSamp": "coalesce(var_samp({0}), double('nan'))",
     "covarPop": "covar_pop({0}, {1})", "covarSamp": "covar_samp({0}, {1})",
     "corr": "corr({0}, {1})", "skewPop": "skewness({0})",
     "kurtPop": "kurtosis({0})",
@@ -4521,19 +4619,29 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 # uniq-family states are EXACT mergeable sets
                 # (collect_set) so overlapping partials dedup on merge
                 # (DataTypeAggregateFunction columns, 00048)
-                if t[:-5] in (
+                base_s, sufs_s = _peel_combinators(t[:-5])
+                if base_s in (
                     "uniq", "uniqExact", "uniqCombined", "uniqHLL12",
-                ):
+                ) and not sufs_s:
                     tmpl = "collect_set({0})"
-                elif t[:-5] == "avg":
+                elif base_s == "avg":
                     # mergeable (sum, count) partial — avg-of-avgs is
-                    # wrong for unequal group sizes
+                    # wrong for unequal group sizes.  -If applies at
+                    # state time; -OrNull/-OrDefault at merge time
+                    v = "{0}"
+                    if "If" in sufs_s:
+                        v = "(CASE WHEN CAST({1} AS BOOLEAN) THEN {0} END)"
                     tmpl = (
-                        "named_struct('s', CAST(sum({0}) AS DOUBLE), "
-                        "'c', count({0}))"
+                        f"named_struct('s', CAST(sum({v}) AS DOUBLE), "
+                        f"'c', count({v}))"
                     )
-                elif t[:-5].lower().startswith(("quantile", "median")):
+                elif base_s.lower().startswith(("quantile", "median")):
                     tmpl = "collect_list(CAST({0} AS DOUBLE))"
+                elif sufs_s:
+                    # finalized scalar with the combinators applied
+                    tmpl = lambda a, _t=t[:-5]: (  # noqa: E731
+                        _agg_combinator_expr(_t, a) or f"{_t}({', '.join(a)})"
+                    )
                 else:
                     tmpl = FUNC_MAP.get(t[:-5], t[:-5] + "({*})")
             if tmpl is None and t.endswith("Merge") and len(t) > 5:
@@ -4544,15 +4652,7 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 # suffixes (-If etc.) were applied at State time, so the
                 # merge always sees one plain column
                 base = t[:-5]
-                root = base
-                # never strip a combinator suffix off a BASE aggregate
-                # name (groupArray ends in 'Array' but is not -Array)
-                if root not in ("groupArray", "groupUniqArray"):
-                    for suf in (
-                        "If", "Distinct", "OrNull", "OrDefault", "Array",
-                    ):
-                        if root.endswith(suf) and len(root) > len(suf):
-                            root = root[: -len(suf)]
+                root, sufs_m = _peel_combinators(base)
                 if root in (
                     "uniq", "uniqExact", "uniqCombined", "uniqHLL12",
                 ):
@@ -4569,8 +4669,15 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                         else "any_value({0}, true)"
                     )
                 elif root == "avg":
-                    # (sum, count) struct partials
-                    tmpl = "sum({0}.s) / sum({0}.c)"
+                    # (sum, count) struct partials; -OrNull/-OrDefault
+                    # apply at finalization (AggregateFunctionOrFill)
+                    core = "sum({0}.s) / sum({0}.c)"
+                    if "OrNull" in sufs_m:
+                        tmpl = f"IF(sum({{0}}.c) = 0, NULL, {core})"
+                    elif "OrDefault" in sufs_m:
+                        tmpl = f"IF(sum({{0}}.c) = 0, 0, {core})"
+                    else:
+                        tmpl = core
                 elif root.lower().startswith(("quantile", "median")):
                     tmpl_arr = "flatten(collect_list({0}))"
                     p = ["0.5"]
@@ -4579,9 +4686,28 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                     )
                 elif root in ("sum", "min", "max"):
                     tmpl = f"{root}({{0}})"
+                elif sufs_m or root in (
+                    "stddevSamp", "stddevPop", "varSamp", "varPop",
+                    "corr", "covarPop", "covarSamp", "skewPop", "kurtPop",
+                    "argMin", "argMax",
+                ):
+                    # finalized non-composable scalar state: with one
+                    # partial per group any_value is exact (NULLs from
+                    # -OrNull states must survive, so no null-skip)
+                    tmpl = (
+                        "any_value({0})" if "OrNull" in sufs_m
+                        else "any_value({0}, true)"
+                    )
                 else:
                     tmpl = FUNC_MAP.get(base, base + "({*})")
             if tmpl is None:
+                # generic aggregate-combinator synthesis
+                # (avgOrDefaultIf, stddevSampOrNull, ...)
+                syn = _agg_combinator_expr(t, args)
+                if syn is not None:
+                    out.append(syn)
+                    i = close + 1
+                    continue
                 # pass through (Spark-native or user function)
                 out += [t, "("] + ([",".join(args)] if args else []) + [")"]
             elif callable(tmpl):

@@ -418,6 +418,7 @@ CORPUS = [
     "00291_array_reduce.sql",
     "00523_aggregate_functions_in_group_array.sql",
     "01690_quantilesTiming_ubsan.sql",
+    "01018_empty_aggregation_filling.sql",
 ]
 
 
