@@ -1277,6 +1277,19 @@ def _array_reduce_expr(a: list[str]) -> str:
     # the inner result for the empty set; -State / -Merge follow this
     # engine's stored-state model (uniq = value set, avg = (sum, count),
     # groupArray/quantile = value list — DataTypeAggregateFunction.h)
+    if (
+        name.endswith("If") and len(name) > 2 and len(arrs) >= 2
+        and name not in ("sumIf", "uniqExactIf", "uniqIf")  # explicit below
+    ):
+        # -If: last array is the condition; kept elements recurse
+        cond = arrs[-1]
+        kept = [
+            f"transform(filter(zip_with({x}, {cond}, "
+            f"(__ifv, __ifc) -> struct(__ifv AS v, __ifc AS c)), "
+            f"__ifp -> CAST(__ifp.c AS BOOLEAN)), __ifp -> __ifp.v)"
+            for x in arrs[:-1]
+        ]
+        return recurse(name[:-2], kept)
     if name.endswith("OrNull") and len(name) > 6:
         core = recurse(name[:-6], arrs)
         return f"IF(size({arrs[0]}) = 0, NULL, {core})"
@@ -1349,6 +1362,13 @@ def _array_reduce_expr(a: list[str]) -> str:
         )
         return f"struct({ks} AS col1, {sums} AS col2)"
     if name in ("sum", "sumKahan"):
+        m_d = re.search(r"(?i)DECIMAL\(\s*\d+\s*,\s*(\d+)\s*\)", arr)
+        if m_d:
+            s_ = m_d.group(1)
+            return (
+                f"aggregate({arr}, CAST(0 AS DECIMAL(38, {s_})), "
+                f"(__a, __x) -> CAST(__a + __x AS DECIMAL(38, {s_})))"
+            )
         return (
             f"aggregate({arr}, CAST(0 AS DOUBLE), (__a, __x) -> __a + __x)"
         )
@@ -1403,10 +1423,19 @@ def _array_reduce_expr(a: list[str]) -> str:
         return arr
     if name == "groupUniqArray":
         return f"array_distinct({arr})"
+    def _dec_rescale(e: str) -> str:
+        # Decimal inputs keep their scale through quantiles (the
+        # reference's Decimal quantile returns Decimal, printed with
+        # full scale)
+        m_d = re.search(r"(?i)DECIMAL\(\s*\d+\s*,\s*(\d+)\s*\)", arr)
+        if m_d:
+            return f"CAST({e} AS DECIMAL(38, {m_d.group(1)}))"
+        return e
+
     if name in ("median", "quantile"):
-        return _quantile_interp(arr, (params or "0.5").strip())
+        return _dec_rescale(_quantile_interp(arr, (params or "0.5").strip()))
     if name == "quantileExact":
-        return _quantile_exact(arr, (params or "0.5").strip())
+        return _dec_rescale(_quantile_exact(arr, (params or "0.5").strip()))
     if name == "quantiles":
         levels = [p.strip() for p in (params or "0.5").split(",")]
         parts = ", ".join(_quantile_interp(arr, lv) for lv in levels)
@@ -1433,7 +1462,7 @@ def _array_reduce_expr(a: list[str]) -> str:
         var = f"coalesce({var}, double('nan'))"
         return f"sqrt({var})" if name.startswith("stddev") else var
     if name == "medianExact":
-        return _quantile_exact(arr, (params or "0.5").strip())
+        return _dec_rescale(_quantile_exact(arr, (params or "0.5").strip()))
     if name in ("argMin", "argMax"):
         op = "<=" if name == "argMin" else ">="
         zipped = (
@@ -1484,6 +1513,10 @@ _FN_TYPE_NAMES = {
     "ROWNUMBERINALLBLOCKS": "UInt64", "BLOCKSIZE": "UInt64",
     "CITYHASH64": "UInt64", "SIPHASH64": "UInt64",
     "INTHASH64": "UInt64", "INTHASH32": "UInt32",
+    # string producers (runningAccumulate / toTypeName dispatch)
+    "REPEAT": "String", "CONCAT": "String", "HEX": "String",
+    "UPPER": "String", "LOWER": "String", "REVERSE": "String",
+    "SUBSTRING": "String", "SUBSTR": "String", "TRIM": "String",
 }
 
 
@@ -1595,6 +1628,18 @@ def _ch_type_of(toks: list[str], env: dict[str, str]) -> str | None:
             return _ch_type_of(parts[0], env) if parts else None
         if head in _FN_TYPE_NAMES:
             return _FN_TYPE_NAMES[head]
+        if head.endswith("STATE") and len(head) > 5 and parts:
+            # fooState: the stored value kind drives runningAccumulate /
+            # toTypeName dispatch (finalized-ish storage model)
+            b = head[:-5]
+            if b in ("GROUPARRAY", "GROUPUNIQARRAY") or b.startswith(
+                "UNIQ"
+            ) or b.startswith("QUANTILE") or b == "MEDIAN":
+                inner = _ch_type_of(parts[0], env)
+                return f"Array({inner or 'String'})"
+            if b in ("ARGMAX", "ARGMIN", "ANY", "ANYLAST", "MAX", "MIN"):
+                return _ch_type_of(parts[0], env)
+            return None
         if head == "TONULLABLE":
             inner = _ch_type_of(parts[0], env) if parts else None
             return _ch_wrap(inner) if inner else None
@@ -3094,10 +3139,21 @@ FUNC_MAP: dict[str, object] = {
         )
     ),
     "runningAccumulate": lambda a: (
-        f"sum({a[0]}) OVER ("
-        + (f"PARTITION BY {a[1]} " if len(a) > 1 else "")
-        + "ORDER BY monotonically_increasing_id() "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        # set states (collect_set/collect_list renderings) accumulate by
+        # running union; numeric states by running sum
+        (
+            f"array_distinct(flatten(collect_list({a[0]}) OVER ("
+            + (f"PARTITION BY {a[1]} " if len(a) > 1 else "")
+            + "ORDER BY monotonically_increasing_id() "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))"
+        )
+        if "collect_set" in a[0] or "collect_list" in a[0]
+        else (
+            f"sum({a[0]}) OVER ("
+            + (f"PARTITION BY {a[1]} " if len(a) > 1 else "")
+            + "ORDER BY monotonically_increasing_id() "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
     ),
     # sumWithOverflow keeps the input type width (wraparound); at the
     # value level it equals sum whenever no overflow occurs
@@ -3406,6 +3462,15 @@ FUNC_MAP: dict[str, object] = {
     "toDecimal64OrZero": lambda a: (
         f"coalesce(try_cast({a[0]} AS DECIMAL(18, {a[1]})), "
         f"CAST(0 AS DECIMAL(18, {a[1]})))"
+    ),
+    "toDecimal128OrZero": lambda a: (
+        f"coalesce(try_cast({a[0]} AS DECIMAL(38, {a[1]})), "
+        f"CAST(0 AS DECIMAL(38, {a[1]})))"
+    ),
+    "toDecimal32OrNull": lambda a: f"try_cast({a[0]} AS DECIMAL(9, {a[1]}))",
+    "toDecimal64OrNull": lambda a: f"try_cast({a[0]} AS DECIMAL(18, {a[1]}))",
+    "toDecimal128OrNull": lambda a: (
+        f"try_cast({a[0]} AS DECIMAL(38, {a[1]}))"
     ),
     "toDecimal256": lambda a: f"CAST({a[0]} AS DECIMAL(38, {a[1]}))",
     "toYYYYMMDDhhmmss": (
@@ -4513,6 +4578,37 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 out.append(_emit(_translate_expr(inner)))
                 i = close + 1
                 continue
+            # runningAccumulate resolves by the STATE's value kind: set
+            # states by running union, strings by running max (argMax/any
+            # merge), numerics by running sum — the raw arg's inferred
+            # type decides (runningAccumulate.cpp finalizes per row)
+            if t == "runningAccumulate" and arg_parts:
+                tn = _type_name_of_raw(arg_parts[0]) or ""
+                basety = _ch_unwrap(tn) if tn else ""
+                targ = _emit(_translate_expr(arg_parts[0]))
+                part = (
+                    f"PARTITION BY {_emit(_translate_expr(arg_parts[1]))} "
+                    if len(arg_parts) > 1 else ""
+                )
+                win = (
+                    f"OVER ({part}ORDER BY monotonically_increasing_id() "
+                    f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                )
+                if (
+                    "collect_set" in targ or "collect_list" in targ
+                    or basety.startswith("Array")
+                ):
+                    expr = (
+                        f"array_distinct(flatten("
+                        f"collect_list({targ}) {win}))"
+                    )
+                elif basety.startswith(("String", "FixedString")):
+                    expr = f"max({targ}) {win}"
+                else:
+                    expr = f"sum({targ}) {win}"
+                out.append(expr)
+                i = close + 1
+                continue
             args = [_emit(_translate_expr(p)) for p in arg_parts if p]
             # parametric: name(params)(args)
             if close + 1 < n and toks[close + 1] == "(":
@@ -4668,10 +4764,15 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                         if root == "groupArray"
                         else "any_value({0}, true)"
                     )
+                elif root == "groupUniqArray":
+                    tmpl = "array_distinct(flatten(collect_list({0})))"
                 elif root == "avg":
                     # (sum, count) struct partials; -OrNull/-OrDefault
-                    # apply at finalization (AggregateFunctionOrFill)
-                    core = "sum({0}.s) / sum({0}.c)"
+                    # apply at finalization (AggregateFunctionOrFill);
+                    # all-empty states merge to nan (avg of zero rows)
+                    core = (
+                        "coalesce(sum({0}.s) / sum({0}.c), double('nan'))"
+                    )
                     if "OrNull" in sufs_m:
                         tmpl = f"IF(sum({{0}}.c) = 0, NULL, {core})"
                     elif "OrDefault" in sufs_m:
@@ -5200,6 +5301,8 @@ def _parse_select(toks: list[str]) -> _Select:
     # the translated sibling-alias substitution below rewrites the name
     if "toTypeName" in q.select:
         q.select = _subst_aliases_into_typefns(q.select)
+    if "toTypeName" in q.select or "runningAccumulate" in q.select:
+        # runningAccumulate also dispatches on the raw arg's type
         _TYPE_ENV_CTX.set(
             _subquery_type_env(q.from_) if q.from_ else None
         )

@@ -137,6 +137,11 @@ def _type_default(spark_type: str, nullable: bool) -> str:
         return "FALSE"
     if t.startswith("MAP"):
         return "MAP()"
+    if t.startswith("STRUCT<S: DOUBLE, C: BIGINT>"):
+        # empty avg state (sum, count): contributes nothing to a merge
+        return (
+            "named_struct('s', CAST(0 AS DOUBLE), 'c', CAST(0 AS BIGINT))"
+        )
     return "0"
 
 

@@ -419,6 +419,9 @@ CORPUS = [
     "00523_aggregate_functions_in_group_array.sql",
     "01690_quantilesTiming_ubsan.sql",
     "01018_empty_aggregation_filling.sql",
+    "00432_aggregate_function_scalars_and_constants.sql",
+    "00980_crash_nullable_decimal.sql",
+    "01051_aggregate_function_crash.sql",
 ]
 
 
