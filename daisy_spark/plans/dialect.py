@@ -342,10 +342,26 @@ def _array_sort(args: list[str], desc: bool = False) -> str:
         )
     # key lambda: comparator over the inlined key expression
     # (ArraySort.h sorts by func(x) ascending)
-    lam, arr = args[0], args[1]
+    lam = args[0]
+    lt, gt = ("1", "-1") if desc else ("-1", "1")
+    if len(args) > 2:
+        # multi-array form: lambda params bind to parallel elements;
+        # the FIRST array is sorted by the computed key
+        a1, a2 = args[1], args[2]
+        kl = _inline_lambda(lam, "__sl.f0", "__sl.f1")
+        kr = _inline_lambda(lam, "__sr.f0", "__sr.f1")
+        zipped = (
+            f"zip_with({a1}, {a2}, (__z1, __z2) -> "
+            f"named_struct('f0', __z1, 'f1', __z2))"
+        )
+        return (
+            f"transform(array_sort({zipped}, (__sl, __sr) -> "
+            f"CASE WHEN {kl} < {kr} THEN {lt} "
+            f"WHEN {kl} > {kr} THEN {gt} ELSE 0 END), __zs -> __zs.f0)"
+        )
+    arr = args[1]
     kl = _inline_lambda(lam, "__sl")
     kr = _inline_lambda(lam, "__sr")
-    lt, gt = ("1", "-1") if desc else ("-1", "1")
     return (
         f"array_sort({arr}, (__sl, __sr) -> "
         f"CASE WHEN {kl} < {kr} THEN {lt} "
@@ -1850,6 +1866,23 @@ _TYPE_ENV_CTX: "contextvars.ContextVar[dict | None]" = contextvars.ContextVar(
 )
 
 
+#: reference functions that visibly return arrays (for length/empty
+#: polymorphic dispatch when full typing is underivable)
+_RAW_ARRAY_HEADS = {
+    "RANGE", "ARRAYMAP", "ARRAYFILTER", "ARRAYSORT", "ARRAYREVERSESORT",
+    "ARRAYCONCAT", "ARRAYSLICE", "ARRAYREVERSE", "ARRAYDISTINCT",
+    "ARRAYCOMPACT", "ARRAYPOPBACK", "ARRAYPOPFRONT", "ARRAYPUSHBACK",
+    "ARRAYPUSHFRONT", "ARRAYRESIZE", "GROUPARRAY", "GROUPUNIQARRAY",
+    "SPLITBYCHAR", "SPLITBYSTRING", "SPLITBYREGEXP", "EXTRACTALL",
+    "ALPHATOKENS", "ARRAYENUMERATE", "ARRAYENUMERATEUNIQ", "ARRAYJOIN",
+    "EMPTYARRAYUINT8", "EMPTYARRAYUINT16", "EMPTYARRAYUINT32",
+    "EMPTYARRAYUINT64", "EMPTYARRAYINT8", "EMPTYARRAYINT16",
+    "EMPTYARRAYINT32", "EMPTYARRAYINT64", "EMPTYARRAYFLOAT32",
+    "EMPTYARRAYFLOAT64", "EMPTYARRAYSTRING", "EMPTYARRAYDATE",
+    "EMPTYARRAYDATETIME", "ARRAYFLATTEN", "ARRAYZIP", "ARRAYWITHCONSTANT",
+}
+
+
 def _subquery_type_env(from_toks: list[str]) -> dict[str, str]:
     """Column -> reference type for aliased items of FROM (SELECT ...)
     subqueries, so toTypeName(x) can resolve x defined one level down."""
@@ -1885,12 +1918,59 @@ def _subquery_type_env(from_toks: list[str]) -> dict[str, str]:
                     and _paren_depth_at(item, len(item) - 2) == 0
                 ):
                     t = _ch_type_of(item[:-2], sub_env)
+                    if t is None and item and (
+                        item[0] == "[" or _kw(item[0]) in _RAW_ARRAY_HEADS
+                    ):
+                        # opaque arrayness marker: enough for length/
+                        # empty dispatch; toTypeName treats '?' as
+                        # underivable and falls back to runtime typeof
+                        t = "Array(?)"
                     if t:
                         env[item[-1].strip('`"')] = t
             i = close + 1
             continue
         i += 1
     return env
+
+
+#: lambda formals currently bound to ARRAY-valued elements (array HOF
+#: over an array-of-arrays input) — length/empty dispatch needs this
+_ARRAY_LAMBDA_VARS: "contextvars.ContextVar[frozenset | None]" = (
+    contextvars.ContextVar("daisy_array_lambda_vars", default=None)
+)
+
+
+def _raw_elems_are_arrays(raw: list[str], env: dict | None) -> bool:
+    """Whether the elements of a raw array-valued expression are
+    themselves arrays: nested literal, Array(Array(..)) env type, or
+    arrayMap whose lambda body is array-producing."""
+    if not raw:
+        return False
+    if raw[0] == "[" and len(raw) > 1 and raw[1] == "[":
+        return True
+    if len(raw) == 1 and _is_ident(raw[0]):
+        t = (env or {}).get(raw[0].strip('`"'), "")
+        return t.replace(" ", "").startswith("Array(Array")
+    if _kw(raw[0]) == "ARRAYMAP":
+        arrow = next(
+            (k for k, tk in enumerate(raw) if tk == "->"), -1
+        )
+        if arrow >= 0 and arrow + 1 < len(raw) and (
+            raw[arrow + 1] == "["
+            or _kw(raw[arrow + 1]) in _RAW_ARRAY_HEADS
+        ):
+            return True
+    if len(raw) == 1 and "transform(" in raw[0]:
+        # sibling-alias substitution splices TRANSLATED text back in as
+        # one token; a transform whose lambda body builds arrays is an
+        # array-of-arrays
+        body = raw[0].split("->", 1)
+        if len(body) == 2 and re.search(
+            r"(?:sequence|array|slice|split|array_distinct)\s*\(",
+            body[1],
+        ):
+            return True
+    return False
 
 
 def _type_name_of_raw(toks: list[str]) -> str | None:
@@ -4578,6 +4658,37 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 out.append(_emit(_translate_expr(inner)))
                 i = close + 1
                 continue
+            # array HOFs: while translating a lambda body, formals
+            # bound to elements of an array-of-arrays must dispatch
+            # length/empty as arrays
+            hof_alv_token = None
+            if (
+                t in (
+                    "arrayMap", "arrayFilter", "arraySort",
+                    "arrayReverseSort", "arrayExists", "arrayAll",
+                    "arrayFirst", "arrayFirstIndex", "arrayCount",
+                    "arraySum", "arrayAvg", "arrayMin", "arrayMax",
+                )
+                and arg_parts and any("->" in p for p in arg_parts)
+            ):
+                # bind the lambda formals as array-valued for the scope
+                # of THIS call's arg translation (length/empty dispatch)
+                lam = arg_parts[0]
+                arrow = next(
+                    (k for k, tk in enumerate(lam) if tk == "->"), -1
+                )
+                env_now = _TYPE_ENV_CTX.get() or {}
+                if arrow > 0 and any(
+                    _raw_elems_are_arrays(p, env_now)
+                    for p in arg_parts[1:]
+                ):
+                    formals = frozenset(
+                        tk for tk in lam[:arrow] if _is_ident(tk)
+                    )
+                    prev_set = _ARRAY_LAMBDA_VARS.get() or frozenset()
+                    hof_alv_token = _ARRAY_LAMBDA_VARS.set(
+                        prev_set | formals
+                    )
             # runningAccumulate resolves by the STATE's value kind: set
             # states by running union, strings by running max (argMax/any
             # merge), numerics by running sum — the raw arg's inferred
@@ -4610,6 +4721,8 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 i = close + 1
                 continue
             args = [_emit(_translate_expr(p)) for p in arg_parts if p]
+            if hof_alv_token is not None:
+                _ARRAY_LAMBDA_VARS.reset(hof_alv_token)
             # parametric: name(params)(args)
             if close + 1 < n and toks[close + 1] == "(":
                 close2 = _match_paren(toks, close + 1)
@@ -4691,6 +4804,8 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                     continue
             if t == "toTypeName" and arg_parts:
                 tn = _type_name_of_raw(arg_parts[0])
+                if tn is not None and "?" in tn:
+                    tn = None
                 if tn is not None:
                     out.append(f"'{tn}'")
                     i = close + 1
@@ -5247,6 +5362,9 @@ def _parse_select(toks: list[str]) -> _Select:
                         env = dict(_TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT)
                         env[ph] = at[6:-1]
                         _TYPE_ENV_CTX.set(env)
+                    if _raw_elems_are_arrays(arg, _TYPE_ENV_CTX.get()):
+                        prev_alv = _ARRAY_LAMBDA_VARS.get() or frozenset()
+                        _ARRAY_LAMBDA_VARS.set(prev_alv | {ph})
                 out2.append(ph)
                 i2 = close2 + 1
             else:
@@ -5301,11 +5419,14 @@ def _parse_select(toks: list[str]) -> _Select:
     # the translated sibling-alias substitution below rewrites the name
     if "toTypeName" in q.select:
         q.select = _subst_aliases_into_typefns(q.select)
-    if "toTypeName" in q.select or "runningAccumulate" in q.select:
-        # runningAccumulate also dispatches on the raw arg's type
+    # length/empty/runningAccumulate/toTypeName all dispatch on the
+    # raw argument's inferred type — keep the env current for every query
+    try:
         _TYPE_ENV_CTX.set(
             _subquery_type_env(q.from_) if q.from_ else None
         )
+    except Exception:  # noqa: BLE001
+        _TYPE_ENV_CTX.set(None)
     # reference semantics: SELECT aliases are visible in WHERE/PREWHERE/
     # HAVING (ExpressionAnalyzer alias preference); Spark resolves only
     # real columns there, so inline the aliased expression
@@ -5558,6 +5679,7 @@ _ARRAYISH_HEADS = (
     "array_repeat(", "slice(", "split(", "sequence(", "flatten(",
     "shuffle(", "sort_array(", "array_sort(", "map_keys(", "map_values(",
     "transform(", "filter(", "reverse(array", "arrays_zip(", "zip_with(",
+    "map(", "map_from_arrays(", "map_concat(", "str_to_map(",
 )
 
 
@@ -5624,6 +5746,13 @@ def _is_arrayish(txt: str) -> bool:
     if any(m in compact for m in _ARRAYISH_HEADS):
         return True
     name = compact.strip("`")
+    while name.startswith("(") and name.endswith(")"):
+        name = name[1:-1].strip("`")
+    if name in (_ARRAY_LAMBDA_VARS.get() or frozenset()):
+        return True
+    env = _TYPE_ENV_CTX.get() or {}
+    if env.get(name, "").startswith("Array"):
+        return True
     schemas = _SCRIPT_SCHEMAS_CTX.get() or {}
     for cols in schemas.values():
         for c, st, _ in cols:
@@ -6780,6 +6909,13 @@ def _render(q: _Select) -> str:
     lateral = lateral.strip()
     if q.from_:
         from_sql = _emit(_translate_from(q.from_))
+        # nested FROM subqueries set the type env for their own scope
+        # while translating — restore THIS query's env for the clauses
+        # still to come (WHERE/GROUP BY/ORDER BY)
+        try:
+            _TYPE_ENV_CTX.set(_subquery_type_env(q.from_))
+        except Exception:  # noqa: BLE001
+            _TYPE_ENV_CTX.set(None)
         # system.numbers expands to a 1e9-row lazy range; when a plain
         # integer LIMIT is the only row-consuming clause, push it into
         # the range bound — correlated subqueries in the select list
@@ -7920,6 +8056,7 @@ _EXPLAIN_MODES = {"AST": "EXTENDED", "PLAN": "FORMATTED", "PIPELINE": "FORMATTED
 
 def translate(query: str) -> TranslateResult:
     """Reference-dialect SQL -> Spark SQL (+ extracted SETTINGS, stream flag)."""
+    _ARRAY_LAMBDA_VARS.set(frozenset())
     toks = tokenize(query.strip().rstrip(";"))
     if not toks:
         raise DialectError("empty query")

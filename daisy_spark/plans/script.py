@@ -43,6 +43,7 @@ from daisy_spark.plans.dialect import (
     _kw,
     _map_type,
     _match_paren,
+    _paren_depth_at,
     _split_top,
     _translate_expr,
     sql as dialect_sql,
@@ -1154,11 +1155,21 @@ class ScriptRunner:
         t = self.tables[name]
         if t.df is None:
             t.df = self._empty_df(t)
-        acts = [a for a in _split_top(toks[i:], ",") if a]
+        # trailing SETTINGS (mutations_sync etc.): mutations here are
+        # always synchronous — accept and drop
+        rest = toks[i:]
+        for k in range(len(rest)):
+            if (
+                _kw(rest[k]) == "SETTINGS"
+                and _paren_depth_at(rest, k) == 0
+            ):
+                rest = rest[:k]
+                break
+        acts = [a for a in _split_top(rest, ",") if a]
         if acts and _kw(acts[0][0]) == "UPDATE":
             # UPDATE c1 = e1, c2 = e2 WHERE pred — commas belong to the
             # assignment list, not to an action list
-            self._alter_update(t, toks[i:])
+            self._alter_update(t, rest)
         else:
             for action in acts:
                 self._alter_action(t, action)
@@ -1351,9 +1362,19 @@ class ScriptRunner:
             # ALTER ... DELETE WHERE pred — synchronous mutation
             k = 1 if _kw(a[1]) == "WHERE" else 0
             pred = _emit(_translate_expr(a[k + 1 :]))
-            t.df = t.df.filter(F.expr(f"NOT CAST(({pred}) AS BOOLEAN)"))
+            # NULL predicate rows are NOT deleted (mutation filters on
+            # pred = TRUE only)
+            t.df = t.df.filter(
+                F.expr(f"CAST(({pred}) AS BOOLEAN) IS NOT TRUE")
+            )
             return
         if op == "COMMENT":
+            return
+        if op in ("ADD", "DROP", "CLEAR", "MATERIALIZE") and j < len(a) and _kw(
+            a[j]
+        ) in ("INDEX", "PROJECTION"):
+            # skipping indexes / projections are physical-layout hints
+            # with no query semantics here (like CODEC): accept-ignore
             return
         if op == "DROP" and j < len(a) and _kw(a[j]) == "PARTITION":
             # DROP PARTITION v: remove rows whose partition expression

@@ -422,6 +422,15 @@ CORPUS = [
     "00432_aggregate_function_scalars_and_constants.sql",
     "00980_crash_nullable_decimal.sql",
     "01051_aggregate_function_crash.sql",
+    "00806_alter_update.sql",
+    "01358_mutation_delete_null_rows.sql",
+    "01475_mutation_with_if.sql",
+    "01000_bad_size_of_marks_skip_idx.sql",
+    "00277_array_filter.sql",
+    "01592_length_map.sql",
+    "00449_filter_array_nullable_tuple.sql",
+    "00559_filter_array_generic.sql",
+    "00390_array_sort.sql",
 ]
 
 
