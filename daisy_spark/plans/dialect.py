@@ -6479,6 +6479,23 @@ def _translate_from(toks: list[str]) -> list[str]:
             side = (
                 "FULL" if any_full else "LEFT" if "LEFT" in dirs else "INNER"
             )
+            if alias is None and not factor_sql.startswith("("):
+                # keep the table name addressable (t2.* in the select)
+                alias = factor_sql.split(".")[-1]
+            if side == "INNER":
+                # ANY INNER keeps at most one row from BOTH sides
+                # (HashJoin.h: "first matching pair") — dedup the left too
+                popped = _asof_pop_left(out)
+                if popped is not None:
+                    start, left_sql, lq = popped
+                    dedup_l = (
+                        f"(SELECT * EXCEPT (__rn) FROM (SELECT __any.*, "
+                        f"row_number() OVER (PARTITION BY {key_list} "
+                        f"ORDER BY monotonically_increasing_id()) AS __rn "
+                        f"FROM {left_sql} AS __any) WHERE __rn = 1)"
+                    )
+                    del out[start:]
+                    out += [dedup_l, "AS", lq]
             out += [side, "JOIN", dedup]
             if alias:
                 out += ["AS", alias]
@@ -7027,6 +7044,14 @@ def _render(q: _Select) -> str:
             _subquery_type_env(q.from_) if q.from_ else _TYPE_ENV_DEFAULT
         )
         parts.append("ORDER BY " + _order_by_sql(q.order_by, env))
+    elif q.group_by and (
+        q.with_cube or q.with_rollup
+        or _kw(q.group_by[0]) in ("CUBE", "ROLLUP", "GROUPING")
+    ):
+        # no explicit ORDER BY: the reference emits finest grouping
+        # level first, subtotals after (per-level blocks); Spark's
+        # grouping-sets output order is arbitrary — pin the level order
+        parts.append("ORDER BY grouping_id() ASC")
     if q.limit and totals_bypass:
         # LIMIT applies to the REGULAR rows only; the totals row rides
         # in its side block regardless (TotalsHavingTransform)
@@ -7426,6 +7451,176 @@ def _qualify_ambiguous(q: _Select) -> None:
     q.order_by = subst(q.order_by)
 
 
+
+
+def _semi_anti_both_sides_rewrite(q: "_Select") -> None:
+    """The reference's SEMI/ANTI joins output BOTH sides (HashJoin.h
+    JoinKind Semi/Anti): SEMI LEFT keeps left rows with a match plus the
+    FIRST matching right row's columns (right insertion order); SEMI
+    RIGHT mirrors; ANTI LEFT keeps matchless left rows with right
+    columns = type defaults except USING keys (which echo the left
+    value); ANTI RIGHT keeps matchless right rows with left columns all
+    defaults.  Spark's LEFT SEMI/ANTI return one side only — rewrite
+    when the other side is referenced (and always for RIGHT variants,
+    which Spark lacks)."""
+    parts = _split_single_join(q.from_)
+    if not parts:
+        return
+    left, words, right, tail = parts
+    kws = {_kw(w) for w in words}
+    which = "SEMI" if "SEMI" in kws else ("ANTI" if "ANTI" in kws else None)
+    if which is None:
+        return
+    rightward = "RIGHT" in kws
+    # USING keys (ON forms keep the existing one-sided path)
+    keys: list[str] = []
+    for j, t in enumerate(tail):
+        if _kw(t) == "USING":
+            k = j + 1
+            if k < len(tail) and tail[k] == "(":
+                keys = [
+                    x.strip("`") for x in tail[k + 1 : _match_paren(tail, k)]
+                    if _is_ident(x)
+                ]
+            else:
+                while k < len(tail) and (_is_ident(tail[k]) or tail[k] == ","):
+                    if _kw(tail[k]) in _SQL_KEYWORDS and tail[k] != ",":
+                        break
+                    if tail[k] != ",":
+                        keys.append(tail[k].strip("`"))
+                    k += 1
+            break
+    if not keys:
+        return
+
+    def split_alias(item: list[str], default_name: str):
+        src2 = list(item)
+        alias = None
+        if len(src2) >= 2 and _kw(src2[-2]) == "AS":
+            alias, src2 = src2[-1], src2[:-2]
+        elif (
+            src2 and src2[0] == "(" and _is_ident(src2[-1])
+            and _match_paren(src2, 0) < len(src2) - 1
+        ):
+            alias, src2 = src2[-1], src2[:-1]
+        elif (
+            src2 and src2[0] != "(" and len(src2) > 1
+            and _is_ident(src2[-1]) and src2[-2] != "."
+        ):
+            alias, src2 = src2[-1], src2[:-1]
+        if alias is None:
+            bare = "".join(x.strip("`") for x in src2).split(".")[-1]
+            alias = bare if _is_ident(bare) else default_name
+        return src2, alias.strip("`")
+
+    lsrc, lalias = split_alias(left, "__sa_l")
+    rsrc, ralias = split_alias(right, "__sa_r")
+    other = ralias if not rightward else lalias
+    refs_other = any(
+        q.select[j].strip("`") == other
+        and j + 1 < len(q.select) and q.select[j + 1] == "."
+        for j in range(len(q.select))
+    )
+    if not rightward and not refs_other:
+        return  # Spark's one-sided LEFT SEMI/ANTI suffices
+    lcols = _from_item_cols(lsrc)
+    rcols = _from_item_cols(rsrc)
+    if lcols is None or rcols is None:
+        return
+    if which == "SEMI":
+        # dedup the non-driving side to its first row per key, then a
+        # plain INNER join — one output row per driving-side match
+        dd_src, dd_alias, dd_cols = (
+            (rsrc, ralias, rcols) if not rightward else (lsrc, lalias, lcols)
+        )
+        col_list = ", ".join(f"`{c}`" for c in dd_cols)
+        key_list = ", ".join(f"`{k}`" for k in keys)
+        sub = tokenize(
+            f"( SELECT {col_list} FROM ( SELECT *, row_number() OVER "
+            f"(PARTITION BY {key_list} "
+            f"ORDER BY monotonically_increasing_id()) AS __sa_rn "
+            f"FROM {' '.join(dd_src)} ) WHERE __sa_rn = 1 ) AS {dd_alias}"
+        )
+        # driving side carries a stream id so an ORDER BY with ties
+        # falls back to the reference's insertion order
+        drv_src, drv_alias = (lsrc, lalias) if not rightward else (rsrc, ralias)
+        drv = tokenize(
+            f"( SELECT *, monotonically_increasing_id() AS __sa_id "
+            f"FROM {' '.join(drv_src)} ) AS {drv_alias}"
+        )
+        if rightward:
+            q.from_ = sub + ["INNER", "JOIN"] + drv + tail
+        else:
+            q.from_ = drv + ["INNER", "JOIN"] + sub + tail
+        if q.order_by:
+            q.order_by = q.order_by + [",", "`__sa_id`"]
+        # the id column must not leak through `alias.*`
+        drv_cols = lcols if not rightward else rcols
+        sel: list[str] = []
+        j2 = 0
+        while j2 < len(q.select):
+            if (
+                q.select[j2].strip("`") == drv_alias
+                and j2 + 2 < len(q.select) and q.select[j2 + 1] == "."
+                and q.select[j2 + 2] == "*"
+            ):
+                sel += tokenize(", ".join(
+                    f"{drv_alias}.`{c}`" for c in drv_cols
+                ))
+                j2 += 3
+                continue
+            sel.append(q.select[j2])
+            j2 += 1
+        q.select = sel
+        return
+    # ANTI: keep the one-sided Spark anti join, synthesize the missing
+    # side's columns in every clause that references them
+    miss_alias, miss_cols = (
+        (ralias, rcols) if not rightward else (lalias, lcols)
+    )
+    kept_alias = lalias if not rightward else ralias
+
+    def col_expr(c: str) -> str:
+        if c in keys and not rightward:
+            return f"{kept_alias}.`{c}`"
+        d = str(miss_cols[c])
+        # coalesce wrapper: a bare integer default in ORDER BY position
+        # would read as a positional ordinal
+        return f"coalesce({d}, {d})"
+
+    def subst(ts: list[str]) -> list[str]:
+        res: list[str] = []
+        j = 0
+        while j < len(ts):
+            if (
+                ts[j].strip("`") == miss_alias and j + 2 < len(ts)
+                and ts[j + 1] == "."
+            ):
+                tgt = ts[j + 2]
+                if tgt == "*":
+                    exp = ", ".join(
+                        f"{col_expr(c)} AS `{c}`" for c in miss_cols
+                    )
+                    res += tokenize(exp)
+                else:
+                    res += tokenize(f"( {col_expr(tgt.strip(chr(96)))} )")
+                j += 3
+                continue
+            res.append(ts[j])
+            j += 1
+        return res
+
+    q.select = subst(q.select)
+    q.where = subst(q.where)
+    q.prewhere = subst(q.prewhere)
+    q.group_by = subst(q.group_by)
+    q.having = subst(q.having)
+    q.order_by = subst(q.order_by)
+    if rightward:
+        q.from_ = right + ["ANTI", "LEFT", "JOIN"] + left + tail
+
+
+
 def _bare_star_fill(q: _Select) -> None:
     """``SELECT *`` over a LEFT/FULL USING join: expand the star so the
     right side's columns can carry the reference's type-default fill
@@ -7594,6 +7789,7 @@ def _translate_select_tokens(toks: list[str]) -> tuple[str, dict[str, str]]:
     _using_alias_rewrite(q)
     _qualify_ambiguous(q)
     _apply_array_join(q)
+    _semi_anti_both_sides_rewrite(q)
     _bare_star_fill(q)
     _outer_join_default_fill(q)
     stash = _stream_order_join_rewrite(q)
@@ -7652,7 +7848,11 @@ def _subq_cols(inner: list[str]) -> dict[str, str]:
 
 def _join_fill_cols(
     q: _Select,
-) -> tuple[dict[str, tuple[str, str]], dict[str, list[tuple[str, str]]]]:
+) -> tuple[
+    dict[str, tuple[str, str]],
+    dict[str, list[tuple[str, str]]],
+    dict[str, str],
+]:
     """For each LEFT/FULL JOIN in the FROM clause whose right side's
     column list is derivable (inline subquery select list, or a script
     table with a registered schema), map column name ->
@@ -7663,6 +7863,7 @@ def _join_fill_cols(
     n = len(toks)
     fill: dict[str, tuple[str, str]] = {}
     star: dict[str, list[tuple[str, str]]] = {}
+    keymap: dict[str, str] = {}
     i = 0
     while i < n:
         if _kw(toks[i]) not in ("LEFT", "FULL"):
@@ -7690,6 +7891,7 @@ def _join_fill_cols(
             schema = (_SCRIPT_SCHEMAS_CTX.get() or {}).get(tname)
             if schema:
                 cols = {c: d for c, _, d in schema}
+                ralias = tname  # a bare table stays addressable by name
             k += 1
         if k < n and _kw(toks[k]) == "AS":
             k += 1
@@ -7782,26 +7984,53 @@ def _join_fill_cols(
                                 break
                             key_toks.append(toks[y2])
                             y2 += 1
+                    # the right item's alias (right after JOIN)
+                    ra = None
+                    z = j + 1
+                    if z < n and toks[z] == "(":
+                        z = _match_paren(toks, z) + 1
+                    else:
+                        z0 = z
+                        while z < n and (
+                            (_is_ident(toks[z])
+                             and _kw(toks[z]) not in _SQL_KEYWORDS)
+                            or toks[z] == "."
+                        ):
+                            z += 1
+                        if z > z0:
+                            ra = toks[z - 1]
+                    if z < n and _kw(toks[z]) == "AS":
+                        z += 1
+                    if z < n and _is_ident(toks[z]) and _kw(
+                        toks[z]
+                    ) not in _SQL_KEYWORDS:
+                        ra = toks[z]
                     for kt in key_toks:
                         lcols.pop(kt, None)
+                        # RIGHT joins: the reference's output key is the
+                        # RIGHT side's key (rows stream from the right);
+                        # Spark's bare-name resolution over RIGHT USING
+                        # is unstable — force the qualification
+                        if _kw(toks[i]) == "RIGHT" and ra and kt != ",":
+                            keymap[kt.strip("`")] = ra
                     break
                 if _kw(toks[x]) in ("JOIN",):
                     break
             for name, dd in lcols.items():
                 fill[name] = (lalias or "", dd)
         i = j + 1
-    return fill, star
+    return fill, star, keymap
 
 
 def _outer_join_default_fill(q: _Select) -> None:
     # join_use_nulls=1: the reference emits NULLs (like Spark) — no fill
     if str((_SETTINGS_CTX.get() or {}).get("join_use_nulls", "0")) == "1":
         return
-    fill, star = _join_fill_cols(q)
-    if not fill and not star:
+    fill, star, keymap = _join_fill_cols(q)
+    if not fill and not star and not keymap:
         return
 
-    def subst(ts: list[str]) -> list[str]:
+    def subst(ts: list[str], in_select: bool = False) -> list[str]:
         res: list[str] = []
         i = 0
         m = len(ts)
@@ -7831,6 +8060,20 @@ def _outer_join_default_fill(q: _Select) -> None:
                 res.append(f"coalesce({t}.{ts[i + 2]}, {dd})")
                 i += 3
                 continue
+            if (
+                t in star
+                and i + 2 < m
+                and ts[i + 1] == "."
+                and ts[i + 2] != "*"
+            ):
+                hit = next(
+                    (d for c, d in star[t] if c == ts[i + 2].strip("`")),
+                    None,
+                )
+                if hit is not None:
+                    res.append(f"coalesce({t}.{ts[i + 2]}, {hit})")
+                    i += 3
+                    continue
             # bare column reference (not qualified, not a call, not an
             # alias position — after AS or directly after an operand)
             prev = ts[i - 1] if i > 0 else ""
@@ -7846,15 +8089,27 @@ def _outer_join_default_fill(q: _Select) -> None:
                 )
                 and (i + 1 >= m or ts[i + 1] not in (".", "("))
             ):
-                dd = fill[t][1]
-                res.append(f"coalesce({t}, {dd})")
+                qual, dd = fill[t]
+                ref = f"{qual}.{t}" if qual else t
+                res.append(f"coalesce({ref}, {dd})")
+                i += 1
+                continue
+            if (
+                in_select
+                and t.strip("`") in keymap
+                and prev in ("", ",")
+                and (i + 1 >= m or ts[i + 1] == ",")
+            ):
+                # top-level select item: alias back to the bare name so
+                # ORDER BY resolves the OUTPUT column deterministically
+                res += [keymap[t.strip("`")], ".", t, "AS", t]
                 i += 1
                 continue
             res.append(t)
             i += 1
         return res
 
-    q.select = subst(q.select)
+    q.select = subst(q.select, in_select=True)
     q.where = subst(q.where)
     q.having = subst(q.having)
     q.group_by = subst(q.group_by)

@@ -265,6 +265,14 @@ class ScriptRunner:
         # snapshot); Spark's ordinal interpretation must be disabled
         self._prev_gbo = spark.conf.get("spark.sql.groupByOrdinal", "true")
         spark.conf.set("spark.sql.groupByOrdinal", "false")
+        # AQE replans can re-resolve ORDER BY attributes over USING
+        # joins between executions (observed: NULLS LAST placement
+        # flips after the first run on RIGHT-USING dedup shapes).  The
+        # script engine's contract is byte-exact output over small data
+        # — determinism wins over adaptive planning here; the DataFrame
+        # query path (daisy_spark.queries) keeps AQE on.
+        self._prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     # -- public ----------------------------------------------------------
 

@@ -431,6 +431,9 @@ CORPUS = [
     "00449_filter_array_nullable_tuple.sql",
     "00559_filter_array_generic.sql",
     "00390_array_sort.sql",
+    "01031_semi_anti_join.sql",
+    "01031_new_any_join.sql",
+    "01031_pmj_new_any_semi_join.sql",
 ]
 
 
