@@ -371,19 +371,61 @@ def _array_sort(args: list[str], desc: bool = False) -> str:
 
 _FMT_MAP = {
     "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm",
-    "%S": "ss", "%F": "yyyy-MM-dd", "%T": "HH:mm:ss",
+    "%S": "ss", "%F": "yyyy-MM-dd", "%T": "HH:mm:ss", "%R": "HH:mm",
+    "%D": "MM/dd/yy", "%e": "d", "%y": "yy", "%j": "DDD",
+    "%a": "EEE", "%b": "MMM", "%G": "YYYY", "%V": "ww",
+    "%p": "a", "%I": "hh", "%%": "%",
 }
 
 
 def _format_datetime(args: list[str]) -> str:
-    """formatDateTime(t, '%Y-%m-%d') — translate C-style specifiers to
-    Java patterns when the format is a literal."""
-    if len(args) != 2 or not args[1].startswith("'"):
+    """formatDateTime(t, '%Y-%m-%d'[, tz]) — translate C-style
+    specifiers to Java patterns when the format is a literal
+    (src/Functions/formatDateTime.cpp).  Literal letters are quoted for
+    the Java formatter; %C (century) computes via year()/100; a
+    timezone argument shifts the wall-clock first."""
+    if len(args) not in (2, 3) or not args[1].startswith("'"):
         raise DialectError("formatDateTime requires a literal format string")
+    t = args[0]
+    if len(args) == 3:
+        t = f"from_utc_timestamp({t}, {args[2]})"
     fmt = args[1][1:-1]
-    for k, v in _FMT_MAP.items():
-        fmt = fmt.replace(k, v)
-    return f"date_format({args[0]}, '{fmt}')"
+    # scan: %X specifiers via the map, bare letters quoted as literals
+    segs: list[tuple[str, str]] = []  # (kind, text): pat | expr
+    buf = ""
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            spec = fmt[i : i + 2]
+            if spec == "%C":
+                if buf:
+                    segs.append(("pat", buf))
+                    buf = ""
+                segs.append((
+                    "expr",
+                    f"lpad(CAST(CAST(floor(year({t}) / 100) AS BIGINT) "
+                    f"AS STRING), 2, '0')",
+                ))
+            elif spec in _FMT_MAP:
+                buf += _FMT_MAP[spec]
+            else:
+                buf += f"'{spec[1]}'" if spec[1].isalpha() else spec[1]
+            i += 2
+            continue
+        c = fmt[i]
+        buf += f"'{c}'" if c.isalpha() else c
+        i += 1
+    if buf:
+        segs.append(("pat", buf))
+    parts = [
+        # Java-pattern quote chars escape as '' inside the SQL literal
+        f"date_format({t}, '{txt.replace(chr(39), chr(39) * 2)}')"
+        if kind == "pat" else txt
+        for kind, txt in segs
+    ]
+    if not parts:
+        return "''"
+    return parts[0] if len(parts) == 1 else f"concat({', '.join(parts)})"
 
 
 def _point_in_polygon_expr(a: list[str]) -> str:
@@ -5161,10 +5203,19 @@ def _date_arith_pass(toks: list[str]) -> list[str]:
             i += 1
             continue
         left, right = res[i - 1], res[i + 1]
-        # precedence guard: leave `a + b * c` shapes to Spark
+        r_end = i + 1
+        # higher-precedence chain on the right binds first: absorb
+        # `date + b % c` as date + (b % c)
         if i + 2 < len(res) and res[i + 2] in ("*", "/", "%"):
-            i += 1
-            continue
+            if _dt_kind(left):
+                j2 = i + 1
+                while j2 + 2 < len(res) and res[j2 + 1] in ("*", "/", "%"):
+                    j2 += 2
+                right = "(" + " ".join(res[i + 1 : j2 + 1]) + ")"
+                r_end = j2
+            else:
+                i += 1
+                continue
         if i - 2 >= 0 and res[i - 2] in ("*", "/", "%"):
             i += 1
             continue
@@ -5198,7 +5249,7 @@ def _date_arith_pass(toks: list[str]) -> list[str]:
                     f"({right} + make_interval(0, 0, 0, 0, 0, 0, {left}))"
                 )
         if repl is not None:
-            res[i - 1 : i + 2] = [repl]
+            res[i - 1 : r_end + 1] = [repl]
             i = max(i - 1, 1)
         else:
             i += 1

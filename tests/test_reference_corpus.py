@@ -434,6 +434,8 @@ CORPUS = [
     "01031_semi_anti_join.sql",
     "01031_new_any_join.sql",
     "01031_pmj_new_any_semi_join.sql",
+    "00801_daylight_saving_time_hour_underflow.sql",
+    "01802_formatDateTime_DateTime64_century.sql",
 ]
 
 
