@@ -4861,6 +4861,23 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 out.append("0")
                 i = close + 1
                 continue
+            # windowed aggregates: the empty-set coalesce wrapper is not
+            # a window function — a window frame is never the empty set,
+            # so plain sum/avg OVER (...) is both valid and exact
+            if (
+                t.lower() in ("sum", "avg")
+                and close + 1 < n and _kw(toks[close + 1]) == "OVER"
+            ):
+                arg0 = args[0] if args else "*"
+                if _is_boolish(arg0):
+                    arg0 = f"CAST(({arg0}) AS INT)"
+                if t.lower() == "avg":
+                    # the reference's avg is always Float64 (Spark's
+                    # decimal avg would widen the scale instead)
+                    arg0 = f"CAST(({arg0}) AS DOUBLE)"
+                out.append(f"{t.lower()}({arg0})")
+                i = close + 1
+                continue
             tmpl = FUNC_MAP.get(t)
             if tmpl is None and t != t.lower():
                 # SQL-compat alias names are case-insensitive in the
@@ -6400,10 +6417,16 @@ def _translate_from(toks: list[str]) -> list[str]:
                 name_parts = []
                 while k < n and (
                     _is_ident(toks[k]) and _kw(toks[k]) not in _SQL_KEYWORDS
-                    or toks[k] == "."
                 ):
                     name_parts.append(toks[k])
                     k += 1
+                    # dotted continuation only (db.table); a bare ident
+                    # after the name is the ALIAS, not part of the name
+                    if k < n and toks[k] == ".":
+                        name_parts.append(".")
+                        k += 1
+                    else:
+                        break
                 if not name_parts:
                     raise DialectError("ANY JOIN with no right-side table")
                 factor_sql = "".join(name_parts)
@@ -6452,8 +6475,13 @@ def _translate_from(toks: list[str]) -> list[str]:
                 cond_t = _translate_expr(cond_toks)
                 rkeys: list[str] = []
                 for cj in _split_top_kw(cond_t, "AND"):
+                    while (
+                        len(cj) >= 3 and cj[0] == "("
+                        and _match_paren(cj, 0) == len(cj) - 1
+                    ):
+                        cj = cj[1:-1]
                     for m, tk in enumerate(cj):
-                        if tk == "=":
+                        if tk in ("=", "=="):
                             for side_toks in (cj[:m], cj[m + 1 :]):
                                 if (
                                     len(side_toks) == 3
@@ -6461,6 +6489,31 @@ def _translate_from(toks: list[str]) -> list[str]:
                                     and side_toks[1] == "."
                                 ):
                                     rkeys.append(side_toks[2])
+                                    continue
+                                # expression side referencing ONLY the
+                                # right alias: partition by the whole
+                                # expression (alias stripped — the dedup
+                                # subquery sees bare columns)
+                                quals = {
+                                    side_toks[x]
+                                    for x in range(len(side_toks) - 1)
+                                    if _is_ident(side_toks[x])
+                                    and side_toks[x + 1] == "."
+                                }
+                                if quals == {r_alias}:
+                                    bare: list[str] = []
+                                    x = 0
+                                    while x < len(side_toks):
+                                        if (
+                                            side_toks[x] == r_alias
+                                            and x + 1 < len(side_toks)
+                                            and side_toks[x + 1] == "."
+                                        ):
+                                            x += 2
+                                            continue
+                                        bare.append(side_toks[x])
+                                        x += 1
+                                    rkeys.append(f"({_emit(bare)})")
                             break
                 if not rkeys:
                     raise DialectError(

@@ -436,6 +436,9 @@ CORPUS = [
     "01031_pmj_new_any_semi_join.sql",
     "00801_daylight_saving_time_hour_underflow.sql",
     "01802_formatDateTime_DateTime64_century.sql",
+    "01592_window_functions.sql",
+    "01785_pmj_lc_bug.sql",
+    "00703_join_crash.sql",
 ]
 
 
