@@ -1242,6 +1242,154 @@ def _agg_combinator_expr(t: str, args: list[str]) -> str | None:
     return core
 
 
+
+
+
+
+
+
+def _default_of_ch_type(t: str) -> str | None:
+    """SQL literal for the reference TYPE DEFAULT of a ClickHouse type
+    name (IDataType::getDefault); None when unmodeled."""
+    t = t.strip()
+    low = t.lower()
+    if low.startswith("nullable("):
+        return "NULL"
+    if low.startswith("lowcardinality("):
+        return _default_of_ch_type(t[15:-1])
+    if low.startswith("array("):
+        return "array()"
+    if low.startswith("tuple("):
+        inner = t[6:-1]
+        parts = []
+        depth = 0
+        buf = ""
+        in_s = False
+        for ch in inner:
+            if in_s:
+                buf += ch
+                if ch == "'":
+                    in_s = False
+                continue
+            if ch == "'":
+                in_s = True
+                buf += ch
+            elif ch == "(":
+                depth += 1
+                buf += ch
+            elif ch == ")":
+                depth -= 1
+                buf += ch
+            elif ch == "," and depth == 0:
+                parts.append(buf.strip())
+                buf = ""
+            else:
+                buf += ch
+        if buf.strip():
+            parts.append(buf.strip())
+        ds = []
+        for k, pt in enumerate(parts):
+            # named Tuple members: `name Type`
+            m5 = re.match(r"^[A-Za-z_]\w*\s+(.+)$", pt)
+            base_t = m5.group(1) if m5 and _default_of_ch_type(
+                m5.group(1)
+            ) is not None else pt
+            d = _default_of_ch_type(base_t)
+            if d is None:
+                return None
+            ds.append(f"'col{k + 1}', {d}")
+        return "named_struct(" + ", ".join(ds) + ")"
+    if low.startswith(("int", "uint", "float")) or low in ("bool",):
+        return "0"
+    if low.startswith("decimal"):
+        m5 = re.search(r"\((?:\d+\s*,\s*)?(\d+)\)", t)
+        s5 = m5.group(1) if m5 else "0"
+        return f"CAST(0 AS DECIMAL(38, {s5}))"
+    if low.startswith("fixedstring") or low == "string":
+        return "''"
+    if low == "uuid":
+        return "'00000000-0000-0000-0000-000000000000'"
+    if low == "ipv4":
+        return "'0.0.0.0'"
+    if low == "ipv6":
+        return "'::'"
+    if low == "date" or low == "date32":
+        return "DATE '1970-01-01'"
+    if low.startswith("datetime"):
+        return "TIMESTAMP '1970-01-01 00:00:00'"
+    if low.startswith("enum"):
+        return None
+    return None
+
+
+
+def _peek_tuple_arity(out: list[str]) -> int:
+    """Arity of the trailing paren-tuple operand already emitted, 0 when
+    the last operand is not a bare tuple literal."""
+    if not out or out[-1] != ")":
+        return 0
+    d = 0
+    k = len(out) - 1
+    while k >= 0:
+        if out[k] == ")":
+            d += 1
+        elif out[k] == "(":
+            d -= 1
+            if d == 0:
+                break
+        k -= 1
+    if k < 0:
+        return 0
+    if k >= 1 and _is_ident(out[k - 1]) and _kw(out[k - 1]) not in _SQL_KEYWORDS:
+        return 0  # function call, not a tuple literal
+    return len(_split_top(out[k + 1 : -1], ","))
+
+
+
+def _tuple_text_fields(txt: str) -> list[str] | None:
+    """Extract the value expressions of a rendered named_struct(...)
+    text (a translated tuple literal); None when the text is anything
+    else.  Top-level scan — nested structs stay intact."""
+    t = txt.strip()
+    while t.startswith("(") and t.endswith(")"):
+        t2 = t[1:-1].strip()
+        t = t2
+    if not t.startswith("named_struct("):
+        return None
+    inner = t[len("named_struct(") : -1]
+    args: list[str] = []
+    depth = 0
+    buf = ""
+    in_str = False
+    for ch in inner:
+        if in_str:
+            buf += ch
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+            buf += ch
+        elif ch in "([":
+            depth += 1
+            buf += ch
+        elif ch in ")]":
+            depth -= 1
+            buf += ch
+        elif ch == "," and depth == 0:
+            args.append(buf.strip())
+            buf = ""
+        else:
+            buf += ch
+    if buf.strip():
+        args.append(buf.strip())
+    # args alternate 'colN' literal, value
+    if len(args) % 2 != 0:
+        return None
+    return [args[k] for k in range(1, len(args), 2)]
+
+
+
 def _bar_expr(a: list[str]) -> str:
     """bar(x, min, max[, width]) — reference UnicodeBar::render
     (src/Common/UnicodeBar.cpp): clamp to [0, width], floor(w) full
@@ -1701,6 +1849,9 @@ def _ch_type_of(toks: list[str], env: dict[str, str]) -> str | None:
         if head == "TONULLABLE":
             inner = _ch_type_of(parts[0], env) if parts else None
             return _ch_wrap(inner) if inner else None
+        if head == "TOLOWCARDINALITY":
+            inner = _ch_type_of(parts[0], env) if parts else None
+            return f"LowCardinality({inner})" if inner else None
         if head == "ASSUMENOTNULL":
             inner = _ch_type_of(parts[0], env) if parts else None
             return _ch_unwrap(inner) if inner else None
@@ -3113,6 +3264,10 @@ FUNC_MAP: dict[str, object] = {
     # fooState(...) translates as foo(...); stored states resolve via
     # the AggregateFunction column registry (_finalize_agg_expr)
     "finalizeAggregation": _finalize_agg_expr,
+    "defaultValueOfTypeName": lambda a: (
+        _default_of_ch_type(a[0].strip()[1:-1])
+        or _raise_dialect(f"defaultValueOfTypeName: unmodeled {a[0]}")
+    ),
     "joinGet": lambda a: _join_get_expr(a, False),
     "dictGet": lambda a: _dict_get_expr(a),
     "dictGetOrDefault": lambda a: _dict_get_expr(a, or_default=True),
@@ -4490,13 +4645,87 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
         if up == "IN" and i + 1 < n and toks[i + 1] != "(":
             nxt = toks[i + 1]
             if _is_ident(nxt) and i + 2 < n and toks[i + 2] == "(":
-                # function call on the right of IN — translate it, wrap
                 close = _match_paren(toks, i + 2)
+                if _kw(nxt) == "ARRAY":
+                    # x IN array(...) — membership over array elements
+                    arr = _emit(_translate_expr(toks[i + 1 : close + 1]))
+                    lhs_toks: list[str] = []
+                    if out and out[-1] == ")":
+                        depth3 = 0
+                        while out:
+                            tk3 = out.pop()
+                            lhs_toks.insert(0, tk3)
+                            if tk3 == ")":
+                                depth3 += 1
+                            elif tk3 == "(":
+                                depth3 -= 1
+                                if depth3 == 0:
+                                    break
+                        # function head attached to the paren group
+                        # (array literals emit as `array ( .. )`)
+                        if out and _is_ident(out[-1]) and _kw(
+                            out[-1]
+                        ) not in _SQL_KEYWORDS:
+                            lhs_toks.insert(0, out.pop())
+                    elif out:
+                        lhs_toks.append(out.pop())
+                        while len(out) >= 2 and out[-1] == ".":
+                            lhs_toks.insert(0, out.pop())
+                            lhs_toks.insert(0, out.pop())
+                    # a bare (a, b) LHS is the reference tuple literal:
+                    # spell it as the matching named_struct
+                    if (
+                        len(lhs_toks) >= 3 and lhs_toks[0] == "("
+                        and lhs_toks[-1] == ")"
+                        and len(_split_top(lhs_toks[1:-1], ",")) > 1
+                    ):
+                        fields3 = ", ".join(
+                            f"'col{k3 + 1}', {_emit(p3)}"
+                            for k3, p3 in enumerate(
+                                _split_top(lhs_toks[1:-1], ",")
+                            )
+                        )
+                        lhs = f"named_struct({fields3})"
+                    else:
+                        lhs = " ".join(lhs_toks)
+                    out.append(f"array_contains({arr}, {lhs})")
+                    i = close + 1
+                    continue
+                if _kw(nxt) == "TUPLE":
+                    # IN tuple(a, b, c) is the reference's literal-set
+                    # spelling — expand to a plain IN list.  When the
+                    # LEFT operand is a tuple of matching arity and the
+                    # elements are scalars, the whole tuple is ONE set
+                    # member: (1,2) IN tuple(1,2) is tuple equality
+                    elems = [
+                        _emit(_translate_expr(p))
+                        for p in _split_top(toks[i + 3 : close], ",")
+                        if p
+                    ]
+                    lhs_arity = _peek_tuple_arity(out)
+                    if (
+                        lhs_arity > 1 and len(elems) == lhs_arity
+                        and not any("named_struct(" in e for e in elems)
+                    ):
+                        out += [
+                            "IN", "(", "(", ", ".join(elems), ")", ")",
+                        ]
+                    else:
+                        out += ["IN", "(", ", ".join(elems), ")"]
+                    i = close + 1
+                    continue
+                # function call on the right of IN — translate it, wrap
                 inner = _emit(_translate_expr(toks[i + 1 : close + 1]))
                 out += ["IN", "(", inner, ")"]
                 i = close + 1
                 continue
-            out += ["IN", "("] + _translate_expr([nxt]) + [")"]
+            rhs = _emit(_translate_expr([nxt]))
+            flds = _tuple_text_fields(rhs)
+            if flds is not None:
+                # x IN <tuple-valued alias>: membership over the fields
+                out += ["IN", "(", ", ".join(flds), ")"]
+            else:
+                out += ["IN", "(", rhs, ")"]
             i += 2
             continue
         # subquery
@@ -4525,6 +4754,8 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 out.append(f"named_struct({fields})")
             elif prev_kw == "IN":
                 # IN list: elements may be row constructors — keep parens
+                # (the structural tuple-IN semantics resolve in
+                # _tuple_in_pass over the translated tokens)
                 out += ["("] + _translate_expr(inner, in_list=True) + [")"]
             else:
                 out += ["("] + _translate_expr(inner) + [")"]
@@ -4731,6 +4962,44 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                     hof_alv_token = _ARRAY_LAMBDA_VARS.set(
                         prev_set | formals
                     )
+            # defaultValueOfArgumentType: the TYPE default of the raw
+            # argument's inferred type (FunctionDefaultValueOfArgumentType)
+            if t == "defaultValueOfArgumentType" and arg_parts:
+                raw0 = arg_parts[0]
+                tn0 = _type_name_of_raw(raw0)
+                d0 = _default_of_ch_type(tn0) if tn0 else None
+                if d0 is None and raw0 and raw0[0] == "[":
+                    d0 = "array()"
+                if d0 is None and raw0 and raw0[0] == "(" and _match_paren(
+                    raw0, 0
+                ) == len(raw0) - 1:
+                    ds0 = []
+                    for k0, p0 in enumerate(_split_top(raw0[1:-1], ",")):
+                        tn1 = _type_name_of_raw(p0)
+                        d1 = _default_of_ch_type(tn1) if tn1 else None
+                        if d1 is None and len(p0) == 1:
+                            if re.fullmatch(r"-?\d+", p0[0]):
+                                d1 = "0"
+                            elif p0[0].startswith("'"):
+                                d1 = "''"
+                        if d1 is None:
+                            ds0 = None
+                            break
+                        ds0.append(f"'col{k0 + 1}', {d1}")
+                    if ds0 is not None:
+                        d0 = "named_struct(" + ", ".join(ds0) + ")"
+                if d0 is None and len(raw0) == 1:
+                    t0 = raw0[0].strip()
+                    while t0.startswith("(") and t0.endswith(")"):
+                        t0 = t0[1:-1].strip()
+                    if re.fullmatch(r"-?\d+", t0):
+                        d0 = "0"
+                    elif t0.startswith("'"):
+                        d0 = "''"
+                if d0 is not None:
+                    out.append(d0)
+                    i = close + 1
+                    continue
             # runningAccumulate resolves by the STATE's value kind: set
             # states by running union, strings by running max (argMax/any
             # merge), numerics by running sum — the raw arg's inferred
@@ -5072,29 +5341,86 @@ def _tuple_in_pass(toks: list[str]) -> list[str]:
             continue
         items = [x for x in _split_top(inner, ",") if x]
         rows: list[list[str]] = []
-        if len(items) == len(elems) and not any(
-            it[0] == "(" for it in items
+
+        def _is_tuple_member(it: list[str]) -> bool:
+            if (
+                it[0] == "(" and _match_paren(it, 0) == len(it) - 1
+                and len(_split_top(it[1:-1], ",")) == len(elems)
+            ):
+                return True
+            return (
+                len(it) == 1
+                and (_tuple_text_fields(it[0]) or None) is not None
+                and len(_tuple_text_fields(it[0]) or []) == len(elems)
+            )
+
+        if len(items) == len(elems) and not all(
+            _is_tuple_member(it) for it in items
         ):
             if any(len(it) == 1 and _kw(it[0]) == "NULL" for it in items):
                 i += 1
                 continue
-            rows = [[_emit(it) for it in items]]
-        else:
-            ok = bool(items)
+            row0: list[str] = []
             for it in items:
-                if it[0] != "(" or _match_paren(it, 0) != len(it) - 1:
-                    ok = False
-                    break
-                sub = [
-                    _emit(p) for p in _split_top(it[1:-1], ",") if p
+                flds0 = _split_top(it[1:-1], ",") if (
+                    it[0] == "(" and _match_paren(it, 0) == len(it) - 1
+                ) else None
+                if flds0 and len(flds0) > 1:
+                    # nested tuple element: spell as the struct literal
+                    row0.append("named_struct(" + ", ".join(
+                        f"'col{k0 + 1}', {_emit(p0)}"
+                        for k0, p0 in enumerate(flds0)
+                    ) + ")")
+                else:
+                    row0.append(_emit(it))
+            rows = [row0]
+        else:
+            if len(items) == 1 and items[0][0] == "(" and _match_paren(
+                items[0], 0
+            ) == len(items[0]) - 1:
+                # (( m1, m2, ... )): when every member is itself a
+                # tuple of LHS arity (paren form or an already-rendered
+                # named_struct), the outer tuple is the SET
+                # (Interpreters/Set.cpp type-directed reading)
+                members = [
+                    m3 for m3 in _split_top(items[0][1:-1], ",") if m3
                 ]
-                if len(sub) != len(elems):
-                    ok = False
-                    break
-                rows.append(sub)
-            if not ok:
-                i += 1
-                continue
+                set_rows: list[list[str]] = []
+                good = len(members) > 1
+                for m3 in members:
+                    subs3: list[str] | None = None
+                    if (
+                        m3[0] == "("
+                        and _match_paren(m3, 0) == len(m3) - 1
+                    ):
+                        subs3 = [
+                            _emit(p3)
+                            for p3 in _split_top(m3[1:-1], ",") if p3
+                        ]
+                    elif len(m3) == 1:
+                        subs3 = _tuple_text_fields(m3[0])
+                    if subs3 is None or len(subs3) != len(elems):
+                        good = False
+                        break
+                    set_rows.append(subs3)
+                if good:
+                    rows = set_rows
+            if not rows:
+                ok = bool(items)
+                for it in items:
+                    if it[0] != "(" or _match_paren(it, 0) != len(it) - 1:
+                        ok = False
+                        break
+                    sub = [
+                        _emit(p) for p in _split_top(it[1:-1], ",") if p
+                    ]
+                    if len(sub) != len(elems):
+                        ok = False
+                        break
+                    rows.append(sub)
+                if not ok:
+                    i += 1
+                    continue
             # set rows carrying literal NULL elements never match
             rows = [
                 r for r in rows

@@ -439,6 +439,11 @@ CORPUS = [
     "01592_window_functions.sql",
     "01785_pmj_lc_bug.sql",
     "00703_join_crash.sql",
+    "00915_tuple_orantius.sql",
+    "01398_in_tuple_func.sql",
+    "00132_sets.sql",
+    "01425_default_value_of_type_name.sql",
+    "01355_defaultValueOfArgumentType_bug.sql",
 ]
 
 
