@@ -5264,6 +5264,12 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 out.append(s)
             i = close + 1
             continue
+        if t == "_sample_factor":
+            # virtual column: inverse of the applied SAMPLE fraction; no
+            # sampling -> 1 (MergeTreeDataSelectExecutor)
+            out.append("CAST(1 AS DOUBLE)")
+            i += 1
+            continue
         # trailing-dot float literals (reference lexer allows `0.`)
         if re.fullmatch(r"\d+\.", t):
             t = t + "0"
@@ -7169,8 +7175,13 @@ def _translate_from(toks: list[str]) -> list[str]:
             )
             if not tables:
                 raise DialectError(f"merge(): no tables match {pat!r}")
+            want_table = any(tk.strip('`"') == "_table" for tk in toks)
             branches = [
-                f"SELECT *, '{nm}' AS _table FROM `{nm}`" for nm in tables
+                (
+                    f"SELECT *, '{nm}' AS _table FROM `{nm}`"
+                    if want_table else f"SELECT * FROM `{nm}`"
+                )
+                for nm in tables
             ]
             out.append("(" + " UNION ALL ".join(branches) + ")")
             follows_alias = close_m + 1 < n and (
@@ -8220,6 +8231,22 @@ def _translate_select_tokens(toks: list[str]) -> tuple[str, dict[str, str]]:
     _qualify_ambiguous(q)
     _apply_array_join(q)
     _semi_anti_both_sides_rewrite(q)
+    if q.having and not q.group_by and not q.with_totals and not any(
+        _AGG_HINT_RE.match(tk)
+        and j9 + 1 < len(q.having) and q.having[j9 + 1] == "("
+        for j9, tk in enumerate(q.having)
+    ) and not any(
+        _AGG_HINT_RE.match(tk)
+        and j9 + 1 < len(q.select) and q.select[j9 + 1] == "("
+        for j9, tk in enumerate(q.select)
+    ):
+        # aggregate-free HAVING without GROUP BY filters rows like
+        # WHERE (the reference allows it; Spark demands grouping)
+        q.where = (
+            ["(", *q.where, ")", "AND", "(", *q.having, ")"]
+            if q.where else list(q.having)
+        )
+        q.having = []
     _bare_star_fill(q)
     _outer_join_default_fill(q)
     stash = _stream_order_join_rewrite(q)
@@ -8844,7 +8871,10 @@ def _hoist_inner_aliases(toks: list[str]) -> list[str]:
             start = _operand_start(j)
             # extend across binary operators: number % 256 AS n binds the
             # WHOLE arithmetic expression to the alias
-            _BINOPS = {"%", "*", "/", "+", "-", ".", "||"}
+            _BINOPS = {
+                "%", "*", "/", "+", "-", ".", "||",
+                "<", ">", "<=", ">=", "=", "==", "!=", "<>",
+            }
             while (
                 start - 2 >= 0
                 and toks[start - 1] in _BINOPS

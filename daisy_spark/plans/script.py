@@ -189,6 +189,7 @@ class _Table:
     aka: list[str] = field(default_factory=list)  # Buffer proxy names
     sample_by: str = ""  # SAMPLE BY key expression (translated)
     partition_by: str = ""  # PARTITION BY expression (translated)
+    merge_pattern: str = ""  # ENGINE = Merge(db, 'regex') member regex
 
 
 _ENGINE_KIND = {
@@ -294,10 +295,25 @@ class ScriptRunner:
 
         from daisy_spark.plans.dialect import _SAMPLE_BY_CTX, _TOTALS_BLOCK_CTX
 
-        token6 = _SAMPLE_BY_CTX.set({
+        sample_map = {
             name: t.sample_by
             for name, t in self.tables.items() if t.sample_by
-        })
+        }
+        for name, t in self.tables.items():
+            if t.merge_pattern and name not in sample_map:
+                # Merge tables inherit the members' sampling key
+                member = next(
+                    (
+                        m for m, mt in self.tables.items()
+                        if mt.sample_by and re.fullmatch(
+                            t.merge_pattern, m
+                        )
+                    ),
+                    None,
+                )
+                if member:
+                    sample_map[name] = self.tables[member].sample_by
+        token6 = _SAMPLE_BY_CTX.set(sample_map)
         token5 = _TOTALS_BLOCK_CTX.set(True)
         token4 = _SETTINGS_CTX.set(self.settings)
         token3 = _DICTS_CTX.set(self.dictionaries)
@@ -342,6 +358,31 @@ class ScriptRunner:
         if head in ("SELECT", "WITH", "EXPLAIN") or toks[0] == "(":
             if self.live_views:
                 toks = self._resolve_live_views(toks)
+                stmt = _emit(toks)
+            merge_tables = {
+                nm: t.merge_pattern
+                for nm, t in self.tables.items() if t.merge_pattern
+            }
+            if merge_tables and any(
+                tk.strip('`"') in merge_tables for tk in toks
+            ):
+                # ENGINE=Merge tables read as the merge() TVF union
+                # (adds the _table virtual column per branch)
+                out_t: list[str] = []
+                for j3, tk in enumerate(toks):
+                    nm = tk.strip('`"')
+                    prev3 = toks[j3 - 1] if j3 else ""
+                    if (
+                        nm in merge_tables and prev3 != "."
+                        and _kw(prev3) in ("FROM", "JOIN", ",")
+                    ):
+                        out_t += tokenize(
+                            f"merge(currentDatabase(), "
+                            f"'{merge_tables[nm]}') AS {nm}"
+                        )
+                    else:
+                        out_t.append(tk)
+                toks = out_t
                 stmt = _emit(toks)
             return self._split_totals(
                 dialect_sql(self.spark, self._rewrite_star(toks, stmt))
@@ -590,6 +631,7 @@ class ScriptRunner:
         partition_by = ""
         as_select: list[str] | None = None
         buffer_target: str | None = None
+        merge_pattern = ""
         n = len(toks)
         while i < n:
             up = _kw(toks[i])
@@ -616,6 +658,13 @@ class ScriptRunner:
                     i = close + 1
                 if replicated:
                     raw_args = raw_args[2:]
+                if ename == "MERGE" and len(raw_args) > 1:
+                    # Merge(db, 'regex'): reads union the matching
+                    # tables at query time (TableFunctionMerge) — keep
+                    # the pattern, the SELECT path rewrites to merge()
+                    merge_pattern = _emit(raw_args[1]).strip("'\"` ")
+                    engine_args = []
+                    continue
                 if engine == "Buffer":
                     # Buffer(db, target, tiers...): proxy to target
                     buffer_target = (
@@ -731,6 +780,7 @@ class ScriptRunner:
         t = _Table(
             name=name, cols=cols, spec=spec, sort_keys=order_keys,
             sample_by=sample_by, partition_by=partition_by,
+            merge_pattern=merge_pattern,
         )
         if engine == "Null":
             # Null engine discards all inserts; only the schema exists
@@ -764,6 +814,15 @@ class ScriptRunner:
                 # CREATE TABLE t AS other: clone schema, start empty
                 t.cols = list(other.cols)
                 t.sort_keys = t.sort_keys or list(other.sort_keys)
+                if "MERGE" in tail[:4]:
+                    # AS other ENGINE = Merge(db, 'regex'): reads union
+                    # the matching tables at query time
+                    m6 = re.search(
+                        r"Merge\s*\([^,]*,\s*'((?:[^'\\\\]|\\\\.)*)'",
+                        _emit(as_select[j:]),
+                    )
+                    if m6:
+                        t.merge_pattern = m6.group(1)
                 self.tables[name] = t
                 self._register(t)
                 return None

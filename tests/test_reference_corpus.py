@@ -444,6 +444,9 @@ CORPUS = [
     "00132_sets.sql",
     "01425_default_value_of_type_name.sql",
     "01355_defaultValueOfArgumentType_bug.sql",
+    "00579_virtual_column_and_lazy.sql",
+    "00160_merge_and_index_in_in.sql",
+    "01483_merge_table_join_and_group_by.sql",
 ]
 
 
