@@ -1,0 +1,342 @@
+"""Text-shaping scalar functions ported from the reference's semantics.
+
+- ``formatReadableTimeDelta`` — src/Functions/formatReadableTimeDelta.cpp:
+  greedy unit decomposition (years 365d, months 30.5d, days, hours,
+  minutes, seconds), ", " separators with " and " before the final part,
+  singular/plural unit names.
+- ``normalizeQuery`` / ``normalizeQueryKeepNames`` —
+  src/Parsers/queryNormalization.h: lexer-driven rewrite replacing
+  literals with ``?``, comma-separated literal lists with ``?..``, and
+  complex identifiers with ``?`` (unless keep_names).
+- ``UUIDNumToString`` / ``UUIDStringToNum`` —
+  src/Functions/FunctionsCoding.h: FixedString(16) <-> canonical UUID
+  text.
+
+Python UDFs: these are presentation-layer functions on cold paths; the
+hot path never calls them.
+"""
+
+from __future__ import annotations
+
+import math
+
+_UNITS = [
+    ("year", 365 * 24 * 3600.0),
+    ("month", 30.5 * 24 * 3600.0),
+    ("day", 24 * 3600.0),
+    ("hour", 3600.0),
+    ("minute", 60.0),
+    ("second", 1.0),
+]
+
+_MAX_UNIT_START = {
+    "": 0, "years": 0, "months": 1, "days": 2,
+    "hours": 3, "minutes": 4, "seconds": 5,
+}
+
+
+def format_readable_time_delta(value, max_unit: str = "") -> str | None:
+    if value is None:
+        return None
+    value = float(value)
+    if math.isnan(value):
+        return "nan"
+    if math.isinf(value):
+        return "inf" if value > 0 else "-inf"
+    start = _MAX_UNIT_START.get(max_unit or "", 0)
+    out = []
+    neg = value < 0
+    if neg:
+        value = -value
+    has_output = False
+    for name, size in _UNITS[start:]:
+        if value + 1.0 == value:
+            # too large for exact smaller units: float text (the
+            # reference's writeText(Float64) — no '+' after 'e')
+            v = math.floor(value / size)
+            txt = repr(v) if v < 2**53 and v == int(v) else None
+            if txt is None or "e" in str(v):
+                txt = repr(float(v)).replace("e+", "e")
+            else:
+                txt = str(int(v))
+            out.append((", " if has_output else "", f"{txt} {name}s"))
+            value = 0.0
+            has_output = True
+            continue
+        num = int(value // size)
+        if num == 0:
+            if size > 1 or has_output:
+                continue
+        value -= num * size
+        sep = ""
+        if has_output:
+            sep = " and " if value < 1 else ", "
+        out.append((sep, f"{num} {name}" + ("s" if num != 1 else "")))
+        has_output = True
+    text = "".join(sep + part for sep, part in out)
+    return ("-" if neg else "") + text
+
+
+def _lex(s: str):
+    """Minimal port of the reference Lexer for normalization purposes:
+    yields (type, start, end) with type in {'ws', 'number', 'string',
+    'qident', 'word', 'comma', 'op'}."""
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c.isspace():
+            j = i + 1
+            while j < n and s[j].isspace():
+                j += 1
+            yield ("ws", i, j)
+            i = j
+            continue
+        if c == "-" and i + 1 < n and s[i + 1] == "-":
+            j = s.find("\n", i)
+            j = n if j < 0 else j
+            yield ("ws", i, j)
+            i = j
+            continue
+        if c == "/" and i + 1 < n and s[i + 1] == "*":
+            j = s.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            yield ("ws", i, j)
+            i = j
+            continue
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "\\":
+                    j += 2
+                    continue
+                if s[j] == "'":
+                    j += 1
+                    break
+                j += 1
+            yield ("string", i, j)
+            i = j
+            continue
+        if c in "`\"":
+            q = c
+            j = i + 1
+            while j < n and s[j] != q:
+                j += 1
+            j = min(j + 1, n)
+            yield ("qident", i, j)
+            i = j
+            continue
+        if c.isdigit() or (
+            c == "." and i + 1 < n and s[i + 1].isdigit()
+        ):
+            j = i
+            if s.startswith("0x", i) or s.startswith("0X", i):
+                j = i + 2
+                while j < n and (s[j] in "abcdefABCDEF" or s[j].isdigit()):
+                    j += 1
+            else:
+                while j < n and (
+                    s[j].isdigit() or s[j] in ".eE"
+                    or (s[j] in "+-" and j > i and s[j - 1] in "eE")
+                ):
+                    j += 1
+            yield ("number", i, j)
+            i = j
+            continue
+        if c.isalpha() or c == "_":
+            j = i + 1
+            while j < n and (s[j].isalnum() or s[j] == "_"):
+                j += 1
+            yield ("word", i, j)
+            i = j
+            continue
+        if c == ",":
+            yield ("comma", i, i + 1)
+            i += 1
+            continue
+        yield ("op", i, i + 1)
+        i += 1
+
+
+def normalize_query(s, keep_names: bool = False) -> str | None:
+    if s is None:
+        return None
+    res: list[str] = []
+    prev_insignificant = False
+    num_literals = 0
+    prev_comma = False
+    prev_ws = False
+    for typ, a, b in _lex(s):
+        if typ == "ws":
+            if not prev_insignificant:
+                if num_literals == 0:
+                    if a != 0:
+                        res.append(" ")
+                else:
+                    prev_ws = True
+            prev_insignificant = True
+            continue
+        prev_insignificant = False
+        if typ in ("number", "string"):
+            if num_literals == 0:
+                res.append("?")
+            num_literals += 1
+            prev_ws = False
+            prev_comma = False
+            continue
+        if typ == "comma" and num_literals:
+            prev_comma = True
+            continue
+        if num_literals > 1:
+            res.append("..")
+        if prev_comma:
+            res.append(",")
+        if prev_ws:
+            res.append(" ")
+        num_literals = 0
+        prev_comma = False
+        prev_ws = False
+        tok = s[a:b]
+        if typ == "qident" or (
+            typ == "word" and (b >= len(s) or s[b] != "(")
+        ):
+            if keep_names:
+                res.append(tok)
+            else:
+                complex_ = len(tok) >= 36
+                if not complex_:
+                    digits = 0
+                    for ch in tok:
+                        if ch.isspace():
+                            complex_ = True
+                            break
+                        if ch.isdigit():
+                            digits += 1
+                            if digits > 2:
+                                complex_ = True
+                                break
+                res.append("`?`" if complex_ else tok)
+            continue
+        res.append(tok)
+    if num_literals > 1:
+        res.append("..")
+    if prev_comma:
+        res.append(",")
+    if prev_ws:
+        res.append(" ")
+    return "".join(res)
+
+
+def normalized_query_hash(s, keep_names: bool = False) -> int | None:
+    """sipHash64 over the reference's normalized token markers
+    (queryNormalization.h normalizedQueryHash)."""
+    if s is None:
+        return None
+    from daisy_spark.functions.chhash import siphash64
+
+    buf = bytearray()
+    num_literals = 0
+    prev_comma = False
+    for typ, a, b in _lex(s):
+        if typ == "ws":
+            continue
+        if typ in ("number", "string"):
+            if num_literals == 0:
+                buf += b"\x00"
+            num_literals += 1
+            prev_comma = False
+            continue
+        if typ == "comma" and num_literals:
+            prev_comma = True
+            continue
+        if num_literals > 1:
+            buf += b"\x00"
+        if prev_comma:
+            buf += b","
+        num_literals = 0
+        prev_comma = False
+        tok = s[a:b]
+        if typ == "qident" or (
+            typ == "word" and (b >= len(s) or s[b] != "(")
+        ):
+            if keep_names:
+                buf += tok.encode()
+            else:
+                complex_ = len(tok) >= 36
+                if not complex_:
+                    digits = 0
+                    for ch in tok:
+                        if ch.isspace():
+                            complex_ = True
+                            break
+                        if ch.isdigit():
+                            digits += 1
+                            if digits > 2:
+                                complex_ = True
+                                break
+                buf += b"\x01" if complex_ else tok.encode()
+            continue
+        buf += tok.encode()
+    h = siphash64(bytes(buf))
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def uuid_num_to_string(b) -> str | None:
+    if b is None:
+        return None
+    if isinstance(b, str):
+        b = b.encode("latin-1", "replace")
+    b = (bytes(b) + b"\x00" * 16)[:16]
+    h = b.hex()
+    return f"{h[0:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+
+
+def uuid_string_to_num(s) -> bytes | None:
+    if s is None:
+        return None
+    h = str(s).replace("-", "")
+    try:
+        return bytes.fromhex(h)[:16]
+    except ValueError:
+        return b"\x00" * 16
+
+
+def register_udfs(spark) -> None:
+    if getattr(spark, "_daisy_chtext_udfs", False):
+        return
+    spark.udf.register(
+        "ch_fmt_timedelta",
+        lambda v, u: format_readable_time_delta(v, u or ""),
+        "string",
+    )
+    spark.udf.register(
+        "ch_normalize_query",
+        lambda s: normalize_query(s, keep_names=False),
+        "string",
+    )
+    spark.udf.register(
+        "ch_normalize_query_keep",
+        lambda s: normalize_query(s, keep_names=True),
+        "string",
+    )
+    spark.udf.register(
+        "ch_uuid_num_to_string", uuid_num_to_string, "string"
+    )
+    spark.udf.register(
+        "ch_normalized_query_hash",
+        lambda s: normalized_query_hash(s, keep_names=False),
+        "long",
+    )
+    spark.udf.register(
+        "ch_normalized_query_hash_keep",
+        lambda s: normalized_query_hash(s, keep_names=True),
+        "long",
+    )
+    spark.udf.register(
+        "ch_uuid_string_to_num",
+        lambda s: (
+            None if s is None
+            else uuid_string_to_num(s).decode("latin-1")
+        ),
+        "string",
+    )
+    spark._daisy_chtext_udfs = True

@@ -3264,6 +3264,28 @@ FUNC_MAP: dict[str, object] = {
     # fooState(...) translates as foo(...); stored states resolve via
     # the AggregateFunction column registry (_finalize_agg_expr)
     "finalizeAggregation": _finalize_agg_expr,
+    "formatReadableTimeDelta": lambda a: (
+        f"ch_fmt_timedelta(CAST({a[0]} AS DOUBLE), "
+        + (a[1] if len(a) > 1 else "''") + ")"
+    ),
+    "normalizeQuery": "ch_normalize_query({0})",
+    "normalizedQueryHash": lambda a: _unsigned_u64(
+        f"ch_normalized_query_hash({a[0]})"
+    ),
+    "normalizedQueryHashKeepNames": lambda a: _unsigned_u64(
+        f"ch_normalized_query_hash_keep({a[0]})"
+    ),
+    "normalizeQueryKeepNames": "ch_normalize_query_keep({0})",
+    "UUIDNumToString": "ch_uuid_num_to_string({0})",
+    # pointInEllipses(x, y, x0, y0, a0, b0, ...): inside ANY ellipse
+    # (src/Functions/pointInEllipses.cpp — sum of squared normalized
+    # offsets <= 1)
+    "pointInEllipses": lambda a: "CAST((" + " OR ".join(
+        f"(pow(({a[0]}) - ({a[k]}), 2) / pow({a[k + 2]}, 2) + "
+        f"pow(({a[1]}) - ({a[k + 1]}), 2) / pow({a[k + 3]}, 2)) <= 1.0"
+        for k in range(2, len(a), 4)
+    ) + ") AS INT)",
+    "UUIDStringToNum": "ch_uuid_string_to_num({0})",
     "defaultValueOfTypeName": lambda a: (
         _default_of_ch_type(a[0].strip()[1:-1])
         or _raise_dialect(f"defaultValueOfTypeName: unmodeled {a[0]}")

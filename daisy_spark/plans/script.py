@@ -233,6 +233,8 @@ class ScriptRunner:
         # functions/chgeo.py; idempotent per session)
         from daisy_spark.functions.chgeo import register_udfs as _geo_udfs
         from daisy_spark.functions.chhash import register_udfs
+        from daisy_spark.functions.chtext import register_udfs as _text_udfs
+        _text_udfs(spark)
 
         register_udfs(spark)
         _geo_udfs(spark)

@@ -447,6 +447,12 @@ CORPUS = [
     "00579_virtual_column_and_lazy.sql",
     "00160_merge_and_index_in_in.sql",
     "01483_merge_table_join_and_group_by.sql",
+    "01511_format_readable_timedelta.sql",
+    "01679_format_readable_time_delta_inf.sql",
+    "01451_normalize_query.sql",
+    "01453_normalize_query_alias_uuid.sql",
+    "01648_normalize_query_keep_names.sql",
+    "00429_point_in_ellipses.sql",
 ]
 
 
