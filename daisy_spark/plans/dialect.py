@@ -1483,6 +1483,30 @@ def _array_reduce_expr(a: list[str]) -> str:
     # the inner result for the empty set; -State / -Merge follow this
     # engine's stored-state model (uniq = value set, avg = (sum, count),
     # groupArray/quantile = value list — DataTypeAggregateFunction.h)
+    if name.endswith("Resample") and len(name) > 8 and len(arrs) >= 2 and params:
+        # -Resample(start, end, step): bucket elements by the KEY array
+        # into [start + i*step, start + (i+1)*step) ∩ [start, end),
+        # apply the base aggregate per bucket, return the array
+        # (AggregateFunctionResample.h)
+        base_r = name[:-8]
+        pr = [x.strip() for x in params.split(",")]
+        start_r, end_r, step_r = pr[0], pr[1], pr[2]
+        try:
+            nb = -(-(int(end_r) - int(start_r)) // int(step_r))
+        except ValueError:
+            raise DialectError("Resample requires integer literal bounds")
+        pairs = (
+            f"zip_with({arrs[0]}, {arrs[1]}, (__rv, __rk) -> "
+            f"named_struct('v', __rv, 'k', CAST(__rk AS BIGINT)))"
+        )
+        vals = (
+            f"transform(filter({pairs}, __rp -> "
+            f"__rp.k >= {start_r} + __rb * {step_r} AND "
+            f"__rp.k < least({start_r} + (__rb + 1) * {step_r}, {end_r})"
+            f"), __rp -> __rp.v)"
+        )
+        inner_r = _array_reduce_expr([f"'{base_r}'", vals])
+        return f"transform(sequence(0, {nb - 1}), __rb -> {inner_r})"
     if (
         name.endswith("If") and len(name) > 2 and len(arrs) >= 2
         and name not in ("sumIf", "uniqExactIf", "uniqIf")  # explicit below
@@ -1657,10 +1681,15 @@ def _array_reduce_expr(a: list[str]) -> str:
             f"aggregate({arr}, CAST(0 AS DOUBLE), "
             f"(__a, __x) -> __a + CAST(__x AS DOUBLE) * __x)"
         )
+        mu = f"(({s1}) / {n})"
+        ss = (
+            f"aggregate({arr}, CAST(0 AS DOUBLE), "
+            f"(__a, __x) -> __a + pow(CAST(__x AS DOUBLE) - {mu}, 2))"
+        )
         if name.endswith("Pop"):
-            var = f"(({s2}) / {n} - pow(({s1}) / {n}, 2))"
+            var = f"(({ss}) / {n})"
         else:
-            var = f"((({s2}) - pow({s1}, 2) / {n}) / ({n} - 1))"
+            var = f"(({ss}) / ({n} - 1))"
             if re.search(r"(?i)DECIMAL", arr):
                 # the reference's Decimal variance keeps a positive
                 # scale residue in the numerator: n<=1 -> +inf, not 0/0
@@ -3280,6 +3309,26 @@ FUNC_MAP: dict[str, object] = {
     # pointInEllipses(x, y, x0, y0, a0, b0, ...): inside ANY ellipse
     # (src/Functions/pointInEllipses.cpp — sum of squared normalized
     # offsets <= 1)
+    # arrayReduceInRanges('agg', [(start, len), ...], arr): per-range
+    # aggregate over 1-based slices, clamped to the array
+    # (src/Functions/array/arrayReduceInRanges.cpp)
+    "arrayReduceInRanges": lambda a: (
+        f"transform({a[1]}, __rr -> "
+        + _array_reduce_expr([
+            a[0],
+            # negative index resolves from the END (n + i + 1); a
+            # resolved position < 1 yields the empty range
+            f"slice({a[2]}, greatest((CASE WHEN CAST(__rr.col1 AS INT) > 0 "
+            f"THEN CAST(__rr.col1 AS INT) WHEN CAST(__rr.col1 AS INT) < 0 "
+            f"THEN size({a[2]}) + CAST(__rr.col1 AS INT) + 1 "
+            f"ELSE 0 END), 1), "
+            f"IF((CASE WHEN CAST(__rr.col1 AS INT) > 0 "
+            f"THEN CAST(__rr.col1 AS INT) WHEN CAST(__rr.col1 AS INT) < 0 "
+            f"THEN size({a[2]}) + CAST(__rr.col1 AS INT) + 1 "
+            f"ELSE 0 END) < 1, 0, greatest(CAST(__rr.col2 AS INT), 0)))",
+        ])
+        + ")"
+    ),
     "pointInEllipses": lambda a: "CAST((" + " OR ".join(
         f"(pow(({a[0]}) - ({a[k]}), 2) / pow({a[k + 2]}, 2) + "
         f"pow(({a[1]}) - ({a[k + 1]}), 2) / pow({a[k + 3]}, 2)) <= 1.0"

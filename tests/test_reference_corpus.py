@@ -453,6 +453,8 @@ CORPUS = [
     "01453_normalize_query_alias_uuid.sql",
     "01648_normalize_query_keep_names.sql",
     "00429_point_in_ellipses.sql",
+    "00954_resample_combinator.sql",
+    "01096_array_reduce_in_ranges.sql",
 ]
 
 
