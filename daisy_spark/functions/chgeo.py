@@ -165,6 +165,88 @@ def register_udfs(spark) -> None:
         )
 
     spark.udf.register("ch_great_circle_distance", _mk("sphere"), "float")
+    spark.udf.register(
+        "ch_geohashes_in_box", geohashes_in_box, "array<string>"
+    )
     spark.udf.register("ch_geo_distance", _mk("wgs84"), "float")
     spark.udf.register("ch_great_circle_angle", _mk("degrees"), "float")
     spark._daisy_chgeo_udfs = True
+
+_GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_encode_py(lon: float, lat: float, precision: int) -> str:
+    """Pure-python geohashEncode (src/Functions/GeoHash.cpp
+    geohashEncodeImpl): interleaved bisection, base32."""
+    p = precision if 0 < precision <= 12 else 12
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    bits = []
+    for i in range(5 * p):
+        if i % 2 == 0:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                bits.append(1)
+                lon_lo = mid
+            else:
+                bits.append(0)
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                bits.append(1)
+                lat_lo = mid
+            else:
+                bits.append(0)
+                lat_hi = mid
+    out = []
+    for g in range(p):
+        v = 0
+        for b in bits[g * 5 : g * 5 + 5]:
+            v = (v << 1) | b
+        out.append(_GEOHASH_ALPHABET[v])
+    return "".join(out)
+
+
+def geohashes_in_box(lon_min, lat_min, lon_max, lat_max, precision):
+    """geohashesInBox (src/Functions/GeoHash.cpp geohashesInBoxPrepare +
+    geohashesInBox): grid of geohash cell origins covering the box."""
+    import math as _m
+
+    if None in (lon_min, lat_min, lon_max, lat_max, precision):
+        return None
+    lon_min, lat_min = float(lon_min), float(lat_min)
+    lon_max, lat_max = float(lon_max), float(lat_max)
+    p = int(precision)
+    p = p if 0 < p <= 12 else 12
+    if (
+        lon_max < lon_min or lat_max < lat_min
+        or any(_m.isnan(v) for v in (lon_min, lat_min, lon_max, lat_max))
+    ):
+        return []
+    lon_min = min(max(lon_min, -180.0), 180.0)
+    lon_max = min(max(lon_max, -180.0), 180.0)
+    lat_min = min(max(lat_min, -90.0), 90.0)
+    lat_max = min(max(lat_max, -90.0), 90.0)
+    bits_lon = (5 * p) // 2 + (1 if p % 2 else 0)
+    bits_lat = (5 * p) // 2
+    lon_step = _m.ldexp(360.0, -bits_lon)
+    lat_step = _m.ldexp(180.0, -bits_lat)
+    lon0 = _m.floor(lon_min / lon_step) * lon_step
+    lat0 = _m.floor(lat_min / lat_step) * lat_step
+    lon1 = _m.ceil(lon_max / lon_step) * lon_step
+    lat1 = _m.ceil(lat_max / lat_step) * lat_step
+    lon_items = int((lon1 - lon0) / lon_step)
+    lat_items = int((lat1 - lat0) / lat_step)
+    if lon_items * lat_items > 2_000_000:
+        raise ValueError("geohashesInBox: too many cells")
+    out = []
+    for i in range(lon_items):
+        for j in range(lat_items):
+            out.append(_geohash_encode_py(
+                lon0 + lon_step * i, lat0 + lat_step * j, p
+            ))
+    if not out:
+        out.append(_geohash_encode_py(lon0, lat0, p))
+    return out
+

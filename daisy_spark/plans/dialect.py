@@ -3306,6 +3306,10 @@ FUNC_MAP: dict[str, object] = {
     ),
     "normalizeQueryKeepNames": "ch_normalize_query_keep({0})",
     "UUIDNumToString": "ch_uuid_num_to_string({0})",
+    "geohashesInBox": (
+        "ch_geohashes_in_box(CAST({0} AS DOUBLE), CAST({1} AS DOUBLE), "
+        "CAST({2} AS DOUBLE), CAST({3} AS DOUBLE), CAST({4} AS INT))"
+    ),
     # pointInEllipses(x, y, x0, y0, a0, b0, ...): inside ANY ellipse
     # (src/Functions/pointInEllipses.cpp — sum of squared normalized
     # offsets <= 1)
@@ -5905,6 +5909,22 @@ def _parse_select(toks: list[str]) -> _Select:
     for it in _split_top(q.select, ","):
         if len(it) >= 3 and _kw(it[-2]) == "AS" and _is_ident(it[-1]):
             alias_subs[it[-1]] = "( " + _emit(_translate_expr(it[:-2])) + " )"
+    # aliases may reference EARLIER aliases (`a AS x, x AS y, f(y)`):
+    # resolve transitively so every inlined copy is closed
+    for _ in range(len(alias_subs)):
+        changed_subs = False
+        for k8, v8 in list(alias_subs.items()):
+            for k9, v9 in alias_subs.items():
+                if k9 == k8 or k9 not in v8:
+                    continue
+                nv = re.sub(
+                    rf"(?<![\w.`'\"]){re.escape(k9)}(?![\w('])", v9, v8
+                )
+                if nv != v8:
+                    alias_subs[k8] = v8 = nv
+                    changed_subs = True
+        if not changed_subs:
+            break
     if alias_subs:
         for attr in ("prewhere", "where", "having"):
             ts = getattr(q, attr)
@@ -6151,6 +6171,7 @@ _ARRAYISH_HEADS = (
     "shuffle(", "sort_array(", "array_sort(", "map_keys(", "map_values(",
     "transform(", "filter(", "reverse(array", "arrays_zip(", "zip_with(",
     "map(", "map_from_arrays(", "map_concat(", "str_to_map(",
+    "ch_geohashes_in_box(",
 )
 
 

@@ -455,6 +455,9 @@ CORPUS = [
     "00429_point_in_ellipses.sql",
     "00954_resample_combinator.sql",
     "01096_array_reduce_in_ranges.sql",
+    "01426_geohash_constants.sql",
+    "01684_geohash_ubsan.sql",
+    "01351_geohash_assert.sql",
 ]
 
 
