@@ -1823,6 +1823,34 @@ def _ch_type_of(toks: list[str], env: dict[str, str]) -> str | None:
         toks = toks[1:-1]
     if not toks:
         return None
+    # array literal [a, b, c] -> Array(supertype)
+    if toks[0] == "[" and toks[-1] == "]":
+        d0 = 0
+        ok0 = True
+        for k0, tk0 in enumerate(toks):
+            if tk0 in ("(", "["):
+                d0 += 1
+            elif tk0 in (")", "]"):
+                d0 -= 1
+                if d0 == 0 and k0 != len(toks) - 1:
+                    ok0 = False
+                    break
+        if ok0:
+            ets = [
+                _ch_type_of(p0, env)
+                for p0 in _split_top(toks[1:-1], ",") if p0
+            ]
+            known = [t0 for t0 in ets if t0]
+            if not ets:
+                return "Array(Nothing)"
+            if known and (len(known) == len(ets) or all(
+                t0 == known[0] for t0 in known
+            )):
+                t_acc = known[0]
+                for t0 in known[1:]:
+                    t_acc = _ch_supertype(t_acc, t0) or t_acc
+                return f"Array({t_acc})"
+            return None
     # ternary  c ? a : b  (lowest precedence)
     depth = 0
     qpos = cpos = None
@@ -1863,6 +1891,33 @@ def _ch_type_of(toks: list[str], env: dict[str, str]) -> str | None:
             return _ch_type_of(parts[0], env) if parts else None
         if head in _FN_TYPE_NAMES:
             return _FN_TYPE_NAMES[head]
+        if head.startswith("EMPTYARRAY") and len(head) > 10:
+            sub_t = head[10:].capitalize()
+            fix = {
+                "Uint8": "UInt8", "Uint16": "UInt16", "Uint32": "UInt32",
+                "Uint64": "UInt64", "Int8": "Int8", "Int16": "Int16",
+                "Int32": "Int32", "Int64": "Int64",
+                "Float32": "Float32", "Float64": "Float64",
+                "String": "String", "Date": "Date", "Datetime": "DateTime",
+            }
+            return f"Array({fix.get(sub_t, sub_t)})"
+        if head == "RANGE":
+            return "Array(UInt64)"
+        if head == "ARRAYJOIN" and parts:
+            inner = _ch_type_of(parts[0], env)
+            if inner and inner.startswith("Array(") and "?" not in inner:
+                return inner[6:-1]
+            return None
+        if head == "ARRAYMAP" and parts:
+            lam9 = parts[0]
+            arrow9 = next(
+                (k for k, tk in enumerate(lam9) if tk == "->"), -1
+            )
+            if arrow9 >= 0:
+                bt = _ch_type_of(lam9[arrow9 + 1 :], env)
+                if bt:
+                    return f"Array({bt})"
+            return None
         if head.endswith("STATE") and len(head) > 5 and parts:
             # fooState: the stored value kind drives runningAccumulate /
             # toTypeName dispatch (finalized-ish storage model)
@@ -5075,6 +5130,20 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                     out.append(d0)
                     i = close + 1
                     continue
+            # emptyArrayToSingle: the filler element is the TYPE default
+            # (src/Functions/array/emptyArrayToSingle.cpp)
+            if t == "emptyArrayToSingle" and arg_parts:
+                tn7 = _type_name_of_raw(arg_parts[0]) or ""
+                d7 = None
+                if tn7.startswith("Array(") and "?" not in tn7:
+                    d7 = _default_of_ch_type(tn7[6:-1])
+                targ7 = _emit(_translate_expr(arg_parts[0]))
+                out.append(
+                    f"(CASE WHEN size({targ7}) = 0 "
+                    f"THEN array({d7 or 'NULL'}) ELSE {targ7} END)"
+                )
+                i = close + 1
+                continue
             # runningAccumulate resolves by the STATE's value kind: set
             # states by running union, strings by running max (argMax/any
             # merge), numerics by running sum — the raw arg's inferred
@@ -6186,6 +6255,11 @@ def _is_boolish(txt: str) -> bool:
         toks = tokenize(txt)
     except Exception:  # noqa: BLE001
         return False
+    while (
+        len(toks) >= 3 and toks[0] == "("
+        and _match_paren(toks, 0) == len(toks) - 1
+    ):
+        toks = toks[1:-1]
     if toks and _kw(toks[0]) in ("CASE", "IF"):
         return False  # conditionals carry inner comparisons, any type
     depth = 0
@@ -6280,10 +6354,16 @@ def _apply_array_join(q: _Select) -> None:
     dotted = _dotted_cols()
     #: (expr_sql, bare-name key or (qual, member) dotted key)
     exprs: list[tuple[str, object]] = []
+    elem_defaults: list[str | None] = []
     for it in items:
         alias = None
         if len(it) >= 3 and _kw(it[-2]) == "AS" and _is_ident(it[-1]):
             alias, it = it[-1], it[:-2]
+        tn_aj = _type_name_of_raw(it) or ""
+        elem_defaults.append(
+            _default_of_ch_type(tn_aj[6:-1])
+            if tn_aj.startswith("Array(") and "?" not in tn_aj else None
+        )
         if len(it) == 1 and _is_ident(it[0]):
             name = it[0].strip("`")
             members = sorted(d for d in dotted if d.startswith(name + "."))
@@ -6334,12 +6414,18 @@ def _apply_array_join(q: _Select) -> None:
             q.select = fixed
     subs: dict[str, str] = {}
     dotted_subs: dict[tuple[str, str], str] = {}
+    def _fill_aj(expr9: str, k9: int) -> str:
+        # LEFT ARRAY JOIN of an empty array emits the element TYPE
+        # DEFAULT, not NULL (ArrayJoinAction left semantics)
+        d9 = elem_defaults[k9] if k9 < len(elem_defaults) else None
+        return f"coalesce({expr9}, {d9})" if left and d9 else expr9
+
     if isinstance(n0, tuple):
-        dotted_subs[n0] = "__aj_v0"
+        dotted_subs[n0] = _fill_aj("__aj_v0", 0)
     elif n0:
-        subs[n0] = "__aj_v0"
-    for ek, nk in exprs[1:]:
-        repl = f"element_at({ek}, __aj_pos + 1)"
+        subs[n0] = _fill_aj("__aj_v0", 0)
+    for k9, (ek, nk) in enumerate(exprs[1:], start=1):
+        repl = _fill_aj(f"element_at({ek}, __aj_pos + 1)", k9)
         if isinstance(nk, tuple):
             dotted_subs[nk] = repl
         elif nk:

@@ -458,6 +458,65 @@ CORPUS = [
     "01426_geohash_constants.sql",
     "01684_geohash_ubsan.sql",
     "01351_geohash_assert.sql",
+    "00081_int_div_or_zero.sql",
+    "00088_distinct_of_arrays_of_strings.sql",
+    "00120_join_and_group_by.sql",
+    "00143_number_classification_functions.sql",
+    "00192_least_greatest.sql",
+    "00208_agg_state_merge.sql",
+    "00229_prewhere_column_missing.sql",
+    "00256_reverse.sql",
+    "00259_hashing_tuples.sql",
+    "00296_url_parameters.sql",
+    "00346_if_tuple.sql",
+    "00384_column_aggregate_function_insert_from.sql",
+    "00413_least_greatest_new_behavior.sql",
+    "00433_ifnull.sql",
+    "00434_tonullable.sql",
+    "00435_coalesce.sql",
+    "00437_nulls_first_last.sql",
+    "00438_bit_rotate.sql",
+    "00480_mac_addresses.sql",
+    "00496_substring_negative_offset.sql",
+    "00516_is_inf_nan.sql",
+    "00525_aggregate_functions_of_nullable_that_return_non_nullable.sql",
+    "00541_to_start_of_fifteen_minutes.sql",
+    "00618_nullable_in.sql",
+    "00644_different_expressions_with_same_alias.sql",
+    "00672_arrayDistinct.sql",
+    "00691_array_distinct.sql",
+    "00702_join_with_using.sql",
+    "00725_join_on_bug_4.sql",
+    "00726_length_aliases.sql",
+    "00732_decimal_summing_merge_tree.sql",
+    "00746_hashing_tuples.sql",
+    "00852_any_join_nulls.sql",
+    "00874_issue_3495.sql",
+    "00882_multiple_join_no_alias.sql",
+    "00936_substring_utf8_non_const.sql",
+    "00940_order_by_read_in_order.sql",
+    "00974_adaptive_granularity_secondary_index.sql",
+    "00997_trim.sql",
+    "01013_hex_decimal.sql",
+    "01013_hex_float.sql",
+    "01033_substr_negative_size_arg.sql",
+    "01043_geo_distance.sql",
+    "01044_great_circle_angle.sql",
+    "01047_nullable_rand.sql",
+    "01053_if_chain_check.sql",
+    "01060_substring_negative_size.sql",
+    "01079_reinterpret_as_fixed_string.sql",
+    "01080_engine_merge_prewhere_tupleelement_error.sql",
+    "01085_simdjson_uint64.sql",
+    "01100_split_by_string.sql",
+    "01353_topk_enum.sql",
+    "01359_geodistance_loop.sql",
+    "01419_materialize_null.sql",
+    "01456_min_negative_decimal_formatting.sql",
+    "01459_decimal_casts.sql",
+    "01656_test_hex_mysql_dialect.sql",
+    "01678_great_circle_angle.sql",
+    "01718_subtract_seconds_date.sql",
 ]
 
 
