@@ -108,6 +108,26 @@ def main() -> None:
     # warm the JVM + parquet footers once with the cheapest query
     QUERIES["revenue_forecast"](spark, sf_dir).collect()
 
+    # rotation-robust warm-up (VERDICT r5 item 5): the registry order
+    # rotates per round, and whoever runs first pays the one-time
+    # Catalyst/codegen/JIT infrastructure ramp on top of their own hot
+    # pass (r5: 10 of 12 ">=15% regressions" were exactly the first 10
+    # positions).  Run a FIXED, diverse set of shapes untimed first so
+    # position in the rotation no longer shows up as a fake regression.
+    for _warm in (
+        "pricing_summary",      # scan + groupBy agg
+        "window_functions",     # window frames
+        "final_versioned",      # window cancel-pair pass
+        "quantiles",            # sketch aggregates
+        "group_array",          # collect_list paths
+        "dedup_exact",          # hash groupBy on documents
+    ):
+        if _warm in QUERIES:
+            try:
+                QUERIES[_warm](spark, sf_dir).count()
+            except Exception:  # noqa: BLE001
+                pass
+
     # storage-side preparation: bucket lineitem/orders by orderkey
     # (catalog.build_bucketed_mirror) — the analogue of the reference's
     # MergeTree insert-time sort; orderkey joins then need no shuffle.

@@ -51,6 +51,11 @@ class TableSpec:
     version_column: str | None = None  # ReplacingMergeTree(version)
     sign_column: str | None = None  # CollapsingMergeTree(sign)
     summed_columns: tuple[str, ...] = ()  # SummingMergeTree cols ((), = all numeric)
+    # AggregatingMergeTree: column -> declared AggregateFunction name
+    # (e.g. "sum", "anyIf"); None = declarations unknown, use the
+    # shape heuristic.  Ordinary (undeclared) columns merge as FIRST
+    # per the reference (AggregatingSortedAlgorithm::startGroup).
+    agg_columns: dict[str, str] | None = None
     # Daisy time conventions
     time_column: str | None = None  # `_time`-equivalent event-time column
     partition_granularity: str | None = None  # M | D | H | m (TableRestRouterHandler.cpp:55-58)
@@ -155,7 +160,10 @@ def build_bucketed_mirror(
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        tbl = f"{name}_bkt_{tag}"
+        # bucket count is part of the identity: re-attaching files
+        # written with a different count would declare a false
+        # co-location and let Spark elide shuffles incorrectly
+        tbl = f"{name}_bkt{buckets}_{tag}"
         try:
             if not spark.catalog.tableExists(tbl):
                 # a PREVIOUS session's mirror survives as files in the

@@ -18,6 +18,7 @@ All are plain DataFrame ops -> Catalyst keeps pushdown/AQE through them.
 
 from __future__ import annotations
 
+import re
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -184,12 +185,19 @@ def summing_final(
     return out.select(*[f"`{c}`" for c in orig_cols])
 
 
-def aggregating_final(df: DataFrame, key: Sequence[str]) -> DataFrame:
+def aggregating_final(
+    df: DataFrame,
+    key: Sequence[str],
+    agg_columns: dict[str, str] | None = None,
+) -> DataFrame:
     """AggregatingMergeTree merge: one row per key with STATE columns
     combined (AggregatingSortedAlgorithm.cpp).  States live here in
     mergeable finalized forms: set-based uniq states (arrays) merge by
-    concatenation (the reader's -Merge dedups), numeric count/sum
-    partials merge by SUM, anything else keeps the first value."""
+    concatenation (the reader's -Merge dedups), count/sum partials
+    merge by SUM, min/max by themselves, anything else keeps the first
+    value.  ``agg_columns`` maps column name -> the DECLARED
+    AggregateFunction name; columns NOT declared as states are ordinary
+    and take the group's FIRST row's value (startGroup), never a sum."""
     key = [k for k in key if k in df.columns]
     if not key:
         return df
@@ -198,6 +206,14 @@ def aggregating_final(df: DataFrame, key: Sequence[str]) -> DataFrame:
         if f.name in key:
             continue
         t = f.dataType.typeName()
+        declared = None if agg_columns is None else agg_columns.get(f.name)
+        if agg_columns is not None and declared is None:
+            aggs.append(F.first(f"`{f.name}`").alias(f.name))
+            continue
+        # root aggregate of the declared state (strip combinators)
+        root = re.sub(
+            r"(?:If|OrNull|OrDefault|Distinct)+$", "", declared or ""
+        ).lower()
         if t == "array":
             aggs.append(
                 F.flatten(F.collect_list(f"`{f.name}`")).alias(f.name)
@@ -212,11 +228,22 @@ def aggregating_final(df: DataFrame, key: Sequence[str]) -> DataFrame:
                     F.sum(F.col(f"`{f.name}`").getField("c")).alias("c"),
                 ).alias(f.name)
             )
+        elif root == "min":
+            aggs.append(F.min(f"`{f.name}`").alias(f.name))
+        elif root == "max":
+            aggs.append(F.max(f"`{f.name}`").alias(f.name))
+        elif root in ("any", "anylast", "argmin", "argmax"):
+            aggs.append(F.first(f"`{f.name}`", True).alias(f.name))
         elif t in ("byte", "short", "integer", "long", "float", "double",
                    "decimal"):
+            # sum/count partials — and the legacy no-declaration
+            # heuristic for numerics
             aggs.append(F.sum(f"`{f.name}`").alias(f.name))
         else:
             aggs.append(F.first(f"`{f.name}`", True).alias(f.name))
+    if not aggs:
+        # key-only table: the merge collapses duplicate keys
+        return df.dropDuplicates(list(key))
     out = df.groupBy(*[f"`{k}`" for k in key]).agg(*aggs)
     return out.select(*[f"`{c}`" for c in df.columns])
 
@@ -263,5 +290,5 @@ def read_final(df: DataFrame, spec: TableSpec) -> DataFrame:
             df, spec.order_by, spec.sign_column, spec.version_column
         )
     if kind == "Aggregating":
-        return aggregating_final(df, spec.order_by)
+        return aggregating_final(df, spec.order_by, spec.agg_columns)
     raise ValueError(f"unknown engine {spec.engine}")

@@ -1233,6 +1233,12 @@ def _agg_combinator_expr(t: str, args: list[str]) -> str | None:
             f"(CASE WHEN CAST({cond} AS BOOLEAN) THEN {v} END)"
             for v in vargs
         ]
+        # the CASE injects NULLs for filtered rows; ClickHouse
+        # aggregates skip NULLs, but Spark's any_value only does so
+        # with its ignoreNulls flag (AggregateFunctionIf.h filters
+        # ROWS, so anyIf must not latch a filtered-out row's NULL)
+        if isinstance(tmpl, str) and tmpl.startswith("any_value({0})"):
+            tmpl = "any_value({0}, true)" + tmpl[len("any_value({0})"):]
     core = _render_tmpl(tmpl, vargs)
     cnt = f"count({vargs[0]})"
     if "OrNull" in sufs:
@@ -2216,6 +2222,12 @@ _ARRAY_LAMBDA_VARS: "contextvars.ContextVar[frozenset | None]" = (
     contextvars.ContextVar("daisy_array_lambda_vars", default=None)
 )
 
+#: statement-wide `_table` virtual-column usage (set by translate();
+#: read by the merge() TVF expander, which only sees FROM tokens)
+_WANT_TABLE_VCOL: "contextvars.ContextVar[bool]" = contextvars.ContextVar(
+    "daisy_want_table_vcol", default=False
+)
+
 
 def _raw_elems_are_arrays(raw: list[str], env: dict | None) -> bool:
     """Whether the elements of a raw array-valued expression are
@@ -2343,28 +2355,6 @@ def _exact_hash_call(t: str, arg_parts: list[list[str]], args: list[str]) -> str
     for nxt in per[1:]:
         h = _sql_hash128to64(h, nxt)
     return _unsigned_u64(h)
-    """substring/substr/mid with the reference's rules
-    (src/Functions/substring.cpp / GatherUtils): offset 0 yields '';
-    negative offsets count from the end; a negative length ends the
-    slice |length| characters before the end.  Plain substring keeps the
-    VIRTUAL start when it falls before the string (off-string positions
-    consume length: substring('hello', -10, 7) = 'he'), while
-    substringUTF8 CLAMPS the start first (same call yields 'hello')."""
-    if len(a) < 2:
-        return f"substring({', '.join(a)})"
-    s, p = a[0], a[1]
-    ln = f"length({s})"
-    sv = f"IF(({p}) < 0, {ln} + ({p}) + 1, CAST(({p}) AS INT))"
-    if utf8:
-        sv = f"greatest({sv}, 1)"
-    start = f"greatest({sv}, 1)"
-    if len(a) == 2:
-        size = f"greatest({ln} - {start} + 1, 0)"
-        return f"IF(({p}) = 0, '', substring({s}, {start}, {size}))"
-    n = a[2]
-    endp = f"IF(({n}) < 0, {ln} + ({n}), {sv} + CAST(({n}) AS INT) - 1)"
-    size = f"greatest(least({endp}, {ln}) - {start} + 1, 0)"
-    return f"IF(({p}) = 0, '', substring({s}, {start}, {size}))"
 
 
 def _respell_literal(tok: str) -> str:
@@ -5265,6 +5255,22 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                     out.append(f"'{tn}'")
                     i = close + 1
                     continue
+            # toString's integral-float re-render ('10.0' -> '10') is a
+            # FLOAT rendering rule (WriteHelpers.h shortest-round-trip);
+            # String inputs whose text looks numeric and full-scale
+            # Decimals must pass through unchanged — dispatch on the
+            # inferred type, not the rendered text
+            if t == "toString" and arg_parts and args:
+                tn = _type_name_of_raw(arg_parts[0])
+                if tn is not None and not _ch_unwrap(tn).startswith(
+                    ("Float", "Int", "UInt", "?")
+                ):
+                    out.append(
+                        f"TRIM(TRAILING chr(0) FROM "
+                        f"CAST({args[0]} AS STRING))"
+                    )
+                    i = close + 1
+                    continue
             # materialize() strips before the isConstant lambda could
             # see it — decide on the RAW argument (isConstant.cpp)
             if (
@@ -5971,6 +5977,15 @@ def _parse_select(toks: list[str]) -> _Select:
         )
     except Exception:  # noqa: BLE001
         _TYPE_ENV_CTX.set(None)
+    if q.aj_hoists:
+        # re-merge the hoisted arrayJoin placeholders' element types —
+        # the FROM-derived env above clobbered the entries _hoist_aj set
+        env = dict(_TYPE_ENV_CTX.get() or {})
+        for ph, arg in q.aj_hoists:
+            at = _ch_type_of(arg, env or _TYPE_ENV_DEFAULT)
+            if at and at.startswith("Array("):
+                env[ph] = at[6:-1]
+        _TYPE_ENV_CTX.set(env or None)
     # reference semantics: SELECT aliases are visible in WHERE/PREWHERE/
     # HAVING (ExpressionAnalyzer alias preference); Spark resolves only
     # real columns there, so inline the aliased expression
@@ -7030,10 +7045,14 @@ def _translate_from(toks: list[str]) -> list[str]:
                         "ANY JOIN ON needs alias.col equality conjuncts"
                     )
                 key_list = ", ".join(rkeys)
+                ordk_r = (
+                    "__jord_r" if "__jord_r" in factor_sql
+                    else "monotonically_increasing_id()"
+                )
                 dedup = (
                     f"(SELECT * EXCEPT (__rn) FROM (SELECT __any.*, "
                     f"row_number() OVER (PARTITION BY {key_list} "
-                    f"ORDER BY monotonically_increasing_id()) AS __rn "
+                    f"ORDER BY {ordk_r}) AS __rn "
                     f"FROM {factor_sql} AS __any) WHERE __rn = 1)"
                 )
                 side = "LEFT" if "LEFT" in dirs else "INNER"
@@ -7072,10 +7091,14 @@ def _translate_from(toks: list[str]) -> list[str]:
                         "ANY RIGHT JOIN needs a single left FROM item"
                     )
                 start, left_sql, lq = popped
+                ordk_l = (
+                    "__jord_l" if "__jord_l" in left_sql
+                    else "monotonically_increasing_id()"
+                )
                 dedup_l = (
                     f"(SELECT * EXCEPT (__rn) FROM (SELECT __any.*, "
                     f"row_number() OVER (PARTITION BY {key_list} "
-                    f"ORDER BY monotonically_increasing_id()) AS __rn "
+                    f"ORDER BY {ordk_l}) AS __rn "
                     f"FROM {left_sql} AS __any) WHERE __rn = 1)"
                 )
                 del out[start:]
@@ -7085,9 +7108,13 @@ def _translate_from(toks: list[str]) -> list[str]:
                 out += ["USING", "(", key_list, ")"]
                 i = k
                 continue
+            ordk_r = (
+                "__jord_r" if "__jord_r" in factor_sql
+                else "monotonically_increasing_id()"
+            )
             dedup = (
                 f"(SELECT * EXCEPT (__rn) FROM (SELECT __any.*, row_number() "
-                f"OVER (PARTITION BY {key_list} ORDER BY monotonically_increasing_id()) AS __rn "
+                f"OVER (PARTITION BY {key_list} ORDER BY {ordk_r}) AS __rn "
                 f"FROM {factor_sql} AS __any) WHERE __rn = 1)"
             )
             side = (
@@ -7102,10 +7129,14 @@ def _translate_from(toks: list[str]) -> list[str]:
                 popped = _asof_pop_left(out)
                 if popped is not None:
                     start, left_sql, lq = popped
+                    ordk_l = (
+                        "__jord_l" if "__jord_l" in left_sql
+                        else "monotonically_increasing_id()"
+                    )
                     dedup_l = (
                         f"(SELECT * EXCEPT (__rn) FROM (SELECT __any.*, "
                         f"row_number() OVER (PARTITION BY {key_list} "
-                        f"ORDER BY monotonically_increasing_id()) AS __rn "
+                        f"ORDER BY {ordk_l}) AS __rn "
                         f"FROM {left_sql} AS __any) WHERE __rn = 1)"
                     )
                     del out[start:]
@@ -7347,13 +7378,18 @@ def _translate_from(toks: list[str]) -> list[str]:
                 for p in _split_top(toks[i + 2 : close_m], ",")
             ]
             pat = (margs[-1] if margs else ".*").replace("\\\\", "\\")
+            # the reference's Merge regex is a PARTIAL match
+            # (OptimizedRegularExpression::match on the name) — '^products_'
+            # matches products_l; only explicit $ anchors the end
             tables = sorted(
                 nm for nm in (_SCRIPT_SCHEMAS_CTX.get() or {})
-                if re.fullmatch(pat, nm)
+                if re.search(pat, nm)
             )
             if not tables:
                 raise DialectError(f"merge(): no tables match {pat!r}")
-            want_table = any(tk.strip('`"') == "_table" for tk in toks)
+            want_table = bool(_WANT_TABLE_VCOL.get()) or any(
+                tk.strip('`"') == "_table" for tk in toks
+            )
             branches = [
                 (
                     f"SELECT *, '{nm}' AS _table FROM `{nm}`"
@@ -8072,6 +8108,32 @@ def _qualify_ambiguous(q: _Select) -> None:
 
 
 
+def _split_from_alias(
+    item: list[str], default_name: str
+) -> tuple[list[str], str]:
+    """Split one FROM item into (source tokens, effective alias) —
+    trailing explicit alias (with or without AS), else the bare table
+    name, else ``default_name``."""
+    src2 = list(item)
+    alias = None
+    if len(src2) >= 2 and _kw(src2[-2]) == "AS":
+        alias, src2 = src2[-1], src2[:-2]
+    elif (
+        src2 and src2[0] == "(" and _is_ident(src2[-1])
+        and _match_paren(src2, 0) < len(src2) - 1
+    ):
+        alias, src2 = src2[-1], src2[:-1]
+    elif (
+        src2 and src2[0] != "(" and len(src2) > 1
+        and _is_ident(src2[-1]) and src2[-2] != "."
+    ):
+        alias, src2 = src2[-1], src2[:-1]
+    if alias is None:
+        bare = "".join(x.strip("`") for x in src2).split(".")[-1]
+        alias = bare if _is_ident(bare) else default_name
+    return src2, alias.strip("`")
+
+
 def _semi_anti_both_sides_rewrite(q: "_Select") -> None:
     """The reference's SEMI/ANTI joins output BOTH sides (HashJoin.h
     JoinKind Semi/Anti): SEMI LEFT keeps left rows with a match plus the
@@ -8111,29 +8173,8 @@ def _semi_anti_both_sides_rewrite(q: "_Select") -> None:
             break
     if not keys:
         return
-
-    def split_alias(item: list[str], default_name: str):
-        src2 = list(item)
-        alias = None
-        if len(src2) >= 2 and _kw(src2[-2]) == "AS":
-            alias, src2 = src2[-1], src2[:-2]
-        elif (
-            src2 and src2[0] == "(" and _is_ident(src2[-1])
-            and _match_paren(src2, 0) < len(src2) - 1
-        ):
-            alias, src2 = src2[-1], src2[:-1]
-        elif (
-            src2 and src2[0] != "(" and len(src2) > 1
-            and _is_ident(src2[-1]) and src2[-2] != "."
-        ):
-            alias, src2 = src2[-1], src2[:-1]
-        if alias is None:
-            bare = "".join(x.strip("`") for x in src2).split(".")[-1]
-            alias = bare if _is_ident(bare) else default_name
-        return src2, alias.strip("`")
-
-    lsrc, lalias = split_alias(left, "__sa_l")
-    rsrc, ralias = split_alias(right, "__sa_r")
+    lsrc, lalias = _split_from_alias(left, "__sa_l")
+    rsrc, ralias = _split_from_alias(right, "__sa_r")
     other = ralias if not rightward else lalias
     refs_other = any(
         q.select[j].strip("`") == other
@@ -8337,12 +8378,11 @@ def _stream_order_join_rewrite(
     if "ASOF" in kws:
         return None
     semi = bool({"SEMI", "ANTI"} & kws)
-    # aggregates / windows / qualified stars in the select list leave the
-    # row-stream model — skip
+    # aggregates / windows in the select list leave the row-stream
+    # model — skip; qualified stars expand in place when the side's
+    # column list is derivable (so ANY/plain joins keep stream order)
     for j, t in enumerate(q.select):
         if _kw(t) == "OVER":
-            return None
-        if t == "*" and j >= 1 and q.select[j - 1] == ".":
             return None
         if (
             _AGG_HINT_RE.match(t)
@@ -8350,6 +8390,30 @@ def _stream_order_join_rewrite(
             and q.select[j + 1] == "("
         ):
             return None
+    if any(
+        t == "*" and j >= 1 and q.select[j - 1] == "."
+        for j, t in enumerate(q.select)
+    ):
+        lsrc, lalias = _split_from_alias(left, "__jw_l")
+        rsrc, ralias = _split_from_alias(right, "__jw_r")
+        sides = {lalias: lsrc, ralias: rsrc}
+        sel: list[str] = []
+        j = 0
+        while j < len(q.select):
+            if (
+                j + 2 < len(q.select) and q.select[j + 1] == "."
+                and q.select[j + 2] == "*"
+            ):
+                al = q.select[j].strip("`")
+                cols = _from_item_cols(sides[al]) if al in sides else None
+                if not cols:
+                    return None
+                sel += tokenize(", ".join(f"{al}.`{c}`" for c in cols))
+                j += 3
+                continue
+            sel.append(q.select[j])
+            j += 1
+        q.select = sel
 
     def wrap(item: list[str], idcol: str) -> list[str]:
         src = list(item)
@@ -8501,6 +8565,13 @@ def _join_fill_cols(
     keymap: dict[str, str] = {}
     i = 0
     while i < n:
+        if toks[i] == "(":
+            # a nested subquery handles its own joins' fill when IT is
+            # translated — a LEFT JOIN inside it must not leak fills
+            # into this query's clauses (00917: HAVING referenced a
+            # name that collided with the inner join's column)
+            i = _match_paren(toks, i) + 1
+            continue
         if _kw(toks[i]) not in ("LEFT", "FULL"):
             i += 1
             continue
@@ -8950,6 +9021,10 @@ def translate(query: str) -> TranslateResult:
     toks = tokenize(query.strip().rstrip(";"))
     if not toks:
         raise DialectError("empty query")
+    # merge() TVF: `_table` may be referenced from ANY clause (WHERE
+    # in 00578), while the TVF expander only sees the FROM tokens —
+    # record statement-wide usage here
+    _WANT_TABLE_VCOL.set(any(t.strip('`"') == "_table" for t in toks))
     explain_mode = None
     if _kw(toks[0]) == "EXPLAIN":
         toks = toks[1:]

@@ -38,6 +38,7 @@ from daisy_spark.catalog import TableSpec
 from daisy_spark.operators.final import read_final
 from daisy_spark.plans.dialect import (
     DialectError,
+    _SQL_KEYWORDS,
     _emit,
     _is_ident,
     _kw,
@@ -268,14 +269,26 @@ class ScriptRunner:
         # snapshot); Spark's ordinal interpretation must be disabled
         self._prev_gbo = spark.conf.get("spark.sql.groupByOrdinal", "true")
         spark.conf.set("spark.sql.groupByOrdinal", "false")
-        # AQE replans can re-resolve ORDER BY attributes over USING
-        # joins between executions (observed: NULLS LAST placement
-        # flips after the first run on RIGHT-USING dedup shapes).  The
-        # script engine's contract is byte-exact output over small data
-        # — determinism wins over adaptive planning here; the DataFrame
-        # query path (daisy_spark.queries) keeps AQE on.
+        # AQE stays ON: with it off, unordered GROUP BY / join output
+        # arrives in raw shuffle-partition order, which does NOT match
+        # the reference's hash-table iteration order on a dozen corpus
+        # files (r5 regressed 10 of them); with AQE's partition coalesce
+        # the order matches.  The RIGHT-USING dedup instability that
+        # motivated turning it off in r5 (NULLS LAST placement flipping
+        # between runs) is instead pinned by the explicit NULLS LAST
+        # ordering the __jord stream-order wrapper now carries.
         self._prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        # ...but OptimizeOneRowPlan misfires during AQE RE-optimization:
+        # once a join input materializes as a LogicalQueryStage, the rule
+        # deletes a top-level global Sort outright (observed on 00445:
+        # RIGHT JOIN over a LIMIT..OFFSET stage + ORDER BY — first run
+        # sorted, every later run unsorted).  The static-optimizer copy
+        # of the rule is fine; only the adaptive re-run is excluded.
+        spark.conf.set(
+            "spark.sql.adaptive.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.OptimizeOneRowPlan",
+        )
 
     # -- public ----------------------------------------------------------
 
@@ -378,9 +391,15 @@ class ScriptRunner:
                         nm in merge_tables and prev3 != "."
                         and _kw(prev3) in ("FROM", "JOIN", ",")
                     ):
+                        nxt3 = toks[j3 + 1] if j3 + 1 < len(toks) else ""
+                        has_alias = _kw(nxt3) == "AS" or (
+                            nxt3 and nxt3[0].isalpha()
+                            and _kw(nxt3) not in _SQL_KEYWORDS
+                        )
                         out_t += tokenize(
                             f"merge(currentDatabase(), "
-                            f"'{merge_tables[nm]}') AS {nm}"
+                            f"'{merge_tables[nm]}')"
+                            + ("" if has_alias else f" AS {nm}")
                         )
                     else:
                         out_t.append(tk)
@@ -774,6 +793,15 @@ class ScriptRunner:
             order_by=ident_keys, version_column=version, sign_column=sign,
             summed_columns=summed,
         )
+        if spec.engine == "AggregatingMergeTree":
+            spec.agg_columns = {
+                c.name: m.group(1)
+                for c in cols
+                if (m := re.match(
+                    r"(?i)(?:Simple)?AggregateFunction\s*\(\s*(\w+)",
+                    c.ch_type or "",
+                ))
+            }
         # Memory/Null never merge -> MergeTree identity semantics on read
         if spec.engine in ("Memory", "Null"):
             spec = TableSpec(

@@ -32,6 +32,12 @@ DEFAULT_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # OptimizeOneRowPlan drops a top-level ORDER BY when it re-runs over
+    # materialized query stages (wrong results, not just order noise:
+    # the user's sort silently disappears on re-executed plans).  Keep
+    # the static-optimizer copy; exclude only the adaptive re-run.
+    "spark.sql.adaptive.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.OptimizeOneRowPlan",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.parquet.filterPushdown": "true",

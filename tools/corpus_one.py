@@ -10,9 +10,10 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-from tools.corpus_run import fmt, fmt_f32, new_session  # noqa: E402
+from tools.corpus_run import new_session  # noqa: E402
 
-from daisy_spark.plans.script import ScriptRunner, split_statements  # noqa: E402
+from daisy_spark.chfmt import render_script  # noqa: E402
+from daisy_spark.plans.script import ScriptRunner  # noqa: E402
 
 REF = "/root/reference/tests/queries/0_stateless/"
 
@@ -21,35 +22,10 @@ def run_file(spark, name: str) -> bool:
     txt = open(REF + name, encoding="utf-8").read()
     exp = open(REF + name[:-4] + ".reference", encoding="utf-8").read()
     runner = ScriptRunner(spark)
-    outs = []
-    echo = False
     try:
-        for s in split_statements(txt):
-            if "-- { echoOn" in s or "-- { echo }" in s:
-                echo = True
-            elif "-- { echoOff" in s:
-                echo = False
-            if echo:
-                outs.append(s.strip() + ";")
-            df = runner.execute(s)
-            if df is None:
-                continue
-            f32 = [fld.dataType.simpleString() == "float"
-                   for fld in df.schema.fields]
-            for r in df.collect():
-                outs.append("\t".join(
-                    fmt_f32(v) if is32 else fmt(v)
-                    for v, is32 in zip(r, f32)
-                ))
-            for r in getattr(df, "_daisy_totals", None) or []:
-                outs.append("")
-                outs.append("\t".join(
-                    fmt_f32(v) if is32 else fmt(v)
-                    for v, is32 in zip(r, f32)
-                ))
+        got = render_script(runner, txt)
     finally:
         runner.close()
-    got = "\n".join(outs).strip()
     ok = got == exp.strip()
     print(f"=== {name}: {'MATCH' if ok else 'MISMATCH'}")
     if not ok:

@@ -48,96 +48,7 @@ BIG_AGG_RE = re.compile(
 )
 
 
-def js_float(s: str) -> str:
-    """Format shortest-round-trip float digits the way the reference
-    does (same rules as ECMAScript Number::toString: positional for
-    10^-7 < |x| < 10^21, exponential outside).  ``s`` is Python's repr
-    (which flips to exponent notation at different thresholds)."""
-    if "e" not in s and "E" not in s:
-        return s
-    mant, _, exp = s.partition("e")
-    e = int(exp)
-    neg = mant.startswith("-")
-    digits = mant.lstrip("-").replace(".", "")
-    point = mant.lstrip("-").find(".")
-    if point < 0:
-        point = len(mant.lstrip("-"))
-    # exponent of the FIRST digit
-    e10 = e + point - 1
-    digits = digits.rstrip("0") or "0"
-    sign = "-" if neg else ""
-    if -7 < e10 < 21:
-        if e10 >= len(digits) - 1:
-            return sign + digits + "0" * (e10 - len(digits) + 1)
-        if e10 >= 0:
-            return sign + digits[: e10 + 1] + "." + digits[e10 + 1 :]
-        return sign + "0." + "0" * (-e10 - 1) + digits
-    m = digits[0] + ("." + digits[1:] if len(digits) > 1 else "")
-    return f"{sign}{m}e{'' if e10 >= 0 else '-'}{abs(e10)}"
-
-
-def fmt(v, nested=False):
-    import datetime
-    import decimal
-
-    if v is None:
-        # composite values render the bare word NULL; top level is \N
-        return "NULL" if nested else "\\N"
-    if isinstance(v, datetime.datetime):
-        s = v.strftime("%Y-%m-%d %H:%M:%S")
-        return f"'{s}'" if nested else s
-    if isinstance(v, datetime.date):
-        return f"'{v.isoformat()}'" if nested else v.isoformat()
-    if isinstance(v, bool):
-        return "1" if v else "0"
-    if isinstance(v, decimal.Decimal):
-        # full scale, positional — str(Decimal('0E-8')) is scientific
-        return format(v, "f")
-    if isinstance(v, datetime.timedelta):
-        # DateTime-DateTime renders seconds, Date-Date renders days
-        # (reference subtraction yields Int32, never an interval)
-        if v.seconds or v.microseconds:
-            return str(int(v.total_seconds()))
-        return str(v.days)
-    if isinstance(v, float):
-        if v != v:
-            return "nan"
-        if v == float("inf"):
-            return "inf"
-        if v == float("-inf"):
-            return "-inf"
-        if v == int(v) and abs(v) < 9007199254740992:
-            return str(int(v))
-        return js_float(repr(v))
-    if isinstance(v, tuple):  # Row (struct) — ClickHouse tuple rendering
-        return "(" + ",".join(fmt(x, nested=True) for x in v) + ")"
-    if isinstance(v, list):
-        return "[" + ",".join(fmt(x, nested=True) for x in v) + "]"
-    if isinstance(v, str) and nested:
-        # ClickHouse TSV quotes strings inside composite values
-        return "'" + (v.replace("\\", "\\\\").replace("\x00", "\\0")
-                      .replace("'", "\\'")) + "'"
-    if isinstance(v, str):
-        # TSV escaping (writeEscapedString): backslash + control chars
-        # + apostrophe
-        return (
-            v.replace("\\", "\\\\").replace("\t", "\\t")
-            .replace("\n", "\\n").replace("\r", "\\r")
-            .replace("\x00", "\\0").replace("'", "\\'")
-        )
-    return str(v)
-
-
-def fmt_f32(v):
-    """Float32 columns: the reference prints the float's SHORTEST
-    round-trip at 32-bit precision (21.99, not 21.989999771118164)."""
-    if isinstance(v, float):
-        import numpy as np
-
-        if v != v or v in (float("inf"), float("-inf")) or v == int(v):
-            return fmt(v)
-        return str(np.float32(v))
-    return fmt(v)
+from daisy_spark.chfmt import fmt, fmt_f32, render_script  # noqa: E402
 
 
 def new_session():
@@ -214,6 +125,16 @@ def main():
         if which == "all":
             st["mismatch"] = {}
         print(f"retrying {len(redo)} files")
+    # --recheck-matched: re-verify the CURRENT matched set with HEAD
+    # code.  "matched" is otherwise append-only history, not current
+    # truth — round 5 shipped 14 red pytest files because stale greens
+    # were synced into the test list without re-execution.  Run this
+    # before any sync of tests/test_reference_corpus.py::CORPUS.
+    if len(sys.argv) > 1 and sys.argv[1] == "--recheck-matched":
+        redo = set(st["matched"])
+        st["done"] = [f for f in st["done"] if f not in redo]
+        st["matched"] = []
+        print(f"rechecking {len(redo)} previously-matched files")
     done = set(st["done"])
     spark = new_session()
     files = sorted(glob.glob("/root/reference/tests/queries/0_stateless/0*.sql"))
@@ -248,35 +169,7 @@ def main():
         watchdog.daemon = True
         watchdog.start()
         try:
-            outs = []
-            echo = False
-            for s in stmts:
-                if "-- { echoOn" in s or "-- { echo }" in s:
-                    echo = True
-                elif "-- { echoOff" in s:
-                    echo = False
-                if echo:
-                    # clickhouse-test echo mode: the statement text (with
-                    # its comment lines) precedes its own output
-                    outs.append(s.strip() + ";")
-                df = runner.execute(s)
-                if df is None:
-                    continue
-                f32 = [fld.dataType.simpleString() == "float"
-                       for fld in df.schema.fields]
-                for r in df.collect():
-                    outs.append("\t".join(
-                        fmt_f32(v) if is32 else fmt(v)
-                        for v, is32 in zip(r, f32)
-                    ))
-                # WITH TOTALS: separate block after an empty line
-                for r in getattr(df, "_daisy_totals", None) or []:
-                    outs.append("")
-                    outs.append("\t".join(
-                        fmt_f32(v) if is32 else fmt(v)
-                        for v, is32 in zip(r, f32)
-                    ))
-            got = "\n".join(outs).strip()
+            got = render_script(runner, txt)
             if got == exp.strip():
                 st["matched"].append(name)
             else:
