@@ -724,6 +724,14 @@ _SCRIPT_SCHEMAS_CTX: "contextvars.ContextVar[dict | None]" = contextvars.Context
     "daisy_script_schemas", default=None
 )
 
+#: declared REFERENCE types of the active ScriptRunner's table columns,
+#: flattened col_name -> canonical ch type ("LowCardinality(UInt32)").
+#: Feeds the static type env so toTypeName / typed dispatch see the
+#: DECLARED type (Spark's schema loses unsigned/LowCardinality/etc.).
+_SCRIPT_CHTYPES_CTX: "contextvars.ContextVar[dict | None]" = (
+    contextvars.ContextVar("daisy_script_chtypes", default=None)
+)
+
 #: AggregateFunction column registry of the active ScriptRunner:
 #: col_name -> (agg_fname, "(params)" or "").  Lets finalizeAggregation /
 #: -Merge resolve how a STORED state column finalizes
@@ -1886,6 +1894,51 @@ def _ch_type_of(toks: list[str], env: dict[str, str]) -> str | None:
             or _kw(t) in ("AND", "OR", "NOT", "LIKE", "IN")
         ):
             return "UInt8"
+    # top-level decimal arithmetic: the reference keeps the DECIMAL
+    # CLASS (Decimal32/64/128 by max precision) and max scale through
+    # + - * (DecimalBinaryOperation); division's scale is the
+    # numerator's.  Only the decimal case is inferred — int/float
+    # arithmetic stays None (runtime fallback) to avoid overclaiming.
+    depth = 0
+    arith = None  # (k, op) of the LAST lowest-precedence binary op
+    for k, t in enumerate(toks):
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif depth == 0 and t in ("+", "-", "*", "/", "%") and k > 0:
+            prev = toks[k - 1]
+            if prev in ("(", "[", ",", "+", "-", "*", "/", "%"):
+                continue  # unary sign
+            if arith is None or t in ("+", "-") or arith[1] not in ("+", "-"):
+                arith = (k, t)
+    if arith is not None:
+        k, op = arith
+        lt0 = _ch_type_of(toks[:k], env)
+        rt0 = _ch_type_of(toks[k + 1 :], env)
+        dm_l = re.fullmatch(
+            r"Decimal\((\d+), (\d+)\)", _ch_unwrap(lt0 or "")
+        )
+        dm_r = re.fullmatch(
+            r"Decimal\((\d+), (\d+)\)", _ch_unwrap(rt0 or "")
+        )
+        num_ok = lambda t0: t0 is not None and _ch_unwrap(t0).startswith(  # noqa: E731
+            ("UInt", "Int", "Float", "Decimal")
+        )
+        if (dm_l or dm_r) and num_ok(lt0) and num_ok(rt0) and op != "%":
+            ps = [int(m.group(1)) for m in (dm_l, dm_r) if m]
+            ss = [int(m.group(2)) for m in (dm_l, dm_r) if m]
+            if op == "/" and dm_l:
+                scale = int(dm_l.group(2))
+            else:
+                scale = max(ss)
+            prec = max(ps)
+            # normalize to the decimal class widths
+            for cls in (9, 18, 38, 76):
+                if prec <= cls:
+                    prec = cls
+                    break
+            return f"Decimal({prec}, {scale})"
     head = _kw(toks[0])
     call = (
         len(toks) >= 3 and toks[1] == "("
@@ -1895,8 +1948,21 @@ def _ch_type_of(toks: list[str], env: dict[str, str]) -> str | None:
         parts = [p for p in _split_top(toks[2:-1], ",") if p]
         if head == "MATERIALIZE":
             return _ch_type_of(parts[0], env) if parts else None
+        # timezone-carrying DateTime constructors: the tz rides in the
+        # type (DataTypeDateTime(timezone)) and marks the value shifted
+        if head in (
+            "NOW", "TODATETIME", "TOTIMEZONE", "TOSTARTOFHOUR",
+            "TOSTARTOFDAY", "TOSTARTOFMINUTE",
+        ) and parts and parts[-1] and parts[-1][0].startswith("'"):
+            return f"DateTime({parts[-1][0]})"
         if head in _FN_TYPE_NAMES:
             return _FN_TYPE_NAMES[head]
+        if head in ("TODECIMAL32", "TODECIMAL64", "TODECIMAL128",
+                    "TODECIMAL256") and len(parts) == 2 and parts[1]:
+            prec = {"TODECIMAL32": 9, "TODECIMAL64": 18,
+                    "TODECIMAL128": 38, "TODECIMAL256": 76}[head]
+            if parts[1][0].isdigit():
+                return f"Decimal({prec}, {parts[1][0]})"
         if head.startswith("EMPTYARRAY") and len(head) > 10:
             sub_t = head[10:].capitalize()
             fix = {
@@ -2170,6 +2236,7 @@ def _subquery_type_env(from_toks: list[str]) -> dict[str, str]:
     """Column -> reference type for aliased items of FROM (SELECT ...)
     subqueries, so toTypeName(x) can resolve x defined one level down."""
     env = dict(_TYPE_ENV_DEFAULT)
+    env.update(_SCRIPT_CHTYPES_CTX.get() or {})
     i = 0
     n = len(from_toks)
     while i < n:
@@ -5255,6 +5322,60 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                     out.append(f"'{tn}'")
                     i = close + 1
                     continue
+            # timezone-argument forms.  DateTime('tz') values are
+            # represented SHIFTED to that zone's wall clock (the session
+            # stays UTC), tracked through _ch_type_of as DateTime('tz'):
+            # part extractors with an explicit tz shift on the fly;
+            # constructors (now/toDateTime/toStartOf*) yield the shifted
+            # value so downstream single-arg extractors and rendering
+            # are correct with no further bookkeeping.
+            if (
+                t in _TZ_FNS and args
+                and args[-1].startswith("'") and not args[-1][1:-1].isdigit()
+                and (len(args) == 2 or (t == "now" and len(args) == 1))
+            ):
+                tz = args[-1]
+                if len(args) == 1:  # now('tz')
+                    wall = f"from_utc_timestamp(current_timestamp(), {tz})"
+                else:
+                    wall = _tz_wall_expr(args[0], arg_parts[0], tz)
+                kind = _TZ_FNS[t]
+                if kind == "value":
+                    out.append(wall)
+                elif kind == "string":
+                    out.append(f"CAST({wall} AS STRING)")
+                elif kind == "epoch":
+                    out.append(
+                        f"unix_timestamp(to_utc_timestamp({wall}, {tz}))"
+                    )
+                else:
+                    out.append(kind.format(wall))
+                i = close + 1
+                continue
+            # single-arg toUnixTimestamp over a tz-typed (shifted) value
+            # re-bases to UTC before taking the epoch
+            if t == "toUnixTimestamp" and len(args) == 1 and arg_parts:
+                atz0 = _dt_tz_of(arg_parts[0])
+                if atz0:
+                    out.append(
+                        f"unix_timestamp(to_utc_timestamp({args[0]}, {atz0}))"
+                    )
+                    i = close + 1
+                    continue
+            # add/subtract date arithmetic with a TRAILING tz argument:
+            # convert to that zone's wall clock first, then add
+            if (
+                t in _TZ_ARITH_FNS and len(args) == 3
+                and args[2].startswith("'")
+            ):
+                wall = _tz_wall_expr(args[0], arg_parts[0], args[2])
+                out.append(
+                    _render_tmpl(FUNC_MAP[t], [wall, args[1]])
+                    if isinstance(FUNC_MAP.get(t), str)
+                    else FUNC_MAP[t]([wall, args[1]])  # type: ignore[misc]
+                )
+                i = close + 1
+                continue
             # toString's integral-float re-render ('10.0' -> '10') is a
             # FLOAT rendering rule (WriteHelpers.h shortest-round-trip);
             # String inputs whose text looks numeric and full-scale
@@ -5609,6 +5730,75 @@ _TS_HEADS = (
 )
 
 
+#: fn -> how its timezone-argument form renders over the SHIFTED value:
+#: "value" passes the shifted timestamp through; "string" CASTs it;
+#: a template formats it (part extractors / truncations)
+_TZ_FNS = {
+    "now": "value", "toDateTime": "value", "toTimeZone": "value",
+    "toString": "string",
+    "toStartOfHour": "date_trunc('HOUR', {0})",
+    "toStartOfDay": "date_trunc('DAY', {0})",
+    "toStartOfMinute": "date_trunc('MINUTE', {0})",
+    "toStartOfMonth": "CAST(date_trunc('MONTH', {0}) AS DATE)",
+    "toStartOfQuarter": "CAST(date_trunc('QUARTER', {0}) AS DATE)",
+    "toStartOfYear": "CAST(date_trunc('YEAR', {0}) AS DATE)",
+    "toDate": "CAST({0} AS DATE)",
+    "toHour": "hour({0})", "toMinute": "minute({0})",
+    "toSecond": "second({0})", "toYear": "year({0})",
+    "toQuarter": "quarter({0})", "toMonth": "month({0})",
+    "toDayOfMonth": "day({0})", "toDayOfYear": "dayofyear({0})",
+    "toDayOfWeek": "(weekday({0}) + 1)",
+    "toMonday": "date_sub(CAST({0} AS DATE), weekday({0}))",
+    "toUnixTimestamp": "epoch",
+}
+
+
+_TZ_ARITH_FNS = {
+    "addYears", "addMonths", "addWeeks", "addDays", "addHours",
+    "addMinutes", "addSeconds", "subtractYears", "subtractMonths",
+    "subtractWeeks", "subtractDays", "subtractHours", "subtractMinutes",
+    "subtractSeconds",
+}
+
+
+def _tz_wall_expr(arg: str, raw: list[str], tz: str) -> str:
+    """The wall-clock-in-``tz`` timestamp for ``arg`` (translated text,
+    raw tokens): an arg already shifted to tz passes through; one
+    shifted to ANOTHER zone re-bases; a STRING parses as wall time IN
+    tz (DateTime(str, tz) semantics); a plain UTC instant shifts."""
+    atz = _dt_tz_of(raw)
+    if atz == tz:
+        return arg
+    if atz:
+        return (
+            f"from_utc_timestamp(to_utc_timestamp({arg}, {atz}), {tz})"
+        )
+    stringish = arg.startswith("'") or (raw and raw[0][:1] == "'")
+    if not stringish:
+        try:
+            t0 = _ch_type_of(raw, _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT)
+            stringish = bool(t0) and _ch_unwrap(t0).startswith(
+                ("String", "FixedString")
+            )
+        except Exception:  # noqa: BLE001
+            stringish = False
+    if stringish:
+        return f"CAST({arg} AS TIMESTAMP)"
+    return f"from_utc_timestamp(CAST({arg} AS TIMESTAMP), {tz})"
+
+
+def _dt_tz_of(raw: list[str]) -> str | None:
+    """The 'tz' literal (with quotes) when the raw expression's inferred
+    reference type is DateTime('tz') — i.e. the translated value is
+    already shifted to that zone's wall clock."""
+    try:
+        t = _ch_type_of(raw, _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT)
+    except Exception:  # noqa: BLE001
+        return None
+    m = re.fullmatch(r"DateTime(?:64)?\((?:\d+, )?('[^']*')\)", t or "")
+    return m.group(1) if m else None
+
+
 def _dt_kind(tok: str) -> str | None:
     if tok.startswith(_DATE_HEADS) or tok.endswith("AS DATE)"):
         return "date"
@@ -5669,7 +5859,36 @@ def _div_zero_pass(toks: list[str]) -> list[str]:
         ltxt = _emit(res[l_start : i])
         rtxt = _emit(res[i + 1 : r_end + 1])
         both = (ltxt + " " + rtxt).upper()
-        if "DECIMAL" in both or not rtxt.strip():
+        if not rtxt.strip():
+            i = r_end + 1
+            continue
+        # decimal numerator: the reference's decimal division TRUNCATES
+        # toward zero at the numerator's scale (DecimalBinaryOperation
+        # integer math); Spark's decimal divide widens the scale then
+        # ROUNDS half-up on store.  Rewrite via a truncating BIGINT hop
+        # (exact for |result| * 10^s < 2^63 — the tested domain).
+        lt = None
+        try:
+            lt = _ch_type_of(
+                res[l_start:i], _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+            )
+        except Exception:  # noqa: BLE001
+            lt = None
+        md = re.fullmatch(
+            r"Decimal\s*\(\s*\d+\s*,\s*(\d+)\s*\)", _ch_unwrap(lt or "")
+        )
+        if md or "DECIMAL" in both:
+            if md and int(md.group(1)) > 0:
+                s9 = int(md.group(1))
+                p10 = 10 ** s9
+                repl = [
+                    f"CAST(CAST(CAST(({ltxt}) / ({rtxt}) * {p10} AS "
+                    f"BIGINT) AS DECIMAL(38, {s9})) / {p10} AS "
+                    f"DECIMAL(38, {s9}))"
+                ]
+                res[l_start : r_end + 1] = repl
+                i = l_start + 1
+                continue
             i = r_end + 1
             continue
         # single opaque token: re-tokenizing translated text would split

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from daisy_spark.catalog import TableSpec
+from daisy_spark.chsyntax import ch_expr, ch_type_canon, strip_outer_parens
 from daisy_spark.operators.final import read_final
 from daisy_spark.plans.dialect import (
     DialectError,
@@ -147,6 +148,29 @@ def _type_default(spark_type: str, nullable: bool) -> str:
     return "0"
 
 
+def _render_index_defs(span: list[str]) -> list[str]:
+    """Canonical `INDEX name expr TYPE kind GRANULARITY n` strings from
+    a CREATE column-definition span (skipping index expr outer parens,
+    like the reference's AST rendering)."""
+    out: list[str] = []
+    for part in _split_top(span, ","):
+        if not part or _kw(part[0]) != "INDEX":
+            continue
+        nm = part[1].strip('`"')
+        tpos = next(
+            (
+                k for k in range(2, len(part))
+                if _kw(part[k]) == "TYPE"
+                and _paren_depth_at(part, k) == 0
+            ),
+            len(part),
+        )
+        expr = ch_expr(strip_outer_parens(part[2:tpos]))
+        tail = ch_expr(part[tpos:])
+        out.append(f"INDEX {nm} {expr} {tail}".rstrip())
+    return out
+
+
 def _render_compact(toks: list[str]) -> str:
     """Reference-style expression text: no space around parens/commas
     (DESCRIBE shows the original expression, not the translation)."""
@@ -178,6 +202,7 @@ class _Col:
     # it — a later MODIFY re-defaults instead of casting
     virtual_default: bool = False
     default_kind: str = "DEFAULT"
+    ttl_raw: str = ""  # column TTL expression (SHOW CREATE fidelity)
 
 
 @dataclass
@@ -191,6 +216,22 @@ class _Table:
     sample_by: str = ""  # SAMPLE BY key expression (translated)
     partition_by: str = ""  # PARTITION BY expression (translated)
     merge_pattern: str = ""  # ENGINE = Merge(db, 'regex') member regex
+    # MergeTree part bookkeeping (names only — data lives in df).  One
+    # part per (insert, partition); OPTIMIZE merges a partition's parts.
+    # Part naming mirrors the reference: {partition}_{min}_{max}_{level}
+    # with block numbers from 1 (Replicated* allocates from 0).
+    parts: list[tuple[str, int, int, int]] = field(default_factory=list)
+    next_block: int = 1
+    # SHOW CREATE fidelity: clause texts in canonical reference spelling
+    order_by_raw: str = ""
+    partition_by_raw: str = ""
+    sample_by_raw: str = ""
+    ttl_raw: str = ""
+    settings_raw: str = ""
+    engine_raw: str = ""  # e.g. "MergeTree", "Memory", "Join(ANY, LEFT, k)"
+    indices: list[str] = field(default_factory=list)  # rendered INDEX defs
+    as_tf_raw: str = ""  # CREATE TABLE t AS numbers(5)
+    view_select_raw: str = ""  # CREATE VIEW body, canonical
 
 
 _ENGINE_KIND = {
@@ -213,6 +254,19 @@ _ENGINE_KIND = {
     "DISTRIBUTED": "Distributed",
     "SET": "Memory",
     "MERGE": "Memory",
+}
+
+#: SHOW CREATE engine display names (canonical reference casing)
+_ENGINE_DISPLAY = {
+    "MERGETREE": "MergeTree", "REPLACINGMERGETREE": "ReplacingMergeTree",
+    "SUMMINGMERGETREE": "SummingMergeTree",
+    "AGGREGATINGMERGETREE": "AggregatingMergeTree",
+    "COLLAPSINGMERGETREE": "CollapsingMergeTree",
+    "VERSIONEDCOLLAPSINGMERGETREE": "VersionedCollapsingMergeTree",
+    "MEMORY": "Memory", "LOG": "Log", "TINYLOG": "TinyLog",
+    "STRIPELOG": "StripeLog", "NULL": "Null", "BUFFER": "Buffer",
+    "JOIN": "Join", "DISTRIBUTED": "Distributed", "SET": "Set",
+    "MERGE": "Merge",
 }
 
 _CLAUSE_KW = {
@@ -341,6 +395,16 @@ class ScriptRunner:
             for name, t in self.tables.items()
         }
         token2 = _SCRIPT_SCHEMAS_CTX.set(schemas)
+        from daisy_spark.plans.dialect import _SCRIPT_CHTYPES_CTX
+
+        chtypes = {}
+        for t in self.tables.values():
+            for c in t.cols:
+                if c.ch_type and not c.ch_type.islower():
+                    # declared reference type (skip raw Spark fallbacks,
+                    # which are all-lowercase simpleStrings)
+                    chtypes[c.name] = ch_type_canon(c.ch_type)
+        token8 = _SCRIPT_CHTYPES_CTX.set(chtypes)
         from daisy_spark.plans.dialect import _AGG_COLS_CTX
         agg_cols: dict = {}
         for t in self.tables.values():
@@ -356,6 +420,7 @@ class ScriptRunner:
             return self._execute(stmt)
         finally:
             _AGG_COLS_CTX.reset(token7)
+            _SCRIPT_CHTYPES_CTX.reset(token8)
             _SCRIPT_SCHEMAS_CTX.reset(token2)
             _STORAGE_JOIN_CTX.reset(token)
             _DICTS_CTX.reset(token3)
@@ -428,7 +493,35 @@ class ScriptRunner:
         if head in ("DESCRIBE", "DESC"):
             return self._describe(toks)
         if head == "CHECK":
-            # CHECK TABLE: parquet-backed views have no broken parts
+            # CHECK TABLE: parquet-backed views have no broken parts.
+            # With check_query_single_value_result=0 the reference
+            # emits one (part_name, 1, '') row per data part.
+            svr = self.settings.get(
+                "check_query_single_value_result", "1"
+            ).strip("'\"").lower()
+            if svr in ("0", "false"):
+                j = 1
+                if j < len(toks) and _kw(toks[j]) == "TABLE":
+                    j += 1
+                cname, j = self._table_name(toks, j)
+                pid_filter = None
+                for j2 in range(j, len(toks) - 1):
+                    if _kw(toks[j2]) == "PARTITION":
+                        pid_filter = toks[j2 + 1].strip("'`\"")
+                        break
+                ct = self.tables.get(cname)
+                rows = [
+                    (f"{pid}_{mn}_{mx}_{lv}", 1, "")
+                    for pid, mn, mx, lv in sorted(
+                        ct.parts if ct else [],
+                        key=lambda p: (p[0], p[1]),
+                    )
+                    if pid_filter is None or pid == pid_filter
+                ]
+                return self.spark.createDataFrame(
+                    rows,
+                    "part_path STRING, is_passed INT, message STRING",
+                )
             return self.spark.createDataFrame([(1,)], "result INT")
         if head == "SET":
             return self._set(toks)
@@ -499,15 +592,51 @@ class ScriptRunner:
         t = self.tables.get(name)
         if t is None:
             raise DialectError(f"SHOW CREATE of unknown table {name}")
-        cols = ",\n    ".join(
-            f"`{c.name}` {c.ch_type or c.spark_type}"
-            for c in t.cols if not c.hidden
-        )
-        engine = t.spec.engine if t.spec.engine != "MergeTree" else "Memory"
-        ddl = (
-            f"CREATE {temp}TABLE {name}\n(\n    {cols}\n)\n"
-            f"ENGINE = {engine}"
-        )
+        # temporary tables live outside any database — no `default.`
+        qual = "" if temp else "default."
+        defs = []
+        for c in t.cols:
+            d = f"`{c.name}` {ch_type_canon(c.ch_type or c.spark_type)}"
+            if c.default_raw:
+                d += f" {c.default_kind} {c.default_raw}"
+            if c.ttl_raw:
+                d += f" TTL {c.ttl_raw}"
+            defs.append(d)
+        defs += t.indices
+        cols = ",\n    ".join(defs)
+        if t.view_select_raw:
+            ddl = (
+                f"CREATE VIEW {qual}{name}\n(\n    {cols}\n) AS\n"
+                f"{t.view_select_raw}"
+            )
+        elif t.as_tf_raw:
+            ddl = (
+                f"CREATE {temp}TABLE {qual}{name}\n(\n    {cols}\n)"
+                f" AS {t.as_tf_raw}"
+            )
+        else:
+            engine = t.engine_raw or (
+                t.spec.engine if t.spec.engine != "MergeTree" else "Memory"
+            )
+            ddl = (
+                f"CREATE {temp}TABLE {qual}{name}\n(\n    {cols}\n)\n"
+                f"ENGINE = {engine}"
+            )
+            if t.partition_by_raw:
+                ddl += f"\nPARTITION BY {t.partition_by_raw}"
+            if t.order_by_raw:
+                ddl += f"\nORDER BY {t.order_by_raw}"
+            if t.sample_by_raw:
+                ddl += f"\nSAMPLE BY {t.sample_by_raw}"
+            if t.ttl_raw:
+                ddl += f"\nTTL {t.ttl_raw}"
+            if engine.endswith("MergeTree"):
+                st = t.settings_raw
+                if "index_granularity" not in st:
+                    st = (st + ", " if st else "") + "index_granularity = 8192"
+                ddl += f"\nSETTINGS {st}"
+            elif t.settings_raw:
+                ddl += f"\nSETTINGS {t.settings_raw}"
         return self.spark.createDataFrame([(ddl,)], "statement STRING")
 
     def _strip_db_quals(self, toks: list[str]) -> list[str]:
@@ -641,12 +770,17 @@ class ScriptRunner:
                 return None
             self._drop_views(name)
         cols: list[_Col] = []
+        indices_raw: list[str] = []
         if i < len(toks) and toks[i] == "(":
             close = _match_paren(toks, i)
             cols = self._parse_coldefs(toks[i + 1 : close])
             self._infer_untyped(cols)
+            indices_raw = _render_index_defs(toks[i + 1 : close])
             i = close + 1
         engine, engine_args = "Memory", []
+        replicated_tbl = False
+        engine_raw = order_by_raw = partition_by_raw = ""
+        ttl_raw = settings_raw = ""
         order_keys: list[str] = []
         sample_by = ""
         partition_by = ""
@@ -661,7 +795,7 @@ class ScriptRunner:
                 if i < n and toks[i] == "=":
                     i += 1
                 ename = _kw(toks[i])
-                replicated = ename.startswith("REPLICATED")
+                replicated = replicated_tbl = ename.startswith("REPLICATED")
                 if replicated:
                     # Replicated<X>MergeTree(zk_path, replica, ...): same
                     # read semantics as <X>MergeTree; zk args dropped
@@ -679,6 +813,12 @@ class ScriptRunner:
                     i = close + 1
                 if replicated:
                     raw_args = raw_args[2:]
+                disp = _ENGINE_DISPLAY.get(ename, ename.title())
+                engine_raw = ("Replicated" if replicated else "") + disp
+                if raw_args:
+                    engine_raw += (
+                        "(" + ", ".join(ch_expr(p) for p in raw_args) + ")"
+                    )
                 if ename == "MERGE" and len(raw_args) > 1:
                     # Merge(db, 'regex'): reads union the matching
                     # tables at query time (TableFunctionMerge) — keep
@@ -733,7 +873,9 @@ class ScriptRunner:
                     else:
                         engine_args.append(_emit(p).strip('`"'))
             elif up == "ORDER" and i + 1 < n and _kw(toks[i + 1]) == "BY":
-                order_keys, i = self._parse_key_list(toks, i + 2)
+                j0 = i + 2
+                order_keys, i = self._parse_key_list(toks, j0)
+                order_by_raw = ch_expr(toks[j0:i])
             elif up == "SAMPLE" and i + 1 < n:
                 # SAMPLE BY expr: recorded so dialect SAMPLE f reads become
                 # a deterministic key-range filter (the reference's
@@ -743,12 +885,36 @@ class ScriptRunner:
             elif up == "PARTITION" and i + 1 < n:
                 # PARTITION BY expr: recorded so ALTER ... DROP PARTITION
                 # can filter the matching rows out
-                part_keys, i = self._parse_key_list(toks, i + 2)
+                j0 = i + 2
+                part_keys, i = self._parse_key_list(toks, j0)
                 partition_by = part_keys[0] if part_keys else ""
+                partition_by_raw = ch_expr(toks[j0:i])
             elif up == "PRIMARY" and i + 1 < n:
                 _, i = self._parse_key_list(toks, i + 2)
-            elif up in ("SETTINGS", "TTL", "COMMENT"):
-                # trailing storage knobs -- no read-semantics impact here
+            elif up == "TTL":
+                # table TTL: capture for SHOW CREATE (data expiry itself
+                # is handled by maintenance.apply_ttl)
+                j0 = i + 1
+                depth0 = 0
+                while j0 < n:
+                    if toks[j0] == "(":
+                        depth0 += 1
+                    elif toks[j0] == ")":
+                        depth0 -= 1
+                    elif depth0 == 0 and _kw(toks[j0]) in (
+                        "SETTINGS", "COMMENT", "AS",
+                    ):
+                        break
+                    j0 += 1
+                ttl_raw = ch_expr(toks[i + 1 : j0])
+                i = j0
+            elif up == "SETTINGS":
+                j0 = i + 1
+                while j0 < n and _kw(toks[j0]) not in ("COMMENT", "AS"):
+                    j0 += 1
+                settings_raw = ch_expr(toks[i + 1 : j0])
+                i = j0
+            elif up == "COMMENT":
                 break
             elif up == "AS":
                 as_select = toks[i + 1 :]
@@ -812,6 +978,15 @@ class ScriptRunner:
             sample_by=sample_by, partition_by=partition_by,
             merge_pattern=merge_pattern,
         )
+        t.engine_raw = engine_raw or "Memory"
+        t.order_by_raw = order_by_raw
+        t.partition_by_raw = partition_by_raw
+        t.ttl_raw = ttl_raw
+        t.settings_raw = settings_raw
+        t.indices = indices_raw
+        if replicated_tbl:
+            # replicated block numbers are ZK-sequential from 0
+            t.next_block = 0
         if engine == "Null":
             # Null engine discards all inserts; only the schema exists
             t.spec = TableSpec(name=name, path="", engine="Null")
@@ -844,6 +1019,18 @@ class ScriptRunner:
                 # CREATE TABLE t AS other: clone schema, start empty
                 t.cols = list(other.cols)
                 t.sort_keys = t.sort_keys or list(other.sort_keys)
+                # SHOW CREATE renders the clone like the original
+                t.engine_raw = other.engine_raw
+                t.order_by_raw = other.order_by_raw
+                t.partition_by_raw = other.partition_by_raw
+                t.ttl_raw = other.ttl_raw
+                t.settings_raw = other.settings_raw
+                t.indices = list(other.indices)
+                t.as_tf_raw = other.as_tf_raw
+                if other.as_tf_raw:
+                    # AS <tvf> tables read the generator, not stored
+                    # parts — the clone inherits the generator with it
+                    t.df = other.df
                 if "MERGE" in tail[:4]:
                     # AS other ENGINE = Merge(db, 'regex'): reads union
                     # the matching tables at query time
@@ -861,6 +1048,7 @@ class ScriptRunner:
                 src = dialect_sql(
                     self.spark, "SELECT * FROM " + _emit(as_select)
                 )
+                t.as_tf_raw = ch_expr(as_select)
             if cols:
                 src = src.select(
                     *[
@@ -869,8 +1057,17 @@ class ScriptRunner:
                     ]
                 )
             else:
+                from daisy_spark.chsyntax import spark_to_ch
+
+                is_numbers = t.as_tf_raw.startswith("numbers")
                 t.cols = [
-                    _Col(f.name, f.dataType.simpleString(), f.dataType.simpleString(), True)
+                    _Col(
+                        f.name, f.dataType.simpleString(),
+                        # system.numbers' column is unsigned
+                        "UInt64" if is_numbers and f.name == "number"
+                        else spark_to_ch(f.dataType.simpleString()),
+                        True,
+                    )
                     for f in src.schema.fields
                 ]
             t.df = self._sorted_batch(t, src)
@@ -1070,16 +1267,86 @@ class ScriptRunner:
             ])
         df.createOrReplaceTempView(name)
         df.createOrReplaceTempView(name + "__final")
-        self.tables[name] = _Table(
+        from daisy_spark.chsyntax import format_select, spark_to_ch
+
+        if decl:
+            ch_types = {c.name: c.ch_type for c in decl}
+        else:
+            # infer reference-side output types for SHOW CREATE (the
+            # static inferencer knows system.numbers' UInt64 etc.)
+            ch_types = self._select_out_ch_types(toks[i + 1 :])
+        vt = _Table(
             name=name,
             cols=[
-                _Col(f.name, f.dataType.simpleString(), f.dataType.simpleString(), True)
+                _Col(
+                    f.name, f.dataType.simpleString(),
+                    ch_types.get(f.name)
+                    or spark_to_ch(f.dataType.simpleString()),
+                    True,
+                )
                 for f in df.schema.fields
             ],
             spec=TableSpec(name=name, path="", engine="MergeTree"),
             df=df,
         )
+        try:
+            vt.view_select_raw = format_select(toks[i + 1 :])
+        except Exception:  # noqa: BLE001
+            vt.view_select_raw = _emit(toks[i + 1 :])
+        self.tables[name] = vt
         return None
+
+    @staticmethod
+    def _select_out_ch_types(sel_toks: list[str]) -> dict[str, str]:
+        """name -> reference type for a view body's ALIASED select items
+        (best-effort static inference; unknown items are omitted)."""
+        from daisy_spark.plans.dialect import _ch_type_of, _split_top
+        from daisy_spark.plans.dialect import _TYPE_ENV_DEFAULT
+
+        out: dict[str, str] = {}
+        if not sel_toks or _kw(sel_toks[0]) != "SELECT":
+            return out
+        stop = next(
+            (
+                k for k in range(1, len(sel_toks))
+                if _paren_depth_at(sel_toks, k) == 0
+                and _kw(sel_toks[k]) in (
+                    "FROM", "WHERE", "GROUP", "ORDER", "LIMIT", "SETTINGS",
+                )
+            ),
+            len(sel_toks),
+        )
+        for item in _split_top(sel_toks[1:stop], ","):
+            if not item:
+                continue
+            nm, expr = None, item
+            if len(item) >= 3 and _kw(item[-2]) == "AS" and _is_ident(item[-1]):
+                nm, expr = item[-1].strip('`"'), item[:-2]
+            elif len(item) == 1 and _is_ident(item[0]):
+                nm = item[0].strip('`"')
+            if nm is None:
+                continue
+            try:
+                tpe = _ch_type_of(expr, dict(_TYPE_ENV_DEFAULT))
+                if (
+                    tpe is None and len(expr) == 3
+                    and expr[1] in ("+", "-", "*")
+                ):
+                    # int arithmetic keeps the column's width class
+                    # (UInt64 + small literal stays UInt64)
+                    ident = (
+                        expr[0] if _is_ident(expr[0]) and
+                        expr[2].isdigit() else
+                        expr[2] if _is_ident(expr[2]) and
+                        expr[0].isdigit() else None
+                    )
+                    if ident is not None:
+                        tpe = _ch_type_of([ident], dict(_TYPE_ENV_DEFAULT))
+            except Exception:  # noqa: BLE001
+                tpe = None
+            if tpe:
+                out[nm] = tpe
+        return out
 
     # -- MATERIALIZED VIEW (src/Storages/StorageMaterializedView.cpp) ----
 
@@ -1406,13 +1673,50 @@ class ScriptRunner:
             rest = a[j:]
             if rest and _kw(rest[0]) in ("DEFAULT", "MATERIALIZED", "ALIAS"):
                 col.default = _emit(_translate_expr(rest[1:]))
-                col.default_raw = _render_compact(rest[1:])
+                col.default_raw = ch_expr(rest[1:])
+                col.default_kind = _kw(rest[0])
+                col.hidden = col.default_kind in ("MATERIALIZED", "ALIAS")
                 return
             if not rest:
                 return
-            spark_type, _ = _map_type(rest, 0)
+            spark_type, consumed = _map_type(rest, 0)
             col.spark_type = spark_type
-            col.ch_type = _render_compact(rest)
+            col.ch_type = _render_compact(rest[:consumed])
+            # trailing DEFAULT/MATERIALIZED/ALIAS / TTL after the type
+            tail = rest[consumed:]
+            while tail:
+                tk = _kw(tail[0])
+                if tk in ("DEFAULT", "MATERIALIZED", "ALIAS"):
+                    stop = next(
+                        (
+                            k for k in range(1, len(tail))
+                            if _paren_depth_at(tail, k) == 0
+                            and _kw(tail[k]) in ("TTL", "CODEC", "COMMENT")
+                        ),
+                        len(tail),
+                    )
+                    col.default = _emit(_translate_expr(tail[1:stop]))
+                    col.default_raw = ch_expr(tail[1:stop])
+                    col.default_kind = tk
+                    col.hidden = tk in ("MATERIALIZED", "ALIAS")
+                    tail = tail[stop:]
+                elif tk == "TTL":
+                    stop = next(
+                        (
+                            k for k in range(1, len(tail))
+                            if _paren_depth_at(tail, k) == 0
+                            and _kw(tail[k]) in (
+                                "DEFAULT", "CODEC", "COMMENT",
+                            )
+                        ),
+                        len(tail),
+                    )
+                    col.ttl_raw = ch_expr(tail[1:stop])
+                    tail = tail[stop:]
+                elif tk == "CODEC" and len(tail) > 1 and tail[1] == "(":
+                    tail = tail[_match_paren(tail, 1) + 1 :]
+                else:
+                    tail = tail[1:]
             if col.virtual_default:
                 new_val = F.expr(
                     _type_default(spark_type, col.nullable)
@@ -1471,7 +1775,42 @@ class ScriptRunner:
             a[j]
         ) in ("INDEX", "PROJECTION"):
             # skipping indexes / projections are physical-layout hints
-            # with no query semantics here (like CODEC): accept-ignore
+            # with no query semantics — but SHOW CREATE lists them, so
+            # ADD/DROP INDEX keep the rendered-definition registry
+            if _kw(a[j]) == "INDEX" and op in ("ADD", "DROP"):
+                body = a[j:]
+                after = None
+                if len(body) >= 2 and _kw(body[-2]) == "AFTER":
+                    after, body = body[-1].strip('`"'), body[:-2]
+                if op == "ADD":
+                    rendered = _render_index_defs(body)
+                    for r in rendered:
+                        nm = r.split()[1]
+                        t.indices = [
+                            x for x in t.indices if x.split()[1] != nm
+                        ]
+                        if after is not None:
+                            pos = next(
+                                (
+                                    k + 1 for k, x in enumerate(t.indices)
+                                    if x.split()[1] == after
+                                ),
+                                len(t.indices),
+                            )
+                            t.indices.insert(pos, r)
+                        else:
+                            t.indices.append(r)
+                else:
+                    k2 = j + 1
+                    if (
+                        k2 + 1 < len(a) and _kw(a[k2]) == "IF"
+                        and _kw(a[k2 + 1]) == "EXISTS"
+                    ):
+                        k2 += 2
+                    nm = a[k2].strip('`"')
+                    t.indices = [
+                        x for x in t.indices if x.split()[1] != nm
+                    ]
             return
         if op == "DROP" and j < len(a) and _kw(a[j]) == "PARTITION":
             # DROP PARTITION v: remove rows whose partition expression
@@ -1485,6 +1824,8 @@ class ScriptRunner:
                     f"CAST({lit} AS STRING))"
                 )
             )
+            dropped = lit.strip("'`\"")
+            t.parts = [p for p in t.parts if p[0] != dropped]
             return
         raise DialectError(f"unsupported ALTER action {_emit(a[:2])}")
 
@@ -1572,7 +1913,10 @@ class ScriptRunner:
         return self.spark.createDataFrame(out_rows, out_schema)
 
     def _parse_coldefs(self, toks: list[str]) -> list[_Col]:
+        from daisy_spark.plans.dialect import _TYPE_ENV_CTX
+
         cols = []
+        env: dict[str, str] = {}  # earlier columns, for DEFAULT typing
         for part in _split_top(toks, ","):
             if not part:
                 continue
@@ -1610,6 +1954,37 @@ class ScriptRunner:
                         False,
                     ))
                 continue
+            # Array(Tuple(named members)) flattens like Nested when the
+            # tuple elements are NAMED (flatten_nested=1 default:
+            # DataTypeNested) — a.key Array(K), a.value Array(V)
+            if (
+                len(part) > j + 3
+                and _kw(part[j]) == "ARRAY" and part[j + 1] == "("
+                and _kw(part[j + 2]) == "TUPLE" and part[j + 3] == "("
+            ):
+                close_t = _match_paren(part, j + 3)
+                mems = [
+                    m for m in _split_top(part[j + 4 : close_t], ",") if m
+                ]
+                from daisy_spark.chsyntax import _TYPE_CANON
+
+                named = mems and all(
+                    len(m) >= 2 and _is_ident(m[0])
+                    and m[0].strip('`"').lower() not in _TYPE_CANON
+                    and m[1] != "("
+                    for m in mems
+                )
+                if named:
+                    for mem in mems:
+                        mname = mem[0].strip('`"')
+                        mtype, _ = _map_type(mem, 1)
+                        cols.append(_Col(
+                            f"{name}.{mname}",
+                            f"array<{mtype}>",
+                            f"Array({_render_compact(mem[1:])})",
+                            False,
+                        ))
+                    continue
             nullable = any(_kw(x) == "NULLABLE" for x in part[j : j + 2])
             if len(part) > j and _kw(part[j]) in (
                 "DEFAULT", "MATERIALIZED", "ALIAS",
@@ -1624,6 +1999,7 @@ class ScriptRunner:
             default = default_raw = None
             hidden = False
             kind = "DEFAULT"
+            col_ttl = ""
             while j < len(part):
                 kw = _kw(part[j])
                 if kw in ("MATERIALIZED", "ALIAS"):
@@ -1651,8 +2027,17 @@ class ScriptRunner:
                             ):
                                 break
                         k += 1
-                    default = _emit(_translate_expr(part[j + 1 : k]))
-                    default_raw = _render_compact(part[j + 1 : k])
+                    # translate WITH the earlier columns' types visible
+                    # (decimal division truncation needs the numerator's
+                    # declared scale)
+                    tok_env = _TYPE_ENV_CTX.set(
+                        {**(_TYPE_ENV_CTX.get() or {}), **env}
+                    )
+                    try:
+                        default = _emit(_translate_expr(part[j + 1 : k]))
+                    finally:
+                        _TYPE_ENV_CTX.reset(tok_env)
+                    default_raw = ch_expr(part[j + 1 : k])
                     j = k
                 elif kw == "EPHEMERAL":
                     raise DialectError(f"unsupported column kind {kw}")
@@ -1661,13 +2046,32 @@ class ScriptRunner:
                     j += 2 if kw == "NOT" else 1
                 elif kw in ("CODEC",) and j + 1 < len(part) and part[j + 1] == "(":
                     j = _match_paren(part, j + 1) + 1
-                elif kw in ("TTL", "COMMENT"):
+                elif kw == "TTL":
+                    # column TTL: SHOW CREATE fidelity only
+                    k = j + 1
+                    depth = 0
+                    while k < len(part):
+                        if part[k] == "(":
+                            depth += 1
+                        elif part[k] == ")":
+                            depth -= 1
+                        elif depth == 0 and _kw(part[k]) in (
+                            "COMMENT", "CODEC", "DEFAULT",
+                        ):
+                            break
+                        k += 1
+                    col_ttl = ch_expr(part[j + 1 : k])
+                    j = k
+                elif kw == "COMMENT":
                     break
                 else:
                     j += 1
+            if ch_type:
+                env[name] = ch_type_canon(ch_type)
             cols.append(
                 _Col(name, spark_type, ch_type, nullable, default,
-                     default_raw, hidden, kind)
+                     default_raw, hidden, default_kind=kind,
+                     ttl_raw=col_ttl)
             )
         if not cols:
             raise DialectError("CREATE TABLE with no columns")
@@ -1687,11 +2091,26 @@ class ScriptRunner:
                         c.spark_type
                     ),
                 )
+        from daisy_spark.plans.dialect import _ch_type_of
+
+        env = {
+            c.name: ch_type_canon(c.ch_type) for c in cols if c.ch_type
+        }
         for c in cols:
             if not c.spark_type:
                 df = df.withColumn(c.name, F.expr(c.default or "NULL"))
                 c.spark_type = dict(df.dtypes)[c.name]
-                c.ch_type = c.ch_type or c.spark_type
+                # reference-side type: the declared-type rules (decimal
+                # class/scale preservation) beat Spark's widened result
+                cht = None
+                if c.default_raw:
+                    try:
+                        cht = _ch_type_of(tokenize(c.default_raw), env)
+                    except Exception:  # noqa: BLE001
+                        cht = None
+                c.ch_type = c.ch_type or cht or c.spark_type
+                if cht:
+                    env[c.name] = ch_type_canon(cht)
         return
 
     def _parse_key_list(self, toks: list[str], i: int) -> tuple[list[str], int]:
@@ -1774,6 +2193,7 @@ class ScriptRunner:
             batch = self._sorted_batch(t, batch)
             t.df = batch if t.df is None else t.df.unionByName(batch)
             self._register(t)
+            self._record_parts(t, batch)
         # materialized views fire per inserted block — also for Null
         # sources, whose own data is discarded
         for mv_name, mv in list(self.mat_views.items()):
@@ -1914,8 +2334,59 @@ class ScriptRunner:
         name, _ = self._table_name(toks, i)
         if name in self.tables:
             self.tables[name].df = None
+            self.tables[name].parts = []
             self._register(self.tables[name])
         return None
+
+    _MERGE_FAMILY = (
+        "MergeTree", "Replacing", "Summing", "Aggregating",
+        "Collapsing", "VersionedCollapsing",
+    )
+
+    def _record_parts(self, t: _Table, batch: DataFrame) -> None:
+        """One part per (insert, touched partition), reference naming
+        {partition_id}_{min_block}_{max_block}_{level} (MergeTreeData
+        part naming).  Unpartitioned tables use partition id 'all'."""
+        if t.spec.engine not in self._MERGE_FAMILY:
+            return
+        pb = (t.partition_by or "").strip()
+        if not pb or pb.replace(" ", "") in ("tuple()", "()"):
+            pids = ["all"]
+        else:
+            try:
+                pids = sorted(
+                    "all" if r[0] is None else r[0]
+                    for r in batch.selectExpr(
+                        f"CAST(({pb}) AS STRING) AS __p"
+                    ).distinct().collect()
+                )
+            except Exception:  # noqa: BLE001
+                pids = ["all"]
+        for pid in pids:
+            b = t.next_block
+            t.next_block += 1
+            t.parts.append((pid, b, b, 0))
+
+    @staticmethod
+    def _merge_parts(t: _Table, pid_filter: str | None) -> None:
+        """OPTIMIZE semantics on the part registry: each partition with
+        more than one part merges to (min, max, max_level + 1); single
+        parts stay as they are (the reference rewrites nothing)."""
+        by_pid: dict[str, list[tuple[str, int, int, int]]] = {}
+        for p in t.parts:
+            by_pid.setdefault(p[0], []).append(p)
+        out: list[tuple[str, int, int, int]] = []
+        for pid, ps in by_pid.items():
+            if (pid_filter is None or pid == pid_filter) and len(ps) > 1:
+                out.append((
+                    pid,
+                    min(x[1] for x in ps),
+                    max(x[2] for x in ps),
+                    max(x[3] for x in ps) + 1,
+                ))
+            else:
+                out.extend(ps)
+        t.parts = sorted(out, key=lambda p: (p[0], p[1]))
 
     def _optimize(self, toks: list[str]) -> None:
         i = 1
@@ -1926,6 +2397,12 @@ class ScriptRunner:
             return None
         t = self.tables[name]
         rest = {_kw(x) for x in toks[i:]}
+        pid_filter = None
+        for j in range(i, len(toks) - 1):
+            if _kw(toks[j]) == "PARTITION":
+                pid_filter = toks[j + 1].strip("'`\"")
+                break
+        self._merge_parts(t, pid_filter)
         if t.df is not None:
             df = read_final(t.df, t.spec)
             if "DEDUPLICATE" in rest:
@@ -1943,8 +2420,9 @@ class ScriptRunner:
             raise DialectError(f"DESCRIBE unknown table {name}")
         t = self.tables[name]
         rows = [
-            (c.name, c.ch_type, c.default_kind if c.default else "",
-             c.default_raw or "", "", "", "")
+            (c.name, ch_type_canon(c.ch_type) if c.ch_type else c.spark_type,
+             c.default_kind if c.default else "",
+             c.default_raw or "", "", "", c.ttl_raw)
             for c in t.cols
         ]
         return self.spark.createDataFrame(
