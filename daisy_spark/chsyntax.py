@@ -89,6 +89,11 @@ _KW_OPS = {
     "INTERVAL", "ARRAY", "NULL",
 }
 
+# keywords that double as reference FUNCTION names (src/Functions/
+# array/any/substring registrations): in a call position they render
+# lowercase+tight (any(x), left(s, 2)), never uppercased
+_FN_COLLIDING_KWS = {"ANY", "ALL", "LEFT", "RIGHT", "ARRAY"}
+
 _INTERVAL_UNIT = {
     "second": "Second", "seconds": "Second",
     "minute": "Minute", "minutes": "Minute",
@@ -132,7 +137,19 @@ def ch_expr(toks: list[str]) -> str:
             if re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*(\.[A-Za-z_0-9]+)*", inner):
                 t = inner
         elif up in _KW_OPS and t.isalpha():
-            t = up
+            # keyword-followed-by-paren in a CALL position is a function
+            # (any(x), left(s, 2) — reference prints them lowercase and
+            # tight), unlike the infix `x IN (1, 2)` where the keyword
+            # follows an operand.  Keep original casing for the call.
+            prev_raw = toks[i - 1] if i > 0 else ""
+            call_pos = not prev_raw or not (
+                prev_raw[-1:].isalnum() or prev_raw[-1:] in ")]`'\""
+            ) or prev_raw.upper() in _KW_OPS
+            if not (
+                up in _FN_COLLIDING_KWS and call_pos
+                and i + 1 < n and toks[i + 1] == "("
+            ):
+                t = up
 
         prev = out[-1] if out else ""
         if glue_next:
@@ -145,7 +162,9 @@ def ch_expr(toks: list[str]) -> str:
         elif t == "(":
             if prev and (prev[-1].isalnum() or prev[-1] in ")_`]"):
                 # function call / tuple index — but keyword heads space
-                if prev.split()[-1].upper() in _KW_OPS and prev[-1:] != ")":
+                # exact-case test: a lowercase tail (any/left kept as a
+                # function name above) glues its call paren tight
+                if prev.split()[-1] in _KW_OPS and prev[-1:] != ")":
                     out.append(t)
                 else:
                     out[-1] += t
@@ -167,13 +186,6 @@ def ch_expr(toks: list[str]) -> str:
     # cosmetic: comma spacing got fused into elements; normalize
     s = re.sub(r",(?=\S)", ", ", s)
     return s
-
-
-_TOP_CLAUSES = (
-    "WITH", "SELECT", "FROM", "PREWHERE", "WHERE", "GROUP", "HAVING",
-    "ORDER", "LIMIT", "OFFSET", "SETTINGS", "UNION", "ARRAY", "LEFT",
-    "INNER", "JOIN", "CROSS", "RIGHT", "FULL",
-)
 
 
 def _clause_spans(toks: list[str]) -> list[tuple[str, list[str]]]:
@@ -208,6 +220,21 @@ def _clause_spans(toks: list[str]) -> list[tuple[str, list[str]]]:
                 spans.append((cur_kw, cur))
             cur_kw, cur = up + " BY", []
             i += 2
+            continue
+        # depth-0 UNION [ALL|DISTINCT] is a clause boundary: reference
+        # prints each SELECT of a union on its own line with the UNION
+        # keyword between them (IAST::FormatSettings one_line=false)
+        if depth == 0 and up == "UNION":
+            if cur_kw or cur:
+                spans.append((cur_kw, cur))
+            mode = toks[i + 1].upper() if i + 1 < n else ""
+            if mode in ("ALL", "DISTINCT"):
+                spans.append((f"UNION {mode}", []))
+                i += 2
+            else:
+                spans.append(("UNION", []))
+                i += 1
+            cur_kw, cur = "", []
             continue
         cur.append(t)
         i += 1
@@ -268,7 +295,7 @@ def format_select(toks: list[str]) -> str:
                     for k, it in enumerate(items)
                 ]
         elif kw:
-            lines.append(kw + " " + ch_expr(span))
+            lines.append((kw + " " + ch_expr(span)).rstrip())
         elif span:
             lines.append(ch_expr(span))
     return "\n".join(lines)

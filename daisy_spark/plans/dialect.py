@@ -5335,6 +5335,28 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 and (len(args) == 2 or (t == "now" and len(args) == 1))
             ):
                 tz = args[-1]
+                if t == "toDate" and len(args) == 2:
+                    # toDate(UInt, tz) keeps DAYS-since-epoch integer
+                    # semantics (FunctionsConversion.h
+                    # ToDateTransform32Or64: toDate(9) = 1970-01-10);
+                    # tz only affects the type tag, never the value —
+                    # route integers through the no-tz lambda
+                    intish = args[0].lstrip("-").isdigit()
+                    if not intish:
+                        try:
+                            ti = _ch_type_of(
+                                arg_parts[0],
+                                _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT,
+                            )
+                            intish = bool(ti) and _ch_unwrap(ti).startswith(
+                                ("UInt", "Int")
+                            )
+                        except Exception:  # noqa: BLE001
+                            intish = False
+                    if intish:
+                        out.append(FUNC_MAP["toDate"]([args[0]]))
+                        i = close + 1
+                        continue
                 if len(args) == 1:  # now('tz')
                     wall = f"from_utc_timestamp(current_timestamp(), {tz})"
                 else:
@@ -5765,7 +5787,9 @@ def _tz_wall_expr(arg: str, raw: list[str], tz: str) -> str:
     """The wall-clock-in-``tz`` timestamp for ``arg`` (translated text,
     raw tokens): an arg already shifted to tz passes through; one
     shifted to ANOTHER zone re-bases; a STRING parses as wall time IN
-    tz (DateTime(str, tz) semantics); a plain UTC instant shifts."""
+    tz (DateTime(str, tz) semantics); a Date is midnight of that
+    calendar date IN tz (FunctionsConversion.h ToDateTime-from-Date —
+    no offset shift); a plain UTC instant shifts."""
     atz = _dt_tz_of(raw)
     if atz == tz:
         return arg
@@ -5774,15 +5798,18 @@ def _tz_wall_expr(arg: str, raw: list[str], tz: str) -> str:
             f"from_utc_timestamp(to_utc_timestamp({arg}, {atz}), {tz})"
         )
     stringish = arg.startswith("'") or (raw and raw[0][:1] == "'")
+    dateish = False
     if not stringish:
         try:
             t0 = _ch_type_of(raw, _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT)
-            stringish = bool(t0) and _ch_unwrap(t0).startswith(
-                ("String", "FixedString")
-            )
+            u0 = _ch_unwrap(t0) if t0 else ""
+            stringish = u0.startswith(("String", "FixedString"))
+            dateish = u0 in ("Date", "Date32")
         except Exception:  # noqa: BLE001
             stringish = False
-    if stringish:
+    if not (stringish or dateish) and _dt_kind(arg) == "date":
+        dateish = True
+    if stringish or dateish:
         return f"CAST({arg} AS TIMESTAMP)"
     return f"from_utc_timestamp(CAST({arg} AS TIMESTAMP), {tz})"
 
@@ -5877,14 +5904,27 @@ def _div_zero_pass(toks: list[str]) -> list[str]:
         md = re.fullmatch(
             r"Decimal\s*\(\s*\d+\s*,\s*(\d+)\s*\)", _ch_unwrap(lt or "")
         )
+        if md is None:
+            # literal constructors (toDecimal64(7, 0)) are already
+            # rendered as CAST(... AS DECIMAL(p, s)) by this pass;
+            # read the numerator scale off the rendered text
+            md = re.search(r"AS DECIMAL\(\d+, ?(\d+)\)\)*$", ltxt)
         if md or "DECIMAL" in both:
-            if md and int(md.group(1)) > 0:
+            if md:
+                # scale 0 included: p10=1 still truncates (7/2 -> 3,
+                # not the half-up 4).  The decimal multiply can exceed
+                # precision 38 and go NULL (non-ANSI); coalesce onto a
+                # DOUBLE hop for that case (exact to 2^53 there).
                 s9 = int(md.group(1))
                 p10 = 10 ** s9
                 repl = [
+                    f"coalesce("
                     f"CAST(CAST(CAST(({ltxt}) / ({rtxt}) * {p10} AS "
                     f"BIGINT) AS DECIMAL(38, {s9})) / {p10} AS "
-                    f"DECIMAL(38, {s9}))"
+                    f"DECIMAL(38, {s9})), "
+                    f"CAST(CAST(CAST(CAST(({ltxt}) / ({rtxt}) AS "
+                    f"DOUBLE) * {p10} AS BIGINT) AS DECIMAL(38, {s9}))"
+                    f" / {p10} AS DECIMAL(38, {s9})))"
                 ]
                 res[l_start : r_end + 1] = repl
                 i = l_start + 1

@@ -339,9 +339,17 @@ class ScriptRunner:
         # RIGHT JOIN over a LIMIT..OFFSET stage + ORDER BY — first run
         # sorted, every later run unsorted).  The static-optimizer copy
         # of the rule is fine; only the adaptive re-run is excluded.
+        # Append to (not clobber) any caller-set exclusions; close()
+        # restores the prior value alongside ansi/groupByOrdinal.
+        _ONE_ROW = "org.apache.spark.sql.catalyst.optimizer.OptimizeOneRowPlan"
+        self._prev_excl = spark.conf.get(
+            "spark.sql.adaptive.optimizer.excludedRules", ""
+        ) or ""
+        rules = [r for r in self._prev_excl.split(",") if r.strip()]
+        if _ONE_ROW not in rules:
+            rules.append(_ONE_ROW)
         spark.conf.set(
-            "spark.sql.adaptive.optimizer.excludedRules",
-            "org.apache.spark.sql.catalyst.optimizer.OptimizeOneRowPlan",
+            "spark.sql.adaptive.optimizer.excludedRules", ",".join(rules)
         )
 
     # -- public ----------------------------------------------------------
@@ -556,6 +564,18 @@ class ScriptRunner:
         try:
             self.spark.conf.set("spark.sql.ansi.enabled", self._prev_ansi)
             self.spark.conf.set("spark.sql.groupByOrdinal", self._prev_gbo)
+            self.spark.conf.set(
+                "spark.sql.adaptive.enabled", self._prev_aqe
+            )
+            if self._prev_excl:
+                self.spark.conf.set(
+                    "spark.sql.adaptive.optimizer.excludedRules",
+                    self._prev_excl,
+                )
+            else:
+                self.spark.conf.unset(
+                    "spark.sql.adaptive.optimizer.excludedRules"
+                )
         except Exception:  # noqa: BLE001
             pass
         for name in list(self.tables):
@@ -2338,16 +2358,17 @@ class ScriptRunner:
             self._register(self.tables[name])
         return None
 
-    _MERGE_FAMILY = (
-        "MergeTree", "Replacing", "Summing", "Aggregating",
-        "Collapsing", "VersionedCollapsing",
-    )
-
     def _record_parts(self, t: _Table, batch: DataFrame) -> None:
         """One part per (insert, touched partition), reference naming
         {partition_id}_{min_block}_{max_block}_{level} (MergeTreeData
-        part naming).  Unpartitioned tables use partition id 'all'."""
-        if t.spec.engine not in self._MERGE_FAMILY:
+        part naming).  Unpartitioned tables use partition id 'all'.
+
+        Gate on the ORIGINAL declared engine (engine_raw), not
+        spec.engine: Memory/Log/Set are remapped to spec.engine
+        'MergeTree' for read semantics but have no parts, while
+        specialized engines carry full names ('ReplacingMergeTree')."""
+        raw_head = (t.engine_raw or "").split("(", 1)[0].strip()
+        if not raw_head.endswith("MergeTree"):
             return
         pb = (t.partition_by or "").strip()
         if not pb or pb.replace(" ", "") in ("tuple()", "()"):

