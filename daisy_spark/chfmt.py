@@ -127,11 +127,11 @@ def render_script(runner, txt: str) -> str:
     """Execute a multi-statement reference test file through an already
     constructed ScriptRunner and return the full rendered output
     (clickhouse-test echo-mode aware).  Caller owns runner.close()."""
-    from daisy_spark.plans.script import split_statements
+    from daisy_spark.plans.script import split_statements_tagged
 
     outs = []
     echo = False
-    for s in split_statements(txt):
+    for s, expect_err in split_statements_tagged(txt):
         if "-- { echoOn" in s or "-- { echo }" in s:
             echo = True
         elif "-- { echoOff" in s:
@@ -140,6 +140,17 @@ def render_script(runner, txt: str) -> str:
             # clickhouse-test echo mode: the statement text (with its
             # comment lines) precedes its own output
             outs.append(s.strip() + ";")
+        if expect_err:
+            # `-- { serverError N }` statement: the reference expects a
+            # FAILURE and prints nothing.  If ours succeeds instead,
+            # render its rows — the honest divergence shows as a diff.
+            try:
+                df = runner.execute(s)
+                if df is not None:
+                    render_df(df, outs)
+            except Exception:  # noqa: BLE001
+                pass
+            continue
         df = runner.execute(s)
         if df is None:
             continue

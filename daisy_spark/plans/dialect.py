@@ -428,6 +428,37 @@ def _format_datetime(args: list[str]) -> str:
     return parts[0] if len(parts) == 1 else f"concat({', '.join(parts)})"
 
 
+def _ring_self_intersects(pts: list[tuple[float, float]]) -> bool:
+    """Proper (crossing) self-intersection test for a constant ring —
+    the reference rejects such polygons with BAD_ARGUMENTS (36) via
+    boost validity checks; touching vertices / collinear overlap pass."""
+    if len(pts) > 1 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    n = len(pts)
+    edges = [(pts[i], pts[(i + 1) % n]) for i in range(n)]
+    for i in range(n):
+        for j in range(i + 1, n):
+            if j == i or (i + 1) % n == j or (j + 1) % n == i:
+                continue  # adjacent edges share a vertex
+            (a1, a2), (b1, b2) = edges[i], edges[j]
+            d1x, d1y = a2[0] - a1[0], a2[1] - a1[1]
+            d2x, d2y = b2[0] - b1[0], b2[1] - b1[1]
+            den = d1x * d2y - d1y * d2x
+            if den == 0:
+                continue
+            t = ((b1[0] - a1[0]) * d2y - (b1[1] - a1[1]) * d2x) / den
+            u = ((b1[0] - a1[0]) * d1y - (b1[1] - a1[1]) * d1x) / den
+            if 0 < t < 1 and 0 < u < 1:
+                return True
+    return False
+
+
+_CONST_PT_RE = re.compile(
+    r"named_struct\('col1',\(?(-?[\d.]+(?:[eE][+-]?\d+)?)[DF]?\)?,"
+    r"'col2',\(?(-?[\d.]+(?:[eE][+-]?\d+)?)[DF]?\)?\)"
+)
+
+
 def _point_in_polygon_expr(a: list[str]) -> str:
     """pointInPolygon((x,y), ring[, hole...]) — even-odd ray casting as a
     HOF fold over the vertex array(s) (src/Functions/pointInPolygon.cpp).
@@ -438,6 +469,21 @@ def _point_in_polygon_expr(a: list[str]) -> str:
     before the parity test; the array-of-rings literal form
     [[ring], [hole]] folds the outer array the same way."""
     pt = f"({a[0]})"
+    # constant rings: reject properly self-intersecting polygons at
+    # translate time the way the reference's validity check does
+    for ring_txt in a[1:]:
+        flat = re.sub(r"\s+", "", ring_txt)
+        if flat.startswith(("array(named_struct", "array(array(")):
+            for ring_m in re.split(r"array\(", flat):
+                pts = [
+                    (float(x), float(y))
+                    for x, y in _CONST_PT_RE.findall(ring_m)
+                ]
+                if len(pts) >= 4 and _ring_self_intersects(pts):
+                    raise DialectError(
+                        "pointInPolygon: polygon is not valid "
+                        "(self-intersecting ring)"
+                    )
 
     def crossings(poly: str) -> str:
         cur = f"element_at({poly}, i + 1)"
@@ -456,7 +502,21 @@ def _point_in_polygon_expr(a: list[str]) -> str:
     if len(a) > 2:  # pointInPolygon(pt, ring, hole1, ...)
         total = " + ".join(crossings(f"({r})") for r in a[1:])
         return f"(({total}) % 2)"
-    if re.sub(r"\s+", "", a[1]).startswith("array(array("):
+    multi = re.sub(r"\s+", "", a[1]).startswith("array(array(")
+    if not multi and re.fullmatch(r"`?[A-Za-z_][A-Za-z_0-9]*`?", a[1].strip()):
+        # bare column: rings-of-rings columns (Array(Array(Tuple)))
+        # need the per-ring fold — consult the declared CH type
+        try:
+            t1 = _ch_type_of(
+                [a[1].strip().strip("`")],
+                _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT,
+            )
+            multi = bool(
+                re.match(r"Array\s*\(\s*Array\s*\(", _ch_unwrap(t1 or ""))
+            )
+        except Exception:  # noqa: BLE001
+            multi = False
+    if multi:
         return (
             f"(aggregate(({a[1]}), 0, (accr, __ring) -> "
             f"accr + {crossings('__ring')}) % 2)"
@@ -2961,6 +3021,53 @@ FUNC_MAP: dict[str, object] = {
         "ch_great_circle_angle(CAST({0} AS FLOAT), CAST({1} AS FLOAT), "
         "CAST({2} AS FLOAT), CAST({3} AS FLOAT))"
     ),
+    # H3 cell-index functions (src/Functions/h3*.cpp) — pure-Python port
+    # of the public H3 index spec in functions/chh3.py
+    "h3GetResolution": "ch_h3_get_resolution(CAST({0} AS BIGINT))",
+    "h3GetBaseCell": "ch_h3_get_base_cell(CAST({0} AS BIGINT))",
+    "h3IsValid": "ch_h3_is_valid(CAST({0} AS BIGINT))",
+    "h3ToParent": (
+        "ch_h3_to_parent(CAST({0} AS BIGINT), CAST({1} AS INT))"
+    ),
+    "h3ToChildren": (
+        "ch_h3_to_children(CAST({0} AS BIGINT), CAST({1} AS INT))"
+    ),
+    "h3ToString": "ch_h3_to_string(CAST({0} AS BIGINT))",
+    "stringToH3": "ch_string_to_h3({0})",
+    "h3EdgeLengthM": "ch_h3_edge_length_m(CAST({0} AS INT))",
+    "h3HexAreaM2": "ch_h3_hex_area_m2(CAST({0} AS INT))",
+    "h3EdgeAngle": "ch_h3_edge_angle(CAST({0} AS INT))",
+    # polygon / WKT functions (src/Functions/polygons*.cpp, wkt.cpp,
+    # readWkt.cpp) — functions/chpoly.py; geometry args ride through
+    # to_json so one UDF accepts any point/ring/polygon/multi nesting
+    "wkt": "ch_wkt(to_json({0}))",
+    "readWktPoint": "ch_read_wkt_point({0})",
+    "readWktRing": "ch_read_wkt_ring({0})",
+    "readWktPolygon": "ch_read_wkt_polygon({0})",
+    "readWktMultiPolygon": "ch_read_wkt_multipolygon({0})",
+    "polygonPerimeterCartesian": (
+        "ch_polygon_perimeter_cartesian(to_json({0}))"
+    ),
+    "polygonAreaCartesian": "ch_polygon_area_cartesian(to_json({0}))",
+    "polygonAreaSpherical": "ch_polygon_area_spherical(to_json({0}))",
+    "polygonsWithinCartesian": (
+        "ch_polygons_within(to_json({0}), to_json({1}))"
+    ),
+    "polygonsWithinSpherical": (
+        "ch_polygons_within(to_json({0}), to_json({1}))"
+    ),
+    "polygonsDistanceCartesian": (
+        "ch_polygons_distance_cartesian(to_json({0}), to_json({1}))"
+    ),
+    "polygonsDistanceSpherical": (
+        "ch_polygons_distance_spherical(to_json({0}), to_json({1}))"
+    ),
+    "polygonsEqualsCartesian": (
+        "ch_polygons_equals(to_json({0}), to_json({1}))"
+    ),
+    "polygonConvexHullCartesian": (
+        "ch_polygon_convex_hull_cartesian(to_json({0}))"
+    ),
     "pointInPolygon": _point_in_polygon_expr,
     "bitShiftLeft": "shiftleft({0}, {1})",
     "bitShiftRight": "shiftright({0}, {1})",
@@ -5319,7 +5426,9 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 if tn is not None and "?" in tn:
                     tn = None
                 if tn is not None:
-                    out.append(f"'{tn}'")
+                    # type tags can embed quoted params, e.g.
+                    # DateTime('Asia/Istanbul') — escape for the literal
+                    out.append("'" + tn.replace("'", "\\'") + "'")
                     i = close + 1
                     continue
             # timezone-argument forms.  DateTime('tz') values are
@@ -6514,7 +6623,9 @@ _ARRAYISH_HEADS = (
     "shuffle(", "sort_array(", "array_sort(", "map_keys(", "map_values(",
     "transform(", "filter(", "reverse(array", "arrays_zip(", "zip_with(",
     "map(", "map_from_arrays(", "map_concat(", "str_to_map(",
-    "ch_geohashes_in_box(",
+    "ch_geohashes_in_box(", "ch_h3_to_children(", "ch_read_wkt_ring(",
+    "ch_read_wkt_polygon(", "ch_read_wkt_multipolygon(",
+    "ch_polygon_convex_hull_cartesian(",
 )
 
 
@@ -7800,6 +7911,193 @@ def _subst_aliases_into_typefns(sel: list[str]) -> list[str]:
     return out
 
 
+def _totals_mode_sql(q: _Select, from_sql: str, wheres: list[str]) -> str | None:
+    """WITH TOTALS under non-default ``totals_mode`` /
+    ``max_rows_to_group_by`` — TotalsHavingTransform + Aggregator
+    overflow semantics (src/Processors/Transforms/TotalsHavingTransform
+    .cpp:190-266, src/Interpreters/Aggregator.cpp checkLimits):
+
+    * ``group_by_overflow_mode='any'`` admits new keys per input block
+      until the key count exceeds ``max_rows_to_group_by`` at a block
+      boundary; rows of dropped keys feed only a side "overflow" state.
+    * the totals row merges the HAVING-passing groups (ALL groups for
+      ``before_having``), plus the overflow state for ``before_having``
+      / ``after_having_inclusive`` / ``after_having_auto`` when
+      passed_keys/total_keys >= ``totals_auto_threshold``.
+
+    Emulated with plain CTEs: per-group admission via a row_number
+    window over each group's first source row (the monotonic ``number``
+    column as arrival order), totals via a second GROUPING SETS pass
+    over the selected row set.  Corpus-only path — gated on session
+    settings, never reached by registry queries; the admission window
+    sorts only per-GROUP rows (one per key), fine at test scale.
+    Returns None to fall back to the default before_having plan."""
+    st = {
+        k: str(v).strip("'\" ")
+        for k, v in (_SETTINGS_CTX.get() or {}).items()
+    }
+    mode = st.get("totals_mode", "before_having")
+    try:
+        maxr = int(st.get("max_rows_to_group_by", "0") or "0")
+        bs = int(st.get("max_block_size", "65536") or "65536")
+        thr = float(st.get("totals_auto_threshold", "0.5") or "0.5")
+    except ValueError:
+        return None
+    if mode == "before_having" and maxr == 0:
+        return None  # default semantics: existing GROUPING SETS plan
+    if maxr > 0 and st.get("group_by_overflow_mode", "throw") != "any":
+        return None
+    if (
+        q.distinct or q.limit_by or q.fill or q.offset or q.lateral
+        or q.array_join or not q.from_ or not q.group_by
+    ):
+        return None
+    if maxr > 0 and not re.search(r"\bnumber\b", from_sql):
+        return None  # arrival-order proxy needs the numbers column
+
+    # group keys materialized as named __rows columns, so every later
+    # stage groups/joins by plain column names
+    items = _split_top(q.select, ",")
+    alias_def: dict[str, list[str]] = {}
+    item_alias: list[str | None] = []
+    for it in items:
+        if len(it) >= 3 and _kw(it[-2]) == "AS" and _is_ident(it[-1]):
+            alias_def[it[-1].strip('`"')] = it[:-2]
+            item_alias.append(it[-1].strip('`"'))
+        else:
+            item_alias.append(None)
+    rows_proj: list[str] = []
+    key_cols: list[str] = []
+    for i, kt in enumerate(_split_top(q.group_by, ",")):
+        if not kt:
+            continue
+        if len(kt) == 1 and _is_ident(kt[0]):
+            nm = kt[0].strip('`"')
+            if nm in alias_def:
+                rows_proj.append(
+                    f"({_emit(_translate_expr(alias_def[nm]))}) AS `{nm}`"
+                )
+            key_cols.append(nm)
+        else:
+            rows_proj.append(
+                f"({_emit(_translate_expr(kt))}) AS `__gk{i}`"
+            )
+            key_cols.append(f"__gk{i}")
+    if not key_cols:
+        return None
+
+    sel_parts: list[str] = []
+    names: list[str] = []
+    for i, it in enumerate(items):
+        a = item_alias[i]
+        bare = it[0].strip('`"') if len(it) == 1 and _is_ident(it[0]) else None
+        if a is not None and a in key_cols:
+            sql = f"`{a}`"  # materialized in __rows — group col, not expr
+        elif bare is not None:
+            sql, a = f"`{bare}`", bare
+        else:
+            sql = _emit(_translate_expr(it))
+        nm = a or bare or f"__c{i}"
+        if nm in names:
+            nm = f"__c{i}"
+        names.append(nm)
+        sel_parts.append(f"{sql} AS `{nm}`")
+    # keys the select list doesn't expose still ride through __g for
+    # the pass/fail key sets
+    extra = [f"`{k}`" for k in key_cols if k not in names]
+    hv = (
+        "CAST((" + _emit(_translate_expr(q.having)) + ") AS BOOLEAN)"
+        if q.having
+        else "true"
+    )
+    kl = ", ".join(f"`{k}`" for k in key_cols)
+    nl = ", ".join(f"`{n}`" for n in names)
+    where_sql = (" WHERE " + " AND ".join(wheres)) if wheres else ""
+    proj = (", " + ", ".join(rows_proj)) if rows_proj else ""
+    fr = ", min(number) AS __fr" if maxr > 0 else ""
+    ctes = [
+        f"__rows AS (SELECT *{proj} FROM {from_sql}{where_sql})",
+        f"__g AS (SELECT {', '.join(sel_parts + extra)}{fr}, "
+        f"{hv} AS __hv FROM __rows GROUP BY {kl})",
+    ]
+    if maxr > 0:
+        ctes.append(
+            "__g1 AS (SELECT *, row_number() OVER (ORDER BY __fr) AS "
+            f"__rn, CAST(floor(__fr / {bs}) AS BIGINT) AS __blk FROM __g)"
+        )
+        ctes.append(
+            "__ga AS (SELECT *, (min(__rn) OVER (PARTITION BY __blk) - 1)"
+            f" <= {maxr} AS __adm FROM __g1)"
+        )
+    else:
+        ctes.append("__ga AS (SELECT *, true AS __adm FROM __g)")
+
+    join_on = " AND ".join(f"r.`{k}` <=> j.`{k}`" for k in key_cols)
+
+    def tot(name: str, join: str) -> str:
+        return (
+            f"{name} AS (SELECT {nl} FROM (SELECT "
+            f"{', '.join(sel_parts)}, grouping_id() AS __gid "
+            f"FROM __rows r {join} GROUP BY GROUPING SETS (({kl}), ())) "
+            f"WHERE __gid != 0)"
+        )
+
+    semi = f"LEFT SEMI JOIN __p j ON {join_on}"
+    anti = f"LEFT ANTI JOIN __f j ON {join_on}"
+    if mode == "before_having":
+        ctes.append(tot("__tt", ""))
+        tot_sel = "SELECT * FROM __tt"
+    elif mode == "after_having_exclusive":
+        ctes.append(f"__p AS (SELECT {kl} FROM __ga WHERE __adm AND __hv)")
+        ctes.append(tot("__tt", semi))
+        tot_sel = "SELECT * FROM __tt"
+    elif mode == "after_having_inclusive":
+        ctes.append(
+            f"__f AS (SELECT {kl} FROM __ga WHERE __adm AND NOT __hv)"
+        )
+        ctes.append(tot("__tt", anti))
+        tot_sel = "SELECT * FROM __tt"
+    elif mode == "after_having_auto":
+        ctes.append(f"__p AS (SELECT {kl} FROM __ga WHERE __adm AND __hv)")
+        ctes.append(
+            f"__f AS (SELECT {kl} FROM __ga WHERE __adm AND NOT __hv)"
+        )
+        ctes.append(tot("__te", semi))
+        ctes.append(tot("__ti", anti))
+        ratio = (
+            "(SELECT CAST(count(IF(__adm AND __hv, 1, NULL)) AS DOUBLE)"
+            " / count(IF(__adm, 1, NULL)) FROM __ga)"
+        )
+        tot_sel = (
+            f"SELECT * FROM __ti WHERE {ratio} >= {thr} "
+            f"UNION ALL SELECT * FROM __te WHERE {ratio} < {thr}"
+        )
+    else:
+        return None
+
+    try:
+        env = _subquery_type_env(q.from_)
+    except Exception:  # noqa: BLE001
+        env = None
+    order = (
+        _order_by_sql(q.order_by, env or _TYPE_ENV_DEFAULT)
+        if q.order_by
+        else "monotonically_increasing_id()"
+    )
+    reg = (
+        f"SELECT {nl}, 0 AS __is_total, row_number() OVER "
+        f"(ORDER BY {order}) AS __trn FROM __ga WHERE __adm AND __hv"
+    )
+    if q.limit:
+        n = _emit(_translate_expr(q.limit))
+        reg = f"SELECT * FROM ({reg}) WHERE __trn <= ({n})"
+    return (
+        f"WITH {', '.join(ctes)} SELECT {nl}, __is_total FROM "
+        f"(SELECT * FROM ({reg}) UNION ALL SELECT {nl}, 1 AS __is_total, "
+        f"0 AS __trn FROM ({tot_sel})) ORDER BY __is_total, __trn"
+    )
+
+
 def _render(q: _Select) -> str:
     if (
         q.distinct and not q.order_by and not q.fill
@@ -7887,6 +8185,13 @@ def _render(q: _Select) -> str:
             if not _TOTALS_BLOCK_CTX.get():
                 parts.append(f"GROUP BY GROUPING SETS (({keys}), ())")
             elif _QDEPTH.get() <= 1:
+                # non-default totals_mode / group-by overflow settings
+                # take a dedicated CTE plan (TotalsHavingTransform.cpp)
+                special = _totals_mode_sql(
+                    q, from_sql if q.from_ else "", wheres
+                )
+                if special is not None:
+                    return special
                 # outermost WITH TOTALS: tag the totals row so the script
                 # runner can emit it as the reference's separate block
                 # (regular rows, empty line, totals with key defaults);

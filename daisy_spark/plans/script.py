@@ -52,7 +52,7 @@ from daisy_spark.plans.dialect import (
     tokenize,
 )
 
-__all__ = ["ScriptRunner", "split_statements"]
+__all__ = ["ScriptRunner", "split_statements", "split_statements_tagged"]
 
 
 def split_statements(text: str) -> list[str]:
@@ -106,6 +106,82 @@ def split_statements(text: str) -> list[str]:
         ).strip()
         if body:
             out.append(s.strip())
+    return out
+
+
+_ERR_TAG_RE = re.compile(r"\{\s*(?:serverError|clientError)\b")
+
+
+def split_statements_tagged(text: str) -> list[tuple[str, bool]]:
+    """Like :func:`split_statements`, but pairs each statement with
+    whether the reference test expects it to ERROR: a trailing
+    ``-- { serverError N }`` / ``{ clientError N }`` comment on the
+    statement's closing semicolon (clickhouse-test convention — the tag
+    physically lands at the head of the NEXT raw chunk after the split,
+    or in a trailing comment-only chunk for the last statement)."""
+    raw: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "-" and text[i : i + 2] == "--":
+            j = text.find("\n", i)
+            j = n if j < 0 else j
+            buf.append(text[i:j])
+            i = j
+            continue
+        if ch == "/" and text[i : i + 2] == "/*":
+            j = text.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            buf.append(text[i:j])
+            i = j
+            continue
+        if ch in ("'", "`", '"'):
+            j = i + 1
+            while j < n:
+                if text[j] == "\\" and ch != "`":
+                    j += 2
+                    continue
+                if text[j] == ch:
+                    if ch == "'" and text[j : j + 2] == "''":
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            buf.append(text[i:j])
+            i = j
+            continue
+        if ch == ";":
+            raw.append("".join(buf))
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    raw.append("".join(buf))
+
+    def _body(s: str) -> str:
+        return "\n".join(
+            ln for ln in s.splitlines() if not ln.strip().startswith("--")
+        ).strip()
+
+    def _leading_tag(s: str) -> bool:
+        # tag in the comment line(s) BEFORE any SQL content
+        for ln in s.lstrip().splitlines():
+            t = ln.strip()
+            if not t.startswith("--"):
+                break
+            if _ERR_TAG_RE.search(t):
+                return True
+        return True if not _body(s) and _ERR_TAG_RE.search(s) else False
+
+    out: list[tuple[str, bool]] = []
+    for k, s in enumerate(raw):
+        if not _body(s):
+            continue
+        expect_err = k + 1 < len(raw) and _leading_tag(raw[k + 1])
+        out.append((s.strip(), expect_err))
     return out
 
 
@@ -287,12 +363,16 @@ class ScriptRunner:
         # exact-hash / geo UDFs for dynamic args (functions/chhash.py,
         # functions/chgeo.py; idempotent per session)
         from daisy_spark.functions.chgeo import register_udfs as _geo_udfs
+        from daisy_spark.functions.chh3 import register_udfs as _h3_udfs
         from daisy_spark.functions.chhash import register_udfs
+        from daisy_spark.functions.chpoly import register_udfs as _poly_udfs
         from daisy_spark.functions.chtext import register_udfs as _text_udfs
         _text_udfs(spark)
 
         register_udfs(spark)
         _geo_udfs(spark)
+        _h3_udfs(spark)
+        _poly_udfs(spark)
         self.tables: dict[str, _Table] = {}
         #: LIVE VIEW registry: name -> {toks, version, last} — evaluated
         #: lazily on read; version counts distinct-result evaluations
@@ -437,6 +517,27 @@ class ScriptRunner:
             _SAMPLE_BY_CTX.reset(token6)
 
     def _execute(self, stmt: str) -> DataFrame | None:
+        toks = tokenize(stmt.strip().rstrip(";"))
+        if not toks:
+            return None
+        # trailing FORMAT TSV / TabSeparated is the default rendering —
+        # strip it; FORMAT Null runs the statement but discards its rows
+        # (any other format name keeps erroring honestly)
+        discard = False
+        if len(toks) >= 2 and _kw(toks[-2]) == "FORMAT":
+            if toks[-1] in ("TSV", "TabSeparated"):
+                toks = toks[:-2]
+            elif toks[-1] == "Null":
+                toks = toks[:-2]
+                discard = True
+            if not toks:
+                return None
+        if discard:
+            self._execute_core(_emit(toks))
+            return None
+        return self._execute_core(_emit(toks))
+
+    def _execute_core(self, stmt: str) -> DataFrame | None:
         toks = tokenize(stmt.strip().rstrip(";"))
         if not toks:
             return None
@@ -2255,16 +2356,42 @@ class ScriptRunner:
         if not rows:
             return self._empty_df(t), rest
         by_name = {c.name: c for c in t.cols}
-        selects = []
-        for r in rows:
-            exprs = []
-            for val, cname in zip(r, target_cols):
-                c = by_name.get(cname)
-                if c is None:
-                    raise DialectError(f"unknown INSERT column {cname}")
-                exprs.append(f"{_cast_sql(val, c.spark_type)} AS `{c.name}`")
-            selects.append("SELECT " + ", ".join(exprs))
-        df = self.spark.sql(" UNION ALL ".join(selects))
+        cols = []
+        for cname in target_cols:
+            c = by_name.get(cname)
+            if c is None:
+                raise DialectError(f"unknown INSERT column {cname}")
+            cols.append(c)
+        cast_rows = [
+            [
+                _cast_sql(val, c.spark_type)
+                for val, c in zip(r, cols)
+            ]
+            for r in rows
+        ]
+        # single inline VALUES table: one shallow parse regardless of
+        # row count (a UNION ALL chain trips the parser's complexity
+        # limit in the hundreds of rows — 00500_point_in_polygon_bug)
+        names = ", ".join(f"`{c.name}`" for c in cols)
+        try:
+            df = self.spark.sql(
+                "SELECT * FROM VALUES "
+                + ", ".join("(" + ", ".join(r) + ")" for r in cast_rows)
+                + f" AS __v({names})"
+            )
+        except Exception:  # noqa: BLE001 — non-foldable exprs: chunked UNION
+            selects = [
+                "SELECT " + ", ".join(
+                    f"{val} AS `{c.name}`" for val, c in zip(r, cols)
+                )
+                for r in cast_rows
+            ]
+            df = None
+            for k in range(0, len(selects), 50):
+                part = self.spark.sql(
+                    " UNION ALL ".join(selects[k : k + 50])
+                )
+                df = part if df is None else df.unionAll(part)
         return self._fill_defaults(t, df, target_cols), rest
 
     def _fill_defaults(

@@ -33,8 +33,12 @@ STATE = "/tmp/corpus_state.json"
 SKIP_RE = re.compile(
     r"(?i)\b(SYSTEM\s+(?:STOP|START|FLUSH|RELOAD|DROP|SYNC|RESTART)"
     r"|ATTACH|DETACH|RENAME\s+TABLE"
-    r"|KILL|system\.(?!numbers|one\b)|remote\(|cluster\(|file\(|url\(|FORMAT\s"
-    r"|serverError|clientError)"
+    r"|KILL|system\.(?!numbers|one\b)|remote\(|cluster\(|file\(|url\("
+    # FORMAT TSV/TabSeparated is the default rendering (ScriptRunner
+    # strips it); any other format, or inline-data INSERT..FORMAT, skips
+    r"|INSERT[^;]*FORMAT\s|FORMAT\s+(?!TSV\b|TabSeparated\b)\w)"
+    # expected-error statements are handled per-statement now
+    # (split_statements_tagged); files using them are fair game
 )
 # >10M generated rows: JVM OOM risk on local runs
 BIG_RE = re.compile(r"(numbers|range)\s*\(\s*[0-9_]{8,}")
