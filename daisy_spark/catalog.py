@@ -134,8 +134,17 @@ BUCKETED_MIRRORS: dict[tuple[str, str], str] = {}
 
 #: the big-join tables and their co-location keys (SURVEY §4.3: the
 #: reference sorts by ORDER BY key at insert; bucketing-by-join-key at
-#: write is the Spark equivalent — the l⋈o join then needs NO shuffle)
-BUCKET_SPECS = (("lineitem", "l_orderkey"), ("orders", "o_orderkey"))
+#: write is the Spark equivalent — the l⋈o join then needs NO shuffle).
+#: customer is bucketed by custkey so the o⋈c join reads the customer
+#: side with no shuffle at any scale: at 100x data the customer
+#: broadcast stops being free, and the probe side (orders) shuffles
+#: into customer's bucket distribution instead of materializing a
+#: multi-GB broadcast per executor.
+BUCKET_SPECS = (
+    ("lineitem", "l_orderkey"),
+    ("orders", "o_orderkey"),
+    ("customer", "c_custkey"),
+)
 
 
 def build_bucketed_mirror(

@@ -3646,18 +3646,19 @@ FUNC_MAP: dict[str, object] = {
     "toTypeName": lambda a: _to_type_name_expr(a[0]),
     "generateUUIDv4": "uuid()",
     # rand(N): the seed arg only labels INDEPENDENT streams — the same N
-    # yields the SAME value everywhere it appears (src/Functions/
-    # rand.cpp), which expressions like `f(rand(1)) = g(rand(1))` rely
-    # on.  Spark's stateful per-row ids desync inside conditional
-    # branches, so seeded rand folds to a translate-time literal per
-    # seed: consistent within the query, distinct across seeds.  (Tests
-    # can only ever depend on that consistency, never on exact values.)
+    # yields the SAME value everywhere it appears within a row (src/
+    # Functions/rand.cpp), which expressions like `f(rand(1)) =
+    # g(rand(1))` rely on.  Lowered to a per-row hash of
+    # monotonically_increasing_id salted by the seed TEXT: per-row
+    # distinct (uniq(rand(1)) ~ N, ORDER BY rand(1) shuffles), equal
+    # across instances of the same seed in one projection (each
+    # instance's row counter advances in lockstep for unconditional
+    # evaluation — the corpus usage), distinct across seeds.  Tests can
+    # only depend on that consistency, never on exact values.
     "rand": lambda a: (
         "CAST(rand() * 4294967296 AS BIGINT)" if not a or not a[0].strip()
-        else "CAST({} AS BIGINT)".format(
-            __import__("random").Random(
-                __import__("zlib").crc32(a[0].encode())
-            ).randrange(2**32)
+        else "ch_rand_seeded({})".format(
+            __import__("zlib").crc32(a[0].encode())
         )
     ),
     # randConstant: one random value shared by every row of the query
@@ -8098,7 +8099,41 @@ def _totals_mode_sql(q: _Select, from_sql: str, wheres: list[str]) -> str | None
     )
 
 
+_RAND_SEED_RE = re.compile(r"ch_rand_seeded\((\d+)\)")
+
+
 def _render(q: _Select) -> str:
+    sql = _render_core(q)
+    if "ch_rand_seeded(" not in sql:
+        return sql
+    # seeded rand(N) resolved per SCOPE: per-row when the FROM exposes
+    # the monotonic `number` column — a hash of the ROW IDENTITY, so
+    # every instance of the same seed agrees within a row even when our
+    # own lowerings duplicate it into conditional branches (a
+    # per-instance monotonically_increasing_id counter desyncs there:
+    # CASE arms advance it only when taken).  Scopes without `number`
+    # keep the translate-time constant per seed (documented divergence
+    # for per-row uses over arbitrary tables; src/Functions/rand.cpp).
+    env: dict = {}
+    if q.from_:
+        try:
+            env = _subquery_type_env(q.from_)
+        except Exception:  # noqa: BLE001
+            env = {}
+    simple = bool(q.from_) and not any(_kw(t) == "JOIN" for t in q.from_)
+
+    def _sub(m: "re.Match[str]") -> str:
+        salt = int(m.group(1))
+        if simple and "number" in env:
+            return f"pmod(xxhash64(number, {salt}), 4294967296)"
+        return "CAST({} AS BIGINT)".format(
+            __import__("random").Random(salt).randrange(2**32)
+        )
+
+    return _RAND_SEED_RE.sub(_sub, sql)
+
+
+def _render_core(q: _Select) -> str:
     if (
         q.distinct and not q.order_by and not q.fill
         and not q.with_totals and not q.limit_by

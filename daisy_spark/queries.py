@@ -219,8 +219,11 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # l⋈o: with the bucketed-by-orderkey mirrors (catalog.
     # build_bucketed_mirror) this join reads co-located sorted buckets —
-    # no shuffle, no sort.  customer broadcasts (1.5% of lineitem rows;
-    # at cluster scale it would instead be bucketed by custkey at write)
+    # no shuffle, no sort.  customer broadcasts here (1.5% of lineitem
+    # rows — the right call at bench scale); the custkey-bucketed
+    # customer mirror (BUCKET_SPECS) is the cluster-scale alternative:
+    # o shuffles into c's bucket distribution instead of a per-executor
+    # broadcast (plan-asserted in tests/test_bucketing.py)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)

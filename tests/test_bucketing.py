@@ -28,7 +28,7 @@ def mirrored(spark):
     # tests sharing this process
     import os
 
-    for name in ("lineitem", "orders"):
+    for name in ("lineitem", "orders", "customer"):
         BUCKETED_MIRRORS.pop((os.path.abspath(SF), name), None)
 
 
@@ -66,6 +66,36 @@ def test_bucketed_join_has_no_shuffle(mirrored):
     ]
     assert shuffle_lines == [], shuffle_lines
     assert "SortMergeJoin" in plan
+
+
+def test_customer_side_reads_bucketed_no_shuffle(mirrored):
+    """The o⋈c custkey join over the customer mirror shuffles ONLY the
+    probe (orders) side — the customer scan feeds the join straight
+    from its bucketed layout.  This is the 100-TB path where the
+    customer broadcast stops being free: one exchange (orders into
+    customer's distribution) instead of a per-executor broadcast."""
+    o = load_table(mirrored, SF, "orders")
+    c = load_table(mirrored, SF, "customer")
+    prev = mirrored.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    mirrored.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = o.join(c, o.o_custkey == c.c_custkey).groupBy(
+            "c_mktsegment"
+        ).agg(F.sum("o_totalprice").alias("v"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        mirrored.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    # exactly the exchanges BELOW the join: orders reshuffles into the
+    # bucket distribution, customer does not (the aggregation above the
+    # join may legitimately exchange on c_mktsegment)
+    join_part = plan.split("SortMergeJoin", 1)[1]
+    shuffles = [
+        ln for ln in join_part.split("\n")
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(shuffles) == 1, shuffles
+    assert "o_custkey" in shuffles[0], shuffles
 
 
 def test_queries_identical_with_mirror(mirrored):
