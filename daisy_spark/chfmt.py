@@ -13,6 +13,8 @@ ECMAScript shortest-round-trip floats per src/IO/WriteHelpers.h).
 
 import datetime
 import decimal
+import math
+import re
 
 
 def js_float(s: str) -> str:
@@ -73,6 +75,9 @@ def fmt(v, nested=False):
         if v == float("-inf"):
             return "-inf"
         if v == int(v) and abs(v) < 9007199254740992:
+            # negative zero keeps its sign (the reference prints -0)
+            if v == 0 and math.copysign(1.0, v) < 0:
+                return "-0"
             return str(int(v))
         return js_float(repr(v))
     if isinstance(v, tuple):  # Row (struct) — ClickHouse tuple rendering
@@ -106,21 +111,50 @@ def fmt_f32(v):
     return fmt(v)
 
 
-def render_df(df, outs):
+def _extreme(vals, want_max):
+    """Min/max of one column's values, skipping NULL/NaN like the
+    reference's extremes calculator; all-skipped keeps the skip value."""
+    def _key(v):
+        return tuple(v) if isinstance(v, tuple) else v
+
+    best = None
+    for v in vals:
+        if v is None or (isinstance(v, float) and v != v):
+            continue
+        if best is None or (
+            (_key(v) > _key(best)) if want_max else (_key(v) < _key(best))
+        ):
+            best = v
+    if best is not None:
+        return best
+    # all NaN -> nan; all NULL -> NULL
+    return next((v for v in vals if v is not None), None)
+
+
+def render_df(df, outs, extremes=False):
     """Append a DataFrame's rows (and its WITH TOTALS block, if any)
-    to ``outs`` in reference TSV rendering."""
+    to ``outs`` in reference TSV rendering.  With ``extremes`` a blank
+    line plus min/max rows follow (SETTINGS extremes = 1)."""
     f32 = [fld.dataType.simpleString() == "float"
            for fld in df.schema.fields]
-    for r in df.collect():
-        outs.append("\t".join(
+
+    def _line(r):
+        return "\t".join(
             fmt_f32(v) if is32 else fmt(v) for v, is32 in zip(r, f32)
-        ))
+        )
+
+    rows = df.collect()
+    for r in rows:
+        outs.append(_line(r))
     # WITH TOTALS: separate block after an empty line
     for r in getattr(df, "_daisy_totals", None) or []:
         outs.append("")
-        outs.append("\t".join(
-            fmt_f32(v) if is32 else fmt(v) for v, is32 in zip(r, f32)
-        ))
+        outs.append(_line(r))
+    if extremes and rows:
+        cols = list(zip(*[tuple(r) for r in rows]))
+        outs.append("")
+        outs.append(_line([_extreme(c, False) for c in cols]))
+        outs.append(_line([_extreme(c, True) for c in cols]))
 
 
 def render_script(runner, txt: str) -> str:
@@ -140,6 +174,11 @@ def render_script(runner, txt: str) -> str:
             # clickhouse-test echo mode: the statement text (with its
             # comment lines) precedes its own output
             outs.append(s.strip() + ";")
+        want_ext = bool(
+            re.search(r"(?i)\bextremes\s*=\s*1\b", s)
+        ) or str(
+            getattr(runner, "settings", {}).get("extremes", "0")
+        ).strip("'\" ") == "1"
         if expect_err:
             # `-- { serverError N }` statement: the reference expects a
             # FAILURE and prints nothing.  If ours succeeds instead,
@@ -147,12 +186,12 @@ def render_script(runner, txt: str) -> str:
             try:
                 df = runner.execute(s)
                 if df is not None:
-                    render_df(df, outs)
+                    render_df(df, outs, extremes=want_ext)
             except Exception:  # noqa: BLE001
                 pass
             continue
         df = runner.execute(s)
         if df is None:
             continue
-        render_df(df, outs)
+        render_df(df, outs, extremes=want_ext)
     return "\n".join(outs).strip()

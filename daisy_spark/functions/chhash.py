@@ -525,6 +525,56 @@ def fold(kind: str, nodes) -> int:
     return h if h is not None else 0
 
 
+
+
+def jump_consistent_hash(key: int, n: int) -> int:
+    """Lamping & Veach jump consistent hash (the public Google paper;
+    src/Functions/jumpConsistentHash.cpp applies it to an Int64 key)."""
+    key &= _M64
+    b, j = -1, 0
+    while j < n:
+        b = j
+        key = (key * 2862933555777941757 + 1) & _M64
+        j = int(float(b + 1) * (float(1 << 31) / float((key >> 33) + 1)))
+    return b
+
+
+def _ch_pow2_bucket(a: int, b: int, c: int, k2: int) -> int:
+    # contrib/consistent-hashing: exact bucket for n = 2^k
+    cblock = c & (k2 - 1)
+    if cblock < 2:
+        return cblock
+    y2 = 1 << (cblock.bit_length() - 1)
+    ab = (a if bin(cblock).count("1") % 2 == 0 else b) & (y2 - 1)
+    return y2 + ab
+
+
+def yandex_consistent_hash(x: int, n: int) -> int:
+    """contrib/consistent-hashing ConsistentHashing(UInt64, n) with
+    16-bit blocks (a,b,c,d = the four uint16 halves of x)."""
+    x &= _M64
+    a, b = x & 0xFFFF, (x >> 16) & 0xFFFF
+    c, d = (x >> 32) & 0xFFFF, (x >> 48) & 0xFFFF
+    if n <= 1:
+        return 0
+    k = (n - 1).bit_length()
+    k2 = 1 << k
+    large = _ch_pow2_bucket(a, b, c, k2)
+    if large < n:
+        return large
+    k21 = 1 << (k - 1)
+    shift = 16 - k
+    res = ((d << shift) | (c >> k)) & _M64
+    shift += 1
+    res = ((res << shift) | (b >> (k - 1))) & _M64
+    res = ((res << shift) | (a >> (k - 1))) & _M64
+    s = res % (large * (large + 1))
+    large2 = s // k2 + k21
+    if large2 < n:
+        return large2
+    return _ch_pow2_bucket(a, b, c, k21)
+
+
 def register_udfs(spark) -> None:
     """Register string-input hash UDFs for dynamic (non-literal) args.
     Python row-at-a-time UDFs — corpus/test surface only; distributed
@@ -563,6 +613,22 @@ def register_udfs(spark) -> None:
             return None
         return int(s).to_bytes(w, "little", signed=True).hex().upper()
 
+    spark.udf.register(
+        "ch_jump_hash",
+        lambda s, n: (
+            None if s is None or n is None
+            else jump_consistent_hash(int(s) % (1 << 64), int(n))
+        ),
+        "long",
+    )
+    spark.udf.register(
+        "ch_yandex_hash",
+        lambda s, n: (
+            None if s is None or n is None
+            else yandex_consistent_hash(int(s) % (1 << 64), int(n))
+        ),
+        "long",
+    )
     spark.udf.register("ch_hex_float", _hex_float, "string")
     spark.udf.register("ch_hex_le_str", _hex_le_str, "string")
     spark._daisy_chhash_udfs = True

@@ -1233,7 +1233,8 @@ _COMBINATOR_STOP = {
 
 #: aggregate combinator suffixes, peeled right-to-left
 #: (AggregateFunctionCombinatorFactory order)
-_COMBINATOR_SUFS = ("If", "OrNull", "OrDefault", "Distinct", "Array")
+_COMBINATOR_SUFS = ("If", "OrNull", "OrDefault", "Distinct", "Array",
+                    "ForEach")
 
 
 def _peel_combinators(name: str) -> tuple[str, list[str]]:
@@ -1286,6 +1287,8 @@ def _agg_combinator_expr(t: str, args: list[str]) -> str | None:
     base, sufs = _peel_combinators(t)
     if not sufs or "Array" in sufs or "Distinct" in sufs:
         return None
+    if "ForEach" in sufs and ("OrNull" in sufs or "OrDefault" in sufs):
+        return None
     tmpl = FUNC_MAP.get(base)
     if tmpl is None:
         if base in ("sum", "min", "max", "avg", "count", "any"):
@@ -1297,16 +1300,64 @@ def _agg_combinator_expr(t: str, args: list[str]) -> str | None:
         if len(vargs) < 2:
             return None
         cond = vargs.pop()
-        vargs = [
-            f"(CASE WHEN CAST({cond} AS BOOLEAN) THEN {v} END)"
-            for v in vargs
-        ]
+        if "ForEach" in sufs and sufs.index("ForEach") < sufs.index("If"):
+            # fooIfForEach = ForEach(fooIf): the condition is a PARALLEL
+            # ARRAY applied per position — mask elements to NULL (the
+            # ForEach folds skip NULLs), not per row
+            vargs = [
+                f"zip_with({v}, {cond}, (__mv, __mc) -> "
+                f"IF(CAST(__mc AS BOOLEAN), __mv, NULL))"
+                for v in vargs
+            ]
+        else:
+            vargs = [
+                f"(CASE WHEN CAST({cond} AS BOOLEAN) THEN {v} END)"
+                for v in vargs
+            ]
         # the CASE injects NULLs for filtered rows; ClickHouse
         # aggregates skip NULLs, but Spark's any_value only does so
         # with its ignoreNulls flag (AggregateFunctionIf.h filters
         # ROWS, so anyIf must not latch a filtered-out row's NULL)
         if isinstance(tmpl, str) and tmpl.startswith("any_value({0})"):
             tmpl = "any_value({0}, true)" + tmpl[len("any_value({0})"):]
+    if "ForEach" in sufs:
+        # -ForEach: the aggregate applies PER ARRAY POSITION
+        # (AggregateFunctionForEach.h) — result length is the max input
+        # length, shorter arrays simply contribute nothing at the tail.
+        # collect_list drops NULL (If-filtered) arrays for free.
+        if base not in ("sum", "min", "max", "avg", "count",
+                        "groupArray", "uniq", "uniqExact"):
+            return None
+        col = f"collect_list({vargs[0]})"
+        ml = f"array_max(transform({col}, __fa -> size(__fa)))"
+        at_i = "element_at(__fa, CAST(__fi AS INT))"
+        vals = (
+            f"filter(transform({col}, __fa -> {at_i}), "
+            f"__fv -> __fv IS NOT NULL)"
+        )
+        if base == "sum":
+            one = (
+                f"aggregate({col}, CAST(0 AS DOUBLE), "
+                f"(__ac, __fa) -> __ac + coalesce(CAST({at_i} AS DOUBLE),"
+                f" 0.0d))"
+            )
+        elif base == "avg":
+            one = (
+                f"(aggregate({col}, CAST(0 AS DOUBLE), (__ac, __fa) -> "
+                f"__ac + coalesce(CAST({at_i} AS DOUBLE), 0.0d)) / "
+                f"size({vals}))"
+            )
+        elif base == "count":
+            one = f"size({vals})"
+        elif base == "min":
+            one = f"array_min({vals})"
+        elif base == "max":
+            one = f"array_max({vals})"
+        elif base in ("uniq", "uniqExact"):
+            one = f"size(array_distinct({vals}))"
+        else:
+            one = vals
+        return f"transform(sequence(1, {ml}), __fi -> {one})"
     core = _render_tmpl(tmpl, vargs)
     cnt = f"count({vargs[0]})"
     if "OrNull" in sufs:
@@ -1324,8 +1375,16 @@ def _agg_combinator_expr(t: str, args: list[str]) -> str | None:
 
 def _default_of_ch_type(t: str) -> str | None:
     """SQL literal for the reference TYPE DEFAULT of a ClickHouse type
-    name (IDataType::getDefault); None when unmodeled."""
+    name (IDataType::getDefault); None when unmodeled.  A tz-carrying
+    DateTime default is epoch AT THAT ZONE's wall clock (the engine
+    stores wall-clock-shifted naive timestamps for DateTime(tz))."""
     t = t.strip()
+    m_tz = re.fullmatch(r"DateTime(?:64)?\((?:\d+, )?('[^']*')\)", t)
+    if m_tz:
+        return (
+            f"from_utc_timestamp(TIMESTAMP '1970-01-01 00:00:00', "
+            f"{m_tz.group(1)})"
+        )
     low = t.lower()
     if low.startswith("nullable("):
         return "NULL"
@@ -1395,6 +1454,67 @@ def _default_of_ch_type(t: str) -> str | None:
         return None
     return None
 
+
+
+def _nullable_try_cast(e: str, type_toks: list[str], src_raw: list[str]) -> str | None:
+    """CAST(string AS Nullable(X)): the reference parses with
+    null-on-failure (FunctionsConversion accurateOrNull) — unsigned
+    range-checked, bare-digit strings are NOT dates.  Only applies to
+    String-typed sources (numeric sources WRAP on overflow instead)."""
+    if (
+        not type_toks or _kw(type_toks[0]) != "NULLABLE"
+        or len(type_toks) < 4 or type_toks[1] != "("
+    ):
+        return None
+    try:
+        st0 = _ch_type_of(src_raw, _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT)
+    except Exception:  # noqa: BLE001
+        st0 = None
+    if not st0 or not _ch_unwrap(st0).startswith(("String", "FixedString")):
+        return None
+    head = _kw(type_toks[2]) if len(type_toks) > 2 else ""
+    u_max = {
+        "UINT8": (255, "SMALLINT"), "UINT16": (65535, "INT"),
+        "UINT32": (4294967295, "BIGINT"), "UINT64": (None, "BIGINT"),
+    }
+    s_map = {
+        "INT8": "TINYINT", "INT16": "SMALLINT", "INT32": "INT",
+        "INT64": "BIGINT", "FLOAT32": "FLOAT", "FLOAT64": "DOUBLE",
+    }
+    if head in u_max:
+        mx, st = u_max[head]
+        g = f"try_cast({e} AS BIGINT)"
+        cond = f"{g} >= 0" + (f" AND {g} <= {mx}" if mx else "")
+        return f"CAST(IF({cond}, {g}, NULL) AS {st})"
+    if head in s_map:
+        return f"try_cast({e} AS {s_map[head]})"
+    if head == "DATE":
+        return (
+            f"IF(CAST({e} AS STRING) RLIKE '^\\s*[0-9]*\\s*$', NULL, "
+            f"try_cast({e} AS DATE))"
+        )
+    if head in ("DATETIME", "DATETIME64"):
+        return (
+            f"IF(CAST({e} AS STRING) RLIKE '^\\s*[0-9]*\\s*$', NULL, "
+            f"try_cast({e} AS TIMESTAMP))"
+        )
+    return None
+
+
+def _typed_default_sql(ch_t: str) -> str | None:
+    """Like _default_of_ch_type, but composite defaults carry an explicit
+    Spark type cast (bare array() is ARRAY<VOID> and breaks coalesce
+    against a typed branch)."""
+    d0 = _default_of_ch_type(ch_t)
+    if d0 is None:
+        return None
+    if re.match(r"(?i)^\s*(array|tuple|map)\s*\(", ch_t):
+        try:
+            st, _ = _map_type(tokenize(ch_t), 0)
+            return f"CAST({d0} AS {st})"
+        except Exception:  # noqa: BLE001
+            return d0
+    return d0
 
 
 def _peek_tuple_arity(out: list[str]) -> int:
@@ -1894,9 +2014,45 @@ def _ch_type_of(toks: list[str], env: dict[str, str]) -> str | None:
     while (
         len(toks) >= 3 and toks[0] == "(" and _match_paren(toks, 0) == len(toks) - 1
     ):
-        toks = toks[1:-1]
+        # a top-level comma inside means TUPLE literal, not grouping
+        inner_t0 = toks[1:-1]
+        parts_t0 = _split_top(inner_t0, ",")
+        if len(parts_t0) > 1:
+            ets_t0 = [
+                _ch_type_of(p, env) for p in parts_t0 if p
+            ]
+            if len(ets_t0) == len(parts_t0) and all(ets_t0):
+                return "Tuple(" + ", ".join(ets_t0) + ")"
+            return None
+        toks = inner_t0
     if not toks:
         return None
+    # subscript chain X[i] -> element type of X (Array/Map only)
+    if toks[-1] == "]" and toks[0] != "[":
+        d9, k9 = 0, len(toks) - 1
+        while k9 >= 0:
+            if toks[k9] in (")", "]"):
+                d9 += 1
+            elif toks[k9] in ("(", "["):
+                d9 -= 1
+                if d9 == 0:
+                    break
+            k9 -= 1
+        if k9 > 0 and toks[k9] == "[":
+            bt9 = _ch_type_of(toks[:k9], env)
+            if bt9 and bt9.startswith("Array(") and bt9 != "Array(?)":
+                return bt9[6:-1]
+            if bt9 and bt9.startswith("Map(") and "," in bt9:
+                in9, dd9, cc9 = bt9[4:-1], 0, 0
+                for q9, ch9 in enumerate(in9):
+                    if ch9 == "(":
+                        dd9 += 1
+                    elif ch9 == ")":
+                        dd9 -= 1
+                    elif ch9 == "," and dd9 == 0:
+                        cc9 = q9 + 1
+                return in9[cc9:].strip()
+            return None
     # array literal [a, b, c] -> Array(supertype)
     if toks[0] == "[" and toks[-1] == "]":
         d0 = 0
@@ -1976,6 +2132,14 @@ def _ch_type_of(toks: list[str], env: dict[str, str]) -> str | None:
         k, op = arith
         lt0 = _ch_type_of(toks[:k], env)
         rt0 = _ch_type_of(toks[k + 1 :], env)
+        # Date/DateTime +- integer keeps the date type (and its tz)
+        for dt0, ot0 in ((lt0, rt0), (rt0, lt0)):
+            if (
+                op in ("+", "-")
+                and dt0 and _ch_unwrap(dt0).startswith(("Date", "DateTime"))
+                and ot0 and _ch_unwrap(ot0).startswith(("UInt", "Int"))
+            ):
+                return dt0
         dm_l = re.fullmatch(
             r"Decimal\((\d+), (\d+)\)", _ch_unwrap(lt0 or "")
         )
@@ -2040,13 +2204,38 @@ def _ch_type_of(toks: list[str], env: dict[str, str]) -> str | None:
             if inner and inner.startswith("Array(") and "?" not in inner:
                 return inner[6:-1]
             return None
+        if head in (
+            "ARRAYFILTER", "ARRAYSORT", "ARRAYREVERSESORT",
+            "ARRAYREVERSE", "ARRAYCOMPACT", "ARRAYDISTINCT",
+            "ARRAYSLICE", "ARRAYRESIZE",
+        ) and parts:
+            # element-preserving array transforms: type = the array
+            # argument's type (last arg for the lambda-first spellings)
+            arr_arg0 = parts[-1] if head in (
+                "ARRAYFILTER", "ARRAYSORT", "ARRAYREVERSESORT",
+            ) and len(parts) > 1 else parts[0]
+            if head in ("ARRAYSLICE", "ARRAYRESIZE"):
+                arr_arg0 = parts[0]
+            t_ap = _ch_type_of(arr_arg0, env)
+            return t_ap if t_ap and t_ap.startswith("Array(") else None
         if head == "ARRAYMAP" and parts:
             lam9 = parts[0]
             arrow9 = next(
                 (k for k, tk in enumerate(lam9) if tk == "->"), -1
             )
             if arrow9 >= 0:
-                bt = _ch_type_of(lam9[arrow9 + 1 :], env)
+                env9 = env
+                if len(parts) > 1:
+                    # bind lambda formals to the array element type
+                    at9m = _ch_type_of(parts[1], env)
+                    if at9m and at9m.startswith("Array(") and at9m != "Array(?)":
+                        forms9 = [
+                            tk for tk in lam9[:arrow9] if _is_ident(tk)
+                        ]
+                        env9 = dict(env)
+                        for fm9 in forms9:
+                            env9[fm9] = at9m[6:-1]
+                bt = _ch_type_of(lam9[arrow9 + 1 :], env9)
                 if bt:
                     return f"Array({bt})"
             return None
@@ -2208,6 +2397,10 @@ def _ch_type_of(toks: list[str], env: dict[str, str]) -> str | None:
         return "Float64"
     if len(toks) == 1 and _is_ident(toks[0]) and toks[0].strip("`") in env:
         return env[toks[0].strip("`")]
+    # opaque pre-rendered tokens (inlined sibling aliases) are registered
+    # in the env under their full rendered text
+    if len(toks) == 1 and toks[0] in env:
+        return env[toks[0]]
     node = _parse_hash_lit(toks)
     if node is None:
         return None
@@ -2828,6 +3021,32 @@ def _position_expr(a: list[str]) -> str:
     return _byte_position(a[0], a[1])
 
 
+
+def _scaled_round_sql(op: str, a: list[str]) -> str:
+    """floor/ceil/trunc/rint with a scale argument.  Negative literal
+    scales use the DIVISION form — pow(10, 5) is exact in double where
+    pow(10, -5) is not, so floor(x * 1e-5) / 1e-5 leaves noise like
+    123400000.00000001.  + 0.0 normalizes -0 on integer paths."""
+    x = f"CAST({a[0]} AS DOUBLE)"
+    m0 = re.fullmatch(r"\(*\s*-\s*(\d+)\s*\)*", a[1].strip())
+    m1 = m0 or re.fullmatch(r"\(*\s*(\d+)\s*\)*", a[1].strip())
+    if m1 and int(m1.group(1)) > 308:
+        # FunctionsRound: scale beyond double range ->
+        # ARGUMENT_OUT_OF_BOUND (error 69)
+        raise DialectError("rounding scale out of bound")
+
+    def core(v: str) -> str:
+        if op == "trunc":
+            return f"IF({x} >= 0, floor({v}), ceil({v}))"
+        return f"{op}({v})"
+
+    if m0:
+        p = f"pow(10, {m0.group(1)})"
+        return f"({core(f'{x} / {p}')} * {p} + 0.0d)"
+    p = f"pow(10, {a[1]})"
+    return f"({core(f'{x} * {p}')} / {p} + 0.0d)"
+
+
 FUNC_MAP: dict[str, object] = {
     # arithmetic / comparison / logic
     "plus": "({0} + {1})", "minus": "({0} - {1})", "multiply": "({0} * {1})",
@@ -2954,7 +3173,9 @@ FUNC_MAP: dict[str, object] = {
         f"ELSE sequence(0, ({a[0]}) - 1) END)"
         if len(a) == 1
         else f"(CASE WHEN ({a[1]}) <= ({a[0]}) THEN slice(sequence(0, 0), 1, 0) "
-        f"ELSE sequence({a[0]}, ({a[1]}) - 1) END)"
+        f"ELSE sequence({a[0]}, ({a[1]}) - 1"
+        + (f", {a[2]}" if len(a) >= 3 else "")
+        + ") END)"
     ),
     # component after the last slash OF EITHER KIND (path.cpp splits on
     # both / and \)
@@ -3110,27 +3331,27 @@ FUNC_MAP: dict[str, object] = {
     "toFloat32": "CAST({0} AS FLOAT)", "toFloat64": "CAST({0} AS DOUBLE)",
     # -OrZero / -OrNull parse variants (FunctionsConversion.h): failed
     # parses yield 0 / NULL instead of an error
-    "toUInt8OrZero": "coalesce(try_cast({0} AS SMALLINT), 0)",
-    "toUInt16OrZero": "coalesce(try_cast({0} AS INT), 0)",
-    "toUInt32OrZero": "coalesce(try_cast({0} AS BIGINT), 0)",
-    "toUInt64OrZero": "coalesce(try_cast({0} AS BIGINT), 0)",
-    "toInt8OrZero": "coalesce(try_cast({0} AS TINYINT), 0)",
-    "toInt16OrZero": "coalesce(try_cast({0} AS SMALLINT), 0)",
-    "toInt32OrZero": "coalesce(try_cast({0} AS INT), 0)",
-    "toInt64OrZero": "coalesce(try_cast({0} AS BIGINT), 0)",
-    "toFloat32OrZero": "coalesce(try_cast({0} AS FLOAT), 0.0)",
-    "toFloat64OrZero": "coalesce(try_cast({0} AS DOUBLE), 0.0)",
-    "toUInt8OrNull": "try_cast({0} AS SMALLINT)",
-    "toUInt16OrNull": "try_cast({0} AS INT)",
-    "toUInt32OrNull": "try_cast({0} AS BIGINT)",
-    "toUInt64OrNull": "try_cast({0} AS BIGINT)",
+    "toUInt8OrZero": "IF({0} IS NULL, NULL, coalesce(CAST(IF(try_cast({0} AS BIGINT) >= 0 AND try_cast({0} AS BIGINT) <= 255, try_cast({0} AS BIGINT), NULL) AS SMALLINT), 0))",
+    "toUInt16OrZero": "IF({0} IS NULL, NULL, coalesce(CAST(IF(try_cast({0} AS BIGINT) >= 0 AND try_cast({0} AS BIGINT) <= 65535, try_cast({0} AS BIGINT), NULL) AS INT), 0))",
+    "toUInt32OrZero": "IF({0} IS NULL, NULL, coalesce(CAST(IF(try_cast({0} AS BIGINT) >= 0 AND try_cast({0} AS BIGINT) <= 4294967295, try_cast({0} AS BIGINT), NULL) AS BIGINT), 0))",
+    "toUInt64OrZero": "IF({0} IS NULL, NULL, coalesce(CAST(IF(try_cast({0} AS BIGINT) >= 0, try_cast({0} AS BIGINT), NULL) AS BIGINT), 0))",
+    "toInt8OrZero": "IF({0} IS NULL, NULL, coalesce(try_cast({0} AS TINYINT), 0))",
+    "toInt16OrZero": "IF({0} IS NULL, NULL, coalesce(try_cast({0} AS SMALLINT), 0))",
+    "toInt32OrZero": "IF({0} IS NULL, NULL, coalesce(try_cast({0} AS INT), 0))",
+    "toInt64OrZero": "IF({0} IS NULL, NULL, coalesce(try_cast({0} AS BIGINT), 0))",
+    "toFloat32OrZero": "IF({0} IS NULL, NULL, coalesce(try_cast({0} AS FLOAT), 0.0))",
+    "toFloat64OrZero": "IF({0} IS NULL, NULL, coalesce(try_cast({0} AS DOUBLE), 0.0))",
+    "toUInt8OrNull": "CAST(IF(try_cast({0} AS BIGINT) >= 0 AND try_cast({0} AS BIGINT) <= 255, try_cast({0} AS BIGINT), NULL) AS SMALLINT)",
+    "toUInt16OrNull": "CAST(IF(try_cast({0} AS BIGINT) >= 0 AND try_cast({0} AS BIGINT) <= 65535, try_cast({0} AS BIGINT), NULL) AS INT)",
+    "toUInt32OrNull": "CAST(IF(try_cast({0} AS BIGINT) >= 0 AND try_cast({0} AS BIGINT) <= 4294967295, try_cast({0} AS BIGINT), NULL) AS BIGINT)",
+    "toUInt64OrNull": "CAST(IF(try_cast({0} AS BIGINT) >= 0, try_cast({0} AS BIGINT), NULL) AS BIGINT)",
     "toInt8OrNull": "try_cast({0} AS TINYINT)",
     "toInt16OrNull": "try_cast({0} AS SMALLINT)",
     "toInt32OrNull": "try_cast({0} AS INT)",
     "toInt64OrNull": "try_cast({0} AS BIGINT)",
     "toFloat32OrNull": "try_cast({0} AS FLOAT)",
     "toFloat64OrNull": "try_cast({0} AS DOUBLE)",
-    "toDateOrNull": "try_cast({0} AS DATE)",
+    "toDateOrNull": "IF(CAST({0} AS STRING) RLIKE '^\\s*[0-9]*\\s*$', NULL, try_cast({0} AS DATE))",
     # numeric argument = days since epoch (FunctionsConversion)
     # toDate(UInt) is epoch DAYS; strings/dates parse directly.  When
     # the argument's kind isn't visible at translate time, a string
@@ -3194,7 +3415,15 @@ FUNC_MAP: dict[str, object] = {
     "toStartOfYear": "CAST(date_trunc('YEAR', {0}) AS DATE)",
     "toStartOfQuarter": "CAST(date_trunc('QUARTER', {0}) AS DATE)",
     "toStartOfMonth": "CAST(date_trunc('MONTH', {0}) AS DATE)",
-    "toStartOfWeek": "CAST(date_trunc('WEEK', {0}) AS DATE)",
+    # default mode 0 = SUNDAY-start week (toCustomWeek.cpp); odd modes
+    # are Monday-first
+    "toStartOfWeek": lambda a: (
+        f"CAST(date_trunc('WEEK', {a[0]}) AS DATE)"
+        if len(a) > 1 and a[1].strip().strip("()").isdigit()
+        and int(a[1].strip().strip("()")) % 2 == 1
+        else f"date_sub(CAST({a[0]} AS DATE), "
+        f"pmod(dayofweek({a[0]}) - 1, 7))"
+    ),
     "toMonday": "CAST(date_trunc('WEEK', {0}) AS DATE)",
     "toStartOfDay": "date_trunc('DAY', {0})",
     "toStartOfHour": "date_trunc('HOUR', {0})",
@@ -3484,6 +3713,15 @@ FUNC_MAP: dict[str, object] = {
     # non-parametric call forms of the parametric aggregates
     "topK": lambda a: _topk_expr(["10"], a),
     "topKWeighted": lambda a: _topk_expr(["10"], a),
+    # bare quantile spellings default to level 0.5
+    # (AggregateFunctionQuantile.h: params are optional)
+    "quantileExact": lambda a: _quantile_exact_expr(["0.5"], a, True),
+    "quantileTiming": lambda a: _quantile_timing_expr(["0.5"], a, True),
+    "quantileTimingWeighted": lambda a: _quantile_timing_weighted_expr(
+        ["0.5"], a, True
+    ),
+    "quantileTDigest": lambda a: f"approx_percentile({a[0]}, 0.5)",
+    "quantileDeterministic": lambda a: f"percentile({a[0]}, 0.5)",
     "retention": lambda a: _retention_expr(a),
     "groupBitAnd": "bit_and({0})", "groupBitOr": "bit_or({0})",
     "groupBitXor": "bit_xor({0})",
@@ -3698,6 +3936,64 @@ FUNC_MAP: dict[str, object] = {
         f"ELSE coalesce({a[0]} - lag({a[0]}) IGNORE NULLS OVER "
         f"(ORDER BY monotonically_increasing_id()), 0) END)"
     ),
+    # ...StartingWithFirstValue: first row yields ITSELF, not 0
+    "runningDifferenceStartingWithFirstValue": lambda a: (
+        f"(CASE WHEN ({a[0]}) IS NULL THEN NULL "
+        f"ELSE coalesce({a[0]} - lag({a[0]}) IGNORE NULLS OVER "
+        f"(ORDER BY monotonically_increasing_id()), {a[0]}) END)"
+    ),
+    "countDistinct": "count(DISTINCT {*})",
+    "tryBase64Decode": (
+        "coalesce(CAST(try_to_binary({0}, 'base64') AS STRING), '')"
+    ),
+    # hasSubstr: contiguous subsequence with null-safe equality
+    # (src/Functions/array/hasSubstr.cpp)
+    "hasSubstr": lambda a: (
+        f"(CASE WHEN size({a[1]}) = 0 THEN 1 "
+        f"WHEN size({a[0]}) < size({a[1]}) THEN 0 "
+        f"ELSE CAST(exists(sequence(1, size({a[0]}) - size({a[1]}) + 1), "
+        f"__hi -> forall(sequence(1, size({a[1]})), __hj -> "
+        f"element_at({a[0]}, CAST(__hi + __hj - 1 AS INT)) <=> "
+        f"element_at({a[1]}, CAST(__hj AS INT)))) AS INT) END)"
+    ),
+    "multiSearchAny": lambda a: (
+        f"CAST(exists({a[1]}, __n -> instr({a[0]}, __n) > 0) AS INT)"
+    ),
+    # timeSlots(t, dur[, size=1800]): slot starts from floor(t/size) to
+    # floor((t+dur)/size) (src/Functions/timeSlots.cpp)
+    "timeSlots": lambda a: (
+        _raise_dialect("timeSlots: numeric arguments required")
+        if any(x.strip().startswith("'") for x in a[1:])
+        or (len(a) > 2 and a[2].strip().strip("()") == "0")
+        else f"transform(sequence(CAST(floor(unix_timestamp({a[0]}) / "
+        f"{a[2] if len(a) > 2 else 1800}) AS BIGINT), "
+        f"CAST(floor((unix_timestamp({a[0]}) + ({a[1]})) / "
+        f"{a[2] if len(a) > 2 else 1800}) AS BIGINT)), "
+        f"__ts -> to_timestamp(__ts * {a[2] if len(a) > 2 else 1800}))"
+    ),
+    # roundDown(x, arr): largest element <= x, clamped to the minimum
+    # (src/Functions/roundDown.cpp)
+    "roundDown": lambda a: (
+        f"coalesce(array_max(filter({a[1]}, __rd -> __rd <= ({a[0]}))), "
+        f"array_min({a[1]}))"
+        if "array()" not in a[1].replace(" ", "")
+        else _raise_dialect("roundDown: empty boundary array")
+    ),
+    # MySQL-mode week numbering (toCustomWeek.cpp -> chweek.py UDFs)
+    "toWeek": lambda a: (
+        f"ch_to_week(CAST({a[0]} AS STRING), "
+        f"{a[1] if len(a) > 1 else 0})"
+    ),
+    "toYearWeek": lambda a: (
+        f"ch_to_year_week(CAST({a[0]} AS STRING), "
+        f"{a[1] if len(a) > 1 else 0})"
+    ),
+    "jumpConsistentHash": (
+        "ch_jump_hash(CAST({0} AS STRING), CAST({1} AS INT))"
+    ),
+    "yandexConsistentHash": (
+        "ch_yandex_hash(CAST({0} AS STRING), CAST({1} AS INT))"
+    ),
     # neighbor(x, offset[, default]): value offset rows away in stream
     # order (src/Functions/neighbor.cpp)
     "neighbor": lambda a: (
@@ -3867,14 +4163,36 @@ FUNC_MAP: dict[str, object] = {
     # differs only where double summation error exceeds Kahan's)
     "sumKahan": "sum({0})",
     "isZeroOrNull": "CAST(({0} IS NULL OR {0} = 0) AS INT)",
+    # floor/ceil/trunc with a scale argument (FunctionsRound.h: scale may
+    # be negative = round to tens/hundreds; trunc is toward zero);
+    # 1-arg floor/ceil pass through to Spark's own
+    "floor": lambda a: (
+        f"floor({a[0]})" if len(a) == 1 else _scaled_round_sql("floor", a)
+    ),
+    "ceil": lambda a: (
+        f"ceil({a[0]})" if len(a) == 1 else _scaled_round_sql("ceil", a)
+    ),
+    "ceiling": lambda a: (
+        f"ceil({a[0]})"
+        if len(a) == 1
+        else f"(ceil(CAST({a[0]} AS DOUBLE) * pow(10, {a[1]})) / "
+        f"pow(10, {a[1]}) + 0.0d)"
+    ),
+    "trunc": lambda a: (
+        f"IF(CAST({a[0]} AS DOUBLE) >= 0, floor({a[0]}), ceil({a[0]}))"
+        if len(a) == 1 else _scaled_round_sql("trunc", a)
+    ),
+    "truncate": lambda a: (
+        f"IF(CAST({a[0]} AS DOUBLE) >= 0, floor({a[0]}), ceil({a[0]}))"
+        if len(a) == 1 else _scaled_round_sql("trunc", a)
+    ),
     # roundBankers = half-even; rint is the IEEE 754 roundTiesToEven
     "roundBankers": lambda a: (
         f"rint(CAST({a[0]} AS DOUBLE))"
         if len(a) == 1
-        else (
-            f"(rint(CAST({a[0]} AS DOUBLE) * pow(10, {a[1]})) / "
-            f"pow(10, {a[1]}))"
-        )
+        # + 0.0 normalizes the -0 that rint leaves on small negative
+        # integers scaled by a negative exponent (Int paths print 0)
+        else _scaled_round_sql("rint", a)
     ),
     # roundAge/roundDuration: the reference's fixed breakpoints
     # (src/Functions/roundAge.cpp, roundDuration.cpp)
@@ -4011,7 +4329,7 @@ FUNC_MAP: dict[str, object] = {
     "arrayReverseFill": lambda a: _array_fill_expr(a, reverse=True),
     "splitByRegexp": "split({1}, {0})",
     "regexpQuoteMeta": (
-        "regexp_replace({0}, '([\\\\\\\\.^$|?*+()\\\\[\\\\]{{}}])', '\\\\\\\\$1')"
+        "regexp_replace({0}, '([\\\\x00\\\\\\\\|()^$.\\\\[\\\\]?*+{{:-])', '\\\\\\\\$1')"
     ),
     "toStringCutToZero": "element_at(split(CAST({0} AS STRING), chr(0)), 1)",
     "reinterpretAsFloat64": (
@@ -4022,10 +4340,14 @@ FUNC_MAP: dict[str, object] = {
         "CAST(reflect('java.lang.Float', 'intBitsToFloat', "
         "CAST({0} AS INT)) AS FLOAT)"
     ),
-    "toDateOrZero": "coalesce(try_cast({0} AS DATE), DATE '1970-01-01')",
+    "toDateOrZero": (
+        "IF({0} IS NULL, NULL, coalesce(IF(CAST({0} AS STRING) RLIKE '^\\s*[0-9]*\\s*$', NULL, try_cast({0} AS DATE)), DATE '1970-01-01'))"
+    ),
     "toDateTimeOrZero": (
-        "coalesce(try_cast({0} AS TIMESTAMP), "
-        "to_timestamp('1970-01-01 00:00:00'))"
+        "IF({0} IS NULL, NULL, coalesce("
+        "IF(CAST({0} AS STRING) RLIKE '^\\s*[0-9]*\\s*$', NULL, "
+        "try_cast({0} AS TIMESTAMP)), "
+        "to_timestamp('1970-01-01 00:00:00')))"
     ),
     "toDecimal32OrZero": lambda a: (
         f"coalesce(try_cast({a[0]} AS DECIMAL(9, {a[1]})), "
@@ -4076,7 +4398,7 @@ FUNC_MAP: dict[str, object] = {
     "visitParamExtractBool": (
         "CAST(get_json_object({0}, concat('$.', {1})) = 'true' AS INT)"
     ),
-    "toDateTimeOrNull": "try_cast({0} AS TIMESTAMP)",
+    "toDateTimeOrNull": "IF(CAST({0} AS STRING) RLIKE '^\\s*[0-9]*\\s*$', NULL, try_cast({0} AS TIMESTAMP))",
     "bitmaskToArray": (
         "transform(filter(sequence(0, 62), "
         "__b -> (shiftright(CAST({0} AS BIGINT), __b) & 1) = 1), "
@@ -4123,9 +4445,10 @@ FUNC_MAP: dict[str, object] = {
         "ELSE 0 END)"
     ),
     "boundingRatio": (
-        "((max_by(CAST({1} AS DOUBLE), {0}) - "
+        "coalesce((max_by(CAST({1} AS DOUBLE), {0}) - "
         "min_by(CAST({1} AS DOUBLE), {0})) / "
-        "(max(CAST({0} AS DOUBLE)) - min(CAST({0} AS DOUBLE))))"
+        "(max(CAST({0} AS DOUBLE)) - min(CAST({0} AS DOUBLE))), "
+        "double('nan'))"
     ),
     "uniqCombined64": "approx_count_distinct({*})",
     "lgamma": (
@@ -4510,17 +4833,31 @@ def _timing_clamp(x: str) -> str:
 
 
 def _quantile_timing_expr(p: list[str], a: list[str], single: bool) -> str:
-    """quantileTiming / quantilesTiming: discrete selection at index
-    floor(level * n) over the sorted clamped multiset (matches the
-    sketch's cumulative-count scan); nan on empty input."""
-    arr = f"array_sort(collect_list({_timing_clamp(a[0])}))"
+    """quantileTiming / quantilesTiming (QuantileTiming.h): Tiny/Medium
+    states keep EXACT values clamped at 30000 — the Large histogram
+    (exact < 1024, 16-wide jittered buckets to 30000) only kicks in at
+    count >= 5672 elements (mediumIsWorthToConvertToLarge: half of
+    sizeof(QuantileTimingLarge) UInt16 slots).  Selection index is
+    floor(level*n) 0-based for Medium, ceil(level*n) cumulative for
+    Large; nan on empty input.  Values >= 30000 (incl. UInt64-wrapped
+    negatives) clamp to 30000 in every state."""
+    v0 = f"CAST({a[0]} AS BIGINT)"
+    ex = f"IF({v0} < 0 OR {v0} >= 30000, CAST(30000 AS BIGINT), {v0})"
+    arr = f"array_sort(collect_list({ex}))"
     n = f"size({arr})"
+    # bucket reconstruction is monotone (max of bucket i = 16i+1031 <
+    # min of bucket i+1 = 16i+1032), so mapping AFTER the sort is sound
+    arr_big = f"transform({arr}, __tv -> {_timing_clamp('__tv')})"
 
     def one(level: str) -> str:
-        idx = f"least(CAST(floor(({level}) * {n}) AS INT) + 1, {n})"
+        idx_m = f"least(CAST(floor(({level}) * {n}) AS INT) + 1, {n})"
+        idx_l = (
+            f"greatest(least(CAST(ceil(({level}) * {n}) AS INT), {n}), 1)"
+        )
         return (
-            f"IF({n} = 0, double('nan'), "
-            f"CAST(element_at({arr}, {idx}) AS DOUBLE))"
+            f"IF({n} = 0, double('nan'), IF({n} < 5672, "
+            f"CAST(element_at({arr}, {idx_m}) AS DOUBLE), "
+            f"CAST(element_at({arr_big}, {idx_l}) AS DOUBLE)))"
         )
 
     if single:
@@ -4594,6 +4931,21 @@ PARAMETRIC_MAP: dict[str, object] = {
     "quantileDeterministic": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantilesDeterministic": lambda p, a: (
         f"percentile({a[0]}, array({', '.join(p)}))"
+    ),
+    "quantilesTDigest": lambda p, a: (
+        f"approx_percentile({a[0]}, array({', '.join(p)}))"
+    ),
+    # parameter = HLL precision hint; exact counting below the adaptive
+    # threshold reproduces reference output (see the FUNC_MAP entries)
+    "uniqCombined": lambda p, a: (
+        f"count(DISTINCT {a[0]})"
+        if len(a) == 1
+        else f"count(DISTINCT struct({', '.join(a)}))"
+    ),
+    "uniqHLL12": lambda p, a: (
+        f"approx_count_distinct({a[0]})"
+        if len(a) == 1
+        else f"approx_count_distinct(struct({', '.join(a)}))"
     ),
     # Inclusive = R-7 (Spark percentile's interpolation); Exclusive = R-6
     "quantileExactInclusive": lambda p, a: f"percentile({a[0]}, {p[0]})",
@@ -5073,10 +5425,95 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 continue
             # subscript: reference arr[i] is 1-BASED (negative = from the
             # end) — Spark's arr[i] is 0-based, so element_at, which has
-            # exactly the reference's indexing
+            # exactly the reference's indexing.  Divergences handled when
+            # the operand's element type is derivable (FunctionArrayElement:
+            # index 0 and out-of-range return the ELEMENT TYPE DEFAULT,
+            # never an error/NULL; Map subscripts default on missing key):
             idx = _emit(_translate_expr(toks[i + 1 : close]))
             operand = _pop_operand(out)
-            out.append(f"element_at({_emit(operand)}, {idx})")
+            arr_sql = _emit(operand)
+            ot = None
+            try:
+                # raw-token operand start (handles ']'-terminated literals
+                # and chained subscripts that _operand_start, built for
+                # rendered output, does not)
+                s0 = i
+                while s0 > 0:
+                    j9 = s0 - 1
+                    if toks[j9] in (")", "]"):
+                        was_bracket = toks[j9] == "]"
+                        depth0 = 0
+                        while j9 >= 0:
+                            if toks[j9] in (")", "]"):
+                                depth0 += 1
+                            elif toks[j9] in ("(", "["):
+                                depth0 -= 1
+                                if depth0 == 0:
+                                    break
+                            j9 -= 1
+                        # keyword-collision functions (range, left, any)
+                        # are still calls when glued to '(' — only
+                        # structural keywords can't head an operand here
+                        if (
+                            j9 > 0 and toks[j9] == "("
+                            and _is_ident(toks[j9 - 1])
+                            and _kw(toks[j9 - 1]) not in (
+                                "IN", "AND", "OR", "NOT", "CASE", "WHEN",
+                                "THEN", "ELSE", "SELECT", "WHERE", "ON",
+                                "AS", "OVER", "BETWEEN", "VALUES", "EXISTS",
+                            )
+                        ):
+                            j9 -= 1
+                        s0 = j9
+                        if was_bracket and s0 > 0:
+                            p9 = toks[s0 - 1]
+                            if toks[s0] == "[" and (
+                                _is_ident(p9)
+                                or p9.endswith((")", "]"))
+                                or p9[:1] in ("'", '"', "`")
+                            ):
+                                continue  # subscript: absorb its base too
+                        break
+                    s0 = j9
+                    break
+                ot = _ch_type_of(
+                    toks[s0:i], _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+                )
+            except Exception:  # noqa: BLE001 — best-effort inference
+                ot = None
+            plain = f"element_at({arr_sql}, {idx})"
+            idx_lit = re.fullmatch(r"-?\d+", idx)
+            if ot and ot.startswith("Array(") and ot != "Array(?)":
+                edef = _typed_default_sql(ot[6:-1])
+                if edef is None:
+                    out.append(plain)
+                elif idx_lit and int(idx) == 0:
+                    out.append(edef)
+                elif idx_lit:
+                    # literal non-zero: only out-of-range needs the default
+                    out.append(f"coalesce({plain}, {edef})")
+                else:
+                    out.append(
+                        f"if(CAST({idx} AS BIGINT) = 0, {edef}, "
+                        f"coalesce(element_at({arr_sql}, "
+                        f"CAST({idx} AS INT)), {edef}))"
+                    )
+            elif ot and ot.startswith("Map(") and "," in ot:
+                # value type = last depth-0 comma part of Map(K, V)
+                inner_t, d0, cut = ot[4:-1], 0, 0
+                for k0, ch0 in enumerate(inner_t):
+                    if ch0 == "(":
+                        d0 += 1
+                    elif ch0 == ")":
+                        d0 -= 1
+                    elif ch0 == "," and d0 == 0:
+                        cut = k0 + 1
+                vdef = _typed_default_sql(inner_t[cut:].strip())
+                out.append(
+                    f"coalesce({plain}, {vdef})" if vdef else plain
+                )
+            else:
+                out.append(plain)
             i = close + 1
             continue
         # CAST(x AS Type)
@@ -5157,6 +5594,14 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                         out.append(en)
                         i = close + 1
                         continue
+                    ntc = _nullable_try_cast(
+                        _emit(_translate_expr(parts[0])), type_toks,
+                        parts[0],
+                    )
+                    if ntc is not None:
+                        out.append(ntc)
+                        i = close + 1
+                        continue
                     typ, _ = _map_type(type_toks, 0)
                     out += (
                         ["CAST", "("]
@@ -5180,6 +5625,13 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                     i = close + 1
                     continue
                 expr = _translate_expr(inner[:as_idx])
+                ntc = _nullable_try_cast(
+                    _emit(expr), type_toks, inner[:as_idx]
+                )
+                if ntc is not None:
+                    out.append(ntc)
+                    i = close + 1
+                    continue
                 typ, _ = _map_type(type_toks, 0)
                 out += ["CAST", "("] + expr + ["AS", typ, ")"]
             i = close + 1
@@ -5370,6 +5822,43 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                     out.append(PARAMETRIC_MAP[t_base](args, args2))  # type: ignore[operator]
                     i = close2 + 1
                     continue
+                # parametric -ForEach (quantilesExactForEach(p...)(arr)):
+                # per-position reduce over the collected arrays
+                if (
+                    t_base.endswith("ForEach")
+                    and t_base[:-7] in PARAMETRIC_MAP and args2
+                ):
+                    col_fe = f"collect_list({args2[0]})"
+                    ml_fe = (
+                        f"array_max(transform({col_fe}, "
+                        f"__fa -> size(__fa)))"
+                    )
+                    vals_fe = (
+                        f"filter(transform({col_fe}, __fa -> "
+                        f"element_at(__fa, CAST(__fi AS INT))), "
+                        f"__fv -> __fv IS NOT NULL)"
+                    )
+                    base_fe = t_base[:-7]
+                    if base_fe.lower().startswith(("quantile", "median")):
+                        if "Exact" in base_fe:
+                            parts_fe = [
+                                _quantile_exact(vals_fe, lv) for lv in args
+                            ]
+                        else:
+                            parts_fe = [
+                                _quantile_interp(vals_fe, lv) for lv in args
+                            ]
+                        one_fe = (
+                            parts_fe[0]
+                            if not base_fe.startswith("quantiles")
+                            else "array(" + ", ".join(parts_fe) + ")"
+                        )
+                        out.append(
+                            f"transform(sequence(1, {ml_fe}), "
+                            f"__fi -> {one_fe})"
+                        )
+                        i = close2 + 1
+                        continue
                 # parametric -Merge (quantilesMerge(0.5)(col)): stored
                 # quantile states are raw-value arrays — re-aggregate;
                 # other parametric states store the finalized result and
@@ -5550,6 +6039,134 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 out.append(f"{t.lower()}({arg0})")
                 i = close + 1
                 continue
+            # flatten recurses through EVERY nesting level
+            # (arrayFlatten.cpp); Spark's flatten peels exactly one —
+            # repeat by the statically-inferred depth
+            if t in ("flatten", "arrayFlatten") and arg_parts and args:
+                tf9 = _ch_type_of(
+                    arg_parts[0], _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+                ) or ""
+                depth_f = 0
+                while tf9.startswith("Array("):
+                    depth_f += 1
+                    tf9 = tf9[6:-1]
+                if depth_f > 2:
+                    ef9 = args[0]
+                    for _ in range(depth_f - 1):
+                        ef9 = f"flatten({ef9})"
+                    out.append(ef9)
+                    i = close + 1
+                    continue
+            # type-introspection intercepts that need the RAW argument
+            if t == "getSizeOfEnumType" and arg_parts:
+                te9 = _ch_type_of(
+                    arg_parts[0], _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+                ) or ""
+                me9 = re.match(r"Enum(?:8|16)?\((.*)\)$", te9)
+                if me9:
+                    # label count = top-level '=' signs
+                    d9c, cnt9 = 0, 0
+                    in_s9 = False
+                    for ch9 in me9.group(1):
+                        if in_s9:
+                            in_s9 = ch9 != "'"
+                        elif ch9 == "'":
+                            in_s9 = True
+                        elif ch9 == "(":
+                            d9c += 1
+                        elif ch9 == ")":
+                            d9c -= 1
+                        elif ch9 == "=" and d9c == 0:
+                            cnt9 += 1
+                    out.append(str(cnt9))
+                    i = close + 1
+                    continue
+                raise DialectError("getSizeOfEnumType: not an Enum")
+            if t == "timeZoneOf" and arg_parts:
+                tz9 = _dt_tz_of(arg_parts[0])
+                out.append(tz9 if tz9 else "'UTC'")
+                i = close + 1
+                continue
+            # hasSubstr demands COMPARABLE element types — Int vs String
+            # is error 386 in the reference, where Spark would coerce
+            if t == "hasSubstr" and len(arg_parts) == 2:
+                env_hs = _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+                def _hs_cls(tt):
+                    if not tt or not tt.startswith("Array("):
+                        return None
+                    e = tt[6:-1]
+                    while e.startswith(("Nullable(", "LowCardinality(")):
+                        e = e[e.index("(") + 1 : -1]
+                    if e.startswith(("Int", "UInt", "Float", "Decimal")):
+                        return "num"
+                    if e.startswith(("String", "FixedString")):
+                        return "str"
+                    if e.startswith("Array("):
+                        return "arr"
+                    return None
+                c1_hs = _hs_cls(_ch_type_of(arg_parts[0], env_hs))
+                c2_hs = _hs_cls(_ch_type_of(arg_parts[1], env_hs))
+                if c1_hs and c2_hs and c1_hs != c2_hs:
+                    raise DialectError(
+                        "hasSubstr: incomparable element types"
+                    )
+            # float rounding family: the reference's round() is half-even
+            # on Floats and every member keeps the zero SIGN for
+            # -1 < x < 0 (FunctionsRound.h uses std::rint/floor/ceil on
+            # the native float) — type-gated so integer paths keep exact
+            # integer math
+            if (
+                t in ("round", "roundBankers", "ceil", "ceiling",
+                      "floor", "trunc", "truncate", "roundToExp2")
+                and len(args) in (1, 2) and arg_parts
+            ):
+                at9 = _ch_type_of(
+                    arg_parts[0], _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+                )
+                if at9 in ("Float32", "Float64"):
+                    # scale math runs in the INPUT float width — Float32
+                    # x*10 re-rounds to a representable float32, which is
+                    # how -0.9f * 10 lands exactly on -9
+                    ft9 = "FLOAT" if at9 == "Float32" else "DOUBLE"
+                    if len(args) == 2:
+                        sc9 = f"CAST(pow(10, {args[1]}) AS {ft9})"
+                        xd9 = (
+                            f"CAST(CAST({args[0]} AS {ft9}) * {sc9} "
+                            f"AS {ft9})"
+                        )
+                    else:
+                        sc9 = None
+                        xd9 = f"CAST({args[0]} AS {ft9})"
+                    if t == "roundToExp2":
+                        # sign * 2^floor(log2 |x|); 0 stays 0
+                        # (src/Functions/roundToExp2 float path)
+                        out.append(
+                            f"IF({xd9} = 0, CAST(0 AS {ft9}), "
+                            f"CAST(sign({xd9}) * pow(2, "
+                            f"floor(log2(abs(CAST({xd9} AS DOUBLE))))) "
+                            f"AS {ft9}))"
+                        )
+                        i = close + 1
+                        continue
+                    if t in ("round", "roundBankers"):
+                        core9 = f"rint(CAST({xd9} AS DOUBLE))"
+                    elif t in ("ceil", "ceiling"):
+                        core9 = f"CAST(ceil({xd9}) AS DOUBLE)"
+                    elif t == "floor":
+                        core9 = f"CAST(floor({xd9}) AS DOUBLE)"
+                    else:
+                        core9 = (
+                            f"IF({xd9} >= 0, CAST(floor({xd9}) AS DOUBLE),"
+                            f" CAST(ceil({xd9}) AS DOUBLE))"
+                        )
+                    if sc9 is not None:
+                        core9 = f"CAST(({core9}) / {sc9} AS {ft9})"
+                    out.append(
+                        f"IF(CAST({args[0]} AS DOUBLE) < 0, "
+                        f"-abs({core9}), {core9})"
+                    )
+                    i = close + 1
+                    continue
             tmpl = FUNC_MAP.get(t)
             if tmpl is None and t != t.lower():
                 # SQL-compat alias names are case-insensitive in the
@@ -6329,6 +6946,15 @@ def _parse_select(toks: list[str]) -> _Select:
         else:
             break
         gb = gb[:-2]
+    # ANSI spelling GROUP BY ROLLUP(a, b) / CUBE(a, b)
+    if len(gb) >= 3 and _kw(gb[0]) in ("ROLLUP", "CUBE") and gb[1] == "(":
+        close_g = _match_paren(gb, 1)
+        if close_g == len(gb) - 1:
+            if _kw(gb[0]) == "ROLLUP":
+                q.with_rollup = True
+            else:
+                q.with_cube = True
+            gb = gb[2:close_g]
     q.group_by = gb
     q.having = bucket.get("HAVING", [])
     q.order_by = bucket.get("ORDER BY", [])
@@ -6355,6 +6981,46 @@ def _parse_select(toks: list[str]) -> _Select:
             if at and at.startswith("Array("):
                 env[ph] = at[6:-1]
         _TYPE_ENV_CTX.set(env or None)
+    # PREWHERE runs BEFORE the array join expands rows, so an arrayJoin
+    # alias there is illegal (reference error 182, 00729)
+    if q.prewhere:
+        aj_aliases = set()
+        for it in _split_top(q.select, ","):
+            if (
+                len(it) >= 3 and _kw(it[-2]) == "AS" and _is_ident(it[-1])
+                and any(
+                    tk == "arrayJoin" or tk.startswith("__aj")
+                    for tk in it[:-2]
+                )
+            ):
+                aj_aliases.add(it[-1].strip('`"'))
+        if aj_aliases and any(
+            tk.strip('`"') in aj_aliases for tk in q.prewhere
+        ):
+            raise DialectError(
+                "PREWHERE cannot reference an arrayJoin alias"
+            )
+    # sibling SELECT alias types join the env before any item translates:
+    # `[1, 2, 3] AS arr, arr[id]` needs arr's Array element type for the
+    # subscript's default-value semantics.  Existing names (real columns)
+    # keep their FROM-derived types; two passes close alias-on-alias.
+    env_sib = dict(_TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT)
+    grew_sib = False
+    for _pass in range(2):
+        for it in _split_top(q.select, ","):
+            if len(it) >= 3 and _kw(it[-2]) == "AS" and _is_ident(it[-1]):
+                nm_sib = it[-1].strip('`"')
+                if nm_sib in env_sib:
+                    continue
+                try:
+                    t_sib = _ch_type_of(it[:-2], env_sib)
+                except Exception:  # noqa: BLE001
+                    t_sib = None
+                if t_sib:
+                    env_sib[nm_sib] = t_sib
+                    grew_sib = True
+    if grew_sib:
+        _TYPE_ENV_CTX.set(env_sib)
     # reference semantics: SELECT aliases are visible in WHERE/PREWHERE/
     # HAVING (ExpressionAnalyzer alias preference); Spark resolves only
     # real columns there, so inline the aliased expression
@@ -6379,6 +7045,18 @@ def _parse_select(toks: list[str]) -> _Select:
         if not changed_subs:
             break
     if alias_subs:
+        # the substitution below swaps alias names for opaque rendered
+        # tokens; carry the alias's inferred type onto that token so
+        # e.g. an inlined `[1,2,3] AS arr` still types arr[id]
+        env_op = dict(_TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT)
+        grew_op = False
+        for k8, v8 in alias_subs.items():
+            t8 = env_op.get(k8.strip('`"'))
+            if t8 and v8 not in env_op:
+                env_op[v8] = t8
+                grew_op = True
+        if grew_op:
+            _TYPE_ENV_CTX.set(env_op)
         for attr in ("prewhere", "where", "having"):
             ts = getattr(q, attr)
             if ts and any(t in alias_subs for t in ts):

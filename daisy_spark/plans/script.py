@@ -176,11 +176,25 @@ def split_statements_tagged(text: str) -> list[tuple[str, bool]]:
                 return True
         return True if not _body(s) and _ERR_TAG_RE.search(s) else False
 
+    def _trailing_tag(s: str) -> bool:
+        # a semicolon-less final statement carries its tag on its own
+        # last line ("SELECT ceil(1, -54212) --{serverError 69}")
+        for ln in reversed(s.rstrip().splitlines()):
+            t = ln.strip()
+            if not t:
+                continue
+            if "--" in t and _ERR_TAG_RE.search(t[t.index("--") :]):
+                return True
+            break
+        return False
+
     out: list[tuple[str, bool]] = []
     for k, s in enumerate(raw):
         if not _body(s):
             continue
-        expect_err = k + 1 < len(raw) and _leading_tag(raw[k + 1])
+        expect_err = (
+            k + 1 < len(raw) and _leading_tag(raw[k + 1])
+        ) or _trailing_tag(s)
         out.append((s.strip(), expect_err))
     return out
 
@@ -363,6 +377,7 @@ class ScriptRunner:
         # exact-hash / geo UDFs for dynamic args (functions/chhash.py,
         # functions/chgeo.py; idempotent per session)
         from daisy_spark.functions.chgeo import register_udfs as _geo_udfs
+        from daisy_spark.functions.chweek import register_udfs as _week_udfs
         from daisy_spark.functions.chh3 import register_udfs as _h3_udfs
         from daisy_spark.functions.chhash import register_udfs
         from daisy_spark.functions.chpoly import register_udfs as _poly_udfs
@@ -372,6 +387,7 @@ class ScriptRunner:
         register_udfs(spark)
         _geo_udfs(spark)
         _h3_udfs(spark)
+        _week_udfs(spark)
         _poly_udfs(spark)
         self.tables: dict[str, _Table] = {}
         #: LIVE VIEW registry: name -> {toks, version, last} — evaluated
@@ -505,6 +521,15 @@ class ScriptRunner:
                     agg_cols[c.name] = (m.group(1), m.group(2) or "")
         token7 = _AGG_COLS_CTX.set(agg_cols)
         try:
+            # PARAMETER_OUT_OF_BOUND (reference error 12): a zero block
+            # size fails every read at pipeline setup.  Must reject HERE
+            # — 00694 pairs it with an unbounded system.numbers scan
+            # that would otherwise collect the 1e9-row lazy range and
+            # kill the JVM for the whole shared test session.
+            if str(self.settings.get("max_block_size", "")).strip(
+                "'\" "
+            ) == "0" and not re.match(r"(?i)\s*SET\b", stmt):
+                raise DialectError("max_block_size must be positive")
             return self._execute(stmt)
         finally:
             _AGG_COLS_CTX.reset(token7)
@@ -2298,6 +2323,12 @@ class ScriptRunner:
             if kw == "FORMAT":
                 raise DialectError("INSERT ... FORMAT not supported")
             src = dialect_sql(self.spark, _emit(toks[i:]))
+            # INSERT SELECT ... WITH TOTALS: the totals block is an
+            # OUTPUT artifact, never inserted (00209)
+            if "__is_total" in src.columns:
+                src = src.filter(
+                    F.coalesce(F.col("__is_total"), F.lit(1)) == 0
+                ).drop("__is_total")
             by_name = {c.name: c for c in t.cols}
             # POSITIONAL mapping (the reference maps INSERT SELECT by
             # position); rename first so duplicate source column names
