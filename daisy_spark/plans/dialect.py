@@ -4582,12 +4582,26 @@ def _topk_expr(p: list[str], a: list[str]) -> str:
         f"(m, e) -> map_concat(map_filter(m, (mk, mv) -> NOT (mk <=> e.v)), "
         f"map(e.v, coalesce(element_at(m, e.v), 0L) + e.w)))"
     )
-    ranked = (
-        f"array_sort(map_entries({freq}), (x, y) -> "
-        f"CASE WHEN x.value > y.value THEN -1 WHEN x.value < y.value THEN 1 "
-        f"WHEN x.key < y.key THEN -1 WHEN x.key > y.key THEN 1 ELSE 0 END)"
+    # ties break by ARRIVAL order (SpaceSaving keeps first-seen rank),
+    # not value order — 00840's equal-weight case expects insertion order.
+    # First-seen sequence folds alongside; the 2-arg transform lambda
+    # supplies each key's arrival index for the comparator.
+    vals_seq = f"transform({arr}, __tkv -> __tkv.v)"
+    seen = (
+        f"aggregate({arr}, slice({vals_seq}, 1, 0), (__s, __e) -> "
+        f"IF(array_contains(__s, __e.v), __s, concat(__s, array(__e.v))))"
     )
-    return f"transform(slice({ranked}, 1, {k}), e -> e.key)"
+    entries = (
+        f"transform({seen}, (__k9, __i9) -> "
+        f"struct(__k9 AS k, __i9 AS i, "
+        f"coalesce(element_at({freq}, __k9), 0L) AS c))"
+    )
+    ranked = (
+        f"array_sort({entries}, (x, y) -> "
+        f"CASE WHEN x.c > y.c THEN -1 WHEN x.c < y.c THEN 1 "
+        f"WHEN x.i < y.i THEN -1 WHEN x.i > y.i THEN 1 ELSE 0 END)"
+    )
+    return f"transform(slice({ranked}, 1, {k}), e -> e.k)"
 
 
 def _window_funnel_expr(p: list[str], a: list[str]) -> str:
@@ -6039,6 +6053,41 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 out.append(f"{t.lower()}({arg0})")
                 i = close + 1
                 continue
+            # transform(x, from, to) without a default: from/to must be
+            # ARRAYS and the result element class must match x (error 43)
+            if t == "transform" and len(arg_parts) == 3:
+                env_tr = _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+                def _tr_cls(tt):
+                    if not tt:
+                        return None
+                    e = _ch_unwrap(tt)
+                    while e.startswith("LowCardinality("):
+                        e = e[15:-1]
+                    if e.startswith(("Int", "UInt", "Float", "Decimal",
+                                     "Date", "DateTime", "Enum")):
+                        return "num"
+                    if e.startswith(("String", "FixedString")):
+                        return "str"
+                    if e.startswith(("Tuple", "Array", "Map")):
+                        return "composite"
+                    return None
+                t_in = _ch_type_of(arg_parts[0], env_tr)
+                t_fr = _ch_type_of(arg_parts[1], env_tr)
+                t_to = _ch_type_of(arg_parts[2], env_tr)
+                if (t_fr and not t_fr.startswith("Array(")) or (
+                    t_to and not t_to.startswith("Array(")
+                ):
+                    raise DialectError("transform: array arguments required")
+                c_in = _tr_cls(t_in)
+                c_to = _tr_cls(t_to[6:-1]) if (
+                    t_to and t_to.startswith("Array(")
+                ) else None
+                if c_in == "composite":
+                    raise DialectError("transform: unsupported input type")
+                if c_in and c_to and c_in != c_to:
+                    raise DialectError(
+                        "transform: result type must match input"
+                    )
             # flatten recurses through EVERY nesting level
             # (arrayFlatten.cpp); Spark's flatten peels exactly one —
             # repeat by the statically-inferred depth
@@ -9810,6 +9859,18 @@ def _subq_cols(inner: list[str]) -> dict[str, str]:
             name, expr = item[-1], item[:-2]
         elif len(item) == 1 and _is_ident(item[0]):
             name, expr = item[0], item
+        elif (
+            len(item) >= 2 and _is_ident(item[-1])
+            and _kw(item[-1]) not in _SQL_KEYWORDS
+            and (
+                (_is_ident(item[-2]) and _kw(item[-2]) not in _SQL_KEYWORDS)
+                or item[-2].endswith((")", "]"))
+                or item[-2][:1] == "'"
+                or item[-2][:1].isdigit()
+            )
+        ):
+            # implicit alias (`a s_a`, `count(x) cnt`)
+            name, expr = item[-1], item[:-1]
         else:
             continue
         txt = " ".join(expr)
@@ -10092,6 +10153,24 @@ def _outer_join_default_fill(q: _Select) -> None:
             i += 1
         return res
 
+    # bare `SELECT *` over a filled right side: expand to left.* plus
+    # the right side's coalesced columns (the reference fills unmatched
+    # right columns with type defaults even through `*`)
+    if q.select == ["*"] and fill and q.from_ and _is_ident(q.from_[0]):
+        lt0 = q.from_[0]
+        j0 = 1
+        if j0 < len(q.from_) and _kw(q.from_[j0]) == "AS":
+            j0 += 1
+        if (
+            j0 < len(q.from_) and _is_ident(q.from_[j0])
+            and _kw(q.from_[j0]) not in _SQL_KEYWORDS
+        ):
+            lt0 = q.from_[j0]  # the left table's alias wins
+        exp0: list[str] = [lt0, ".", "*"]
+        for name0, (qual0, dd0) in fill.items():
+            ref0 = f"{qual0}.{name0}" if qual0 else name0
+            exp0 += [",", f"coalesce({ref0}, {dd0}) AS {name0}"]
+        q.select = exp0
     q.select = subst(q.select, in_select=True)
     q.where = subst(q.where)
     q.having = subst(q.having)
