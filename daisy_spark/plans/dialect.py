@@ -3047,6 +3047,63 @@ def _scaled_round_sql(op: str, a: list[str]) -> str:
     return f"({core(f'{x} * {p}')} / {p} + 0.0d)"
 
 
+def _array_auc_expr(a: list[str]) -> str:
+    """arrayAUC(scores, labels) exactly as arrayAUC.cpp: stable sort by
+    score DESC, walk — positives raise the curve, negatives add the
+    current positive count to the area; result = area / (P * N); nan
+    for one-class input.  Literal arrays validate arity at translate
+    time (errors 43/36)."""
+    def _lit_arity(x: str) -> int | None:
+        x = re.sub(r"\s+", "", x)
+        if not x.startswith("array(") or not x.endswith(")"):
+            return None
+        inner = x[6:-1]
+        if not inner:
+            return 0
+        d = 0
+        cnt = 1
+        in_s = False
+        for ch in inner:
+            if in_s:
+                in_s = ch != "'"
+            elif ch == "'":
+                in_s = True
+            elif ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+            elif ch == "," and d == 0:
+                cnt += 1
+        return cnt
+    n1, n2 = _lit_arity(a[0]), _lit_arity(a[1])
+    if n1 == 0 or n2 == 0:
+        raise DialectError("arrayAUC: empty array")
+    if n1 is not None and n2 is not None and n1 != n2:
+        raise DialectError("arrayAUC: array size mismatch")
+    rows = (
+        f"transform(sequence(1, size({a[0]})), __ai -> struct("
+        f"CAST(element_at({a[0]}, CAST(__ai AS INT)) AS DOUBLE) AS sc, "
+        f"CAST(element_at({a[1]}, CAST(__ai AS INT)) AS DOUBLE) AS lb, "
+        f"__ai AS ix))"
+    )
+    srt = (
+        f"array_sort({rows}, (x, y) -> CASE "
+        f"WHEN x.sc > y.sc THEN -1 WHEN x.sc < y.sc THEN 1 "
+        f"WHEN x.ix < y.ix THEN -1 ELSE 1 END)"
+    )
+    fold = (
+        f"aggregate({srt}, struct(CAST(0 AS BIGINT) AS cp, "
+        f"CAST(0 AS BIGINT) AS ar), (__ac, __e) -> "
+        f"IF(__e.lb > 0, struct(__ac.cp + 1 AS cp, __ac.ar AS ar), "
+        f"struct(__ac.cp AS cp, __ac.ar + __ac.cp AS ar)))"
+    )
+    return (
+        f"(CASE WHEN ({fold}).cp = 0 OR ({fold}).cp = size({a[0]}) "
+        f"THEN double('nan') ELSE CAST(({fold}).ar AS DOUBLE) / "
+        f"({fold}).cp / (size({a[0]}) - ({fold}).cp) END)"
+    )
+
+
 FUNC_MAP: dict[str, object] = {
     # arithmetic / comparison / logic
     "plus": "({0} + {1})", "minus": "({0} - {1})", "multiply": "({0} * {1})",
@@ -3988,6 +4045,7 @@ FUNC_MAP: dict[str, object] = {
         f"ch_to_year_week(CAST({a[0]} AS STRING), "
         f"{a[1] if len(a) > 1 else 0})"
     ),
+    "arrayAUC": _array_auc_expr,
     "jumpConsistentHash": (
         "ch_jump_hash(CAST({0} AS STRING), CAST({1} AS INT))"
     ),
@@ -6053,6 +6111,28 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 out.append(f"{t.lower()}({arg0})")
                 i = close + 1
                 continue
+            # arrayAUC over Enum-typed labels: map label strings to their
+            # declared numeric values first (the comparison is on values)
+            if t == "arrayAUC" and len(arg_parts) == 2 and len(args) == 2:
+                tl9 = _ch_type_of(
+                    arg_parts[1], _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+                ) or ""
+                me8 = re.match(r"Array\(Enum(?:8|16)?\((.*)\)\)$", tl9)
+                if me8:
+                    pairs8 = re.findall(
+                        r"'((?:[^'\\]|\\.)*)'\s*=\s*(-?\d+)",
+                        me8.group(1),
+                    )
+                    if pairs8:
+                        whens8 = " ".join(
+                            f"WHEN '{nm8}' THEN {vv8}"
+                            for nm8, vv8 in pairs8
+                        )
+                        args = [
+                            args[0],
+                            f"transform({args[1]}, __ev -> "
+                            f"CASE __ev {whens8} END)",
+                        ]
             # transform(x, from, to) without a default: from/to must be
             # ARRAYS and the result element class must match x (error 43)
             if t == "transform" and len(arg_parts) == 3:
@@ -9871,6 +9951,9 @@ def _subq_cols(inner: list[str]) -> dict[str, str]:
         ):
             # implicit alias (`a s_a`, `count(x) cnt`)
             name, expr = item[-1], item[:-1]
+        elif len(item) == 1 and re.fullmatch(r"-?\d+", item[0]):
+            # bare literal column: its NAME is its text (`SELECT 1, 3 y`)
+            name, expr = item[0], item
         else:
             continue
         txt = " ".join(expr)
@@ -10088,7 +10171,10 @@ def _outer_join_default_fill(q: _Select) -> None:
                 and ts[i + 2] == "*"
             ):
                 exp = ", ".join(
-                    f"coalesce({t}.{c}, {d}) AS {c}" for c, d in star[t]
+                    "coalesce({0}.{1}, {2}) AS {1}".format(
+                        t, c if _is_ident(c) else f"`{c}`", d
+                    )
+                    for c, d in star[t]
                 )
                 res.append(exp)
                 i += 3
@@ -10123,6 +10209,7 @@ def _outer_join_default_fill(q: _Select) -> None:
             prev = ts[i - 1] if i > 0 else ""
             if (
                 t in fill
+                and not re.match(r"^[0-9.']", t)
                 and prev != "."
                 and _kw(prev) != "AS"
                 and not (
@@ -10153,12 +10240,28 @@ def _outer_join_default_fill(q: _Select) -> None:
             i += 1
         return res
 
-    # bare `SELECT *` over a filled right side: expand to left.* plus
-    # the right side's coalesced columns (the reference fills unmatched
-    # right columns with type defaults even through `*`)
-    if q.select == ["*"] and fill and q.from_ and _is_ident(q.from_[0]):
-        lt0 = q.from_[0]
+    # a bare `*` select item over a filled right side expands to left.*
+    # plus the right side's coalesced columns (the reference fills
+    # unmatched right columns with type defaults even through `*`)
+    star_at = next(
+        (
+            k0 for k0, tk0 in enumerate(q.select)
+            if tk0 == "*"
+            and (k0 == 0 or q.select[k0 - 1] == ",")
+            and (k0 + 1 >= len(q.select) or q.select[k0 + 1] == ",")
+        ),
+        None,
+    )
+    if star_at is not None and fill and q.from_ and (
+        _is_ident(q.from_[0]) or q.from_[0] == "("
+    ):
+        lt0 = None
         j0 = 1
+        if q.from_[0] == "(":
+            # left side is a subquery: only its trailing alias names it
+            j0 = _match_paren(q.from_, 0) + 1
+        else:
+            lt0 = q.from_[0]
         if j0 < len(q.from_) and _kw(q.from_[j0]) == "AS":
             j0 += 1
         if (
@@ -10166,11 +10269,15 @@ def _outer_join_default_fill(q: _Select) -> None:
             and _kw(q.from_[j0]) not in _SQL_KEYWORDS
         ):
             lt0 = q.from_[j0]  # the left table's alias wins
+        if lt0 is None:
+            star_at = None  # unnamed subquery left side: cannot expand
+    if star_at is not None and fill and lt0:
         exp0: list[str] = [lt0, ".", "*"]
         for name0, (qual0, dd0) in fill.items():
-            ref0 = f"{qual0}.{name0}" if qual0 else name0
-            exp0 += [",", f"coalesce({ref0}, {dd0}) AS {name0}"]
-        q.select = exp0
+            nm0 = name0 if _is_ident(name0) else f"`{name0}`"
+            ref0 = f"{qual0}.{nm0}" if qual0 else nm0
+            exp0 += [",", f"coalesce({ref0}, {dd0}) AS {nm0}"]
+        q.select = q.select[:star_at] + exp0 + q.select[star_at + 1 :]
     q.select = subst(q.select, in_select=True)
     q.where = subst(q.where)
     q.having = subst(q.having)
