@@ -5067,6 +5067,9 @@ def _ends_operand(tok: str) -> bool:
     the binary/unary operator, not the reference's function form)."""
     if tok in (")", "]"):
         return True
+    # opaque pre-rendered tokens (inlined aliases) end an operand
+    if tok.endswith((")", "]", "`")) and len(tok) > 1:
+        return True
     if tok.startswith("'"):
         return True
     if tok and (tok[0].isdigit() or (tok[0] == "." and len(tok) > 1)):
