@@ -2493,6 +2493,21 @@ def _subquery_type_env(from_toks: list[str]) -> dict[str, str]:
     i = 0
     n = len(from_toks)
     while i < n:
+        # VALUES('c1 T1, c2 T2', ...) TVF: the spec string IS the schema
+        if (
+            _kw(from_toks[i]) == "VALUES" and i + 2 < n
+            and from_toks[i + 1] == "(" and from_toks[i + 2][:1] == "'"
+        ):
+            from daisy_spark.chsyntax import ch_type_canon as _ctc9
+            spec9 = from_toks[i + 2][1:-1].replace("\\'", "'")
+            for cdef9 in _split_top(tokenize(spec9), ","):
+                if len(cdef9) >= 2 and _is_ident(cdef9[0]):
+                    try:
+                        env[cdef9[0]] = _ctc9(_emit(cdef9[1:]))
+                    except Exception:  # noqa: BLE001
+                        pass
+            i = _match_paren(from_toks, i + 1) + 1
+            continue
         if (
             from_toks[i] == "(" and i + 1 < n
             and _kw(from_toks[i + 1]) == "SELECT"
@@ -3499,6 +3514,11 @@ FUNC_MAP: dict[str, object] = {
     "addMonths": "({0} + make_interval(0, {1}, 0, 0, 0, 0, 0))",
     "addYears": "({0} + make_interval({1}, 0, 0, 0, 0, 0, 0))",
     "subtractDays": "({0} - make_interval(0, 0, 0, {1}, 0, 0, 0))",
+    "subtractYears": "({0} - make_interval({1}, 0, 0, 0, 0, 0, 0))",
+    "subtractMonths": "({0} - make_interval(0, {1}, 0, 0, 0, 0, 0))",
+    "subtractWeeks": "({0} - make_interval(0, 0, {1}, 0, 0, 0, 0))",
+    "subtractHours": "({0} - make_interval(0, 0, 0, 0, {1}, 0, 0))",
+    "subtractMinutes": "({0} - make_interval(0, 0, 0, 0, 0, {1}, 0))",
     "dateDiff": lambda a: f"timestampdiff({_dd_unit(a[0])}, {a[1]}, {a[2]})",
     "date_diff": lambda a: f"timestampdiff({_dd_unit(a[0])}, {a[1]}, {a[2]})",
     "date_add": lambda a: _ts_add_expr(a, 1),
@@ -6114,6 +6134,82 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 out.append(f"{t.lower()}({arg0})")
                 i = close + 1
                 continue
+            # hex(reinterpretAsString(Float)) = hex of the value's
+            # little-endian IEEE bytes (reinterpret exposes raw memory)
+            if (
+                t == "hex" and len(arg_parts) == 1
+                and len(arg_parts[0]) >= 4
+                and arg_parts[0][0] == "reinterpretAsString"
+                and arg_parts[0][1] == "("
+            ):
+                inner_h9 = arg_parts[0][2:-1]
+                th9 = _ch_type_of(
+                    inner_h9, _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+                ) or ""
+                if _ch_unwrap(th9) in ("Float32", "Float64"):
+                    w9 = 4 if _ch_unwrap(th9) == "Float32" else 8
+                    ei9 = _emit(_translate_expr(inner_h9))
+                    out.append(f"ch_hex_float({ei9}, {w9})")
+                    i = close + 1
+                    continue
+            # bitCount over a Float reinterprets the IEEE bits
+            # (FunctionsBitCount casts via bit_cast to UInt64)
+            if t == "bitCount" and len(arg_parts) == 1:
+                tb9 = _ch_type_of(
+                    arg_parts[0], _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+                ) or ""
+                wmask9 = {
+                    "Int8": 0xFF, "UInt8": 0xFF,
+                    "Int16": 0xFFFF, "UInt16": 0xFFFF,
+                    "Int32": 0xFFFFFFFF, "UInt32": 0xFFFFFFFF,
+                }.get(_ch_unwrap(tb9))
+                if wmask9 and args:
+                    # popcount WITHIN the declared width (narrow ints
+                    # would otherwise sign-extend through BIGINT)
+                    out.append(
+                        f"bit_count(CAST({args[0]} AS BIGINT) "
+                        f"& {wmask9})"
+                    )
+                    i = close + 1
+                    continue
+                if _ch_unwrap(tb9).startswith("Float") and args:
+                    if _ch_unwrap(tb9) == "Float32":
+                        bits9 = (
+                            f"CAST(reflect('java.lang.Float', "
+                            f"'floatToRawIntBits', CAST({args[0]} "
+                            f"AS FLOAT)) AS BIGINT)"
+                        )
+                    else:
+                        bits9 = (
+                            f"CAST(reflect('java.lang.Double', "
+                            f"'doubleToRawLongBits', CAST({args[0]} "
+                            f"AS DOUBLE)) AS BIGINT)"
+                        )
+                    out.append(f"bit_count({bits9})")
+                    i = close + 1
+                    continue
+            # divide() is the same operator as infix '/' — reroute so
+            # the decimal-truncation hop applies (DecimalBinaryOperation)
+            if t == "divide" and len(arg_parts) == 2:
+                def _wrap_div(ts9: list[str]) -> list[str]:
+                    d9w = 0
+                    for tk9 in ts9:
+                        if tk9 in ("(", "["):
+                            d9w += 1
+                        elif tk9 in (")", "]"):
+                            d9w -= 1
+                        elif d9w == 0 and (
+                            tk9 in ("+", "-", "*", "/", "%")
+                            or _kw(tk9) in ("AND", "OR")
+                        ):
+                            return ["("] + list(ts9) + [")"]
+                    return list(ts9)
+                out.append(_emit(_translate_expr(
+                    _wrap_div(arg_parts[0]) + ["/"]
+                    + _wrap_div(arg_parts[1])
+                )))
+                i = close + 1
+                continue
             # arrayAUC over Enum-typed labels: map label strings to their
             # declared numeric values first (the comparison is on values)
             if t == "arrayAUC" and len(arg_parts) == 2 and len(args) == 2:
@@ -8067,6 +8163,101 @@ def _translate_from(toks: list[str]) -> list[str]:
             i += 3
             continue
         # numbers(n) table function (system.numbers semantics)
+        # VALUES('c1 T1, c2 T2', (v, v), ...) table function
+        # (src/TableFunctions/TableFunctionValues.cpp); single-column
+        # rows may be bare scalars
+        if _kw(t) == "VALUES" and i + 1 < n and toks[i + 1] == "(" and (
+            i + 2 < n and toks[i + 2][:1] == "'"
+        ):
+            close = _match_paren(toks, i + 1)
+            parts_v = _split_top(toks[i + 2 : close], ",")
+            spec_v = parts_v[0][0][1:-1].replace("\\'", "'")
+            cols_v: list[tuple[str, str]] = []
+            alias_v: list[tuple[str, str]] = []
+            for cdef in _split_top(tokenize(spec_v), ","):
+                if len(cdef) >= 3 and _kw(cdef[1]) == "ALIAS":
+                    alias_v.append(
+                        (cdef[0], _emit(_translate_expr(cdef[2:])))
+                    )
+                elif len(cdef) >= 2 and _is_ident(cdef[0]):
+                    st_v, _ = _map_type(cdef[1:], 0)
+                    cols_v.append((cdef[0], st_v))
+            if not cols_v:
+                raise DialectError("VALUES: unparsable column spec")
+            rows_v = []
+            for pv in parts_v[1:]:
+                if pv and pv[0] == "(" and _match_paren(pv, 0) == len(pv) - 1:
+                    raw_el = _split_top(pv[1:-1], ",")
+                else:
+                    raw_el = [pv]
+                elems_v = [_emit(_translate_expr(e)) for e in raw_el]
+                if len(elems_v) != len(cols_v):
+                    raise DialectError("VALUES: arity != column spec")
+                for re_v, ev, (_, ty) in zip(raw_el, elems_v, cols_v):
+                    # Field-typed VALUES: a NULL into a non-Nullable
+                    # column (error 53) and an integer-typed FUNCTION
+                    # result into a Float column (the Field kind does
+                    # not convert) both reject
+                    if ev.strip().upper() == "NULL" and "NULLABLE" not in (
+                        " ".join(re_v).upper()
+                    ):
+                        if not _kw(toks[i + 2]).startswith("'") and (
+                            "Nullable" not in spec_v.split(",")[
+                                len(rows_v) and 0
+                            ]
+                        ):
+                            pass
+                        if "Nullable" not in spec_v:
+                            raise DialectError(
+                                "VALUES: NULL into non-Nullable column"
+                            )
+                    if ty in ("FLOAT", "DOUBLE") and not (
+                        len(re_v) == 1
+                        or (len(re_v) == 2 and re_v[0] == "-")
+                    ):
+                        t_el = _ch_type_of(
+                            re_v,
+                            _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT,
+                        )
+                        if t_el and _ch_unwrap(t_el).startswith(
+                            ("UInt", "Int")
+                        ):
+                            raise DialectError(
+                                "VALUES: integer Field into Float column"
+                            )
+                # Spark's DECIMAL(p,s) rejects values the reference's
+                # lenient Decimal accepts — widen precision, keep scale
+                rows_v.append(
+                    "(" + ", ".join(
+                        "CAST({} AS {})".format(
+                            e,
+                            re.sub(
+                                r"DECIMAL\(\s*\d+\s*,",
+                                "DECIMAL(38,", ty
+                            ),
+                        )
+                        for e, (_, ty) in zip(elems_v, cols_v)
+                    ) + ")"
+                )
+            names_v = ", ".join(f"`{c}`" for c, _ in cols_v)
+            sel_v = "*" + "".join(
+                f", {e} AS `{c}`" for c, e in alias_v
+            )
+            out.append(
+                f"(SELECT {sel_v} FROM VALUES "
+                + ", ".join(rows_v)
+                + f" AS __vals({names_v}))"
+            )
+            if close + 1 >= n or not (
+                _kw(toks[close + 1]) == "AS"
+                or (
+                    _is_ident(toks[close + 1])
+                    and _kw(toks[close + 1]) not in _SQL_KEYWORDS
+                )
+            ):
+                out.append("AS __vals")
+            i = close + 1
+            continue
         if t in ("numbers", "numbers_mt", "generateRandom") and (
             i + 1 < n and toks[i + 1] == "("
         ):
