@@ -74,7 +74,7 @@ def fmt(v, nested=False):
             return "inf"
         if v == float("-inf"):
             return "-inf"
-        if v == int(v) and abs(v) < 9007199254740992:
+        if v == int(v) and abs(v) <= 9007199254740992:
             # negative zero keeps its sign (the reference prints -0)
             if v == 0 and math.copysign(1.0, v) < 0:
                 return "-0"

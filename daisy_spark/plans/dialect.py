@@ -2199,6 +2199,18 @@ def _ch_type_of(toks: list[str], env: dict[str, str]) -> str | None:
             return f"Array({fix.get(sub_t, sub_t)})"
         if head == "RANGE":
             return "Array(UInt64)"
+        if head in (
+            "ROUND", "ROUNDBANKERS", "TRUNC", "TRUNCATE",
+        ) and parts:
+            # rounding keeps the argument's type class
+            return _ch_type_of(parts[0], env)
+        if head in (
+            "EXP", "EXP2", "EXP10", "LOG", "LN", "LOG2", "LOG10",
+            "SQRT", "CBRT", "POW", "POWER", "SIN", "COS", "TAN",
+            "ASIN", "ACOS", "ATAN", "SIGMOID", "ERF", "ERFC",
+            "LGAMMA", "TGAMMA", "PI", "E",
+        ):
+            return "Float64"
         if head == "ARRAYJOIN" and parts:
             inner = _ch_type_of(parts[0], env)
             if inner and inner.startswith("Array(") and "?" not in inner:
@@ -3379,8 +3391,7 @@ FUNC_MAP: dict[str, object] = {
         "(CASE WHEN TRIM(TRAILING chr(0) FROM CAST({0} AS STRING)) "
         "RLIKE '^-?[0-9]+(\\\\.0)?([eE][+]?[0-9]+)?$' "
         "AND try_cast(TRIM(TRAILING chr(0) FROM CAST({0} AS STRING)) "
-        "AS DOUBLE) = floor(try_cast(TRIM(TRAILING chr(0) FROM "
-        "CAST({0} AS STRING)) AS DOUBLE)) "
+        "AS DOUBLE) % 1.0d = 0.0d "
         "AND abs(try_cast(TRIM(TRAILING chr(0) FROM CAST({0} AS STRING)) "
         "AS DOUBLE)) < 1e38 "
         "THEN CAST(try_cast(TRIM(TRAILING chr(0) FROM "
@@ -3949,14 +3960,21 @@ FUNC_MAP: dict[str, object] = {
     "log1p": "log1p({0})", "expm1": "expm1({0})",
     # bit shift keeps 64-bit exactness where pow() would round
     "intExp2": (
-        "(CASE WHEN ({0}) BETWEEN 0 AND 63 "
-        "THEN shiftleft(CAST(1 AS BIGINT), CAST({0} AS INT)) "
-        "ELSE CAST(pow(2, {0}) AS BIGINT) END)"
+        "(CASE WHEN ({0}) BETWEEN 0 AND 62 "
+        "THEN CAST(shiftleft(CAST(1 AS BIGINT), CAST({0} AS INT)) "
+        "AS DECIMAL(20, 0)) "
+        "WHEN ({0}) = 63 THEN CAST(9223372036854775808 AS DECIMAL(20, 0)) "
+        "WHEN ({0}) < 0 THEN CAST(0 AS DECIMAL(20, 0)) "
+        "ELSE CAST(18446744073709551615 AS DECIMAL(20, 0)) END)"
     ),
+    # UInt64 range with saturation at the top (intExp10 clamps to
+    # 18446744073709551615 past 10^19)
     "intExp10": (
-        "(CASE WHEN ({0}) BETWEEN 0 AND 18 "
-        "THEN CAST(CAST(concat('1e', CAST({0} AS BIGINT)) AS DOUBLE) AS BIGINT) "
-        "ELSE CAST(pow(10, {0}) AS BIGINT) END)"
+        "(CASE WHEN ({0}) BETWEEN 0 AND 19 "
+        "THEN CAST(CAST(concat('1e', CAST({0} AS BIGINT)) AS DOUBLE) "
+        "AS DECIMAL(20, 0)) "
+        "WHEN ({0}) < 0 THEN CAST(0 AS DECIMAL(20, 0)) "
+        "ELSE CAST(18446744073709551615 AS DECIMAL(20, 0)) END)"
     ),
     "toTypeName": lambda a: _to_type_name_expr(a[0]),
     "generateUUIDv4": "uuid()",
@@ -4372,7 +4390,8 @@ FUNC_MAP: dict[str, object] = {
     "randomPrintableASCII": "repeat('a', CAST({0} AS INT))",
     "randomString": "repeat(chr(1), CAST({0} AS INT))",
     "formatReadableSize": lambda a: _format_readable_expr(
-        a[0], 1024.0, [" B", " KiB", " MiB", " GiB", " TiB", " PiB", " EiB"]
+        a[0], 1024.0, [" B", " KiB", " MiB", " GiB", " TiB", " PiB",
+                       " EiB", " ZiB", " YiB"]
     ),
     "formatReadableQuantity": lambda a: _format_readable_expr(
         a[0], 1000.0,
@@ -5211,8 +5230,46 @@ def _pop_operand(out: list[str]) -> list[str]:
     return operand
 
 
+def _is_nan_tokens(ts: list[str]) -> bool:
+    while len(ts) >= 3 and ts[0] == "(" and _match_paren(ts, 0) == len(ts) - 1:
+        ts = ts[1:-1]
+    if len(ts) == 1 and ts[0] in ("nan", "-nan"):
+        return True
+    return len(ts) == 2 and ts[0] == "-" and ts[1] == "nan"
+
+
 def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
     toks = _rewrite_ternary(toks)
+    # IEEE NaN comparison folding: the reference compares NaN false to
+    # everything except != (Spark instead orders NaN LARGEST) — fold
+    # per comma segment when a side is the literal nan (00712)
+    if "nan" in toks:
+        segs_nc = _split_top(toks, ",")
+        changed_nc = False
+        for si_nc, seg_nc in enumerate(segs_nc):
+            d_nc = 0
+            for k_nc, t_nc in enumerate(seg_nc):
+                if t_nc in ("(", "["):
+                    d_nc += 1
+                elif t_nc in (")", "]"):
+                    d_nc -= 1
+                elif d_nc == 0 and t_nc in (
+                    "=", "==", "!=", "<>", "<", ">", "<=", ">=",
+                ):
+                    if _is_nan_tokens(seg_nc[:k_nc]) or _is_nan_tokens(
+                        seg_nc[k_nc + 1 :]
+                    ):
+                        segs_nc[si_nc] = [
+                            "1" if t_nc in ("!=", "<>") else "0"
+                        ]
+                        changed_nc = True
+                    break
+        if changed_nc:
+            toks = []
+            for si_nc, seg_nc in enumerate(segs_nc):
+                if si_nc:
+                    toks.append(",")
+                toks += seg_nc
     out: list[str] = []
     i = 0
     n = len(toks)
@@ -6134,6 +6191,51 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 out.append(f"{t.lower()}({arg0})")
                 i = close + 1
                 continue
+            # toUInt64 of a FLOAT: values in [2^63, 2^64) are exact in
+            # the reference (BIGINT saturates); negatives wrap mod 2^64
+            if t == "toUInt64" and len(arg_parts) == 1 and args:
+                tu9 = _ch_type_of(
+                    arg_parts[0], _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+                ) or ""
+                if _ch_unwrap(tu9).startswith("Float"):
+                    # exact BINARY conversion: BIGINT cast is exact
+                    # below 2^63; above, rebase by 2^63 first (doubles
+                    # there are coarse multiples, the subtraction is
+                    # exact) — a direct DECIMAL cast would round through
+                    # the double's DECIMAL string instead
+                    xd9u = f"CAST({args[0]} AS DOUBLE)"
+                    top9 = "9223372036854775808"
+                    out.append(
+                        f"CAST(CASE WHEN {xd9u} < 0 THEN "
+                        f"CAST(18446744073709551616 AS DECIMAL(21, 0)) "
+                        f"+ CAST(CAST({xd9u} AS BIGINT) AS DECIMAL(21, 0)) "
+                        f"WHEN {xd9u} < 9.223372036854776e18d THEN "
+                        f"CAST(CAST({xd9u} AS BIGINT) AS DECIMAL(21, 0)) "
+                        f"ELSE CAST({top9} AS DECIMAL(21, 0)) + "
+                        f"CAST(CAST({xd9u} - 9.223372036854776e18d "
+                        f"AS BIGINT) AS DECIMAL(21, 0)) END "
+                        f"AS DECIMAL(20, 0))"
+                    )
+                    i = close + 1
+                    continue
+            # Float min/max SKIP NaN (AggregateFunctionMinMax compares
+            # with <, and NaN compares false — the running best never
+            # moves to it); Spark instead orders NaN largest.  All-NaN
+            # input keeps nan via the coalesce.
+            if (
+                t in ("min", "max") and len(arg_parts) == 1 and args
+                and not (close + 1 < n and _kw(toks[close + 1]) == "OVER")
+            ):
+                tmm9 = _ch_type_of(
+                    arg_parts[0], _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+                ) or ""
+                if _ch_unwrap(tmm9).startswith("Float"):
+                    out.append(
+                        f"coalesce({t}(IF(isnan({args[0]}), NULL, "
+                        f"{args[0]})), {t}({args[0]}))"
+                    )
+                    i = close + 1
+                    continue
             # hex(reinterpretAsString(Float)) = hex of the value's
             # little-endian IEEE bytes (reinterpret exposes raw memory)
             if (
