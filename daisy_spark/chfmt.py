@@ -143,7 +143,13 @@ def render_df(df, outs, extremes=False):
             fmt_f32(v) if is32 else fmt(v) for v, is32 in zip(r, f32)
         )
 
-    rows = df.collect()
+    # Bounded collect: reference tests never byte-match beyond a few
+    # million rows, and an expected-error statement over the (capped)
+    # lazy numbers range would otherwise hang the shared test JVM on a
+    # 1e9-row collect.  CollectLimit stops the scan at the cap.
+    rows = df.limit(4_000_001).collect()
+    if len(rows) > 4_000_000:
+        raise RuntimeError("render cap exceeded (4M rows)")
     for r in rows:
         outs.append(_line(r))
     # WITH TOTALS: separate block after an empty line

@@ -4087,8 +4087,12 @@ FUNC_MAP: dict[str, object] = {
     "jumpConsistentHash": (
         "ch_jump_hash(CAST({0} AS STRING), CAST({1} AS INT))"
     ),
-    "yandexConsistentHash": (
-        "ch_yandex_hash(CAST({0} AS STRING), CAST({1} AS INT))"
+    # n caps at 32768 (yandexConsistentHash.cpp max_buckets, error 36)
+    "yandexConsistentHash": lambda a: (
+        _raise_dialect("yandexConsistentHash: too many buckets")
+        if a[1].strip().strip("()").isdigit()
+        and int(a[1].strip().strip("()")) > 32768
+        else f"ch_yandex_hash(CAST({a[0]} AS STRING), CAST({a[1]} AS INT))"
     ),
     # neighbor(x, offset[, default]): value offset rows away in stream
     # order (src/Functions/neighbor.cpp)
@@ -4661,6 +4665,18 @@ FUNC_MAP: dict[str, object] = {
 }
 
 def _topk_expr(p: list[str], a: list[str]) -> str:
+    # parameter bounds (AggregateFunctionTopK.cpp: k in (0, 2^32),
+    # load_factor in [1, 2^16]) — error 69 for out-of-range literals.
+    # Validating HERE also keeps an expected-error statement over the
+    # unbounded numbers range from launching a 1e9-row collect_list.
+    for px, (lo, hi) in zip(p, ((1, 4294967295), (1, 65535))):
+        px = px.strip().strip("()").replace(" ", "")
+        try:
+            pv = int(px)
+        except ValueError:
+            continue
+        if not lo <= pv <= hi:
+            raise DialectError("topK: parameter out of range")
     """topK(k)(v) / topKWeighted(k)(v, w) as ONE aggregate expression:
     frequency map built by an aggregate() fold over collect_list, sorted
     by (-count, value).  The typed empty map comes from slicing the
@@ -5516,6 +5532,92 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 # function call on the right of IN — translate it, wrap
                 inner = _emit(_translate_expr(toks[i + 1 : close + 1]))
                 out += ["IN", "(", inner, ")"]
+                i = close + 1
+                continue
+            if nxt == "[":
+                # x IN [a, b, ...] — the bracket is the literal SET.
+                # Nested members are the candidates; a flat-scalar set
+                # against an ARRAY lhs means whole-array equality
+                # (01071: [1,2] IN [1,2] = 1)
+                close = _match_bracket(toks, i + 1)
+                parts_in = [
+                    p for p in _split_top(toks[i + 2 : close], ",") if p
+                ]
+                nested_tup = bool(parts_in) and parts_in[0][0] == "("
+                nested_arr = bool(parts_in) and parts_in[0][0] == "["
+                if nested_tup:
+                    members = []
+                    for p in parts_in:
+                        flds_in = ", ".join(
+                            f"'col{k4 + 1}', {_emit(_translate_expr(q4))}"
+                            for k4, q4 in enumerate(
+                                _split_top(p[1:-1], ",")
+                            )
+                        )
+                        members.append(f"named_struct({flds_in})")
+                    # structify a bare paren-tuple LHS
+                    lhs_toks4: list[str] = []
+                    if out and out[-1] == ")":
+                        d4 = 0
+                        while out:
+                            tk4 = out.pop()
+                            lhs_toks4.insert(0, tk4)
+                            if tk4 == ")":
+                                d4 += 1
+                            elif tk4 == "(":
+                                d4 -= 1
+                                if d4 == 0:
+                                    break
+                        if out and _is_ident(out[-1]) and _kw(
+                            out[-1]
+                        ) not in _SQL_KEYWORDS:
+                            lhs_toks4.insert(0, out.pop())
+                    elif out:
+                        lhs_toks4.append(out.pop())
+                    if (
+                        len(lhs_toks4) >= 3 and lhs_toks4[0] == "("
+                        and lhs_toks4[-1] == ")"
+                        and len(_split_top(lhs_toks4[1:-1], ",")) > 1
+                    ):
+                        f4 = ", ".join(
+                            f"'col{k4 + 1}', {_emit(p4)}"
+                            for k4, p4 in enumerate(
+                                _split_top(lhs_toks4[1:-1], ",")
+                            )
+                        )
+                        lhs4 = f"named_struct({f4})"
+                    else:
+                        lhs4 = " ".join(lhs_toks4)
+                    out.append(
+                        f"({lhs4} IN ({', '.join(members)}))"
+                    )
+                    i = close + 1
+                    continue
+                members = [
+                    _emit(_translate_expr(p)) for p in parts_in
+                ]
+                if not nested_arr and out and out[-1] == ")":
+                    # scalar set vs a (possibly array) expression LHS:
+                    # if the LHS is an array literal, the whole set is
+                    # ONE candidate array
+                    j4 = len(out) - 1
+                    d4 = 0
+                    while j4 >= 0:
+                        if out[j4] == ")":
+                            d4 += 1
+                        elif out[j4] == "(":
+                            d4 -= 1
+                            if d4 == 0:
+                                break
+                        j4 -= 1
+                    if j4 > 0 and out[j4 - 1] == "array":
+                        out += [
+                            "IN", "(",
+                            "array(" + ", ".join(members) + ")", ")",
+                        ]
+                        i = close + 1
+                        continue
+                out += ["IN", "(", ", ".join(members), ")"]
                 i = close + 1
                 continue
             rhs = _emit(_translate_expr([nxt]))
@@ -8188,6 +8290,14 @@ def _translate_from(toks: list[str]) -> list[str]:
         ):
             if _kw(toks[i + 1]) == "RIGHT":
                 raise DialectError(f"{up} RIGHT JOIN is not translated")
+            if up == "SEMI":
+                # SEMI LEFT keeps matching left rows PLUS one matched
+                # right row's columns (HashJoin semi semantics) — the
+                # ANY-INNER dedup plan is exactly that; Spark's LEFT
+                # SEMI would drop the right side's columns
+                toks[i] = "ANY"
+                toks[i + 1] = "INNER"
+                continue
             out += ["LEFT", up]
             i += 2
             continue
@@ -8387,7 +8497,7 @@ def _translate_from(toks: list[str]) -> list[str]:
             i = close + 1
             continue
         if up == "ANY" and i + 1 < n and _kw(toks[i + 1]) in (
-            "JOIN", "LEFT", "RIGHT", "INNER",
+            "JOIN", "LEFT", "RIGHT", "INNER", "FULL",
         ):
             # ANY JOIN = at most one build-side row per key (HashJoin.h:76):
             # dedup the right side by the USING keys, then a plain join.
@@ -8436,10 +8546,10 @@ def _translate_from(toks: list[str]) -> list[str]:
                 alias = toks[k]
                 k += 1
             if k < n and _kw(toks[k]) == "ON":
-                if any_right or any_full:
+                if any_right and _asof_pop_left(out) is None:
                     raise DialectError(
-                        "RIGHT/FULL ANY JOIN ON is not translated; use "
-                        "daisy_spark.operators.joins.any_join"
+                        "ANY RIGHT JOIN ON needs a single left factor; "
+                        "use daisy_spark.operators.joins.any_join"
                     )
                 # ON form: dedup keys = the right side of each equality
                 # conjunct that references the right alias
@@ -8518,6 +8628,50 @@ def _translate_from(toks: list[str]) -> list[str]:
                     raise DialectError(
                         "ANY JOIN ON needs alias.col equality conjuncts"
                     )
+                if any_right:
+                    # ANY RIGHT keeps every right row and dedups the
+                    # LEFT side by its ON-key columns (HashJoin.h:77)
+                    pop_l = _asof_pop_left(out)
+                    start_l, left_sql, l_alias = pop_l
+                    lkeys: list[str] = []
+                    for cj in _split_top_kw(cond_t, "AND"):
+                        while (
+                            len(cj) >= 3 and cj[0] == "("
+                            and _match_paren(cj, 0) == len(cj) - 1
+                        ):
+                            cj = cj[1:-1]
+                        for m, tk in enumerate(cj):
+                            if tk in ("=", "=="):
+                                for side_toks in (cj[:m], cj[m + 1 :]):
+                                    if (
+                                        len(side_toks) == 3
+                                        and side_toks[0] == l_alias
+                                        and side_toks[1] == "."
+                                    ):
+                                        lkeys.append(side_toks[2])
+                                break
+                    if not lkeys:
+                        raise DialectError(
+                            "ANY RIGHT JOIN ON needs left-alias "
+                            "equality conjuncts"
+                        )
+                    dedup_l = (
+                        f"(SELECT * EXCEPT (__rn) FROM (SELECT __any.*, "
+                        f"row_number() OVER (PARTITION BY "
+                        f"{', '.join(lkeys)} "
+                        f"ORDER BY monotonically_increasing_id()) "
+                        f"AS __rn FROM {left_sql} AS __any) "
+                        f"WHERE __rn = 1)"
+                    )
+                    del out[start_l:]
+                    out += [dedup_l, "AS", l_alias, "RIGHT", "JOIN",
+                            factor_sql]
+                    if alias:
+                        out += ["AS", alias]
+                    out.append("ON")
+                    out += cond_t
+                    i = k
+                    continue
                 key_list = ", ".join(rkeys)
                 ordk_r = (
                     "__jord_r" if "__jord_r" in factor_sql
@@ -8529,7 +8683,10 @@ def _translate_from(toks: list[str]) -> list[str]:
                     f"ORDER BY {ordk_r}) AS __rn "
                     f"FROM {factor_sql} AS __any) WHERE __rn = 1)"
                 )
-                side = "LEFT" if "LEFT" in dirs else "INNER"
+                side = (
+                    "FULL" if any_full
+                    else "LEFT" if "LEFT" in dirs else "INNER"
+                )
                 out += [side, "JOIN", dedup, "AS", r_alias, "ON"]
                 out += cond_t
                 i = k
@@ -10292,6 +10449,9 @@ def _join_fill_cols(
         if _kw(toks[i]) not in ("LEFT", "FULL"):
             i += 1
             continue
+        if i > 0 and _kw(toks[i - 1]) in ("SEMI", "ANTI"):
+            i += 1
+            continue  # SEMI rewrites elsewhere; ANTI drops right cols
         j = i + 1
         while j < n and _kw(toks[j]) in ("ANY", "ALL", "OUTER", "SEMI", "ANTI"):
             if _kw(toks[j]) in ("SEMI", "ANTI"):
@@ -10556,6 +10716,10 @@ def _outer_join_default_fill(q: _Select) -> None:
         if q.from_[0] == "(":
             # left side is a subquery: only its trailing alias names it
             j0 = _match_paren(q.from_, 0) + 1
+        elif len(q.from_) > 1 and q.from_[1] == "(":
+            # table-function left side (merge(...), numbers(...)):
+            # only a trailing alias can name it
+            j0 = _match_paren(q.from_, 1) + 1
         else:
             lt0 = q.from_[0]
         if j0 < len(q.from_) and _kw(q.from_[j0]) == "AS":
@@ -10563,6 +10727,9 @@ def _outer_join_default_fill(q: _Select) -> None:
         if (
             j0 < len(q.from_) and _is_ident(q.from_[j0])
             and _kw(q.from_[j0]) not in _SQL_KEYWORDS
+            and _kw(q.from_[j0]) not in (
+                "ASOF", "GLOBAL", "FINAL", "SAMPLE", "PREWHERE",
+            )
         ):
             lt0 = q.from_[j0]  # the left table's alias wins
         if lt0 is None:
