@@ -19,6 +19,7 @@ hot path never calls them.
 from __future__ import annotations
 
 import math
+import re
 
 _UNITS = [
     ("year", 365 * 24 * 3600.0),
@@ -300,9 +301,36 @@ def uuid_string_to_num(s) -> bytes | None:
         return b"\x00" * 16
 
 
+_XML_ENTITY_RE = re.compile(r"&(?:(quot|lt|gt|amp|apos)|#([0-9]+)|#[xX]([0-9a-fA-F]+));")
+_XML_NAMED = {"quot": '"', "lt": "<", "gt": ">", "amp": "&", "apos": "'"}
+
+
+def decode_xml_component(s) -> str | None:
+    """decodeXMLComponent: the five standard named entities plus
+    decimal / hex numeric character references; anything unrecognized
+    (bad name, out-of-range codepoint) stays verbatim
+    (src/Functions/decodeXMLComponent.cpp)."""
+    if s is None:
+        return None
+
+    def _sub(m):
+        if m.group(1):
+            return _XML_NAMED[m.group(1)]
+        cp = int(m.group(2) or m.group(3), 10 if m.group(2) else 16)
+        if cp > 0x10FFFF:
+            return m.group(0)
+        try:
+            return chr(cp)
+        except ValueError:
+            return m.group(0)
+
+    return _XML_ENTITY_RE.sub(_sub, str(s))
+
+
 def register_udfs(spark) -> None:
     if getattr(spark, "_daisy_chtext_udfs", False):
         return
+    spark.udf.register("ch_decode_xml", decode_xml_component, "string")
     spark.udf.register(
         "ch_fmt_timedelta",
         lambda v, u: format_readable_time_delta(v, u or ""),

@@ -1490,12 +1490,12 @@ def _nullable_try_cast(e: str, type_toks: list[str], src_raw: list[str]) -> str 
         return f"try_cast({e} AS {s_map[head]})"
     if head == "DATE":
         return (
-            f"IF(CAST({e} AS STRING) RLIKE '^\\s*[0-9]*\\s*$', NULL, "
+            f"IF(CAST({e} AS STRING) RLIKE '^\\\\s*[0-9]*\\\\s*$', NULL, "
             f"try_cast({e} AS DATE))"
         )
     if head in ("DATETIME", "DATETIME64"):
         return (
-            f"IF(CAST({e} AS STRING) RLIKE '^\\s*[0-9]*\\s*$', NULL, "
+            f"IF(CAST({e} AS STRING) RLIKE '^\\\\s*[0-9]*\\\\s*$', NULL, "
             f"try_cast({e} AS TIMESTAMP))"
         )
     return None
@@ -2027,6 +2027,19 @@ def _ch_type_of(toks: list[str], env: dict[str, str]) -> str | None:
         toks = inner_t0
     if not toks:
         return None
+    # regex group extractors (round 8): fixed result shapes
+    if (
+        len(toks) >= 3 and toks[1] == "("
+        and _match_paren(toks, 1) == len(toks) - 1
+        and toks[0] in (
+            "extractGroups", "extractAllGroupsHorizontal",
+            "extractAllGroupsVertical",
+        )
+    ):
+        return (
+            "Array(String)" if toks[0] == "extractGroups"
+            else "Array(Array(String))"
+        )
     # subscript chain X[i] -> element type of X (Array/Map only)
     if toks[-1] == "]" and toks[0] != "[":
         d9, k9 = 0, len(toks) - 1
@@ -3131,6 +3144,228 @@ def _array_auc_expr(a: list[str]) -> str:
     )
 
 
+def _sql_str_lit(s: str) -> str:
+    """Render a Python string as a Spark SQL single-quoted literal
+    (Spark unescapes backslashes inside string literals, so they are
+    doubled here)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _const_str_of_raw(toks: list[str]) -> str | None:
+    """Extract the compile-time string value of a raw argument when it
+    is constant: a string literal, CAST(lit AS FixedString(n)) /
+    toFixedString(lit, n) (padded with NULs to n), or repeat(lit, n).
+    None for anything non-constant (materialize(), columns, calls)."""
+    ts = list(toks)
+    while len(ts) >= 3 and ts[0] == "(" and _match_paren(ts, 0) == len(ts) - 1:
+        ts = ts[1:-1]
+    if len(ts) == 1 and ts[0][:1] == "'":
+        return _ch_str_bytes(ts[0]).decode("utf-8", "replace")
+    if not ts or ts[1:2] != ["("]:
+        return None
+    kw0 = _kw(ts[0])
+    if kw0 == "CAST" and len(ts) >= 4 and ts[2][:1] == "'":
+        s = _ch_str_bytes(ts[2]).decode("utf-8", "replace")
+        for k, tk in enumerate(ts):
+            if tk == "FixedString" and k + 2 < len(ts) and ts[k + 2].isdigit():
+                n = int(ts[k + 2])
+                s = (s + "\x00" * n)[:n] if len(s) < n else s
+        return s
+    if kw0 == "TOFIXEDSTRING" and len(ts) >= 4 and ts[2][:1] == "'":
+        s = _ch_str_bytes(ts[2]).decode("utf-8", "replace")
+        if len(ts) >= 6 and ts[4].isdigit():
+            n = int(ts[4])
+            s = (s + "\x00" * n)[:n] if len(s) < n else s
+        return s
+    if kw0 == "REPEAT" and len(ts) >= 6 and ts[2][:1] == "'" and ts[4].isdigit():
+        return _ch_str_bytes(ts[2]).decode("utf-8", "replace") * int(ts[4])
+    if kw0 == "MATERIALIZE":
+        return None
+    return None
+
+
+def _delta_sum_fold(arr: str) -> str:
+    """deltaSum over an ordered array: sum of positive adjacent deltas
+    (src/AggregateFunctions/AggregateFunctionDeltaSum.h)."""
+    return (
+        f"aggregate({arr}, named_struct('s', CAST(0 AS DOUBLE), "
+        f"'l', CAST(NULL AS DOUBLE)), (__da, __dx) -> named_struct("
+        f"'s', IF(__da.l IS NULL, __da.s, "
+        f"__da.s + greatest(CAST(__dx AS DOUBLE) - __da.l, 0D)), "
+        f"'l', CAST(__dx AS DOUBLE))).s"
+    )
+
+
+#: netloc/whole-URL restricted characters (src/Functions/URL/netloc.cpp);
+#: expressed as a regex character class for Spark (class metachars
+#: escaped; backslashes doubled for the SQL string literal layer)
+_NETLOC_STOP_CLS = r" \\t<>%{}|\\\\^~\\[\\];=&/?#"
+
+
+def _netloc_expr(a: list[str]) -> str:
+    """netloc(url): authority part (user:pass@host:port).  Simplified
+    vs src/Functions/URL/netloc.cpp: the scan stops at the first
+    path/query/fragment or restricted character; the reference's
+    has-identification backtracking corner (a '/' inside user-info) is
+    not reproduced."""
+    u = a[0]
+    body = f"regexp_extract({u}, '^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//([^{_NETLOC_STOP_CLS}]*)', 1)"
+    bare = f"regexp_extract({u}, '^([^{_NETLOC_STOP_CLS}]*)', 1)"
+    return (
+        f"IF({u} RLIKE '^([A-Za-z][A-Za-z0-9+.-]*:)?//', {body}, {bare})"
+    )
+
+
+def _port_expr(a: list[str]) -> str:
+    """port(url[, default]): port of the URL's host; the host must
+    look like a dotted domain / IPv4 (getURLHost: bracketed IPv6 and
+    dot-less hosts yield 0 — the reference documents the same
+    limitation in 01284_port)."""
+    if len(a) > 2:
+        raise DialectError("port: wrong number of arguments")
+    # the default must arrive as an explicit UInt16 (error 43 for a
+    # bare integer literal, whose inferred type is UInt8)
+    if len(a) == 2 and re.fullmatch(r"[0-9]+", a[1].strip()):
+        raise DialectError("port: default must be UInt16")
+    if re.search(r"FixedString|rpad\(", a[0] or ""):
+        raise DialectError("port: FixedString argument")
+    dflt = a[1] if len(a) == 2 else "0"
+    pat = (
+        "'^(?:[A-Za-z][A-Za-z0-9+.-]*:)?(?://)?(?:[^/?#@]*@)?"
+        "[A-Za-z0-9-]+(\\\\.[A-Za-z0-9-]+)+:([0-9]+)([/?#].*)?$'"
+    )
+    return (
+        f"CAST(coalesce(CAST(nullif(regexp_extract({a[0]}, {pat}, 2), "
+        f"'') AS INT), {dflt}) AS INT)"
+    )
+
+
+#: minimal reference error-code registry (src/Common/ErrorCodes.cpp);
+#: gaps and out-of-range codes render as empty string
+_CH_ERROR_CODE_NAMES = {0: "OK", 1: "UNSUPPORTED_METHOD"}
+
+
+def _error_code_to_name_expr(a: list[str]) -> str:
+    cases = " ".join(
+        f"WHEN {k} THEN '{v}'" for k, v in _CH_ERROR_CODE_NAMES.items()
+    )
+    return f"(CASE CAST({a[0]} AS BIGINT) {cases} ELSE '' END)"
+
+
+#: integer bounds for accurateCast range checks (wide types map to
+#: DECIMAL(38,0) so 128/256-bit bounds clamp at the decimal ceiling)
+_ACC_INT_BOUNDS = {
+    "UInt8": (0, 255), "UInt16": (0, 65535), "UInt32": (0, 4294967295),
+    "UInt64": (0, 18446744073709551615),
+    "UInt128": (0, 10**38 - 1), "UInt256": (0, 10**38 - 1),
+    "Int8": (-128, 127), "Int16": (-32768, 32767),
+    "Int32": (-2147483648, 2147483647),
+    "Int64": (-9223372036854775808, 9223372036854775807),
+    "Int128": (-(10**38 - 1), 10**38 - 1),
+    "Int256": (-(10**38 - 1), 10**38 - 1),
+}
+
+
+def _accurate_cast_expr(a: list[str], or_null: bool) -> str:
+    """accurateCast / accurateCastOrNull (FunctionsConversion.h):
+    bounds-checked cast — out-of-range / unrepresentable values raise
+    (accurateCast) or yield NULL (accurateCastOrNull)."""
+    if len(a) != 2:
+        raise DialectError("accurateCast: needs 2 arguments")
+    tgt = a[1].strip()
+    if not (tgt.startswith("'") and tgt.endswith("'")):
+        raise DialectError("accurateCast: type must be a constant string")
+    ch_t = tgt[1:-1]
+    x = a[0]
+    fail = (
+        "NULL" if or_null
+        else f"raise_error('accurateCast: value out of range of {ch_t}')"
+    )
+    if ch_t in _ACC_INT_BOUNDS:
+        lo, hi = _ACC_INT_BOUNDS[ch_t]
+        st, _ = _map_type(tokenize(ch_t), 0)
+        xd = f"CAST({x} AS DOUBLE)"
+        ok = (
+            f"({xd} IS NOT NULL AND NOT isnan({xd}) "
+            f"AND {xd} >= {float(lo)!r} AND {xd} <= {float(hi)!r} "
+            f"AND CAST({x} AS DECIMAL(38, 0)) BETWEEN {lo} AND {hi})"
+        )
+        return f"IF({ok}, CAST({x} AS {st}), {fail})"
+    m9 = re.match(r"Decimal(32|64|128|256)\((\d+)\)$", ch_t)
+    if m9:
+        # the reference range-checks against the UNDERLYING integer
+        # width (Int32/Int64/Int128), not 10^precision: 1 fits in
+        # Decimal32(9) because 1e9 <= 2^31-1
+        under = {
+            "32": 2**31 - 1, "64": 2**63 - 1,
+            "128": 2**127 - 1, "256": 2**255 - 1,
+        }[m9.group(1)]
+        scale = int(m9.group(2))
+        ok = (
+            f"(abs(CAST({x} AS DOUBLE)) * CAST(pow(10, {scale}) "
+            f"AS DOUBLE) <= {float(under)!r})"
+        )
+        st = f"DECIMAL({min(scale + 10, 38)}, {min(scale, 37)})"
+        return f"IF({ok}, CAST({x} AS {st}), {fail})"
+    m9 = re.match(r"FixedString\((\d+)\)$", ch_t)
+    if m9:
+        n = int(m9.group(1))
+        ok = f"(length(CAST({x} AS STRING)) <= {n})"
+        val = f"rpad(CAST({x} AS STRING), {n}, chr(0))"
+        return f"IF({ok}, {val}, {fail})"
+    if ch_t in ("Float32", "Float64", "String", "Date", "DateTime"):
+        st, _ = _map_type(tokenize(ch_t), 0)
+        if or_null:
+            return f"try_cast({x} AS {st})"
+        return (
+            f"coalesce(CAST({x} AS {st}), "
+            f"IF({x} IS NULL, NULL, raise_error('accurateCast failed')))"
+        )
+    raise DialectError(f"accurateCast: unsupported target type {ch_t}")
+
+
+_UUID_RE_SQL = (
+    "'^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+    "-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$'"
+)
+
+
+def _mjd_to_expr(a: list[str], or_null: bool) -> str:
+    """toModifiedJulianDay[OrNull]: days since 1858-11-17 of a date
+    given as String (src/Functions/toModifiedJulianDay.cpp); invalid
+    dates raise / NULL."""
+    s = f"TRIM(TRAILING chr(0) FROM CAST({a[0]} AS STRING))"
+    d = (
+        f"IF({s} RLIKE '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}$', "
+        f"try_to_date({s}, 'yyyy-MM-dd'), NULL)"
+    )
+    val = f"CAST(datediff({d}, DATE '1858-11-17') AS INT)"
+    if or_null:
+        return val
+    return (
+        f"IF({a[0]} IS NULL, NULL, IF({d} IS NULL, "
+        f"CAST(raise_error('toModifiedJulianDay: cannot parse date') "
+        f"AS INT), {val}))"
+    )
+
+
+def _mjd_from_expr(a: list[str], or_null: bool) -> str:
+    """fromModifiedJulianDay[OrNull]: MJD number -> date string; the
+    reference's valid range is [-678941, 2973483] (error 490
+    outside)."""
+    n = f"CAST({a[0]} AS BIGINT)"
+    ok = f"({n} BETWEEN -678941 AND 2973483)"
+    # Spark dates clamp at year 1/9999 — the render path only needs
+    # the in-range corpus values; out-of-Spark-range stays NULL
+    val = f"date_format(date_add(DATE '1858-11-17', CAST({a[0]} AS INT)), 'yyyy-MM-dd')"
+    if or_null:
+        return f"IF({ok}, {val}, NULL)"
+    return (
+        f"IF({a[0]} IS NULL, NULL, IF({ok}, {val}, "
+        f"raise_error('fromModifiedJulianDay: day number out of range')))"
+    )
+
+
 FUNC_MAP: dict[str, object] = {
     # arithmetic / comparison / logic
     "plus": "({0} + {1})", "minus": "({0} - {1})", "multiply": "({0} * {1})",
@@ -3434,7 +3669,7 @@ FUNC_MAP: dict[str, object] = {
     "toInt64OrNull": "try_cast({0} AS BIGINT)",
     "toFloat32OrNull": "try_cast({0} AS FLOAT)",
     "toFloat64OrNull": "try_cast({0} AS DOUBLE)",
-    "toDateOrNull": "IF(CAST({0} AS STRING) RLIKE '^\\s*[0-9]*\\s*$', NULL, try_cast({0} AS DATE))",
+    "toDateOrNull": "IF(CAST({0} AS STRING) RLIKE '^\\\\s*[0-9]*\\\\s*$', NULL, try_cast({0} AS DATE))",
     # numeric argument = days since epoch (FunctionsConversion)
     # toDate(UInt) is epoch DAYS; strings/dates parse directly.  When
     # the argument's kind isn't visible at translate time, a string
@@ -3481,7 +3716,14 @@ FUNC_MAP: dict[str, object] = {
         "coalesce(try_cast({0} AS TIMESTAMP), "
         "to_timestamp('1970-01-01 00:00:00'))"
     ),
-    "toUUID": "CAST({0} AS STRING)",
+    # toUUID validates the canonical 8-4-4-4-12 hex form (error 6 on
+    # garbage, 01528) and normalizes to lowercase like the reference
+    "toUUID": lambda a: (
+        f"IF({a[0]} IS NULL, NULL, IF(TRIM(TRAILING chr(0) FROM "
+        f"CAST({a[0]} AS STRING)) RLIKE {_UUID_RE_SQL}, "
+        f"lower(TRIM(TRAILING chr(0) FROM CAST({a[0]} AS STRING))), "
+        f"raise_error('toUUID: cannot parse UUID')))"
+    ),
     "toDateTime64": lambda a: f"CAST({a[0]} AS TIMESTAMP)",
     "parseDateTimeBestEffort": "CAST({0} AS TIMESTAMP)",
     "toUnixTimestamp": "unix_timestamp({0})",
@@ -4084,6 +4326,59 @@ FUNC_MAP: dict[str, object] = {
         f"{a[1] if len(a) > 1 else 0})"
     ),
     "arrayAUC": _array_auc_expr,
+    # --- round-8 additions -------------------------------------------
+    # hasToken: exact token match, tokens = maximal [0-9A-Za-z_] runs
+    # (src/Functions/hasToken.cpp via HasTokenImpl / isWordCharASCII)
+    "hasToken": (
+        "CAST(array_contains(split({0}, '[^0-9A-Za-z_]+'), {1}) AS INT)"
+    ),
+    "hasTokenCaseInsensitive": (
+        "CAST(array_contains(split(lower({0}), '[^0-9A-Za-z_]+'), "
+        "lower({1})) AS INT)"
+    ),
+    # XML component codec (src/Functions/encodeXMLComponent.cpp,
+    # decodeXMLComponent.cpp — decode via chtext.decode_xml_component)
+    "encodeXMLComponent": (
+        "replace(replace(replace(replace(replace({0}, '&', '&amp;'), "
+        "'<', '&lt;'), '>', '&gt;'), '\"', '&quot;'), '\\'', '&apos;')"
+    ),
+    "decodeXMLComponent": "ch_decode_xml({0})",
+    "netloc": _netloc_expr,
+    "port": _port_expr,
+    "errorCodeToName": _error_code_to_name_expr,
+    "connection_id": "CAST(0 AS BIGINT)",
+    "connectionid": "CAST(0 AS BIGINT)",
+    "accurateCast": lambda a: _accurate_cast_expr(a, False),
+    "accurateCastOrNull": lambda a: _accurate_cast_expr(a, True),
+    "toModifiedJulianDay": lambda a: _mjd_to_expr(a, False),
+    "toModifiedJulianDayOrNull": lambda a: _mjd_to_expr(a, True),
+    "fromModifiedJulianDay": lambda a: _mjd_from_expr(a, False),
+    "fromModifiedJulianDayOrNull": lambda a: _mjd_from_expr(a, True),
+    "toUUIDOrNull": lambda a: (
+        f"IF(TRIM(TRAILING chr(0) FROM CAST({a[0]} AS STRING)) RLIKE "
+        f"{_UUID_RE_SQL}, lower(TRIM(TRAILING chr(0) FROM "
+        f"CAST({a[0]} AS STRING))), NULL)"
+    ),
+    "toUUIDOrZero": lambda a: (
+        f"coalesce(IF(TRIM(TRAILING chr(0) FROM CAST({a[0]} AS STRING)) "
+        f"RLIKE {_UUID_RE_SQL}, lower(TRIM(TRAILING chr(0) FROM "
+        f"CAST({a[0]} AS STRING))), NULL), "
+        f"'00000000-0000-0000-0000-000000000000')"
+    ),
+    # deltaSum: sum of positive adjacent deltas in arrival order
+    # (src/AggregateFunctions/AggregateFunctionDeltaSum.h)
+    "deltaSum": lambda a: _delta_sum_fold(
+        f"collect_list(CAST({a[0]} AS DOUBLE))"
+    ),
+    # deltaSumTimestamp: parts are ordered by the timestamp column on
+    # merge (AggregateFunctionDeltaSumTimestamp.h) — sort, then fold
+    "deltaSumTimestamp": lambda a: _delta_sum_fold(
+        f"transform(array_sort(collect_list(named_struct("
+        f"'t', CAST(CAST({a[1]} AS TIMESTAMP) AS DOUBLE), "
+        f"'v', CAST({a[0]} AS DOUBLE)))), "
+        f"__dt -> __dt.v)"
+    ),
+    # --- end round-8 additions ---------------------------------------
     "jumpConsistentHash": (
         "ch_jump_hash(CAST({0} AS STRING), CAST({1} AS INT))"
     ),
@@ -4273,10 +4568,7 @@ FUNC_MAP: dict[str, object] = {
         f"ceil({a[0]})" if len(a) == 1 else _scaled_round_sql("ceil", a)
     ),
     "ceiling": lambda a: (
-        f"ceil({a[0]})"
-        if len(a) == 1
-        else f"(ceil(CAST({a[0]} AS DOUBLE) * pow(10, {a[1]})) / "
-        f"pow(10, {a[1]}) + 0.0d)"
+        f"ceil({a[0]})" if len(a) == 1 else _scaled_round_sql("ceil", a)
     ),
     "trunc": lambda a: (
         f"IF(CAST({a[0]} AS DOUBLE) >= 0, floor({a[0]}), ceil({a[0]}))"
@@ -4442,11 +4734,11 @@ FUNC_MAP: dict[str, object] = {
         "CAST({0} AS INT)) AS FLOAT)"
     ),
     "toDateOrZero": (
-        "IF({0} IS NULL, NULL, coalesce(IF(CAST({0} AS STRING) RLIKE '^\\s*[0-9]*\\s*$', NULL, try_cast({0} AS DATE)), DATE '1970-01-01'))"
+        "IF({0} IS NULL, NULL, coalesce(IF(CAST({0} AS STRING) RLIKE '^\\\\s*[0-9]*\\\\s*$', NULL, try_cast({0} AS DATE)), DATE '1970-01-01'))"
     ),
     "toDateTimeOrZero": (
         "IF({0} IS NULL, NULL, coalesce("
-        "IF(CAST({0} AS STRING) RLIKE '^\\s*[0-9]*\\s*$', NULL, "
+        "IF(CAST({0} AS STRING) RLIKE '^\\\\s*[0-9]*\\\\s*$', NULL, "
         "try_cast({0} AS TIMESTAMP)), "
         "to_timestamp('1970-01-01 00:00:00')))"
     ),
@@ -4499,7 +4791,7 @@ FUNC_MAP: dict[str, object] = {
     "visitParamExtractBool": (
         "CAST(get_json_object({0}, concat('$.', {1})) = 'true' AS INT)"
     ),
-    "toDateTimeOrNull": "IF(CAST({0} AS STRING) RLIKE '^\\s*[0-9]*\\s*$', NULL, try_cast({0} AS TIMESTAMP))",
+    "toDateTimeOrNull": "IF(CAST({0} AS STRING) RLIKE '^\\\\s*[0-9]*\\\\s*$', NULL, try_cast({0} AS TIMESTAMP))",
     "bitmaskToArray": (
         "transform(filter(sequence(0, 62), "
         "__b -> (shiftright(CAST({0} AS BIGINT), __b) & 1) = 1), "
@@ -4665,18 +4957,6 @@ FUNC_MAP: dict[str, object] = {
 }
 
 def _topk_expr(p: list[str], a: list[str]) -> str:
-    # parameter bounds (AggregateFunctionTopK.cpp: k in (0, 2^32),
-    # load_factor in [1, 2^16]) — error 69 for out-of-range literals.
-    # Validating HERE also keeps an expected-error statement over the
-    # unbounded numbers range from launching a 1e9-row collect_list.
-    for px, (lo, hi) in zip(p, ((1, 4294967295), (1, 65535))):
-        px = px.strip().strip("()").replace(" ", "")
-        try:
-            pv = int(px)
-        except ValueError:
-            continue
-        if not lo <= pv <= hi:
-            raise DialectError("topK: parameter out of range")
     """topK(k)(v) / topKWeighted(k)(v, w) as ONE aggregate expression:
     frequency map built by an aggregate() fold over collect_list, sorted
     by (-count, value).  The typed empty map comes from slicing the
@@ -4684,6 +4964,28 @@ def _topk_expr(p: list[str], a: list[str]) -> str:
     type).  O(n·distinct) interpreted — correct for dialect/test-scale
     inputs; the 100-TB path is operators/topk.top_k_df (two-level
     hash aggregation)."""
+    # parameter bounds (AggregateFunctionTopK.cpp:10,88-94:
+    # TOP_K_MAX_SIZE=0xFFFFFF; load_factor >= 1; k, load_factor and
+    # k*load_factor all <= 0xFFFFFF) — error for out-of-range literals.
+    # Validating HERE also keeps an expected-error statement over the
+    # unbounded numbers range from launching a 1e9-row collect_list.
+    pvals: list[int | None] = []
+    for px in p:
+        px = px.strip().strip("()").replace(" ", "")
+        try:
+            pvals.append(int(px))
+        except ValueError:
+            pvals.append(None)
+    for pv in pvals:
+        if pv is not None and not 1 <= pv <= 0xFFFFFF:
+            raise DialectError("topK: parameter out of range")
+    if (
+        len(pvals) >= 2
+        and pvals[0] is not None
+        and pvals[1] is not None
+        and pvals[0] * pvals[1] > 0xFFFFFF
+    ):
+        raise DialectError("topK: parameter out of range")
     k = p[0] if p else "10"
     val = a[0]
     w = f"CAST({a[1]} AS BIGINT)" if len(a) > 1 else "1L"
@@ -5256,30 +5558,89 @@ def _is_nan_tokens(ts: list[str]) -> bool:
 
 def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
     toks = _rewrite_ternary(toks)
+    # Spark's lambda grammar parenthesizes only MULTI-param lambdas:
+    # (x) -> e is a parse error there, x -> e is required
+    k_lp = 0
+    while k_lp + 3 < len(toks):
+        if (
+            toks[k_lp] == "("
+            and _is_ident(toks[k_lp + 1])
+            and toks[k_lp + 2] == ")"
+            and toks[k_lp + 3] == "->"
+        ):
+            toks = toks[:k_lp] + [toks[k_lp + 1]] + toks[k_lp + 3 :]
+        else:
+            k_lp += 1
     # IEEE NaN comparison folding: the reference compares NaN false to
     # everything except != (Spark instead orders NaN LARGEST) — fold
     # per comma segment when a side is the literal nan (00712)
     if "nan" in toks:
+        _CMP_NC = ("=", "==", "!=", "<>", "<", ">", "<=", ">=")
+
+        def _operand_span_nc(seg: list[str], k: int) -> tuple[int, int]:
+            # left operand start: walk back from the comparison at
+            # segment depth 0 until a boolean keyword or another
+            # comparison at the same level
+            ls, j, d = k, k - 1, 0
+            while j >= 0:
+                t = seg[j]
+                if t in (")", "]"):
+                    d += 1
+                elif t in ("(", "["):
+                    if d == 0:
+                        break
+                    d -= 1
+                elif d == 0 and (
+                    t in _CMP_NC or _kw(t) in ("AND", "OR", "NOT")
+                ):
+                    break
+                ls = j
+                j -= 1
+            # right operand end: walk forward symmetrically
+            rE, j, d = k, k + 1, 0
+            while j < len(seg):
+                t = seg[j]
+                if t in ("(", "["):
+                    d += 1
+                elif t in (")", "]"):
+                    if d == 0:
+                        break
+                    d -= 1
+                elif d == 0 and (t in _CMP_NC or _kw(t) in ("AND", "OR")):
+                    break
+                rE = j
+                j += 1
+            return ls, rE
+
         segs_nc = _split_top(toks, ",")
         changed_nc = False
-        for si_nc, seg_nc in enumerate(segs_nc):
-            d_nc = 0
-            for k_nc, t_nc in enumerate(seg_nc):
-                if t_nc in ("(", "["):
-                    d_nc += 1
-                elif t_nc in (")", "]"):
-                    d_nc -= 1
-                elif d_nc == 0 and t_nc in (
-                    "=", "==", "!=", "<>", "<", ">", "<=", ">=",
-                ):
-                    if _is_nan_tokens(seg_nc[:k_nc]) or _is_nan_tokens(
-                        seg_nc[k_nc + 1 :]
-                    ):
-                        segs_nc[si_nc] = [
-                            "1" if t_nc in ("!=", "<>") else "0"
-                        ]
-                        changed_nc = True
-                    break
+        for si_nc in range(len(segs_nc)):
+            seg_nc = segs_nc[si_nc]
+            again_nc = True
+            while again_nc:
+                again_nc = False
+                d_nc = 0
+                for k_nc, t_nc in enumerate(seg_nc):
+                    if t_nc in ("(", "["):
+                        d_nc += 1
+                    elif t_nc in (")", "]"):
+                        d_nc -= 1
+                    elif d_nc == 0 and t_nc in _CMP_NC:
+                        ls_nc, re_nc = _operand_span_nc(seg_nc, k_nc)
+                        if _is_nan_tokens(
+                            seg_nc[ls_nc:k_nc]
+                        ) or _is_nan_tokens(seg_nc[k_nc + 1 : re_nc + 1]):
+                            # fold only the comparison's own span —
+                            # trailing AND/OR operands must survive
+                            seg_nc = (
+                                seg_nc[:ls_nc]
+                                + ["1" if t_nc in ("!=", "<>") else "0"]
+                                + seg_nc[re_nc + 1 :]
+                            )
+                            changed_nc = True
+                            again_nc = True
+                            break
+            segs_nc[si_nc] = seg_nc
         if changed_nc:
             toks = []
             for si_nc, seg_nc in enumerate(segs_nc):
@@ -6519,6 +6880,297 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 out.append(tz9 if tz9 else "'UTC'")
                 i = close + 1
                 continue
+            # regex group extraction family: needs the CONST pattern at
+            # translate time to count capture groups
+            # (src/Functions/extractAllGroupsHorizontal.cpp, …Vertical.cpp,
+            # extractGroups.cpp, countMatches.h)
+            if t in (
+                "extractGroups", "extractAllGroupsHorizontal",
+                "extractAllGroupsVertical", "countMatches",
+                "countMatchesCaseInsensitive",
+            ):
+                if len(args) != 2:
+                    raise DialectError(f"{t}: needs exactly 2 arguments")
+                h_r8 = arg_parts[0]
+                if len(h_r8) == 1 and re.fullmatch(
+                    r"-?[0-9.]+", h_r8[0]
+                ):
+                    raise DialectError(f"{t}: haystack must be a string")
+                pat_r8 = _const_str_of_raw(arg_parts[1])
+                if pat_r8 is None:
+                    raise DialectError(f"{t}: needle must be constant")
+                try:
+                    rx_r8 = re.compile(pat_r8)
+                except re.error:
+                    raise DialectError(f"{t}: invalid regular expression")
+                lit_r8 = _sql_str_lit(
+                    "(?i)" + pat_r8
+                    if t == "countMatchesCaseInsensitive" else pat_r8
+                )
+                hh = args[0]
+                if t.startswith("countMatches"):
+                    g0 = f"regexp_extract_all({hh}, {lit_r8}, 0)"
+                    # the reference stops counting at the first
+                    # zero-byte match (countMatches.h)
+                    out.append(
+                        f"CAST(IF(array_position({g0}, '') > 0, "
+                        f"array_position({g0}, '') - 1, size({g0})) "
+                        f"AS BIGINT)"
+                    )
+                    i = close + 1
+                    continue
+                ng8 = rx_r8.groups
+                if ng8 == 0:
+                    raise DialectError(f"{t}: no capture groups in pattern")
+                if t == "extractGroups":
+                    gs8 = ", ".join(
+                        f"regexp_extract({hh}, {lit_r8}, {g})"
+                        for g in range(1, ng8 + 1)
+                    )
+                    out.append(
+                        f"IF({hh} RLIKE {lit_r8}, array({gs8}), "
+                        f"CAST(array() AS ARRAY<STRING>))"
+                    )
+                    i = close + 1
+                    continue
+                # Java's find() yields one extra trailing empty match
+                # (at end-of-string) whenever the pattern can match ''
+                # — the reference's scan loop stops at pos == size, so
+                # drop that last element
+                drop8 = rx_r8.match("") is not None
+
+                def _garr8(g):
+                    e8 = f"regexp_extract_all({hh}, {lit_r8}, {g})"
+                    if drop8:
+                        e8 = f"slice({e8}, 1, size({e8}) - 1)"
+                    return e8
+
+                if t == "extractAllGroupsHorizontal":
+                    out.append(
+                        "array("
+                        + ", ".join(_garr8(g) for g in range(1, ng8 + 1))
+                        + ")"
+                    )
+                else:
+                    g1_8 = _garr8(1)
+                    els8 = ", ".join(
+                        f"element_at({_garr8(g)}, CAST(__egv AS INT))"
+                        for g in range(1, ng8 + 1)
+                    )
+                    out.append(
+                        f"IF(size({g1_8}) = 0, "
+                        f"CAST(array() AS ARRAY<ARRAY<STRING>>), "
+                        f"transform(sequence(1, size({g1_8})), "
+                        f"__egv -> array({els8})))"
+                    )
+                i = close + 1
+                continue
+            # tupleHammingDistance: component-wise != summed; arity from
+            # the raw tuple literal or the inferred Tuple type
+            # (src/Functions/tupleHammingDistance.cpp)
+            if t == "tupleHammingDistance" and len(args) == 2:
+                ar8 = None
+                elcls8: list[list[str] | None] = []
+
+                def _tup_elems8(ap8):
+                    ts8 = list(ap8)
+                    while (
+                        len(ts8) >= 3
+                        and _kw(ts8[0]) == "MATERIALIZE" and ts8[1] == "("
+                        and _match_paren(ts8, 1) == len(ts8) - 1
+                    ):
+                        ts8 = ts8[2:-1]
+                    if len(ts8) >= 3 and _kw(ts8[0]) == "TUPLE" and ts8[1] == "(":
+                        return _split_top(ts8[2:-1], ",")
+                    if (
+                        len(ts8) >= 3 and ts8[0] == "("
+                        and _match_paren(ts8, 0) == len(ts8) - 1
+                    ):
+                        return _split_top(ts8[1:-1], ",")
+                    return None
+
+                for ap8 in arg_parts:
+                    el8 = _tup_elems8(ap8)
+                    if el8 is None:
+                        elcls8.append(None)
+                        continue
+                    if ar8 is not None and ar8 != len(el8):
+                        raise DialectError(
+                            "tupleHammingDistance: tuple arity mismatch"
+                        )
+                    ar8 = len(el8)
+                    elcls8.append([
+                        "str" if e8 and e8[0][:1] == "'"
+                        else "num" if e8 and re.fullmatch(
+                            r"-?[0-9.]+", e8[0]
+                        )
+                        else "?"
+                        for e8 in el8
+                    ])
+                # incomparable element kinds (error 386): a numeric
+                # against a string literal at the same position
+                if (
+                    len(elcls8) == 2 and elcls8[0] and elcls8[1]
+                    and any(
+                        {c1, c2} == {"num", "str"}
+                        for c1, c2 in zip(elcls8[0], elcls8[1])
+                    )
+                ):
+                    raise DialectError(
+                        "tupleHammingDistance: incomparable element types"
+                    )
+                if ar8 is None:
+                    tt8 = _ch_type_of(
+                        arg_parts[0], _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+                    ) or _ch_type_of(
+                        arg_parts[1], _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+                    )
+                    if tt8 and tt8.startswith("Tuple("):
+                        d8c, n8c = 0, 1
+                        for ch8 in tt8[6:-1]:
+                            if ch8 == "(":
+                                d8c += 1
+                            elif ch8 == ")":
+                                d8c -= 1
+                            elif ch8 == "," and d8c == 0:
+                                n8c += 1
+                        ar8 = n8c
+                if ar8 is None:
+                    raise DialectError(
+                        "tupleHammingDistance: tuple arity unknown"
+                    )
+                out.append(
+                    "("
+                    + " + ".join(
+                        f"CAST((({args[0]}).col{k} != ({args[1]}).col{k}) "
+                        f"AS INT)"
+                        for k in range(1, ar8 + 1)
+                    )
+                    + ")"
+                )
+                i = close + 1
+                continue
+            # keyless min/max over an empty NON-NULLABLE numeric set
+            # yields the type default 0 in the reference (same rule the
+            # sum/avg FUNC_MAP entries already apply); only the
+            # numeric-typed case is intercepted so string/date min/max
+            # keep their existing mapping
+            if (
+                t in ("min", "max") and len(args) == 1 and arg_parts
+                and not _is_boolish(args[0])
+                and not _agg_input_nullable(args[0])
+            ):
+                tm8 = _ch_type_of(
+                    arg_parts[0], _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+                )
+                if tm8 and tm8.startswith(("UInt", "Int")):
+                    out.append(f"coalesce({t}({args[0]}), 0)")
+                    i = close + 1
+                    continue
+            # isDecimalOverflow(d[, p]): does the underlying integer
+            # exceed p digits (src/Functions/isDecimalOverflow.cpp);
+            # default p = the argument type's precision
+            if t == "isDecimalOverflow" and arg_parts:
+                # literal fold: toDecimalNN(lit, s) [± int] — values past
+                # Spark's DECIMAL(38) ceiling (Decimal128 holds 1e38)
+                # are only decidable at translate time
+                def _dec_lit_digits8(ap):
+                    import decimal as _dec8
+                    ts8 = list(ap)
+                    tail8 = 0
+                    if (
+                        len(ts8) >= 2 and ts8[-2] in ("+", "-")
+                        and re.fullmatch(r"[0-9]+", ts8[-1])
+                    ):
+                        tail8 = (
+                            int(ts8[-1]) if ts8[-2] == "+" else -int(ts8[-1])
+                        )
+                        ts8 = ts8[:-2]
+                    changed8 = True
+                    while changed8:
+                        changed8 = False
+                        while (
+                            len(ts8) >= 3 and ts8[0] == "("
+                            and _match_paren(ts8, 0) == len(ts8) - 1
+                        ):
+                            ts8 = ts8[1:-1]
+                            changed8 = True
+                        if (
+                            len(ts8) >= 4
+                            and _kw(ts8[0]) == "MATERIALIZE"
+                            and ts8[1] == "("
+                            and _match_paren(ts8, 1) == len(ts8) - 1
+                        ):
+                            ts8 = ts8[2:-1]
+                            changed8 = True
+                        if (
+                            len(ts8) >= 2 and ts8[-2] in ("+", "-")
+                            and re.fullmatch(r"[0-9]+", ts8[-1])
+                        ):
+                            tail8 += (
+                                int(ts8[-1]) if ts8[-2] == "+"
+                                else -int(ts8[-1])
+                            )
+                            ts8 = ts8[:-2]
+                            changed8 = True
+                    if not (
+                        len(ts8) >= 4 and ts8[0].startswith("toDecimal")
+                        and ts8[1] == "("
+                        and _match_paren(ts8, 1) == len(ts8) - 1
+                    ):
+                        return None
+                    ps8 = _split_top(ts8[2:-1], ",")
+                    neg8 = False
+                    v_t8 = ps8[0]
+                    if len(v_t8) == 2 and v_t8[0] == "-":
+                        neg8, v_t8 = True, v_t8[1:]
+                    if len(v_t8) != 1:
+                        return None
+                    tk8 = v_t8[0]
+                    try:
+                        if tk8[:1] == "'":
+                            v8 = _dec8.Decimal(
+                                _ch_str_bytes(tk8).decode("utf-8")
+                            )
+                        else:
+                            v8 = _dec8.Decimal(tk8)
+                    except Exception:  # noqa: BLE001
+                        return None
+                    if neg8:
+                        v8 = -v8
+                    sc8 = (
+                        int(ps8[1][0])
+                        if len(ps8) > 1 and ps8[1][0].isdigit() else 0
+                    )
+                    # default decimal context rounds to 28 significant
+                    # digits — these literals need exact 38+ digit math
+                    with _dec8.localcontext() as ctx8:
+                        ctx8.prec = 200
+                        v8 = v8 + tail8
+                        under8 = abs(int(v8 * (10**sc8)))
+                    return len(str(under8)) if under8 else 0
+
+                if len(args) == 2:
+                    p8 = args[1]
+                else:
+                    td8 = _ch_type_of(
+                        arg_parts[0], _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+                    ) or ""
+                    m8 = re.match(r"Decimal\((\d+)", td8)
+                    p8 = m8.group(1) if m8 else "38"
+                if re.fullmatch(r"[0-9]+", p8.strip()):
+                    dg8 = _dec_lit_digits8(arg_parts[0])
+                    if dg8 is not None:
+                        out.append("1" if dg8 > int(p8.strip()) else "0")
+                        i = close + 1
+                        continue
+                ds8 = (
+                    f"regexp_replace(regexp_replace(CAST({args[0]} AS "
+                    f"STRING), '[-.]', ''), '^0+', '')"
+                )
+                out.append(f"CAST(length({ds8}) > {p8} AS INT)")
+                i = close + 1
+                continue
             # hasSubstr demands COMPARABLE element types — Int vs String
             # is error 386 in the reference, where Spark would coerce
             if t == "hasSubstr" and len(arg_parts) == 2:
@@ -6628,6 +7280,16 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                     )
                 elif base_s.lower().startswith(("quantile", "median")):
                     tmpl = "collect_list(CAST({0} AS DOUBLE))"
+                elif base_s == "deltaSum" and not sufs_s:
+                    # state = the observed sequence (merge refolds in
+                    # arrival order, AggregateFunctionDeltaSum.h)
+                    tmpl = "collect_list(CAST({0} AS DOUBLE))"
+                elif base_s == "deltaSumTimestamp" and not sufs_s:
+                    tmpl = (
+                        "collect_list(named_struct("
+                        "'t', CAST(CAST({1} AS TIMESTAMP) AS DOUBLE), "
+                        "'v', CAST({0} AS DOUBLE)))"
+                    )
                 elif sufs_s:
                     # finalized scalar with the combinators applied
                     tmpl = lambda a, _t=t[:-5]: (  # noqa: E731
@@ -6682,6 +7344,16 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                     )
                 elif root in ("sum", "min", "max"):
                     tmpl = f"{root}({{0}})"
+                elif root == "deltaSum":
+                    tmpl = lambda a: _delta_sum_fold(  # noqa: E731
+                        f"flatten(collect_list({a[0]}))"
+                    )
+                elif root == "deltaSumTimestamp":
+                    # parts order by timestamp on merge
+                    tmpl = lambda a: _delta_sum_fold(  # noqa: E731
+                        f"transform(array_sort(flatten("
+                        f"collect_list({a[0]}))), __dm -> __dm.v)"
+                    )
                 elif sufs_m or root in (
                     "stddevSamp", "stddevPop", "varSamp", "varPop",
                     "corr", "covarPop", "covarSamp", "skewPop", "kurtPop",
@@ -8385,6 +9057,7 @@ def _translate_from(toks: list[str]) -> list[str]:
             parts_v = _split_top(toks[i + 2 : close], ",")
             spec_v = parts_v[0][0][1:-1].replace("\\'", "'")
             cols_v: list[tuple[str, str]] = []
+            nullable_v: list[bool] = []
             alias_v: list[tuple[str, str]] = []
             for cdef in _split_top(tokenize(spec_v), ","):
                 if len(cdef) >= 3 and _kw(cdef[1]) == "ALIAS":
@@ -8394,6 +9067,7 @@ def _translate_from(toks: list[str]) -> list[str]:
                 elif len(cdef) >= 2 and _is_ident(cdef[0]):
                     st_v, _ = _map_type(cdef[1:], 0)
                     cols_v.append((cdef[0], st_v))
+                    nullable_v.append("Nullable" in " ".join(cdef[1:]))
             if not cols_v:
                 raise DialectError("VALUES: unparsable column spec")
             rows_v = []
@@ -8405,21 +9079,18 @@ def _translate_from(toks: list[str]) -> list[str]:
                 elems_v = [_emit(_translate_expr(e)) for e in raw_el]
                 if len(elems_v) != len(cols_v):
                     raise DialectError("VALUES: arity != column spec")
-                for re_v, ev, (_, ty) in zip(raw_el, elems_v, cols_v):
+                for re_v, ev, (_, ty), nl_v in zip(
+                    raw_el, elems_v, cols_v, nullable_v
+                ):
                     # Field-typed VALUES: a NULL into a non-Nullable
                     # column (error 53) and an integer-typed FUNCTION
                     # result into a Float column (the Field kind does
-                    # not convert) both reject
+                    # not convert) both reject — checked against the
+                    # TARGET column's own declared type
                     if ev.strip().upper() == "NULL" and "NULLABLE" not in (
                         " ".join(re_v).upper()
                     ):
-                        if not _kw(toks[i + 2]).startswith("'") and (
-                            "Nullable" not in spec_v.split(",")[
-                                len(rows_v) and 0
-                            ]
-                        ):
-                            pass
-                        if "Nullable" not in spec_v:
+                        if not nl_v:
                             raise DialectError(
                                 "VALUES: NULL into non-Nullable column"
                             )

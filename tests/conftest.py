@@ -23,8 +23,17 @@ def spark():
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
         # corpus cases materialize up to ~10M-row script tables
-        # (e.g. 01079_order_by_pk) — default heap OOMs
-        .config("spark.driver.memory", "8g")
+        # (e.g. 01079_order_by_pk) with 2-4 GB transient row buffers,
+        # and the ANTLR parser DFA cache grows monotonically over the
+        # ~1000 distinct generated statements — 8g OOMed at the END of
+        # the full suite (r7/r8 heap dumps: [J/[B spikes + ATNConfig)
+        .config("spark.driver.memory", "20g")
+        # bound retained per-execution state (plan strings of generated
+        # queries are large); UI is off, these only feed the status store
+        .config("spark.sql.ui.retainedExecutions", "50")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "1000")
         .getOrCreate()
     )
     s.sparkContext.setLogLevel("ERROR")
