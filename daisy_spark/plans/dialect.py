@@ -2040,6 +2040,19 @@ def _ch_type_of(toks: list[str], env: dict[str, str]) -> str | None:
             "Array(String)" if toks[0] == "extractGroups"
             else "Array(Array(String))"
         )
+    # segmentLengthSum: Float64 over float intervals, else UInt64
+    if (
+        len(toks) >= 3 and toks[1] == "("
+        and _match_paren(toks, 1) == len(toks) - 1
+        and toks[0] == "segmentLengthSum"
+    ):
+        args_sls = _split_top(toks[2:-1], ",")
+        t_sls = _ch_type_of(args_sls[0], env) if args_sls else None
+        return (
+            "Float64"
+            if t_sls and _ch_unwrap(t_sls).startswith("Float")
+            else "UInt64"
+        )
     # subscript chain X[i] -> element type of X (Array/Map only)
     if toks[-1] == "]" and toks[0] != "[":
         d9, k9 = 0, len(toks) - 1
@@ -2153,6 +2166,19 @@ def _ch_type_of(toks: list[str], env: dict[str, str]) -> str | None:
                 and ot0 and _ch_unwrap(ot0).startswith(("UInt", "Int"))
             ):
                 return dt0
+        # Date/DateTime +- INTERVAL keeps the date type (and its tz)
+        if (
+            op in ("+", "-")
+            and lt0 and _ch_unwrap(lt0).startswith(("Date", "DateTime"))
+            and _kw(toks[k + 1]) == "INTERVAL"
+        ):
+            return lt0
+        if (
+            op == "+"
+            and rt0 and _ch_unwrap(rt0).startswith(("Date", "DateTime"))
+            and toks and _kw(toks[0]) == "INTERVAL"
+        ):
+            return rt0
         dm_l = re.fullmatch(
             r"Decimal\((\d+), (\d+)\)", _ch_unwrap(lt0 or "")
         )
@@ -2492,6 +2518,14 @@ _TYPE_ENV_CTX: "contextvars.ContextVar[dict | None]" = contextvars.ContextVar(
     "daisy_type_env", default=None
 )
 
+#: per-TABLE reference column types ({table: {col: ch_type}}) — the flat
+#: _SCRIPT_CHTYPES_CTX merges same-named columns across tables (last one
+#: wins), which mistypes e.g. `start` when four fixture tables reuse the
+#: name; _subquery_type_env overlays the FROM-referenced tables' maps
+_SCRIPT_CHTYPES_BY_TABLE_CTX: "contextvars.ContextVar[dict | None]" = (
+    contextvars.ContextVar("daisy_script_chtypes_by_table", default=None)
+)
+
 
 #: reference functions that visibly return arrays (for length/empty
 #: polymorphic dispatch when full typing is underivable)
@@ -2515,6 +2549,11 @@ def _subquery_type_env(from_toks: list[str]) -> dict[str, str]:
     subqueries, so toTypeName(x) can resolve x defined one level down."""
     env = dict(_TYPE_ENV_DEFAULT)
     env.update(_SCRIPT_CHTYPES_CTX.get() or {})
+    by_table = _SCRIPT_CHTYPES_BY_TABLE_CTX.get() or {}
+    if by_table:
+        for tk9 in from_toks:
+            if tk9 in by_table:
+                env.update(by_table[tk9])
     i = 0
     n = len(from_toks)
     while i < n:
@@ -3144,6 +3183,16 @@ def _array_auc_expr(a: list[str]) -> str:
     )
 
 
+def _ch_ln(v: str) -> str:
+    """C log() semantics: ln(0) = -inf, ln(neg) = nan, ln(nan) = nan —
+    where Spark's ln() returns NULL for non-positive inputs."""
+    return (
+        f"(CASE WHEN isnan({v}) THEN double('nan') "
+        f"WHEN ({v}) = 0 THEN double('-inf') "
+        f"WHEN ({v}) < 0 THEN double('nan') ELSE ln({v}) END)"
+    )
+
+
 def _sql_str_lit(s: str) -> str:
     """Render a Python string as a Spark SQL single-quoted literal
     (Spark unescapes backslashes inside string literals, so they are
@@ -3463,9 +3512,12 @@ FUNC_MAP: dict[str, object] = {
         "CAST(coalesce(array_position(transform({1}, p -> {0} RLIKE p), true), 0) AS INT)"
     ),
     # dense id per distinct value, in order of first appearance
+    # first-occurrence index computed NULL-safely (<=> inside a bool
+    # transform) — array_position(arr, NULL) would poison the slice
     "arrayEnumerateDense": (
         "transform({0}, x -> CAST(size(array_distinct("
-        "slice({0}, 1, array_position({0}, x)))) AS INT))"
+        "slice({0}, 1, array_position("
+        "transform({0}, __ed -> __ed <=> x), true)))) AS INT))"
     ),
     "toInt128": "CAST({0} AS DECIMAL(38, 0))",
     "toInt256": "CAST({0} AS DECIMAL(38, 0))",
@@ -4346,6 +4398,12 @@ FUNC_MAP: dict[str, object] = {
     "netloc": _netloc_expr,
     "port": _port_expr,
     "errorCodeToName": _error_code_to_name_expr,
+    # throwIf(cond[, message]): per-row error when cond is true, else 0
+    # (src/Functions/throwIf.cpp)
+    "throwIf": lambda a: (
+        f"IF(coalesce(CAST({a[0]} AS BOOLEAN), false), "
+        f"CAST(raise_error({a[1] if len(a) > 1 else chr(39) + 'throwIf' + chr(39)}) AS INT), 0)"
+    ),
     "connection_id": "CAST(0 AS BIGINT)",
     "connectionid": "CAST(0 AS BIGINT)",
     "accurateCast": lambda a: _accurate_cast_expr(a, False),
@@ -4397,6 +4455,44 @@ FUNC_MAP: dict[str, object] = {
         "ch_rank_corr(collect_list(CAST({0} AS DOUBLE)), "
         "collect_list(CAST({1} AS DOUBLE)))"
     ),
+    # anyHeavy: heavy-hitter (most frequent value, first-seen tiebreak)
+    # — exact mode via the topK fold (AggregateFunctionAnyHeavy ~ k=1)
+    "anyHeavy": lambda a: (
+        # untyped empty-array literals can't thread the frequency fold
+        # (array_position rejects NULL-typed arrays) — any_value is
+        # exact for a constant column anyway
+        f"any_value({a[0]}, true)"
+        if "array()" in a[0].replace(" ", "")
+        else f"element_at({_topk_expr(['1'], a)}, 1)"
+    ),
+    # categoricalInformationValue(x1..xn, tag)
+    # (AggregateFunctionCategoricalInformationValue.h): per indicator
+    # (no/sum_no - yes/sum_yes) * (ln(no/sum_no) - ln(yes/sum_yes)),
+    # with C IEEE semantics (1/0 = inf, 0*inf = nan, ln(0) = -inf)
+    # that Spark's NULL-on-zero-division division must not mask
+    "categoricalInformationValue": lambda a: (
+        lambda y: "array(" + ", ".join(
+            (
+                lambda no, yes, rn, ry: (
+                    f"(({no} * {rn} - {yes} * {ry}) * "
+                    f"({_ch_ln(f'{no} * {rn}')} - "
+                    f"{_ch_ln(f'{yes} * {ry}')}))"
+                )
+            )(
+                f"CAST(coalesce(sum(IF(CAST({xi} AS BOOLEAN) AND NOT "
+                f"CAST({y} AS BOOLEAN), 1, 0)), 0) AS DOUBLE)",
+                f"CAST(coalesce(sum(IF(CAST({xi} AS BOOLEAN) AND "
+                f"CAST({y} AS BOOLEAN), 1, 0)), 0) AS DOUBLE)",
+                f"IF(coalesce(sum(IF(CAST({y} AS BOOLEAN), 0, 1)), 0) = 0, "
+                f"double('inf'), CAST(1 AS DOUBLE) / "
+                f"sum(IF(CAST({y} AS BOOLEAN), 0, 1)))",
+                f"IF(coalesce(sum(IF(CAST({y} AS BOOLEAN), 1, 0)), 0) = 0, "
+                f"double('inf'), CAST(1 AS DOUBLE) / "
+                f"sum(IF(CAST({y} AS BOOLEAN), 1, 0)))",
+            )
+            for xi in a[:-1]
+        ) + ")"
+    )(a[-1]),
     # --- end round-8 additions ---------------------------------------
     "jumpConsistentHash": (
         "ch_jump_hash(CAST({0} AS STRING), CAST({1} AS INT))"
@@ -5674,6 +5770,107 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 if si_nc:
                     toks.append(",")
                 toks += seg_nc
+    # DateTime - DateTime across DIFFERENT timezones: values are stored
+    # as each zone's wall clock, so the instant difference needs
+    # per-side to_utc_timestamp (01699: toDateTime(toString(x),'UTC')-x
+    # measures the offset).  Same-tz pairs keep the plain path.
+    if "-" in toks and len(toks) >= 3:
+        segs_dt = _split_top(toks, ",")
+        changed_dt = False
+        env_dt = _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+        for si_dt in range(len(segs_dt)):
+            seg_dt = segs_dt[si_dt]
+            alias_dt: list[str] = []
+            if (
+                len(seg_dt) >= 3 and _kw(seg_dt[-2]) == "AS"
+                and _is_ident(seg_dt[-1])
+                and _paren_depth_at(seg_dt, len(seg_dt) - 2) == 0
+            ):
+                alias_dt = seg_dt[-2:]
+                seg_dt = seg_dt[:-2]
+            while (
+                len(seg_dt) >= 3 and seg_dt[0] == "("
+                and _match_paren(seg_dt, 0) == len(seg_dt) - 1
+                and len(_split_top(seg_dt[1:-1], ",")) == 1
+            ):
+                seg_dt = seg_dt[1:-1]
+            d_dt, pos_dt = 0, -1
+            for k_dt, tk_dt in enumerate(seg_dt):
+                if tk_dt in ("(", "["):
+                    d_dt += 1
+                elif tk_dt in (")", "]"):
+                    d_dt -= 1
+                elif (
+                    d_dt == 0 and tk_dt in ("-", "+") and k_dt > 0
+                    and seg_dt[k_dt - 1] not in (
+                        "(", "[", ",", "+", "-", "*", "/", "%",
+                    )
+                    and _kw(seg_dt[k_dt - 1]) not in _SQL_KEYWORDS
+                ):
+                    pos_dt = k_dt
+            if pos_dt < 1 or pos_dt >= len(seg_dt) - 1:
+                continue
+            op_dt = seg_dt[pos_dt]
+            try:
+                lt_dt = _ch_type_of(seg_dt[:pos_dt], env_dt)
+                rt_dt = _ch_type_of(seg_dt[pos_dt + 1 :], env_dt)
+            except Exception:  # noqa: BLE001
+                continue
+            if not (lt_dt and _ch_unwrap(lt_dt).startswith("DateTime")):
+                continue
+            tzl_dt = _dt_tz_of(seg_dt[:pos_dt]) or "'UTC'"
+            if (
+                op_dt == "-" and rt_dt
+                and _ch_unwrap(rt_dt).startswith("DateTime")
+            ):
+                tzr_dt = _dt_tz_of(seg_dt[pos_dt + 1 :]) or "'UTC'"
+                if tzl_dt == tzr_dt:
+                    continue
+                l_dt = _emit(_translate_expr(seg_dt[:pos_dt]))
+                r_dt = _emit(_translate_expr(seg_dt[pos_dt + 1 :]))
+                segs_dt[si_dt] = [
+                    f"CAST(CAST(to_utc_timestamp({l_dt}, {tzl_dt}) "
+                    f"AS DOUBLE) - CAST(to_utc_timestamp({r_dt}, "
+                    f"{tzr_dt}) AS DOUBLE) AS INT)"
+                ] + alias_dt
+                changed_dt = True
+                continue
+            # DateTime('tz') ± interval/number: the reference adds to
+            # the INSTANT and re-renders the wall clock — plain wall
+            # arithmetic misses DST transitions (01698/01699 fall-back)
+            if (
+                tzl_dt != "'UTC'"
+                and not (
+                    rt_dt and _ch_unwrap(rt_dt).startswith(
+                        ("Date", "DateTime")
+                    )
+                )
+            ):
+                rhs_raw = seg_dt[pos_dt + 1 :]
+                is_interval = any(
+                    _kw(x) == "INTERVAL" for x in rhs_raw
+                ) or any(
+                    _kw(x).startswith("TOINTERVAL") for x in rhs_raw
+                )
+                if not is_interval and not (
+                    rt_dt and _ch_unwrap(rt_dt).startswith(("UInt", "Int"))
+                ):
+                    continue
+                l_dt = _emit(_translate_expr(seg_dt[:pos_dt]))
+                r_dt = _emit(_translate_expr(rhs_raw))
+                if not is_interval:
+                    r_dt = f"make_interval(0, 0, 0, 0, 0, 0, {r_dt})"
+                segs_dt[si_dt] = [
+                    f"from_utc_timestamp(to_utc_timestamp({l_dt}, "
+                    f"{tzl_dt}) {op_dt} {r_dt}, {tzl_dt})"
+                ] + alias_dt
+                changed_dt = True
+        if changed_dt:
+            toks = []
+            for si_dt, seg_dt in enumerate(segs_dt):
+                if si_dt:
+                    toks.append(",")
+                toks += seg_dt
     out: list[str] = []
     i = 0
     n = len(toks)
@@ -6907,6 +7104,18 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 out.append(tz9 if tz9 else "'UTC'")
                 i = close + 1
                 continue
+            # timezoneOffset(dt): UTC offset seconds at that instant
+            # (src/Functions/timezoneOffset.cpp).  Values are stored as
+            # the zone's WALL CLOCK, so offset = wall - true epoch
+            if t in ("timezoneOffset", "timeZoneOffset") and arg_parts:
+                tz9 = _dt_tz_of(arg_parts[0]) or "'UTC'"
+                out.append(
+                    f"CAST(CAST({args[0]} AS DOUBLE) - "
+                    f"CAST(to_utc_timestamp({args[0]}, {tz9}) AS DOUBLE) "
+                    f"AS INT)"
+                )
+                i = close + 1
+                continue
             # regex group extraction family: needs the CONST pattern at
             # translate time to count capture groups
             # (src/Functions/extractAllGroupsHorizontal.cpp, …Vertical.cpp,
@@ -7075,6 +7284,124 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                     )
                     + ")"
                 )
+                i = close + 1
+                continue
+            # byteSize(args...): sum of the arguments' in-memory widths,
+            # a translate-time constant for fixed-width types
+            # (src/Functions/byteSize.cpp)
+            if t == "byteSize":
+                _BS = {
+                    "UInt8": 1, "Int8": 1, "Bool": 1, "Enum8": 1,
+                    "UInt16": 2, "Int16": 2, "Date": 2, "Enum16": 2,
+                    "UInt32": 4, "Int32": 4, "Float32": 4,
+                    "DateTime": 4, "Decimal32": 4, "IPv4": 4,
+                    "UInt64": 8, "Int64": 8, "Float64": 8,
+                    "DateTime64": 8, "Decimal64": 8,
+                    "UUID": 16, "IPv6": 16,
+                    "Int128": 16, "UInt128": 16, "Decimal128": 16,
+                    "Int256": 32, "UInt256": 32, "Decimal256": 32,
+                }
+                tot8 = 0
+                ok8 = True
+                for ap8 in arg_parts:
+                    if not ap8:
+                        continue
+                    tb8 = _ch_type_of(
+                        ap8, _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+                    )
+                    tb8 = _ch_unwrap(tb8) if tb8 else None
+                    if tb8 is None:
+                        # unresolved arithmetic results are 8-byte
+                        # (UInt64/Int64/Float64) in every corpus shape
+                        tot8 += 8
+                        continue
+                    base8 = re.match(r"[A-Za-z0-9]+", tb8)
+                    sz8 = _BS.get(base8.group(0) if base8 else "")
+                    if sz8 is None:
+                        ok8 = False
+                        break
+                    tot8 += sz8
+                if ok8:
+                    out.append(str(tot8))
+                    i = close + 1
+                    continue
+                raise DialectError("byteSize: variable-width argument")
+            # multi-array enumerate family: sibling arrays must agree in
+            # size (reference error 190) — checkable for literals
+            if (
+                t in ("arrayEnumerateDense", "arrayEnumerateUniq")
+                and len(arg_parts) >= 2
+            ):
+                ars8 = []
+                for ap8 in arg_parts:
+                    if (
+                        ap8 and ap8[0] == "["
+                        and _match_bracket(ap8, 0) == len(ap8) - 1
+                    ):
+                        inner8 = ap8[1:-1]
+                        ars8.append(
+                            0 if not inner8
+                            else len(_split_top(inner8, ","))
+                        )
+                if len(set(ars8)) > 1:
+                    raise DialectError(f"{t}: array sizes differ")
+            # segmentLengthSum(start, end): total length of the union of
+            # intervals — sort, sweep, sum
+            # (AggregateFunctionSegmentLengthSum.h); Date args count in
+            # DAYS, DateTime in seconds, numerics as-is
+            if t == "segmentLengthSum" and len(args) == 2 and arg_parts:
+                ts8v = _ch_type_of(
+                    arg_parts[0], _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+                ) or ""
+                tu8 = _ch_unwrap(ts8v)
+                if tu8.startswith("DateTime"):
+                    def _sls_conv(e):
+                        return f"CAST(CAST({e} AS TIMESTAMP) AS DOUBLE)"
+                elif tu8.startswith("Date"):
+                    def _sls_conv(e):
+                        return (
+                            f"CAST(datediff(CAST({e} AS DATE), "
+                            f"DATE '1970-01-01') AS DOUBLE)"
+                        )
+                else:
+                    def _sls_conv(e):
+                        return f"CAST({e} AS DOUBLE)"
+                segs8 = (
+                    f"array_sort(collect_list(named_struct("
+                    f"'s', {_sls_conv(args[0])}, "
+                    f"'e', {_sls_conv(args[1])})))"
+                )
+                fold8 = (
+                    f"aggregate({segs8}, named_struct("
+                    f"'tot', CAST(0 AS DOUBLE), "
+                    f"'cs', CAST(NULL AS DOUBLE), "
+                    f"'ce', CAST(NULL AS DOUBLE)), (__sa, __sg) -> "
+                    f"IF(__sa.ce IS NULL, named_struct('tot', __sa.tot, "
+                    f"'cs', __sg.s, 'ce', __sg.e), "
+                    f"IF(__sg.s > __sa.ce, named_struct("
+                    f"'tot', __sa.tot + (__sa.ce - __sa.cs), "
+                    f"'cs', __sg.s, 'ce', __sg.e), "
+                    f"named_struct('tot', __sa.tot, 'cs', __sa.cs, "
+                    f"'ce', greatest(__sa.ce, __sg.e)))), "
+                    f"__sa -> __sa.tot + coalesce(__sa.ce - __sa.cs, 0D))"
+                )
+                if tu8.startswith("Float"):
+                    out.append(fold8)
+                else:
+                    out.append(f"CAST({fold8} AS BIGINT)")
+                i = close + 1
+                continue
+            # a literal-NULL first argument collapses a stat aggregate to
+            # NULL before arity checking in the reference (the Nothing
+            # type short-circuit) — 00808 passes STDDEV_SAMP(NULL, x)
+            if (
+                t.lower() in (
+                    "stddev_samp", "stddevsamp", "stddev_pop", "stddevpop",
+                    "var_samp", "varsamp", "var_pop", "varpop",
+                )
+                and len(args) >= 2 and args[0].strip().upper() == "NULL"
+            ):
+                out.append("CAST(NULL AS DOUBLE)")
                 i = close + 1
                 continue
             # keyless min/max over an empty NON-NULLABLE numeric set
@@ -7689,6 +8016,44 @@ def _dt_kind(tok: str) -> str | None:
         return "date"
     if tok.startswith(_TS_HEADS) or tok.endswith("AS TIMESTAMP)"):
         return "ts"
+    # parenthesized arithmetic: a `(ts ± interval/number)` chain keeps
+    # the leading operand's kind (01699: alias-inlined
+    # `toDateTime(...) + INTERVAL n SECOND` renders this way)
+    t = tok.strip()
+    changed = True
+    while changed:
+        changed = False
+        if t.startswith("(") and t.endswith(")"):
+            d = 0
+            whole = True
+            for k, ch in enumerate(t):
+                if ch == "(":
+                    d += 1
+                elif ch == ")":
+                    d -= 1
+                    if d == 0 and k != len(t) - 1:
+                        whole = False
+                        break
+            if whole:
+                t = t[1:-1].strip()
+                changed = True
+    if t != tok.strip():
+        k9 = _dt_kind(t)
+        if k9:
+            return k9
+    d = 0
+    in_s = False
+    for k, ch in enumerate(t):
+        if in_s:
+            in_s = ch != "'"
+        elif ch == "'":
+            in_s = True
+        elif ch == "(":
+            d += 1
+        elif ch == ")":
+            d -= 1
+        elif d == 0 and ch in "+-" and k > 0 and t[k - 1] == " ":
+            return _dt_kind(t[:k].strip())
     return None
 
 
@@ -10838,6 +11203,140 @@ def _semi_anti_both_sides_rewrite(q: "_Select") -> None:
 
 
 
+def _columns_matcher_fill(q: _Select) -> None:
+    """COLUMNS('re') matcher (src/Parsers/ASTColumnsMatcher + the
+    TranslateQualifiedNamesVisitor expansion): splice the FROM source's
+    columns whose name CONTAINS a regex match, as separate select items
+    / function arguments.  Empty overall select list is reference error
+    51; empty splice inside an argument list just drops its slot."""
+
+    def _has_columns(ts: list[str]) -> bool:
+        return any(
+            _kw(t) == "COLUMNS" and k + 1 < len(ts) and ts[k + 1] == "("
+            for k, t in enumerate(ts)
+        )
+
+    if not (_has_columns(q.select) or _has_columns(q.where)):
+        return
+    # column universe: either the single FROM item, or every join item
+    # in order with alias-qualified names (the reference expands the
+    # matcher over ALL joined sources, 01839)
+    qcols: list[tuple[str, str]] = []
+    f9 = list(q.from_ or [])
+    has_join9 = any(
+        _kw(t) == "JOIN" and _paren_depth_at(f9, k) == 0
+        for k, t in enumerate(f9)
+    )
+    if not has_join9:
+        src = f9
+        if len(src) >= 2 and _kw(src[-2]) == "AS" and _is_ident(src[-1]):
+            src = src[:-2]
+        cols = _from_item_cols(src)
+        if cols is None:
+            return
+        qcols = [(c, c) for c in cols]
+    else:
+        # split at depth-0 JOIN keywords; per item, strip join words,
+        # the ON tail, and pull a trailing alias
+        items9: list[list[str]] = [[]]
+        d9 = 0
+        for t in f9:
+            if t == "(":
+                d9 += 1
+            elif t == ")":
+                d9 -= 1
+            if d9 == 0 and _kw(t) == "JOIN":
+                items9.append([])
+                continue
+            items9[-1].append(t)
+        _JW9 = {"LEFT", "RIGHT", "FULL", "INNER", "OUTER", "CROSS",
+                "ANY", "ALL", "SEMI", "ANTI", "ASOF", "GLOBAL"}
+        for it9 in items9:
+            # drop trailing join-kind words and the ON condition
+            for k9, t9 in enumerate(it9):
+                if _paren_depth_at(it9, k9) == 0 and _kw(t9) == "ON":
+                    it9 = it9[:k9]
+                    break
+            while it9 and _kw(it9[-1]) in _JW9:
+                it9 = it9[:-1]
+            alias9 = ""
+            src9 = list(it9)
+            if len(src9) >= 2 and _kw(src9[-2]) == "AS" and _is_ident(src9[-1]):
+                alias9, src9 = src9[-1], src9[:-2]
+            elif (
+                len(src9) >= 2 and _is_ident(src9[-1])
+                and _kw(src9[-1]) not in _SQL_KEYWORDS
+                and (src9[-2] == ")" or (_is_ident(src9[-2]) and src9[-2] != "."))
+            ):
+                alias9, src9 = src9[-1], src9[:-1]
+            cs9 = _from_item_cols(src9)
+            if cs9 is None:
+                return
+            for c9 in cs9:
+                qcols.append(
+                    (f"{alias9}.{c9}" if alias9 else c9, c9)
+                )
+
+    _OPS9 = {"+", "-", "*", "/", "%", "=", "==", "!=", "<>", "<", ">",
+             "<=", ">=", "||"}
+
+    def _expand(ts: list[str]) -> list[str]:
+        out: list[str] = []
+        k = 0
+        n = len(ts)
+        while k < n:
+            if (
+                _kw(ts[k]) == "COLUMNS" and k + 1 < n and ts[k + 1] == "("
+            ):
+                close = _match_paren(ts, k + 1)
+                pat9 = _const_str_of_raw(ts[k + 2 : close])
+                if pat9 is None:
+                    raise DialectError(
+                        "COLUMNS: pattern must be a constant string"
+                    )
+                try:
+                    rx9 = re.compile(pat9)
+                except re.error:
+                    raise DialectError("COLUMNS: invalid regex")
+                matched9 = [qc for qc, bc in qcols if rx9.search(bc)]
+                # an OPERAND of a binary operator takes exactly one
+                # column — the reference rewrites `x + y` to plus(x, y)
+                # BEFORE splicing, so a multi-match is an arity error
+                operand9 = (out and out[-1] in _OPS9) or (
+                    close + 1 < n and ts[close + 1] in _OPS9
+                )
+                if operand9 and len(matched9) != 1:
+                    raise DialectError(
+                        "COLUMNS: wrong argument count for operator"
+                    )
+                for x9, c9 in enumerate(matched9):
+                    if x9:
+                        out.append(",")
+                    out += tokenize(c9)
+                k = close + 1
+                continue
+            out.append(ts[k])
+            k += 1
+        # comma hygiene where a zero-column splice left a dangling comma
+        clean: list[str] = []
+        for t9 in out:
+            if t9 == "," and (not clean or clean[-1] in ("(", ",")):
+                continue
+            if t9 == ")" and clean and clean[-1] == ",":
+                clean.pop()
+            clean.append(t9)
+        while clean and clean[-1] == ",":
+            clean.pop()
+        return clean
+
+    if _has_columns(q.select):
+        q.select = _expand(q.select)
+        if not [t for t in q.select if t.strip()]:
+            raise DialectError("COLUMNS: empty list of columns queried")
+    if _has_columns(q.where):
+        q.where = _expand(q.where)
+
+
 def _bare_star_fill(q: _Select) -> None:
     """``SELECT *`` over a LEFT/FULL USING join: expand the star so the
     right side's columns can carry the reference's type-default fill
@@ -11046,6 +11545,7 @@ def _translate_select_tokens(toks: list[str]) -> tuple[str, dict[str, str]]:
             if q.where else list(q.having)
         )
         q.having = []
+    _columns_matcher_fill(q)
     _bare_star_fill(q)
     _outer_join_default_fill(q)
     stash = _stream_order_join_rewrite(q)

@@ -320,6 +320,9 @@ class _Table:
     settings_raw: str = ""
     engine_raw: str = ""  # e.g. "MergeTree", "Memory", "Join(ANY, LEFT, k)"
     indices: list[str] = field(default_factory=list)  # rendered INDEX defs
+    #: CONSTRAINT CHECK expressions (raw dialect tokens), validated on
+    #: every INSERT block (src/Storages/ConstraintsDescription, err 469)
+    constraints: list[list[str]] = field(default_factory=list)
     as_tf_raw: str = ""  # CREATE TABLE t AS numbers(5)
     view_select_raw: str = ""  # CREATE VIEW body, canonical
 
@@ -504,13 +507,21 @@ class ScriptRunner:
         from daisy_spark.plans.dialect import _SCRIPT_CHTYPES_CTX
 
         chtypes = {}
-        for t in self.tables.values():
+        chtypes_by_table: dict = {}
+        for name, t in self.tables.items():
+            per = {}
             for c in t.cols:
                 if c.ch_type and not c.ch_type.islower():
                     # declared reference type (skip raw Spark fallbacks,
                     # which are all-lowercase simpleStrings)
-                    chtypes[c.name] = ch_type_canon(c.ch_type)
+                    per[c.name] = ch_type_canon(c.ch_type)
+            chtypes.update(per)
+            if per:
+                chtypes_by_table[name] = per
         token8 = _SCRIPT_CHTYPES_CTX.set(chtypes)
+        from daisy_spark.plans.dialect import _SCRIPT_CHTYPES_BY_TABLE_CTX
+
+        token8b = _SCRIPT_CHTYPES_BY_TABLE_CTX.set(chtypes_by_table)
         from daisy_spark.plans.dialect import _AGG_COLS_CTX
         agg_cols: dict = {}
         for t in self.tables.values():
@@ -535,6 +546,7 @@ class ScriptRunner:
             return self._execute(stmt)
         finally:
             _AGG_COLS_CTX.reset(token7)
+            _SCRIPT_CHTYPES_BY_TABLE_CTX.reset(token8b)
             _SCRIPT_CHTYPES_CTX.reset(token8)
             _SCRIPT_SCHEMAS_CTX.reset(token2)
             _STORAGE_JOIN_CTX.reset(token)
@@ -919,9 +931,11 @@ class ScriptRunner:
             self._drop_views(name)
         cols: list[_Col] = []
         indices_raw: list[str] = []
+        constraints_raw: list[list[str]] = []
         if i < len(toks) and toks[i] == "(":
             close = _match_paren(toks, i)
             cols = self._parse_coldefs(toks[i + 1 : close])
+            constraints_raw = list(getattr(self, "_last_constraints", []))
             self._infer_untyped(cols)
             indices_raw = _render_index_defs(toks[i + 1 : close])
             i = close + 1
@@ -1127,6 +1141,7 @@ class ScriptRunner:
             merge_pattern=merge_pattern,
         )
         t.engine_raw = engine_raw or "Memory"
+        t.constraints = constraints_raw
         t.order_by_raw = order_by_raw
         t.partition_by_raw = partition_by_raw
         t.ttl_raw = ttl_raw
@@ -2064,11 +2079,23 @@ class ScriptRunner:
         from daisy_spark.plans.dialect import _TYPE_ENV_CTX
 
         cols = []
+        # CONSTRAINT name CHECK expr — collected for INSERT-time
+        # validation (reference error 469, ConstraintsDescription);
+        # caller picks them off _last_constraints
+        self._last_constraints: list[list[str]] = []
         env: dict[str, str] = {}  # earlier columns, for DEFAULT typing
         for part in _split_top(toks, ","):
             if not part:
                 continue
             head = _kw(part[0])
+            if head == "CONSTRAINT":
+                kx = next(
+                    (k for k, tk in enumerate(part) if _kw(tk) == "CHECK"),
+                    -1,
+                )
+                if kx > 0:
+                    self._last_constraints.append(part[kx + 1 :])
+                continue
             if head in ("INDEX", "CONSTRAINT", "PROJECTION"):
                 continue  # storage-side metadata: no query semantics
             if head in ("PRIMARY",):
@@ -2343,6 +2370,16 @@ class ScriptRunner:
             batch = self._fill_defaults(t, src.select(*sel), target_cols)
         else:
             raise DialectError("INSERT requires VALUES or SELECT")
+        for cexpr in t.constraints:
+            from daisy_spark.plans.dialect import _translate_expr
+
+            csql = _emit(_translate_expr(list(cexpr)))
+            if batch.filter(
+                ~F.coalesce(F.expr(csql).cast("boolean"), F.lit(False))
+            ).limit(1).count() > 0:
+                raise DialectError(
+                    f"Constraint violated on INSERT into {name}"
+                )
         if t.spec.engine != "Null":
             batch = self._sorted_batch(t, batch)
             t.df = batch if t.df is None else t.df.unionByName(batch)
