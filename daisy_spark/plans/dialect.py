@@ -374,7 +374,7 @@ _FMT_MAP = {
     "%S": "ss", "%F": "yyyy-MM-dd", "%T": "HH:mm:ss", "%R": "HH:mm",
     "%D": "MM/dd/yy", "%e": "d", "%y": "yy", "%j": "DDD",
     "%a": "EEE", "%b": "MMM", "%G": "YYYY", "%V": "ww",
-    "%p": "a", "%I": "hh", "%%": "%",
+    "%p": "a", "%I": "hh", "%Q": "Q", "%%": "%",
 }
 
 
@@ -3489,7 +3489,20 @@ FUNC_MAP: dict[str, object] = {
     "toFixedString": "rpad(CAST({0} AS STRING), {1}, chr(0))",
     "toLowCardinality": "{0}", "identity": "{0}",
     "ignore": lambda a: "0",
-    "sleep": lambda a: "0", "sleepEachRow": lambda a: "0",
+    # sleep caps at 3 seconds (FunctionsMiscellaneous sleep: TOO_SLOW
+    # error 160 beyond it); the wait itself is a no-op here
+    "sleep": lambda a: (
+        _raise_dialect("sleep: too long")
+        if re.fullmatch(r"[0-9.]+[DF]?", a[0].strip().strip("()"))
+        and float(a[0].strip().strip("()").rstrip("DF")) > 3.0
+        else "0"
+    ),
+    "sleepEachRow": lambda a: (
+        _raise_dialect("sleepEachRow: too long")
+        if re.fullmatch(r"[0-9.]+[DF]?", a[0].strip().strip("()"))
+        and float(a[0].strip().strip("()").rstrip("DF")) > 3.0
+        else "0"
+    ),
     "arrayWithConstant": "array_repeat({1}, CAST({0} AS INT))",
     # exists+equality instead of array_contains/overlap: comparison
     # coercion reconciles struct element types (Int32 vs Int64 fields)
@@ -3497,9 +3510,29 @@ FUNC_MAP: dict[str, object] = {
     "hasAny": "exists({1}, __ha -> exists({0}, __hb -> __hb = __ha))",
     "hasAll": "forall({1}, __ha -> exists({0}, __hb -> __hb = __ha))",
     # occurrence number of each element among its equals (first=1, ...)
-    "arrayEnumerateUniq": (
-        "transform({0}, (x, i) -> "
-        "CAST(1 + size(filter(slice({0}, 1, i), y -> y <=> x)) AS INT))"
+    # multi-arg form enumerates by the TUPLE of per-position elements
+    # (src/Functions/array/arrayEnumerateUniq: 128-bit key path, 01677)
+    "arrayEnumerateUniq": lambda a: (
+        (
+            "transform({0}, (x, i) -> "
+            "CAST(1 + size(filter(slice({0}, 1, i), y -> y <=> x)) "
+            "AS INT))"
+        ).format(a[0])
+        if len(a) == 1
+        else (
+            lambda z: (
+                f"transform({z}, (x, i) -> "
+                f"CAST(1 + size(filter(slice({z}, 1, i), "
+                f"y -> y <=> x)) AS INT))"
+            )
+        )(
+            "transform(sequence(1, size(" + a[0] + ")), __zi -> struct("
+            + ", ".join(
+                f"element_at({ak}, CAST(__zi AS INT)) AS f{kk}"
+                for kk, ak in enumerate(a)
+            )
+            + "))"
+        )
     ),
     # arrayReduce('agg', arr...) for the common aggregate names
     "arrayReduce": lambda a: (
@@ -11545,6 +11578,39 @@ def _translate_select_tokens(toks: list[str]) -> tuple[str, dict[str, str]]:
             if q.where else list(q.having)
         )
         q.having = []
+    # SET join_default_strictness = '' demands an explicit ANY/ALL on
+    # bare joins (reference error 417, old-analyzer behavior)
+    if str((_SETTINGS_CTX.get() or {}).get(
+        "join_default_strictness", "ALL"
+    )).strip("'\" ") == "":
+        f0 = q.from_ or []
+        for k0, t0 in enumerate(f0):
+            if _kw(t0) == "JOIN" and _paren_depth_at(f0, k0) == 0:
+                words0 = {
+                    _kw(x) for x in f0[max(0, k0 - 3) : k0]
+                }
+                if not words0 & {
+                    "ANY", "ALL", "ASOF", "SEMI", "ANTI", "CROSS",
+                }:
+                    raise DialectError(
+                        "JOIN strictness required "
+                        "(join_default_strictness is empty)"
+                    )
+    # no-FROM star forms: `SELECT *` is the system.one dummy row (one
+    # UInt8 0); a QUALIFIED star without a FROM is reference error 47
+    if not q.from_:
+        d_st = 0
+        for k_st, t_st in enumerate(q.select):
+            if t_st in ("(", "["):
+                d_st += 1
+            elif t_st in (")", "]"):
+                d_st -= 1
+            elif d_st == 0 and t_st == "*" and k_st > 0 and (
+                q.select[k_st - 1] == "."
+            ):
+                raise DialectError("qualified star without FROM")
+        if [t for t in q.select if t.strip()] == ["*"]:
+            q.select = ["0"]
     _columns_matcher_fill(q)
     _bare_star_fill(q)
     _outer_join_default_fill(q)

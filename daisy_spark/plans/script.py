@@ -685,11 +685,27 @@ class ScriptRunner:
                     | set(self.dictionaries)
                 )
                 j += 1
+                if j + 1 < len(toks) and _kw(toks[j]) in ("FROM", "IN"):
+                    j += 2  # db namespaces flatten; nothing to filter
                 if j + 1 < len(toks) and _kw(toks[j]) == "LIKE":
                     import fnmatch
 
                     pat = toks[j + 1].strip("'").replace("%", "*")
                     names = [x for x in names if fnmatch.fnmatch(x, pat)]
+                    j += 2
+                if j < len(toks) and _kw(toks[j]) == "LIMIT":
+                    lim_txt = _emit(toks[j + 1 :])
+                    try:
+                        lim = int(eval(  # noqa: S307 - digits/ops only
+                            lim_txt
+                        )) if re.fullmatch(
+                            r"[0-9+\-*/() ]+", lim_txt
+                        ) else None
+                    except Exception:  # noqa: BLE001
+                        lim = None
+                    if lim is None:
+                        raise DialectError("SHOW TABLES LIMIT: not const")
+                    names = names[:lim]
                 return self.spark.createDataFrame(
                     [(x,) for x in names], "name STRING"
                 )
