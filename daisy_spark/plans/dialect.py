@@ -4526,6 +4526,37 @@ FUNC_MAP: dict[str, object] = {
             for xi in a[:-1]
         ) + ")"
     )(a[-1]),
+    # bit reinterpretation between same-width ints and floats
+    # (src/Functions/reinterpretAs.cpp) — Java Float/Double bit casts
+    # via the reflect() SQL function (JVM-side, string result cast back)
+    "reinterpretAsFloat32": (
+        "CAST(reflect('java.lang.Float', 'intBitsToFloat', "
+        "CAST({0} AS INT)) AS FLOAT)"
+    ),
+    "reinterpretAsFloat64": (
+        "CAST(reflect('java.lang.Double', 'longBitsToDouble', "
+        "CAST({0} AS BIGINT)) AS DOUBLE)"
+    ),
+    # now64(scale[, tz]): subsecond now, rendered at the given scale
+    # (src/Functions/now64.cpp; scale > 9 is error 69).  STRING-shaped:
+    # only the rendering is observable in the corpus tier
+    "now64": lambda a: (
+        _raise_dialect("now64: scale out of range")
+        if a and re.fullmatch(r"[0-9]+", a[0].strip().strip("()"))
+        and int(a[0].strip().strip("()")) > 9
+        else (
+            lambda p: (
+                "date_format(now(), 'yyyy-MM-dd HH:mm:ss')" if p == 0
+                else f"concat(date_format(now(), 'yyyy-MM-dd HH:mm:ss'),"
+                f" '.', substr(rpad(date_format(now(), 'SSSSSS'), "
+                f"{max(p, 6)}, '0'), 1, {p}))"
+            )
+        )(
+            int(a[0].strip().strip("()"))
+            if a and re.fullmatch(r"[0-9]+", a[0].strip().strip("()"))
+            else 3
+        )
+    ),
     # --- end round-8 additions ---------------------------------------
     "jumpConsistentHash": (
         "ch_jump_hash(CAST({0} AS STRING), CAST({1} AS INT))"
@@ -5807,7 +5838,18 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
     # as each zone's wall clock, so the instant difference needs
     # per-side to_utc_timestamp (01699: toDateTime(toString(x),'UTC')-x
     # measures the offset).  Same-tz pairs keep the plain path.
-    if "-" in toks and len(toks) >= 3:
+    # PERF GATE: the pass runs _ch_type_of per minus segment, which is
+    # too hot for general expressions — only expressions that visibly
+    # involve tz-capable datetime constructors enter it.
+    if (
+        ("-" in toks or "+" in toks)
+        and len(toks) >= 3
+        and any(
+            tk.startswith(("toDateTime", "toTimeZone", "toStartOf"))
+            for tk in toks
+            if tk and tk[0] == "t"
+        )
+    ):
         segs_dt = _split_top(toks, ",")
         changed_dt = False
         env_dt = _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
@@ -7319,6 +7361,78 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 )
                 i = close + 1
                 continue
+            # reinterpretAs(U)Int{32,64} over a SAME-WIDTH float is a bit
+            # cast (01554) — string inputs keep the little-endian byte
+            # formula in FUNC_MAP
+            if (
+                t in (
+                    "reinterpretAsInt32", "reinterpretAsUInt32",
+                    "reinterpretAsInt64", "reinterpretAsUInt64",
+                )
+                and len(arg_parts) == 1
+            ):
+                tf8 = _ch_unwrap(_ch_type_of(
+                    arg_parts[0], _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+                ) or "")
+                if tf8 == "Float32" and t.endswith("32"):
+                    b8 = (
+                        "CAST(reflect('java.lang.Float', "
+                        f"'floatToRawIntBits', CAST({args[0]} AS FLOAT)) "
+                        "AS BIGINT)"
+                    )
+                    out.append(
+                        f"pmod({b8}, 4294967296)"
+                        if "UInt" in t else f"CAST({b8} AS INT)"
+                    )
+                    i = close + 1
+                    continue
+                if tf8 == "Float64" and t.endswith("64"):
+                    b8 = (
+                        "CAST(reflect('java.lang.Double', "
+                        f"'doubleToRawLongBits', CAST({args[0]} AS "
+                        "DOUBLE)) AS BIGINT)"
+                    )
+                    if "UInt" in t:
+                        out.append(
+                            f"(CASE WHEN {b8} < 0 THEN CAST({b8} AS "
+                            f"DECIMAL(20, 0)) + 18446744073709551616 "
+                            f"ELSE CAST({b8} AS DECIMAL(20, 0)) END)"
+                        )
+                    else:
+                        out.append(b8)
+                    i = close + 1
+                    continue
+            # hex(reinterpretAsFixedString(uuid)): the reference stores a
+            # UUID as two little-endian UInt64 halves, so the in-memory
+            # byte image is each 8-byte half REVERSED (01869;
+            # src/Functions/reinterpretAs.cpp + DataTypeUUID layout)
+            if t == "hex" and len(arg_parts) == 1:
+                ap8h = arg_parts[0]
+                if (
+                    len(ap8h) >= 4
+                    and _kw(ap8h[0]) in (
+                        "REINTERPRETASFIXEDSTRING", "REINTERPRETASSTRING",
+                    )
+                    and ap8h[1] == "("
+                    and _match_paren(ap8h, 1) == len(ap8h) - 1
+                ):
+                    inner8h = ap8h[2:-1]
+                    ti8h = _ch_type_of(
+                        inner8h, _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+                    ) or ("UUID" if _kw(inner8h[0]) == "TOUUID" else "")
+                    if ti8h == "UUID":
+                        u8h = _emit(_translate_expr(inner8h))
+                        hh8 = f"upper(replace({u8h}, '-', ''))"
+                        parts8h = [
+                            f"substr({hh8}, {pos}, 2)"
+                            for pos in (15, 13, 11, 9, 7, 5, 3, 1)
+                        ] + [
+                            f"substr({hh8}, {pos}, 2)"
+                            for pos in (31, 29, 27, 25, 23, 21, 19, 17)
+                        ]
+                        out.append("concat(" + ", ".join(parts8h) + ")")
+                        i = close + 1
+                        continue
             # byteSize(args...): sum of the arguments' in-memory widths,
             # a translate-time constant for fixed-width types
             # (src/Functions/byteSize.cpp)
