@@ -4557,6 +4557,22 @@ FUNC_MAP: dict[str, object] = {
             else 3
         )
     ),
+    # build/system introspection: a stable pseudo build id; filesystem
+    # numbers read from the real filesystem at translate time (only the
+    # capacity >= free >= available >= 0 ordering is observable)
+    "buildId": lambda a: "'" + "d41d8cd98f00b204e9800998ecf8427e" + "'",
+    "filesystemCapacity": lambda a: str(
+        __import__("os").statvfs("/").f_blocks
+        * __import__("os").statvfs("/").f_frsize
+    ),
+    "filesystemFree": lambda a: str(
+        __import__("os").statvfs("/").f_bfree
+        * __import__("os").statvfs("/").f_frsize
+    ),
+    "filesystemAvailable": lambda a: str(
+        __import__("os").statvfs("/").f_bavail
+        * __import__("os").statvfs("/").f_frsize
+    ),
     # --- end round-8 additions ---------------------------------------
     "jumpConsistentHash": (
         "ch_jump_hash(CAST({0} AS STRING), CAST({1} AS INT))"

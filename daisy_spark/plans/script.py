@@ -618,6 +618,53 @@ class ScriptRunner:
                         out_t.append(tk)
                 toks = out_t
                 stmt = _emit(toks)
+            # `_part` / `_part_index` virtual columns
+            # (MergeTreeData.cpp:4826-4827) live on the companion
+            # __vparts view — route table references there when the
+            # statement names a virtual
+            if any(tk in ("_part", "_part_index") for tk in toks):
+                out_v: list[str] = []
+                routed_v: list[str] = []
+                for j3, tk in enumerate(toks):
+                    if (
+                        tk.strip('`"') in self.tables
+                        and j3 > 0
+                        and _kw(toks[j3 - 1]) in ("FROM", "JOIN", ",")
+                        and self.spark.catalog.tableExists(
+                            tk.strip('`"') + "__vparts"
+                        )
+                    ):
+                        nm_v = tk.strip('`"')
+                        nxt_v = toks[j3 + 1] if j3 + 1 < len(toks) else ""
+                        has_alias_v = _kw(nxt_v) == "AS" or (
+                            nxt_v and nxt_v[0].isalpha()
+                            and _kw(nxt_v) not in _SQL_KEYWORDS
+                        )
+                        out_v.append(nm_v + "__vparts")
+                        routed_v.append(nm_v)
+                        if not has_alias_v:
+                            out_v += ["AS", nm_v]
+                        continue
+                    out_v.append(tk)
+                toks = out_v
+                # a bare * must not expand the virtuals the companion
+                # view carries — expand to the declared columns
+                if len(routed_v) == 1 and "*" in toks:
+                    t_v = self.tables[routed_v[0]]
+                    out_s: list[str] = []
+                    for j3, tk in enumerate(toks):
+                        prev_v = _kw(toks[j3 - 1]) if j3 else "SELECT"
+                        if tk == "*" and prev_v in (
+                            "SELECT", "DISTINCT", ",",
+                        ):
+                            out_s += tokenize(", ".join(
+                                f"`{c.name}`" for c in t_v.cols
+                                if not c.hidden
+                            ))
+                        else:
+                            out_s.append(tk)
+                    toks = out_s
+                stmt = _emit(toks)
             return self._split_totals(
                 dialect_sql(self.spark, self._rewrite_star(toks, stmt))
             )
@@ -772,6 +819,8 @@ class ScriptRunner:
         qual = "" if temp else "default."
         defs = []
         for c in t.cols:
+            if c.default_kind == "VIRTUAL":
+                continue
             d = f"`{c.name}` {ch_type_canon(c.ch_type or c.spark_type)}"
             if c.default_raw:
                 d += f" {c.default_kind} {c.default_raw}"
@@ -880,6 +929,13 @@ class ScriptRunner:
 
     def _register(self, t: _Table) -> None:
         df = t.df if t.df is not None else self._empty_df(t)
+        # the `_part`/`_part_index` virtuals must not leak into
+        # SELECT * — the main view drops them; queries that NAME them
+        # are routed to the companion __vparts view (execute())
+        vparts = None
+        if "_part" in df.columns:
+            vparts = df
+            df = df.drop("_part", "_part_index")
         try:
             final = read_final(df, t.spec)
         except Exception:  # noqa: BLE001 - exotic keys: FINAL view = raw
@@ -887,6 +943,8 @@ class ScriptRunner:
         for name in [t.name, *t.aka]:
             df.createOrReplaceTempView(name)
             final.createOrReplaceTempView(name + "__final")
+            if vparts is not None:
+                vparts.createOrReplaceTempView(name + "__vparts")
 
     def _drop_views(self, name: str) -> None:
         for v in (name, name + "__final"):
@@ -1250,6 +1308,10 @@ class ScriptRunner:
                     for f in src.schema.fields
                 ]
             t.df = self._sorted_batch(t, src)
+        if t.df is not None:
+            # CREATE ... AS SELECT materializes one initial part; the
+            # `_part` virtuals ride a companion view (see _register)
+            t.df = self._record_parts(t, t.df)
         self.tables[name] = t
         self._register(t)
         if join_keys:
@@ -2397,10 +2459,12 @@ class ScriptRunner:
                     f"Constraint violated on INSERT into {name}"
                 )
         if t.spec.engine != "Null":
-            batch = self._sorted_batch(t, batch)
-            t.df = batch if t.df is None else t.df.unionByName(batch)
+            sb = self._sorted_batch(t, batch)
+            sb = self._record_parts(t, sb)
+            t.df = sb if t.df is None else t.df.unionByName(
+                sb, allowMissingColumns=True
+            )
             self._register(t)
-            self._record_parts(t, batch)
         # materialized views fire per inserted block — also for Null
         # sources, whose own data is discarded
         for mv_name, mv in list(self.mat_views.items()):
@@ -2571,10 +2635,13 @@ class ScriptRunner:
             self._register(self.tables[name])
         return None
 
-    def _record_parts(self, t: _Table, batch: DataFrame) -> None:
+    def _record_parts(self, t: _Table, batch: DataFrame) -> DataFrame:
         """One part per (insert, touched partition), reference naming
         {partition_id}_{min_block}_{max_block}_{level} (MergeTreeData
         part naming).  Unpartitioned tables use partition id 'all'.
+        When the table carries the `_part`/`_part_index` virtual columns
+        (MergeTreeData.cpp:4826-4827), the batch comes back TAGGED with
+        each row's part name and block ordinal.
 
         Gate on the ORIGINAL declared engine (engine_raw), not
         spec.engine: Memory/Log/Set are remapped to spec.engine
@@ -2582,11 +2649,13 @@ class ScriptRunner:
         specialized engines carry full names ('ReplacingMergeTree')."""
         raw_head = (t.engine_raw or "").split("(", 1)[0].strip()
         if not raw_head.endswith("MergeTree"):
-            return
+            return batch
         pb = (t.partition_by or "").strip()
         if not pb or pb.replace(" ", "") in ("tuple()", "()"):
             pids = ["all"]
+            pid_expr = "'all'"
         else:
+            pid_expr = f"coalesce(CAST(({pb}) AS STRING), 'all')"
             try:
                 pids = sorted(
                     "all" if r[0] is None else r[0]
@@ -2596,31 +2665,55 @@ class ScriptRunner:
                 )
             except Exception:  # noqa: BLE001
                 pids = ["all"]
+                pid_expr = "'all'"
+        assigned: dict[str, tuple[str, int]] = {}
         for pid in pids:
             b = t.next_block
             t.next_block += 1
             t.parts.append((pid, b, b, 0))
+            assigned[pid] = (f"{pid}_{b}_{b}_0", b)
+        if True:  # virtuals ride every MergeTree table's companion view
+            name_case = "CASE " + " ".join(
+                f"WHEN {pid_expr} = '{pid}' THEN '{nm}'"
+                for pid, (nm, _) in assigned.items()
+            ) + " ELSE 'all_0_0_0' END"
+            idx_case = "CASE " + " ".join(
+                f"WHEN {pid_expr} = '{pid}' THEN CAST({b} AS BIGINT)"
+                for pid, (_, b) in assigned.items()
+            ) + " ELSE CAST(0 AS BIGINT) END"
+            batch = batch.withColumn("_part", F.expr(name_case)).withColumn(
+                "_part_index", F.expr(idx_case)
+            )
+        return batch
 
     @staticmethod
-    def _merge_parts(t: _Table, pid_filter: str | None) -> None:
+    def _merge_parts(t: _Table, pid_filter: str | None) -> dict[str, str]:
         """OPTIMIZE semantics on the part registry: each partition with
         more than one part merges to (min, max, max_level + 1); single
-        parts stay as they are (the reference rewrites nothing)."""
+        parts stay as they are (the reference rewrites nothing).
+        Returns the old-part-name -> new-part-name mapping so the
+        `_part` virtual column can be retagged."""
         by_pid: dict[str, list[tuple[str, int, int, int]]] = {}
         for p in t.parts:
             by_pid.setdefault(p[0], []).append(p)
         out: list[tuple[str, int, int, int]] = []
+        renames: dict[str, str] = {}
         for pid, ps in by_pid.items():
             if (pid_filter is None or pid == pid_filter) and len(ps) > 1:
-                out.append((
+                merged = (
                     pid,
                     min(x[1] for x in ps),
                     max(x[2] for x in ps),
                     max(x[3] for x in ps) + 1,
-                ))
+                )
+                out.append(merged)
+                new_nm = f"{pid}_{merged[1]}_{merged[2]}_{merged[3]}"
+                for x in ps:
+                    renames[f"{pid}_{x[1]}_{x[2]}_{x[3]}"] = new_nm
             else:
                 out.extend(ps)
         t.parts = sorted(out, key=lambda p: (p[0], p[1]))
+        return renames
 
     def _optimize(self, toks: list[str]) -> None:
         i = 1
@@ -2636,7 +2729,12 @@ class ScriptRunner:
             if _kw(toks[j]) == "PARTITION":
                 pid_filter = toks[j + 1].strip("'`\"")
                 break
-        self._merge_parts(t, pid_filter)
+        renames = self._merge_parts(t, pid_filter)
+        if renames and t.df is not None and "_part" in t.df.columns:
+            case8 = "CASE _part " + " ".join(
+                f"WHEN '{o}' THEN '{n}'" for o, n in renames.items()
+            ) + " ELSE _part END"
+            t.df = t.df.withColumn("_part", F.expr(case8))
         if t.df is not None:
             df = read_final(t.df, t.spec)
             if "DEDUPLICATE" in rest:
@@ -2658,6 +2756,7 @@ class ScriptRunner:
              c.default_kind if c.default else "",
              c.default_raw or "", "", "", c.ttl_raw)
             for c in t.cols
+            if c.default_kind != "VIRTUAL"
         ]
         return self.spark.createDataFrame(
             rows,
