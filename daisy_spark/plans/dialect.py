@@ -8699,6 +8699,16 @@ def _parse_select(toks: list[str]) -> _Select:
                     rf"(?<![\w.`'\"]){re.escape(k9)}(?![\w('])", v9, v8
                 )
                 if nv != v8:
+                    # chained self-referencing aliases double per hop —
+                    # the reference caps expansion (error 168,
+                    # max_expanded_ast_elements; 00988 expects the
+                    # rejection, and without it translation alone takes
+                    # minutes on 2^26-token texts)
+                    if len(nv) > 1_000_000:
+                        raise DialectError(
+                            "alias expansion is too large "
+                            "(max_expanded_ast_elements)"
+                        )
                     alias_subs[k8] = v8 = nv
                     changed_subs = True
         if not changed_subs:
