@@ -2213,10 +2213,21 @@ def _ch_type_of(toks: list[str], env: dict[str, str]) -> str | None:
             return _ch_type_of(parts[0], env) if parts else None
         # timezone-carrying DateTime constructors: the tz rides in the
         # type (DataTypeDateTime(timezone)) and marks the value shifted
-        if head in (
-            "NOW", "TODATETIME", "TOTIMEZONE", "TOSTARTOFHOUR",
-            "TOSTARTOFDAY", "TOSTARTOFMINUTE",
-        ) and parts and parts[-1] and parts[-1][0].startswith("'"):
+        if (
+            head in (
+                "NOW", "TODATETIME", "TOTIMEZONE", "TOSTARTOFHOUR",
+                "TOSTARTOFDAY", "TOSTARTOFMINUTE",
+            )
+            and parts and parts[-1] and parts[-1][0].startswith("'")
+            # the tz is the SECOND+ argument (or now's only one), and
+            # must look like a zone id — toDateTime('2020-06-01') has a
+            # datetime STRING first arg, not a timezone (01418)
+            and (len(parts) >= 2 or head == "NOW")
+            and re.fullmatch(
+                r"'(?:[A-Za-z_]+(?:/[A-Za-z0-9_+\-]+)*|UTC[+-]?\d*)'",
+                parts[-1][0],
+            )
+        ):
             return f"DateTime({parts[-1][0]})"
         if head in _FN_TYPE_NAMES:
             return _FN_TYPE_NAMES[head]

@@ -2729,17 +2729,40 @@ class ScriptRunner:
             if _kw(toks[j]) == "PARTITION":
                 pid_filter = toks[j + 1].strip("'`\"")
                 break
-        renames = self._merge_parts(t, pid_filter)
-        if renames and t.df is not None and "_part" in t.df.columns:
-            case8 = "CASE _part " + " ".join(
-                f"WHEN '{o}' THEN '{n}'" for o, n in renames.items()
-            ) + " ELSE _part END"
-            t.df = t.df.withColumn("_part", F.expr(case8))
+        self._merge_parts(t, pid_filter)
         if t.df is not None:
-            df = read_final(t.df, t.spec)
+            # the _part/_part_index virtuals must not enter the merge
+            # (Summing would treat them as groupers/values) — strip,
+            # merge, then retag rows from the post-merge part registry
+            vcols = [
+                c for c in ("_part", "_part_index") if c in t.df.columns
+            ]
+            base = t.df.drop(*vcols) if vcols else t.df
+            df = read_final(base, t.spec)
             if "DEDUPLICATE" in rest:
                 df = df.dropDuplicates()
             t.df = self._sorted_batch(t, df)
+            if vcols and t.parts:
+                by_pid: dict[str, tuple[str, int]] = {}
+                for pid9, b1, b2, lv in t.parts:
+                    if pid9 not in by_pid:
+                        by_pid[pid9] = (f"{pid9}_{b1}_{b2}_{lv}", b1)
+                pb9 = (t.partition_by or "").strip()
+                if not pb9 or pb9.replace(" ", "") in ("tuple()", "()"):
+                    pid_expr9 = "'all'"
+                else:
+                    pid_expr9 = f"coalesce(CAST(({pb9}) AS STRING), 'all')"
+                nm9 = "CASE " + " ".join(
+                    f"WHEN {pid_expr9} = '{p9}' THEN '{nm}'"
+                    for p9, (nm, _) in by_pid.items()
+                ) + " ELSE 'all_0_0_0' END"
+                ix9 = "CASE " + " ".join(
+                    f"WHEN {pid_expr9} = '{p9}' THEN CAST({b} AS BIGINT)"
+                    for p9, (_, b) in by_pid.items()
+                ) + " ELSE CAST(0 AS BIGINT) END"
+                t.df = t.df.withColumn("_part", F.expr(nm9)).withColumn(
+                    "_part_index", F.expr(ix9)
+                )
             self._register(t)
         return None
 
