@@ -4440,6 +4440,14 @@ FUNC_MAP: dict[str, object] = {
     ),
     "decodeXMLComponent": "ch_decode_xml({0})",
     "netloc": _netloc_expr,
+    # domainWithoutWWW(): URL host (getURLHost — requires a dotted
+    # host) with one leading www. stripped (src/Functions/URL/domain.h)
+    "domainWithoutWWW": (
+        "regexp_replace(regexp_extract(regexp_replace({0}, "
+        "'^([A-Za-z][A-Za-z0-9+.-]*:)?//', ''), "
+        "'^(?:[^/?#@]*@)?([A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)+)', 1), "
+        "'^www\\.', '')"
+    ),
     "port": _port_expr,
     "errorCodeToName": _error_code_to_name_expr,
     # throwIf(cond[, message]): per-row error when cond is true, else 0

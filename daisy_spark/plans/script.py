@@ -2451,10 +2451,18 @@ class ScriptRunner:
         for cexpr in t.constraints:
             from daisy_spark.plans.dialect import _translate_expr
 
-            csql = _emit(_translate_expr(list(cexpr)))
-            if batch.filter(
-                ~F.coalesce(F.expr(csql).cast("boolean"), F.lit(False))
-            ).limit(1).count() > 0:
+            try:
+                csql = _emit(_translate_expr(list(cexpr)))
+                bad = batch.filter(
+                    ~F.coalesce(F.expr(csql).cast("boolean"), F.lit(False))
+                ).limit(1).count()
+            except DialectError:
+                raise
+            except Exception:  # noqa: BLE001
+                # a constraint whose expression this engine cannot
+                # evaluate is not enforced (pre-round-8 behavior)
+                continue
+            if bad > 0:
                 raise DialectError(
                     f"Constraint violated on INSERT into {name}"
                 )
