@@ -28,6 +28,9 @@ def spark():
         # ~1000 distinct generated statements — 8g OOMed at the END of
         # the full suite (r7/r8 heap dumps: [J/[B spikes + ATNConfig)
         .config("spark.driver.memory", "20g")
+        # ANTLR full-context prediction on large generated statements
+        # needs more than the 1m default thread stack
+        .config("spark.driver.extraJavaOptions", "-Xss32m")
         # bound retained per-execution state (plan strings of generated
         # queries are large); UI is off, these only feed the status store
         .config("spark.sql.ui.retainedExecutions", "50")
