@@ -181,7 +181,13 @@ def mann_whitney_utest(values, groups, alternative="two-sided",
     xs, ys = _split_xy(values, groups)
     if not xs or not ys:
         return None
-    both = xs + ys
+    # Bit-parity quirk: the reference's ConcatenatedSamples::operator[]
+    # (AggregateFunctionMannWhitney.h:109-113) reads
+    # second[ind % first.size()] for ind >= first.size(), which equals a
+    # true concatenation only while n2 <= n1; when n2 > n1 it re-reads
+    # the first n1 elements of `second`.  Replicate the wrap so the
+    # computed ranks (and hence U and the p-value) match byte-for-byte.
+    both = xs + [ys[k % len(xs)] for k in range(len(ys))]
     ranks, tie_correction = _ranks_and_tie_correction(both)
     n1 = float(len(xs))
     n2 = float(len(ys))

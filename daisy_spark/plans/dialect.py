@@ -3283,10 +3283,14 @@ def _port_expr(a: list[str]) -> str:
     limitation in 01284_port)."""
     if len(a) > 2:
         raise DialectError("port: wrong number of arguments")
-    # the default must arrive as an explicit UInt16 (error 43 for a
-    # bare integer literal, whose inferred type is UInt8)
+    # the default must arrive typed UInt16 (error 43 otherwise).  A bare
+    # integer literal infers the NARROWEST unsigned type: 0..255 ->
+    # UInt8 (rejected), 256..65535 -> UInt16 (accepted), wider -> UInt32+
+    # (rejected).
     if len(a) == 2 and re.fullmatch(r"[0-9]+", a[1].strip()):
-        raise DialectError("port: default must be UInt16")
+        lit16 = int(a[1].strip())
+        if not (256 <= lit16 <= 65535):
+            raise DialectError("port: default must be UInt16")
     if re.search(r"FixedString|rpad\(", a[0] or ""):
         raise DialectError("port: FixedString argument")
     dflt = a[1] if len(a) == 2 else "0"
@@ -7595,6 +7599,10 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 t in ("min", "max") and len(args) == 1 and arg_parts
                 and not _is_boolish(args[0])
                 and not _agg_input_nullable(args[0])
+                # windowed min/max can't be wrapped (coalesce is not a
+                # window function), and a window frame is never the
+                # empty set this default exists for
+                and not (close + 1 < n and _kw(toks[close + 1]) == "OVER")
             ):
                 tm8 = _ch_type_of(
                     arg_parts[0], _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT

@@ -741,16 +741,48 @@ class ScriptRunner:
                     names = [x for x in names if fnmatch.fnmatch(x, pat)]
                     j += 2
                 if j < len(toks) and _kw(toks[j]) == "LIMIT":
+                    # constant arithmetic only, via a whitelisted AST
+                    # walk — NOT eval(): corpus SQL is untrusted, and a
+                    # regex-guarded eval still admits '**' (9**9**9
+                    # would hang materializing an astronomical int)
+                    import ast as _ast
+
+                    def _const_int(txt: str):
+                        def w(nd):
+                            if isinstance(nd, _ast.Expression):
+                                return w(nd.body)
+                            if isinstance(nd, _ast.Constant) and isinstance(
+                                nd.value, int
+                            ):
+                                return nd.value
+                            if isinstance(nd, _ast.UnaryOp) and isinstance(
+                                nd.op, (_ast.USub, _ast.UAdd)
+                            ):
+                                v = w(nd.operand)
+                                return -v if isinstance(nd.op, _ast.USub) else v
+                            if isinstance(nd, _ast.BinOp) and isinstance(
+                                nd.op,
+                                (_ast.Add, _ast.Sub, _ast.Mult, _ast.Div,
+                                 _ast.FloorDiv),
+                            ):
+                                le, ri = w(nd.left), w(nd.right)
+                                if isinstance(nd.op, _ast.Add):
+                                    return le + ri
+                                if isinstance(nd.op, _ast.Sub):
+                                    return le - ri
+                                if isinstance(nd.op, _ast.Mult):
+                                    return le * ri
+                                return le / ri if isinstance(
+                                    nd.op, _ast.Div
+                                ) else le // ri
+                            raise ValueError(txt)
+
+                        return int(w(_ast.parse(txt, mode="eval")))
+
                     lim_txt = _emit(toks[j + 1 :])
                     try:
-                        lim = int(eval(  # noqa: S307 - digits/ops only
-                            lim_txt
-                        )) if re.fullmatch(
-                            r"[0-9+\-*/() ]+", lim_txt
-                        ) else None
+                        lim = _const_int(lim_txt)
                     except Exception:  # noqa: BLE001
-                        lim = None
-                    if lim is None:
                         raise DialectError("SHOW TABLES LIMIT: not const")
                     names = names[:lim]
                 return self.spark.createDataFrame(
@@ -2731,47 +2763,85 @@ class ScriptRunner:
         if name not in self.tables:
             return None
         t = self.tables[name]
-        rest = {_kw(x) for x in toks[i:]}
+        kws9 = {_kw(x) for x in toks[i:]}
         pid_filter = None
         for j in range(i, len(toks) - 1):
             if _kw(toks[j]) == "PARTITION":
                 pid_filter = toks[j + 1].strip("'`\"")
                 break
         self._merge_parts(t, pid_filter)
-        if t.df is not None:
-            # the _part/_part_index virtuals must not enter the merge
-            # (Summing would treat them as groupers/values) — strip,
-            # merge, then retag rows from the post-merge part registry
-            vcols = [
-                c for c in ("_part", "_part_index") if c in t.df.columns
-            ]
-            base = t.df.drop(*vcols) if vcols else t.df
-            df = read_final(base, t.spec)
-            if "DEDUPLICATE" in rest:
+        if t.df is None:
+            return None
+        # the _part/_part_index virtuals must not enter the merge
+        # (Summing would treat them as groupers/values) — strip,
+        # merge, then retag rows from the post-merge part registry
+        vcols = [
+            c for c in ("_part", "_part_index") if c in t.df.columns
+        ]
+        pb9 = (t.partition_by or "").strip()
+        if not pb9 or pb9.replace(" ", "") in ("tuple()", "()"):
+            pid_expr9 = "'all'"
+        else:
+            pid_expr9 = f"coalesce(CAST(({pb9}) AS STRING), 'all')"
+        if pid_filter is not None and any(
+            p[0] == pid_filter for p in t.parts
+        ):
+            # OPTIMIZE ... PARTITION merges ONLY that partition: other
+            # partitions keep their rows — and their per-insert _part
+            # identity — verbatim (parts that didn't merge are never
+            # retagged).  A pid that isn't in the registry (old-syntax
+            # engines flatten to 'all') falls through to the whole-table
+            # merge, which is what the single-partition case means.
+            touched9 = t.df.filter(F.expr(f"{pid_expr9} = '{pid_filter}'"))
+            rest9 = t.df.filter(
+                F.expr(f"NOT ({pid_expr9} = '{pid_filter}')")
+            )
+            df = read_final(
+                touched9.drop(*vcols) if vcols else touched9, t.spec
+            )
+            if "DEDUPLICATE" in kws9:
                 df = df.dropDuplicates()
-            t.df = self._sorted_batch(t, df)
-            if vcols and t.parts:
-                by_pid: dict[str, tuple[str, int]] = {}
-                for pid9, b1, b2, lv in t.parts:
-                    if pid9 not in by_pid:
-                        by_pid[pid9] = (f"{pid9}_{b1}_{b2}_{lv}", b1)
-                pb9 = (t.partition_by or "").strip()
-                if not pb9 or pb9.replace(" ", "") in ("tuple()", "()"):
-                    pid_expr9 = "'all'"
-                else:
-                    pid_expr9 = f"coalesce(CAST(({pb9}) AS STRING), 'all')"
-                nm9 = "CASE " + " ".join(
-                    f"WHEN {pid_expr9} = '{p9}' THEN '{nm}'"
-                    for p9, (nm, _) in by_pid.items()
-                ) + " ELSE 'all_0_0_0' END"
-                ix9 = "CASE " + " ".join(
-                    f"WHEN {pid_expr9} = '{p9}' THEN CAST({b} AS BIGINT)"
-                    for p9, (_, b) in by_pid.items()
-                ) + " ELSE CAST(0 AS BIGINT) END"
-                t.df = t.df.withColumn("_part", F.expr(nm9)).withColumn(
-                    "_part_index", F.expr(ix9)
+            df = self._sorted_batch(t, df)
+            if vcols:
+                head9 = next(
+                    (p for p in t.parts if p[0] == pid_filter), None
                 )
+                nm9, b9 = (
+                    (f"{head9[0]}_{head9[1]}_{head9[2]}_{head9[3]}",
+                     head9[1])
+                    if head9 is not None else ("all_0_0_0", 0)
+                )
+                df = df.withColumn("_part", F.lit(nm9)).withColumn(
+                    "_part_index", F.lit(b9).cast("bigint")
+                )
+            t.df = rest9.unionByName(df)
             self._register(t)
+            return None
+        base = t.df.drop(*vcols) if vcols else t.df
+        df = read_final(base, t.spec)
+        if "DEDUPLICATE" in kws9:
+            df = df.dropDuplicates()
+        t.df = self._sorted_batch(t, df)
+        if vcols and t.parts:
+            # full-table OPTIMIZE leaves exactly one part per partition
+            # (every multi-part group merged), so the registry head per
+            # partition is the exact tag for all of that partition's rows
+            by_pid: dict[str, tuple[str, int]] = {}
+            for pid9, b1, b2, lv in t.parts:
+                if pid9 not in by_pid:
+                    by_pid[pid9] = (f"{pid9}_{b1}_{b2}_{lv}", b1)
+            nm9 = "CASE " + " ".join(
+                f"WHEN {pid_expr9} = '{p9}' THEN '{nm}'"
+                for p9, (nm, _) in by_pid.items()
+            ) + " ELSE 'all_0_0_0' END"
+            ix9 = "CASE " + " ".join(
+                f"WHEN {pid_expr9} = '{p9}' THEN CAST({b} AS BIGINT)"
+                for p9, (_, b) in by_pid.items()
+            ) + " ELSE CAST(0 AS BIGINT) END"
+            t.df = t.df.withColumn("_part", F.expr(nm9)).withColumn(
+                "_part_index", F.expr(ix9)
+            )
+        self._register(t)
         return None
 
     def _describe(self, toks: list[str]) -> DataFrame:
