@@ -319,9 +319,27 @@ def spark_to_ch(t: str) -> str:
     m = re.fullmatch(r"decimal\((\d+),(\d+)\)", t)
     if m:
         return f"Decimal({m.group(1)}, {m.group(2)})"
-    m = re.fullmatch(r"array<(.*)>", t)
+    m = re.fullmatch(r"(?i)array\s*<(.*)>", t)
     if m:
         return f"Array({spark_to_ch(m.group(1))})"
+    m = re.fullmatch(r"(?i)struct\s*<(.*)>", t)
+    if m:
+        # split fields on top-level commas (types nest via <>)
+        parts, depth, cur = [], 0, ""
+        for ch in m.group(1):
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append(cur)
+                cur = ""
+            else:
+                cur += ch
+        if cur:
+            parts.append(cur)
+        elems = [spark_to_ch(p.split(":", 1)[-1]) for p in parts]
+        return "Tuple(" + ", ".join(elems) + ")"
     return t
 
 

@@ -805,19 +805,20 @@ ORACLE_SQL.update(ORACLE_SQL_STATS)
 
 # The external driver grades at most ~50 queries in dict order.  Rotate to
 # the front each round so no registry query's last green row ages past one
-# round.  Round 8: (a) the 14 entries round 7 skipped (their last green
-# row is CORRECTNESS_r06), (b) queries whose code paths changed this
-# round (dialect translate internals moved: NaN folding span, lambda
-# paren collapse, min/max empty-set fill).  The tail that falls off the
-# cap is then all round-7-green queries.
+# round.  Round 9: (a) the 14 entries riding round-7 rows (round 8 graded
+# a different set), including script_engine whose implementation changed
+# in BOTH r8 (+209 lines) and r9 (OPTIMIZE PARTITION split); (b) queries
+# whose code paths changed this round (dialect translate edits, the
+# region_revenue join-path work).  The tail that falls off the cap is
+# then all round-8-green queries.
 _GRADE_FIRST = [
-    # not graded in round 7 (rode on round-6 rows)
-    "civ", "final_collapsing", "group_array", "groups_frame",
-    "interval_overlap", "logistic_regression", "map_aggs",
-    "moving_sum", "quantiles", "rank_stats", "running_diff",
-    "scalar_coding", "ttests", "uniq_approx",
+    # riding round-7 rows
+    "script_engine", "agg_state_merge", "combinators", "cross_join",
+    "cube", "final_replacing", "final_summing", "final_versioned",
+    "histogram", "limit_with_ties", "sample_fraction", "segment_sum",
+    "sequence_match", "stats",
     # changed this round: need a fresh driver row
-    "dialect_sql", "dialect_pipe", "top_k", "window_functions",
+    "dialect_sql", "dialect_pipe", "region_revenue",
 ]
 QUERIES = {
     **{n: QUERIES[n] for n in _GRADE_FIRST},
