@@ -2040,6 +2040,82 @@ def _ch_type_of(toks: list[str], env: dict[str, str]) -> str | None:
             "Array(String)" if toks[0] == "extractGroups"
             else "Array(Array(String))"
         )
+    # DateTime64 producers: scale from the function / argument, zone
+    # from a literal argument when present
+    if (
+        len(toks) >= 3 and toks[1] == "("
+        and _match_paren(toks, 1) == len(toks) - 1
+        and (
+            toks[0].startswith("fromUnixTimestamp64")
+            or toks[0] in (
+                "toDateTime64", "parseDateTime64BestEffort",
+                "parseDateTime64BestEffortOrNull",
+                "parseDateTime64BestEffortOrZero",
+            )
+        )
+    ):
+        args_d64 = _split_top(toks[2:-1], ",")
+        if toks[0].startswith("fromUnixTimestamp64"):
+            sc_d64 = {"Milli": "3", "Micro": "6", "Nano": "9"}.get(
+                toks[0][len("fromUnixTimestamp64"):]
+            )
+            tz_ix = 1
+        else:
+            sc_d64 = (
+                args_d64[1][0].strip("()")
+                if len(args_d64) > 1 and args_d64[1]
+                and args_d64[1][0].strip("()").isdigit()
+                else ("3" if toks[0].startswith("parse") else None)
+            )
+            tz_ix = 2
+        if sc_d64 is None:
+            return None
+        tz_d64 = None
+        if len(args_d64) > tz_ix and args_d64[tz_ix]:
+            cand = [t for t in args_d64[tz_ix] if t not in ("(", ")")]
+            if len(cand) == 1 and cand[0].startswith("'"):
+                tz_d64 = cand[0]
+        nul_d64 = toks[0].endswith("OrNull")
+        base_d64 = (
+            f"DateTime64({sc_d64}, {tz_d64})" if tz_d64
+            else f"DateTime64({sc_d64})"
+        )
+        return f"Nullable({base_d64})" if nul_d64 else base_d64
+    # mapAdd/mapSubtract: keys keep their type, values promote to the
+    # widest of their sign class (mapOp.cpp getReturnTypeImpl)
+    if (
+        len(toks) >= 3 and toks[1] == "("
+        and _match_paren(toks, 1) == len(toks) - 1
+        and toks[0] in ("mapAdd", "mapSubtract")
+    ):
+        args_ma = _split_top(toks[2:-1], ",")
+        kt_ma = vt_ma = None
+        for p_ma in args_ma:
+            t_ma = _ch_type_of(p_ma, env)
+            pair_ma = _tuple_of_arrays(t_ma)
+            if pair_ma:
+                kt_ma = kt_ma or pair_ma[0]
+                vt_ma = vt_ma or pair_ma[1]
+        if kt_ma and vt_ma:
+            cls_ma = _num_class(vt_ma)
+            prom_ma = {
+                "uint": "UInt64", "int": "Int64", "float": "Float64",
+            }.get(cls_ma or "", vt_ma)
+            return f"Tuple(Array({kt_ma}), Array({prom_ma}))"
+        return None
+    # minMap/maxMap keep their input array types verbatim
+    if (
+        len(toks) >= 3 and toks[1] == "("
+        and _match_paren(toks, 1) == len(toks) - 1
+        and toks[0] in ("minMap", "maxMap")
+    ):
+        args_mm = _split_top(toks[2:-1], ",")
+        if len(args_mm) == 2:
+            kt_mm = _ch_type_of(args_mm[0], env)
+            vt_mm = _ch_type_of(args_mm[1], env)
+            if kt_mm and vt_mm and "?" not in kt_mm + vt_mm:
+                return f"Tuple({kt_mm}, {vt_mm})"
+        return None
     # mapPopulateSeries keeps its input array types verbatim
     if (
         len(toks) >= 3 and toks[1] == "("
@@ -3322,6 +3398,435 @@ def _netloc_expr(a: list[str]) -> str:
     )
 
 
+def _best_effort_parse_py(s: str, scale: int, tz: str | None) -> str | None:
+    """Python-side best-effort DateTime64 parse of a LITERAL, rendered
+    at the given scale in the given zone's wall clock
+    (parseDateTimeBestEffortImpl, src/IO/parseDateTimeBestEffort.cpp —
+    we cover the ISO-ish forms the corpus exercises).  None = cannot
+    parse; a fraction past 18 digits raises (reference error 6)."""
+    import datetime as _dt
+
+    m = re.fullmatch(
+        r"(\d{4})-(\d{2})-(\d{2})"
+        r"(?:[T ](\d{2}):(\d{2})(?::(\d{2}))?)?"
+        r"(?:\.(\d+))?"
+        r"(Z|z|[+-]\d{2}:?\d{2})?",
+        s.strip(),
+    )
+    if not m:
+        return None
+    frac = m.group(7) or ""
+    if len(frac) > 18:
+        raise DialectError(
+            "parseDateTime64BestEffort: cannot parse fractional part "
+            "(reference error 6)"
+        )
+    try:
+        base = _dt.datetime(
+            int(m.group(1)), int(m.group(2)), int(m.group(3)),
+            int(m.group(4) or 0), int(m.group(5) or 0), int(m.group(6) or 0),
+        )
+    except ValueError:
+        return None
+    suffix = m.group(8)
+    if suffix:
+        if suffix.upper() != "Z":
+            sign = 1 if suffix[0] == "+" else -1
+            hh, mm = int(suffix[1:3]), int(suffix[-2:])
+            base -= sign * _dt.timedelta(hours=hh, minutes=mm)
+        # base is now the UTC instant; shift to the display zone
+        if tz and tz != "UTC":
+            import zoneinfo
+
+            base = base.replace(tzinfo=_dt.timezone.utc).astimezone(
+                zoneinfo.ZoneInfo(tz)
+            ).replace(tzinfo=None)
+    # naive input parses as the display zone's wall clock: no shift
+    out = base.strftime("%Y-%m-%d %H:%M:%S")
+    if scale:
+        out += "." + (frac[:scale] if frac else "").ljust(scale, "0")
+    return out
+
+
+#: the reference test suite runs its server in Europe/Moscow
+#: (tests/config/config.d/*timezone*); DateTime64 values carry wall-
+#: clock text, so epoch conversions of UNTAGGED values re-base through
+#: this zone to match the committed expectations
+_SERVER_TZ = "Europe/Moscow"
+
+
+def _strip_outer_parens_text(s: str) -> str:
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        ok = True
+        for k, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and k != len(s) - 1:
+                    ok = False
+                    break
+        if not ok:
+            break
+        s = s[1:-1].strip()
+    return s
+
+
+def _to_datetime64_expr(a: list[str]) -> str:
+    """toDateTime64(x, scale[, tz]) -> wall-clock STRING at exactly
+    `scale` fractional digits (FunctionsConversion.h DataTypeDateTime64).
+    Spark timestamps stop at microseconds, so the scale-faithful (and
+    nanosecond-capable) representation is the rendered text; downstream
+    comparisons/CASTs coerce strings back to native types."""
+    if not a:
+        raise DialectError("toDateTime64: wrong arity")
+    if len(a) == 1:
+        return f"CAST({a[0]} AS TIMESTAMP)"
+    s1 = _strip_outer_parens_text(a[1])
+    if not re.fullmatch(r"[0-9]+", s1) or int(s1) > 9:
+        return f"CAST({a[0]} AS TIMESTAMP)"
+    scale = int(s1)
+    core = _strip_outer_parens_text(a[0])
+    if core.lower().startswith("materialize(") and core.endswith(")"):
+        core = _strip_outer_parens_text(core[len("materialize("):-1])
+    if core.startswith("'") and core.endswith("'"):
+        out = _best_effort_parse_py(core[1:-1], scale, None)
+        if out is not None:
+            return f"'{out}'"
+    frac = ("." + "S" * min(scale, 6) + "0" * max(0, scale - 6)) if (
+        scale
+    ) else ""
+    return f"date_format(CAST({a[0]} AS TIMESTAMP), 'yyyy-MM-dd HH:mm:ss{frac}')"
+
+
+def _dt64_frac_digits(x: str, k: int) -> str:
+    """First k fraction digits of a DateTime64 wall-clock string,
+    zero-padded (no '.' -> k zeros)."""
+    return (
+        f"CAST(substring(rpad(IF(locate('.', {x}) > 0, "
+        f"substring({x}, locate('.', {x}) + 1), ''), 9, '0'), 1, {k}) "
+        f"AS BIGINT)"
+    )
+
+
+def _to_unix_ts64_expr(a: list[str], k: int, tz: str | None = None) -> str:
+    """toUnixTimestamp64Milli/Micro/Nano(dt64): epoch at 10^-k*3
+    seconds; fraction digits come from the wall-clock TEXT so
+    nanoseconds survive (src/Functions/FunctionsConversion.h).  The
+    wall clock re-bases through the value's zone tag when statically
+    known, else the server zone."""
+    if len(a) != 1:
+        raise DialectError("toUnixTimestamp64: wrong arity (42)")
+    x0 = _strip_outer_parens_text(a[0])
+    if x0.startswith("'") and not any(c.isdigit() for c in x0):
+        raise DialectError("toUnixTimestamp64: not a DateTime64 (43)")
+    x = f"CAST({a[0]} AS STRING)"
+    zone = (tz or f"'{_SERVER_TZ}'").strip()
+    sec = (
+        f"unix_timestamp(to_utc_timestamp(CAST(substring({x}, 1, 19) "
+        f"AS TIMESTAMP), {zone}))"
+    )
+    digits = {3: 1000, 6: 1000000, 9: 1000000000}[k]
+    return f"({sec} * CAST({digits} AS BIGINT) + {_dt64_frac_digits(x, k)})"
+
+
+def _from_unix_ts64_expr(a: list[str], k: int) -> str:
+    """fromUnixTimestamp64Milli/Micro/Nano(i[, tz]) -> DateTime64(k)
+    wall-clock string in tz (default: the server zone)."""
+    if not 1 <= len(a) <= 2:
+        raise DialectError("fromUnixTimestamp64: wrong arity (42)")
+    x0 = _strip_outer_parens_text(a[0])
+    if x0.startswith("'"):
+        raise DialectError("fromUnixTimestamp64: not an integer (43)")
+    tz = _SERVER_TZ
+    if len(a) == 2:
+        t2 = _strip_outer_parens_text(a[1])
+        if not (t2.startswith("'") and t2.endswith("'")):
+            raise DialectError(
+                "fromUnixTimestamp64: timezone must be a string (43)"
+            )
+        tz = t2[1:-1]
+    digits = {3: 1000, 6: 1000000, 9: 1000000000}[k]
+    sec = f"FLOOR(CAST({a[0]} AS BIGINT) / {digits})"
+    frac = f"lpad(CAST(pmod(CAST({a[0]} AS BIGINT), {digits}) AS STRING), {k}, '0')"
+    wall = f"from_utc_timestamp(timestamp_seconds({sec}), '{tz}')"
+    return f"concat(date_format({wall}, 'yyyy-MM-dd HH:mm:ss'), '.', {frac})"
+
+
+def _parse_dt64_best_effort(a: list[str], kind: str) -> str:
+    """parseDateTime64BestEffort[OrNull|OrZero](str[, scale[, tz]]) ->
+    scale-rendered wall-clock string (FunctionsConversion.h).  Errors
+    match the reference: wrong arity 42, wrong argument types 43,
+    non-const precision/zone 44, unknown zone 1000, unparseable 41."""
+    if not 1 <= len(a) <= 3:
+        raise DialectError("parseDateTime64BestEffort: wrong arity")
+    scale = 3
+    if len(a) >= 2:
+        if "materialize" in a[1]:
+            raise DialectError(
+                "parseDateTime64BestEffort: precision must be const (44)"
+            )
+        s1 = a[1].strip().strip("()").strip()
+        if not re.fullmatch(r"[0-9]+", s1) or int(s1) > 9:
+            raise DialectError(
+                "parseDateTime64BestEffort: invalid precision (43)"
+            )
+        scale = int(s1)
+    tz = None
+    if len(a) == 3:
+        if "materialize" in a[2]:
+            raise DialectError(
+                "parseDateTime64BestEffort: timezone must be const (44)"
+            )
+        t2 = a[2].strip()
+        if not (t2.startswith("'") and t2.endswith("'")):
+            raise DialectError(
+                "parseDateTime64BestEffort: timezone must be a string (43)"
+            )
+        tz = t2[1:-1]
+        import zoneinfo
+
+        try:
+            zoneinfo.ZoneInfo(tz)
+        except Exception:
+            raise DialectError(
+                f"parseDateTime64BestEffort: unknown timezone {tz!r} (1000)"
+            )
+    x = a[0].strip()
+    core = x
+    if core.lower().startswith("materialize(") and core.endswith(")"):
+        core = core[len("materialize("):-1].strip()
+    if not core.startswith("'"):
+        # a numeric or otherwise non-string literal argument is type
+        # error 43; non-literal expressions get a runtime formatting
+        if re.fullmatch(r"-?[0-9.]+", core):
+            raise DialectError(
+                "parseDateTime64BestEffort: argument must be a string (43)"
+            )
+        frac9 = ("." + "S" * min(scale, 6) + "0" * max(0, scale - 6)) if (
+            scale
+        ) else ""
+        wall9 = f"try_cast({a[0]} AS TIMESTAMP)"
+        if tz and tz != "UTC":
+            wall9 = f"from_utc_timestamp({wall9}, '{tz}')"
+        fmt9 = f"date_format({wall9}, 'yyyy-MM-dd HH:mm:ss{frac9}')"
+        if kind == "null":
+            return fmt9
+        if kind == "zero":
+            zero9 = "1970-01-01 00:00:00" + (
+                "." + "0" * scale if scale else ""
+            )
+            return f"coalesce({fmt9}, '{zero9}')"
+        return (
+            f"coalesce({fmt9}, raise_error('parseDateTime64BestEffort: "
+            f"cannot parse (41)'))"
+        )
+    if not core.endswith("'"):
+        raise DialectError("parseDateTime64BestEffort: bad literal")
+    out = _best_effort_parse_py(core[1:-1], scale, tz)
+    if out is None:
+        if kind == "null":
+            return "CAST(NULL AS STRING)"
+        if kind == "zero":
+            return "'1970-01-01 00:00:00" + (
+                "." + "0" * scale + "'" if scale else "'"
+            )
+        raise DialectError(
+            "parseDateTime64BestEffort: cannot parse (41)"
+        )
+    return f"'{out}'"
+
+
+def _tuple_of_arrays(t: str | None) -> tuple[str, str] | None:
+    """Split 'Tuple(Array(K), Array(V))' into (K, V), paren-aware
+    (K/V may nest parens, e.g. Enum16('a' = 1))."""
+    if not t or not t.startswith("Tuple(") or not t.endswith(")"):
+        return None
+    inner, d, cur, parts = t[6:-1], 0, "", []
+    for ch in inner:
+        if ch == "(":
+            d += 1
+        elif ch == ")":
+            d -= 1
+        if ch == "," and d == 0:
+            parts.append(cur.strip())
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        parts.append(cur.strip())
+    if len(parts) != 2:
+        return None
+    if not all(p.startswith("Array(") and p.endswith(")") for p in parts):
+        return None
+    return parts[0][6:-1], parts[1][6:-1]
+
+
+def _num_class(t: str | None) -> str | None:
+    t = _ch_unwrap(t or "")
+    t = re.sub(r"^LowCardinality\((.*)\)$", r"\1", t)
+    if t.startswith("UInt"):
+        return "uint"
+    if t.startswith("Int"):
+        return "int"
+    if t.startswith("Float"):
+        return "float"
+    if t:
+        return "other"
+    return None
+
+
+def _map_add_sub_expr(
+    a: list[str], ap: list[list[str]], subtract: bool
+) -> str:
+    """mapAdd / mapSubtract over N (keys, values) tuples: per-row merge
+    with summed (or first-minus-rest) values
+    (src/Functions/array/mapOp.cpp).  Key types must agree exactly;
+    value types must share a sign class and promote to
+    UInt64/Int64/Float64 (UInt64 wraps modulo 2^64)."""
+    if len(a) < 2:
+        raise DialectError("mapAdd: at least two map arguments (42)")
+    env9 = _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+    kts, vts = [], []
+    for p in ap:
+        t9 = None
+        try:
+            t9 = _ch_type_of(p, env9)
+        except Exception:  # noqa: BLE001
+            t9 = None
+        if t9 and re.sub(r"\s+", "", t9).lower().startswith("struct<"):
+            from daisy_spark.chsyntax import spark_to_ch as _s2c9
+
+            t9 = _s2c9(re.sub(r"\s+", "", t9))
+        pair9 = _tuple_of_arrays(t9)
+        if t9 and "?" not in t9 and pair9 is None:
+            raise DialectError("mapAdd: arguments must be maps (42)")
+        kts.append(pair9[0] if pair9 else None)
+        vts.append(pair9[1] if pair9 else None)
+        # a literal (keys, vals) tuple with unequal array lengths is
+        # the reference's error 42
+        if (
+            len(p) >= 2 and p[0] == "(" and p[-1] == ")"
+        ):
+            parts9 = _split_top(p[1:-1], ",")
+            if len(parts9) == 2 and all(
+                q and q[0] == "[" and q[-1] == "]" for q in parts9
+            ):
+                n1 = len([x for x in _split_top(parts9[0][1:-1], ",") if x])
+                n2 = len([x for x in _split_top(parts9[1][1:-1], ",") if x])
+                if n1 != n2:
+                    raise DialectError("mapAdd: array size mismatch (42)")
+    kk = [t for t in kts if t]
+    vk = [t for t in vts if t]
+    if kk and any(_num_class(t) == "float" for t in kk):
+        raise DialectError("mapAdd: float keys are not supported (44)")
+
+    def _base9(t: str) -> str:
+        b = re.sub(r"^LowCardinality\((.*)\)$", r"\1", _ch_unwrap(t))
+        # script-table envs are sign-lossy (Spark bigint == Int64 for a
+        # true UInt64), so integer keys compare by WIDTH — every
+        # reference error case differs in width, not just sign
+        m9 = re.fullmatch(r"U?Int(\d+)", b)
+        return f"int{m9.group(1)}" if m9 else b
+
+    if len({_base9(t) for t in kk}) > 1:
+        raise DialectError("mapAdd: key types differ (43)")
+    vcls = {_num_class(t) for t in vk}
+    if len(vcls) > 1:
+        raise DialectError("mapAdd: value types differ (43)")
+    cls9 = next(iter(vcls), None) or "int"
+    if cls9 == "float":
+        acc_t, conv = "DOUBLE", "CAST({v} AS DOUBLE)"
+    else:
+        acc_t, conv = "BIGINT", "CAST({v} AS BIGINT)"
+    pairs9 = []
+    for ix, t9 in enumerate(a):
+        sg = "- " if subtract and ix > 0 else ""
+        pairs9.append(
+            f"zip_with(({t9}).col1, ({t9}).col2, "
+            f"(__mk, __mv) -> struct(__mk AS k, "
+            f"{sg}{conv.format(v='__mv')} AS v))"
+        )
+    all9 = "concat(" + ", ".join(pairs9) + ")"
+    ks9 = f"array_sort(array_distinct(transform({all9}, __p -> __p.k)))"
+    per9 = (
+        f"aggregate(filter({all9}, __p -> __p.k <=> __mkk), "
+        f"CAST(0 AS {acc_t}), (__a, __p) -> __a + __p.v)"
+    )
+    if cls9 == "uint":
+        per9 = f"CAST(pmod({per9}, 18446744073709551616) AS DECIMAL(20, 0))"
+    return (
+        f"struct({ks9} AS col1, "
+        f"transform({ks9}, __mkk -> {per9}) AS col2)"
+    )
+
+
+def _agg_map_expr(a: list[str], ap: list[list[str]], fn: str) -> str:
+    """minMap/maxMap/sumMap(keys, vals | (keys, vals)) as a real
+    aggregate (AggregateFunctionSumMap.h): per distinct key, fold the
+    values across rows; NULL values are skipped; sumMap drops zero
+    totals; min/max keep the key with the type default when every
+    value was NULL (the 01422 skip-null contract).  Lowered to
+    collect_list + higher-order functions so it stays codegen-friendly
+    and needs no UDAF."""
+    env9 = _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+    if len(a) == 1:
+        at9 = None
+        try:
+            at9 = _ch_type_of(ap[0], env9) if ap else None
+        except Exception:  # noqa: BLE001
+            at9 = None
+        if at9 and "Nothing" in at9:
+            raise DialectError(f"{fn}Map: values of type Nothing (43)")
+        k9, v9 = f"({a[0]}).col1", f"({a[0]}).col2"
+        nullable = "null" in a[0].lower() or "Nullable" in (at9 or "")
+    elif len(a) == 2:
+        vt9 = None
+        try:
+            vt9 = _ch_type_of(ap[1], env9) if len(ap) > 1 else None
+        except Exception:  # noqa: BLE001
+            vt9 = None
+        if vt9 and "Nothing" in vt9:
+            raise DialectError(f"{fn}Map: values of type Nothing (43)")
+        k9, v9 = a[0], a[1]
+        nullable = "null" in a[1].lower() or "Nullable" in (vt9 or "")
+    else:
+        raise DialectError(f"{fn}Map: wrong number of arguments")
+    ks9 = f"array_sort(array_distinct(flatten(collect_list({k9}))))"
+    pairs9 = (
+        f"zip_with(flatten(collect_list({k9})), "
+        f"flatten(collect_list({v9})), "
+        f"(__mk, __mv) -> struct(__mk AS k, __mv AS v))"
+    )
+    vk9 = (
+        f"transform(filter({pairs9}, __p -> __p.k <=> __mkk "
+        f"AND __p.v IS NOT NULL), __p -> __p.v)"
+    )
+    if fn == "sum":
+        per9 = (
+            f"aggregate({vk9}, CAST(0 AS BIGINT), "
+            f"(__a, __x) -> __a + CAST(__x AS BIGINT))"
+        )
+        sums9 = f"transform({ks9}, __mkk -> {per9})"
+        keep9 = (
+            f"filter(zip_with({ks9}, {sums9}, "
+            f"(__zk, __zv) -> struct(__zk AS k, __zv AS v)), "
+            f"__z -> __z.v <> 0)"
+        )
+        return (
+            f"struct(transform({keep9}, __z -> __z.k) AS col1, "
+            f"transform({keep9}, __z -> __z.v) AS col2)"
+        )
+    base9 = f"array_{fn}({vk9})"
+    per9 = f"coalesce({base9}, 0)" if nullable else base9
+    return (
+        f"struct({ks9} AS col1, "
+        f"transform({ks9}, __mkk -> {per9}) AS col2)"
+    )
+
+
 def _map_populate_series_expr(a: list[str], ap: list[list[str]]) -> str:
     """mapPopulateSeries(keys, vals[, max]) -> Tuple(Array, Array):
     result keys run min(keys)..max(max(keys), max) step 1; values fill
@@ -3917,6 +4422,10 @@ FUNC_MAP: dict[str, object] = {
     # reference parses an all-digit string as a unix timestamp
     # (FunctionsConversion: parseDateTime accepts numeric strings)
     "toDateTime": lambda a: (
+        _raise_dialect("toDateTime: cannot parse (41)")
+        if a and a[0].strip().startswith("'")
+        and not any(c.isdigit() for c in a[0])
+        else
         f"timestamp_seconds({a[0][1:-1]})"
         if a[0].startswith("'") and a[0].strip("'").isdigit()
         else f"timestamp_seconds({a[0]})"
@@ -3933,6 +4442,15 @@ FUNC_MAP: dict[str, object] = {
         )
     ),
     "parseDateTimeBestEffortOrNull": "try_cast({0} AS TIMESTAMP)",
+    "parseDateTime64BestEffort": lambda a: _parse_dt64_best_effort(
+        a, "strict"
+    ),
+    "parseDateTime64BestEffortOrNull": lambda a: _parse_dt64_best_effort(
+        a, "null"
+    ),
+    "parseDateTime64BestEffortOrZero": lambda a: _parse_dt64_best_effort(
+        a, "zero"
+    ),
     "parseDateTimeBestEffortOrZero": (
         "coalesce(try_cast({0} AS TIMESTAMP), "
         "to_timestamp('1970-01-01 00:00:00'))"
@@ -3945,13 +4463,26 @@ FUNC_MAP: dict[str, object] = {
         f"lower(TRIM(TRAILING chr(0) FROM CAST({a[0]} AS STRING))), "
         f"raise_error('toUUID: cannot parse UUID')))"
     ),
-    "toDateTime64": lambda a: f"CAST({a[0]} AS TIMESTAMP)",
-    "parseDateTimeBestEffort": "CAST({0} AS TIMESTAMP)",
+    "toDateTime64": _to_datetime64_expr,
+    # strict parse of a literal with no digit at all cannot be a
+    # datetime in ANY input format — reference error 41 up front
+    # (digit-bearing literals stay with CAST, whose accepted formats
+    # are what the passing corpus relies on)
+    "parseDateTimeBestEffort": lambda a: (
+        _raise_dialect(
+            "parseDateTimeBestEffort: cannot parse (41)"
+        )
+        if a and a[0].strip().startswith("'")
+        and not any(c.isdigit() for c in a[0])
+        else f"CAST({a[0]} AS TIMESTAMP)"
+    ),
     "toUnixTimestamp": "unix_timestamp({0})",
-    "toUnixTimestamp64Milli": "unix_millis({0})",
-    "toUnixTimestamp64Micro": "unix_micros({0})",
-    "fromUnixTimestamp64Milli": "timestamp_millis({0})",
-    "fromUnixTimestamp64Micro": "timestamp_micros({0})",
+    "toUnixTimestamp64Milli": lambda a: _to_unix_ts64_expr(a, 3),
+    "toUnixTimestamp64Micro": lambda a: _to_unix_ts64_expr(a, 6),
+    "toUnixTimestamp64Nano": lambda a: _to_unix_ts64_expr(a, 9),
+    "fromUnixTimestamp64Milli": lambda a: _from_unix_ts64_expr(a, 3),
+    "fromUnixTimestamp64Micro": lambda a: _from_unix_ts64_expr(a, 6),
+    "fromUnixTimestamp64Nano": lambda a: _from_unix_ts64_expr(a, 9),
     # date/time parts
     "toYear": "year({0})", "toQuarter": "quarter({0})", "toMonth": "month({0})",
     "toDayOfMonth": "day({0})", "toDayOfYear": "dayofyear({0})",
@@ -7080,6 +7611,48 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 out.append(_map_populate_series_expr(args, arg_parts))
                 i = close + 1
                 continue
+            if t in ("mapAdd", "mapSubtract"):
+                out.append(
+                    _map_add_sub_expr(args, arg_parts, t == "mapSubtract")
+                )
+                i = close + 1
+                continue
+            # minMap/maxMap/sumMap as REAL aggregates over the group
+            # (the -State/-Merge combinator forms take other paths)
+            if t in ("minMap", "maxMap", "sumMap", "sumMapWithOverflow"):
+                out.append(
+                    _agg_map_expr(
+                        args, arg_parts,
+                        "sum" if t.startswith("sum") else t[:3],
+                    )
+                )
+                i = close + 1
+                continue
+            # parseDateTime64BestEffort*: precision/zone must be const
+            # — materialize() is stripped by inner translation, so the
+            # non-const check (error 44) needs the raw tokens
+            if t.startswith("parseDateTime64BestEffort"):
+                for pidx9 in (1, 2):
+                    if (
+                        len(arg_parts) > pidx9 and arg_parts[pidx9]
+                        and _kw(arg_parts[pidx9][0]) == "MATERIALIZE"
+                    ):
+                        raise DialectError(
+                            "parseDateTime64BestEffort: precision and "
+                            "timezone must be const (44)"
+                        )
+            # toUnixTimestamp64*: the epoch re-base zone comes from the
+            # argument's static DateTime64(s, 'tz') tag when it has one
+            if t.startswith("toUnixTimestamp64") and arg_parts:
+                k64 = {"Milli": 3, "Micro": 6, "Nano": 9}.get(
+                    t[len("toUnixTimestamp64"):]
+                )
+                if k64 is not None:
+                    out.append(
+                        _to_unix_ts64_expr(args, k64, _dt_tz_of(arg_parts[0]))
+                    )
+                    i = close + 1
+                    continue
             # String inputs whose text looks numeric and full-scale
             # Decimals must pass through unchanged — dispatch on the
             # inferred type, not the rendered text
@@ -9829,17 +10402,64 @@ def _translate_from(toks: list[str]) -> list[str]:
                                 "VALUES: integer Field into Float column"
                             )
                 # Spark's DECIMAL(p,s) rejects values the reference's
-                # lenient Decimal accepts — widen precision, keep scale
+                # lenient Decimal accepts — widen precision, keep scale.
+                # Integer Fields into Date/DateTime columns convert by
+                # VALUE (days / seconds since epoch), which Spark's
+                # CAST refuses — convert element-wise instead
+                def _values_conv(e_c, ty_c, re_c):
+                    t_src = None
+                    try:
+                        t_src = _ch_type_of(
+                            re_c, _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+                        )
+                    except Exception:  # noqa: BLE001
+                        t_src = None
+                    src_int = bool(
+                        re.fullmatch(
+                            r"Array\(U?Int\d+\)", _ch_unwrap(t_src or "")
+                        )
+                    )
+                    # inline tables only take foldable expressions, so
+                    # fold the epoch conversions HERE (literal ints)
+                    ints_c = [
+                        int(tk) for tk in re_c
+                        if re.fullmatch(r"[0-9]+", tk)
+                    ]
+                    if src_int and ty_c.replace(" ", "") == "ARRAY<DATE>":
+                        import datetime as _dtv
+
+                        days_c = ", ".join(
+                            "DATE '%s'" % (
+                                _dtv.date(1970, 1, 1)
+                                + _dtv.timedelta(days=nv)
+                            )
+                            for nv in ints_c
+                        )
+                        return f"array({days_c})"
+                    if src_int and ty_c.replace(" ", "") == (
+                        "ARRAY<TIMESTAMP>"
+                    ):
+                        import datetime as _dtv
+                        import zoneinfo as _ziv
+
+                        tss_c = ", ".join(
+                            "TIMESTAMP '%s'" % _dtv.datetime.fromtimestamp(
+                                nv, _ziv.ZoneInfo(_SERVER_TZ)
+                            ).strftime("%Y-%m-%d %H:%M:%S")
+                            for nv in ints_c
+                        )
+                        return f"array({tss_c})"
+                    return "CAST({} AS {})".format(
+                        e_c,
+                        re.sub(r"DECIMAL\(\s*\d+\s*,", "DECIMAL(38,", ty_c),
+                    )
+
                 rows_v.append(
                     "(" + ", ".join(
-                        "CAST({} AS {})".format(
-                            e,
-                            re.sub(
-                                r"DECIMAL\(\s*\d+\s*,",
-                                "DECIMAL(38,", ty
-                            ),
+                        _values_conv(e, ty, re_v2)
+                        for e, (_, ty), re_v2 in zip(
+                            elems_v, cols_v, raw_el
                         )
-                        for e, (_, ty) in zip(elems_v, cols_v)
                     ) + ")"
                 )
             names_v = ", ".join(f"`{c}`" for c, _ in cols_v)
