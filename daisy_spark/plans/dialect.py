@@ -227,6 +227,9 @@ def _map_type(toks: list[str], i: int) -> tuple[str, int]:
         if fname in ("UNIQ", "UNIQEXACT", "UNIQCOMBINED", "UNIQHLL12"):
             # set-based exact state (merges dedup across parts)
             return f"ARRAY<{arg_t}>", close + 1
+        if fname == "GROUPBITMAP":
+            # bitmap state = sorted unsigned value set (_bitmap_expr)
+            return "ARRAY<BIGINT>", close + 1
         if fname == "COUNT":
             return "BIGINT", close + 1
         if fname in ("AVG", "AVGWEIGHTED"):
@@ -2081,6 +2084,42 @@ def _ch_type_of(toks: list[str], env: dict[str, str]) -> str | None:
             else f"DateTime64({sc_d64})"
         )
         return f"Nullable({base_d64})" if nul_d64 else base_d64
+    # bitmap family: builds/States carry their element type; set algebra
+    # propagates; cardinalities/min/max are UInt64 (FunctionsBitmap.h)
+    if (
+        len(toks) >= 3 and toks[1] == "("
+        and _match_paren(toks, 1) == len(toks) - 1
+        and toks[0] in _BITMAP_FUNCS
+    ):
+        name_bm = toks[0]
+        args_bm = _split_top(toks[2:-1], ",")
+        at_bm = _ch_type_of(args_bm[0], env) if args_bm and args_bm[0] else None
+        if name_bm == "bitmapBuild":
+            el_bm = (
+                at_bm[6:-1] if at_bm and at_bm.startswith("Array(")
+                else "UInt8"
+            )
+            return f"AggregateFunction(groupBitmap, {el_bm})"
+        if name_bm == "groupBitmapState":
+            el_bm = _ch_unwrap(at_bm) if at_bm else "UInt64"
+            return f"AggregateFunction(groupBitmap, {el_bm})"
+        if name_bm in (
+            "bitmapAnd", "bitmapOr", "bitmapXor", "bitmapAndnot",
+            "bitmapSubsetInRange", "bitmapSubsetLimit", "subBitmap",
+            "bitmapTransform", "groupBitmapMergeState",
+            "groupBitmapOrState", "groupBitmapAndState",
+            "groupBitmapXorState",
+        ):
+            return at_bm
+        if name_bm == "bitmapToArray":
+            m_bm = re.fullmatch(
+                r"AggregateFunction\(\s*groupBitmap\s*,\s*(.+)\)",
+                at_bm or "",
+            )
+            return f"Array({m_bm.group(1).strip()})" if m_bm else None
+        if name_bm in ("bitmapHasAny", "bitmapHasAll", "bitmapContains"):
+            return "UInt8"
+        return "UInt64"
     # mapAdd/mapSubtract: keys keep their type, values promote to the
     # widest of their sign class (mapOp.cpp getReturnTypeImpl)
     if (
@@ -3825,6 +3864,173 @@ def _agg_map_expr(a: list[str], ap: list[list[str]], fn: str) -> str:
         f"struct({ks9} AS col1, "
         f"transform({ks9}, __mkk -> {per9}) AS col2)"
     )
+
+
+#: bigint sign bit: XOR-flipping it maps UNSIGNED order onto signed
+#: order, so array_sort/min/max/comparisons run in roaring's value space
+_BM_SIGN = "-9223372036854775808"
+
+#: the bitmap family (src/Functions/FunctionsBitmap.h + the groupBitmap
+#: aggregates).  A bitmap value here is an ARRAY<BIGINT> holding the set
+#: in unsigned ascending order: widths <=32 store wrapped modulo
+#: 2^width (always non-negative), 64-bit values keep two's complement
+#: and every ordered operation flips the sign bit first.
+_BITMAP_FUNCS = {
+    "bitmapBuild", "bitmapToArray", "bitmapAnd", "bitmapOr", "bitmapXor",
+    "bitmapAndnot", "bitmapCardinality", "bitmapAndCardinality",
+    "bitmapOrCardinality", "bitmapXorCardinality",
+    "bitmapAndnotCardinality", "bitmapHasAny", "bitmapHasAll",
+    "bitmapContains", "bitmapSubsetInRange", "bitmapSubsetLimit",
+    "subBitmap", "bitmapMin", "bitmapMax", "bitmapTransform",
+    "groupBitmap", "groupBitmapState", "groupBitmapMerge",
+    "groupBitmapMergeState", "groupBitmapOr", "groupBitmapOrState",
+    "groupBitmapAnd", "groupBitmapAndState", "groupBitmapXor",
+    "groupBitmapXorState",
+}
+
+
+def _bm_sort(arr: str) -> str:
+    """Sort a bitmap array in UNSIGNED ascending order."""
+    return (
+        f"transform(array_sort(transform({arr}, "
+        f"__bs -> __bs ^ {_BM_SIGN})), __bs -> __bs ^ {_BM_SIGN})"
+    )
+
+
+def _bm_mask(x: str, ch: str | None) -> str:
+    """One set element -> its unsigned-bitmap bigint form: <=32-bit
+    source types wrap modulo 2^width (AggregateFunctionGroupBitmapData
+    stores UnsignedT); unknown / 64-bit keeps two's complement."""
+    m = re.search(r"(?:UInt|Int)(8|16|32)\b", _ch_unwrap(ch or ""))
+    if m:
+        return f"(CAST({x} AS BIGINT) & {(1 << int(m.group(1))) - 1})"
+    return f"CAST({x} AS BIGINT)"
+
+
+def _bitmap_expr(t: str, a: list[str], ap: list[list[str]]) -> str:
+    """ClickHouse bitmap family over sorted-unsigned BIGINT arrays
+    (src/Functions/FunctionsBitmap.h; roaring semantics per
+    src/AggregateFunctions/AggregateFunctionGroupBitmapData.h).  Set
+    algebra lowers to Spark's array_* built-ins (JVM-side, codegen);
+    the group aggregates lower to collect_list folds."""
+    env = _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+
+    def _cht(ix: int) -> str | None:
+        if len(ap) > ix and ap[ix]:
+            try:
+                return _ch_type_of(ap[ix], env)
+            except Exception:  # noqa: BLE001
+                return None
+        return None
+
+    def _elem(ix: int) -> str | None:
+        ch = _cht(ix)
+        if ch:
+            m = re.fullmatch(
+                r"AggregateFunction\(\s*groupBitmap\s*,\s*(.+)\)", ch
+            )
+            if m:
+                return m.group(1).strip()
+            if ch.startswith("Array("):
+                return ch[6:-1]
+        return None
+
+    if t == "bitmapBuild":
+        return _bm_sort(
+            f"array_distinct(transform({a[0]}, "
+            f"__bv -> {_bm_mask('__bv', _elem(0))}))"
+        )
+    if t == "bitmapToArray":
+        return a[0]
+    if t == "bitmapAnd":
+        # array_intersect keeps the (sorted) left argument's order
+        return f"array_intersect({a[0]}, {a[1]})"
+    if t == "bitmapOr":
+        return _bm_sort(f"array_union({a[0]}, {a[1]})")
+    if t == "bitmapXor":
+        return _bm_sort(
+            f"array_union(array_except({a[0]}, {a[1]}), "
+            f"array_except({a[1]}, {a[0]}))"
+        )
+    if t == "bitmapAndnot":
+        return f"array_except({a[0]}, {a[1]})"
+    if t == "bitmapCardinality":
+        return f"CAST(size({a[0]}) AS BIGINT)"
+    if t.startswith("bitmap") and t.endswith("Cardinality"):
+        op = t[len("bitmap"):-len("Cardinality")]
+        return f"CAST(size({_bitmap_expr('bitmap' + op, a, ap)}) AS BIGINT)"
+    if t == "bitmapHasAny":
+        return f"CAST(arrays_overlap({a[0]}, {a[1]}) AS INT)"
+    if t == "bitmapHasAll":
+        return f"CAST(size(array_except({a[1]}, {a[0]})) = 0 AS INT)"
+    if t == "bitmapContains":
+        return (
+            f"CAST(array_contains({a[0]}, "
+            f"{_bm_mask(a[1], _cht(1))}) AS INT)"
+        )
+    if t in ("bitmapSubsetInRange", "bitmapSubsetLimit"):
+        lo = f"(CAST({a[1]} AS BIGINT) ^ {_BM_SIGN})"
+        kept = f"filter({a[0]}, __bv -> (__bv ^ {_BM_SIGN}) >= {lo})"
+        if t == "bitmapSubsetInRange":
+            hi = f"(CAST({a[2]} AS BIGINT) ^ {_BM_SIGN})"
+            return (
+                f"filter({kept}, __bw -> (__bw ^ {_BM_SIGN}) < {hi})"
+            )
+        return f"slice({kept}, 1, greatest(CAST({a[2]} AS INT), 0))"
+    if t == "subBitmap":
+        return (
+            f"slice({a[0]}, CAST({a[1]} AS INT) + 1, "
+            f"greatest(CAST({a[2]} AS INT), 0))"
+        )
+    if t in ("bitmapMin", "bitmapMax"):
+        fn = "array_min" if t == "bitmapMin" else "array_max"
+        flip = f"transform({a[0]}, __bv -> __bv ^ {_BM_SIGN})"
+        v = f"({fn}({flip}) ^ {_BM_SIGN})"
+        # render in roaring's unsigned space; empty set -> 0 (rb_min /
+        # rb_max both return 0 on an empty small-set)
+        return (
+            f"CAST(pmod(CAST(coalesce({v}, 0) AS DECIMAL(21, 0)), "
+            f"CAST(18446744073709551616 AS DECIMAL(21, 0))) "
+            f"AS DECIMAL(20, 0))"
+        )
+    if t == "bitmapTransform":
+        remap = (
+            f"map_from_arrays("
+            f"transform({a[1]}, __bf -> CAST(__bf AS BIGINT)), "
+            f"transform({a[2]}, __bt -> CAST(__bt AS BIGINT)))"
+        )
+        return _bm_sort(
+            f"array_distinct(transform({a[0]}, "
+            f"__bv -> coalesce(element_at({remap}, __bv), __bv)))"
+        )
+    # ---- aggregates ----
+    if t == "groupBitmap":
+        return f"count(DISTINCT {_bm_mask(a[0], _cht(0))})"
+    if t == "groupBitmapState":
+        return _bm_sort(
+            f"array_distinct(collect_list({_bm_mask(a[0], _cht(0))}))"
+        )
+    if t in ("groupBitmapMerge", "groupBitmapOr"):
+        return (
+            f"CAST(size(array_distinct(flatten("
+            f"collect_list({a[0]})))) AS BIGINT)"
+        )
+    if t in ("groupBitmapMergeState", "groupBitmapOrState"):
+        return _bm_sort(f"array_distinct(flatten(collect_list({a[0]})))")
+    # And / Xor fold pairwise across the group's bitmaps
+    comb = (
+        "array_intersect(__ba, __bx)" if "And" in t else
+        "array_union(array_except(__ba, __bx), array_except(__bx, __ba))"
+    )
+    fold = (
+        f"aggregate(collect_list({a[0]}), CAST(NULL AS ARRAY<BIGINT>), "
+        f"(__ba, __bx) -> CASE WHEN __ba IS NULL THEN __bx "
+        f"ELSE {comb} END)"
+    )
+    arr = f"coalesce({fold}, array())"
+    if t.endswith("State"):
+        return _bm_sort(arr)
+    return f"CAST(size({arr}) AS BIGINT)"
 
 
 def _map_populate_series_expr(a: list[str], ap: list[list[str]]) -> str:
@@ -7258,6 +7464,14 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                     up in ("AND", "OR", "NOT")
                     and (i == 0 or not _ends_operand(toks[i - 1]))
                 )
+                # `any(x)` is the aggregate unless it sits right after a
+                # comparison operator (`x = ANY (subq)` quantifier)
+                or (
+                    up == "ANY"
+                    and (i == 0 or toks[i - 1] not in (
+                        "=", "==", "!=", "<>", "<", ">", "<=", ">=",
+                    ))
+                )
             )
             and i + 1 < n
             and toks[i + 1] == "("
@@ -7615,6 +7829,10 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 out.append(
                     _map_add_sub_expr(args, arg_parts, t == "mapSubtract")
                 )
+                i = close + 1
+                continue
+            if t in _BITMAP_FUNCS:
+                out.append(_bitmap_expr(t, args, arg_parts))
                 i = close + 1
                 continue
             # minMap/maxMap/sumMap as REAL aggregates over the group
@@ -11781,6 +11999,15 @@ def _from_item_cols(src: list[str]) -> dict[str, str] | None:
         close = _match_paren(src, 0)
         inner = src[1:close]
         if inner and _kw(inner[0]) in ("SELECT", "WITH"):
+            if any(_kw(t) in _TRANSFORMER_KWS for t in inner):
+                # transformers rename/drop the subquery's outputs —
+                # expand them first so the derived list is the real one
+                try:
+                    qi = _parse_select(list(inner))
+                    _column_transformers(qi)
+                    return _subq_cols(["SELECT", *qi.select])
+                except Exception:  # noqa: BLE001
+                    pass
             return _subq_cols(inner)
         return None
     txt = "".join(t.strip("`") for t in src)
@@ -12218,6 +12445,281 @@ def _semi_anti_both_sides_rewrite(q: "_Select") -> None:
 
 
 
+def _qcols_universe(q: _Select) -> list[tuple[str, str]] | None:
+    """Ordered (qualified, bare) column universe of q's FROM clause:
+    the single FROM item, or every join item in order with
+    alias-qualified names (the reference expands matchers over ALL
+    joined sources, 01839).  None when any item's columns are
+    underivable."""
+    qcols: list[tuple[str, str]] = []
+    f9 = list(q.from_ or [])
+    has_join9 = any(
+        _kw(t) == "JOIN" and _paren_depth_at(f9, k) == 0
+        for k, t in enumerate(f9)
+    )
+    if not has_join9:
+        src = f9
+        if len(src) >= 2 and _kw(src[-2]) == "AS" and _is_ident(src[-1]):
+            src = src[:-2]
+        elif (
+            len(src) >= 2 and _is_ident(src[-1])
+            and _kw(src[-1]) not in _SQL_KEYWORDS
+            and (src[-2] == ")" or (_is_ident(src[-2]) and src[-2] != "."))
+        ):
+            src = src[:-1]  # bare trailing alias (`FROM t a`)
+        cols = _from_item_cols(src)
+        if cols is None:
+            return None
+        return [(c, c) for c in cols]
+    # split at depth-0 JOIN keywords; per item, strip join words,
+    # the ON tail, and pull a trailing alias
+    items9: list[list[str]] = [[]]
+    d9 = 0
+    for t in f9:
+        if t == "(":
+            d9 += 1
+        elif t == ")":
+            d9 -= 1
+        if d9 == 0 and _kw(t) == "JOIN":
+            items9.append([])
+            continue
+        items9[-1].append(t)
+    _JW9 = {"LEFT", "RIGHT", "FULL", "INNER", "OUTER", "CROSS",
+            "ANY", "ALL", "SEMI", "ANTI", "ASOF", "GLOBAL"}
+    for it9 in items9:
+        # drop trailing join-kind words and the ON condition
+        for k9, t9 in enumerate(it9):
+            if _paren_depth_at(it9, k9) == 0 and _kw(t9) == "ON":
+                it9 = it9[:k9]
+                break
+        while it9 and _kw(it9[-1]) in _JW9:
+            it9 = it9[:-1]
+        alias9 = ""
+        src9 = list(it9)
+        if len(src9) >= 2 and _kw(src9[-2]) == "AS" and _is_ident(src9[-1]):
+            alias9, src9 = src9[-1], src9[:-2]
+        elif (
+            len(src9) >= 2 and _is_ident(src9[-1])
+            and _kw(src9[-1]) not in _SQL_KEYWORDS
+            and (src9[-2] == ")" or (_is_ident(src9[-2]) and src9[-2] != "."))
+        ):
+            alias9, src9 = src9[-1], src9[:-1]
+        cs9 = _from_item_cols(src9)
+        if cs9 is None:
+            return None
+        for c9 in cs9:
+            qcols.append((f"{alias9}.{c9}" if alias9 else c9, c9))
+    return qcols
+
+
+#: column transformer keywords (ASTColumnsTransformers.cpp)
+_TRANSFORMER_KWS = ("APPLY", "EXCEPT", "REPLACE")
+
+
+def _col_ref_toks(qc: str) -> list[str]:
+    """Reference a universe column as tokens: plain (possibly
+    qualified) identifiers tokenize; anything else (a subquery output
+    named after its expression text) must stay ONE quoted token."""
+    if re.fullmatch(
+        r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?", qc
+    ):
+        return tokenize(qc)
+    return [f"`{qc}`"]
+
+
+def _transformer_name_list(
+    it: list[str], k: int
+) -> tuple[list[str], int]:
+    """EXCEPT's `(a, b)` or bare single identifier."""
+    if k < len(it) and it[k] == "(":
+        close = _match_paren(it, k)
+        names: list[str] = []
+        for p in _split_top(it[k + 1 : close], ","):
+            if len(p) != 1 or not _is_ident(p[0]):
+                raise DialectError("EXCEPT: expected identifiers")
+            names.append(p[0].strip("`"))
+        return names, close + 1
+    if k < len(it) and _is_ident(it[k]) and _kw(it[k]) not in _TRANSFORMER_KWS:
+        return [it[k].strip("`")], k + 1
+    raise DialectError("EXCEPT: expected a column list")
+
+
+def _transformer_replace_list(
+    it: list[str], k: int
+) -> tuple[list[tuple[list[str], str]], int]:
+    """REPLACE's `(expr AS name, ...)` or bare `expr AS name` (the
+    bare form runs to the next transformer keyword)."""
+    if k < len(it) and it[k] == "(":
+        close = _match_paren(it, k)
+        parts = _split_top(it[k + 1 : close], ",")
+        k2 = close + 1
+    else:
+        j = k
+        while j < len(it) and _kw(it[j]) not in _TRANSFORMER_KWS:
+            j += 1
+        parts, k2 = [it[k:j]], j
+    reps: list[tuple[list[str], str]] = []
+    for p in parts:
+        if len(p) >= 3 and _kw(p[-2]) == "AS" and _is_ident(p[-1]):
+            reps.append((p[:-2], p[-1].strip("`")))
+        else:
+            raise DialectError("REPLACE: expected `expr AS column`")
+    return reps, k2
+
+
+def _column_transformers(q: _Select) -> None:
+    """Column transformers `* | t.* | COLUMNS(...) APPLY/EXCEPT/REPLACE
+    ...` (src/Parsers/ASTColumnsTransformers.cpp; TreeRewriter expands
+    them before analysis).  APPLY wraps each matched column (updating
+    its NAME to the wrapped spelling, so later EXCEPT/REPLACE no longer
+    match the bare name); EXCEPT drops by name; REPLACE swaps the
+    expression while keeping the name, substituting the current
+    expression for self-references.  STRICT demands every listed name
+    matched (reference error 16); a doubly-replaced column is error
+    43."""
+    sel = q.select
+    if not any(_kw(t) in _TRANSFORMER_KWS for t in sel):
+        return
+
+    def _matcher_end(it: list[str]) -> int | None:
+        if not it:
+            return None
+        if it[0] == "*":
+            return 1
+        if (
+            len(it) >= 3 and _is_ident(it[0]) and it[1] == "."
+            and it[2] == "*"
+        ):
+            return 3
+        if _kw(it[0]) == "COLUMNS" and len(it) > 1 and it[1] == "(":
+            return _match_paren(it, 1) + 1
+        return None
+
+    items = _split_top(sel, ",")
+    if not any(
+        (e9 := _matcher_end(it)) is not None and e9 < len(it)
+        and _kw(it[e9]) in _TRANSFORMER_KWS
+        for it in items
+    ):
+        return
+    uni = _qcols_universe(q)
+    out_items: list[list[str]] = []
+    for it in items:
+        e = _matcher_end(it)
+        if e is None or e >= len(it) or _kw(it[e]) not in _TRANSFORMER_KWS:
+            out_items.append(it)
+            continue
+        if uni is None:
+            raise DialectError(
+                "column transformer: source columns are not derivable"
+            )
+        cols: list[tuple[list[str], str]] = []
+        if it[0] == "*":
+            cols = [(_col_ref_toks(qc), bc) for qc, bc in uni]
+        elif it[1] == ".":
+            pref = [x for x in uni if x[0].startswith(it[0] + ".")]
+            # an unaliased single table referenced by its own name
+            cols = [(_col_ref_toks(qc), bc) for qc, bc in (pref or uni)]
+        else:
+            inner = it[2 : _match_paren(it, 1)]
+            pat = _const_str_of_raw(inner)
+            if pat is not None:
+                try:
+                    rx = re.compile(pat)
+                except re.error:
+                    raise DialectError("COLUMNS: invalid regex")
+                cols = [(_col_ref_toks(qc), bc) for qc, bc in uni
+                        if rx.search(bc)]
+            else:
+                # explicit identifier list: COLUMNS(i, j, k)
+                parts = _split_top(inner, ",")
+                if not all(
+                    len(p) == 1 and _is_ident(p[0]) for p in parts if p
+                ):
+                    raise DialectError("COLUMNS: expected identifiers")
+                cols = [(list(p), p[0].strip("`")) for p in parts if p]
+        k, n = e, len(it)
+        while k < n:
+            kw = _kw(it[k])
+            if kw not in _TRANSFORMER_KWS:
+                raise DialectError(
+                    f"unexpected token after column matcher: {it[k]}"
+                )
+            k += 1
+            strict = k < n and _kw(it[k]) == "STRICT"
+            if strict:
+                k += 1
+            if kw == "APPLY":
+                if k < n and it[k] == "(":
+                    close = _match_paren(it, k)
+                    f_toks = it[k + 1 : close]
+                    k = close + 1
+                else:
+                    if k >= n or not _is_ident(it[k]):
+                        raise DialectError("APPLY: expected a function")
+                    f_toks = [it[k]]
+                    k += 1
+                    if k < n and it[k] == "(":  # parameterized
+                        close = _match_paren(it, k)
+                        f_toks += it[k : close + 1]
+                        k = close + 1
+                f_txt = "".join(f_toks)
+                cols = [
+                    (f_toks + ["(", *ex, ")"], f"{f_txt}({nm})")
+                    for ex, nm in cols
+                ]
+            elif kw == "EXCEPT":
+                names, k = _transformer_name_list(it, k)
+                if strict:
+                    for x in names:
+                        if all(nm != x for _, nm in cols):
+                            raise DialectError(
+                                f"EXCEPT STRICT: no column {x} (16)"
+                            )
+                cols = [(ex, nm) for ex, nm in cols if nm not in names]
+            else:  # REPLACE
+                reps, k = _transformer_replace_list(it, k)
+                seen_r: set[str] = set()
+                for _, rn in reps:
+                    if rn in seen_r:
+                        raise DialectError(
+                            f"REPLACE: column {rn} replaced twice (43)"
+                        )
+                    seen_r.add(rn)
+                if strict:
+                    for _, rn in reps:
+                        if all(nm != rn for _, nm in cols):
+                            raise DialectError(
+                                f"REPLACE STRICT: no column {rn} (16)"
+                            )
+                rmap = {rn: rex for rex, rn in reps}
+                cols = [
+                    (
+                        [
+                            tk2
+                            for tkr in rmap[nm]
+                            for tk2 in (
+                                ["(", *ex, ")"]
+                                if tkr.strip("`") == nm else [tkr]
+                            )
+                        ]
+                        if nm in rmap else ex,
+                        nm,
+                    )
+                    for ex, nm in cols
+                ]
+        for ex, nm in cols:
+            out_items.append(list(ex) + ["AS", f"`{nm}`"])
+    if not out_items:
+        raise DialectError("empty column list after transformers (51)")
+    new_sel: list[str] = []
+    for x9, itx in enumerate(out_items):
+        if x9:
+            new_sel.append(",")
+        new_sel += itx
+    q.select = new_sel
+
+
 def _columns_matcher_fill(q: _Select) -> None:
     """COLUMNS('re') matcher (src/Parsers/ASTColumnsMatcher + the
     TranslateQualifiedNamesVisitor expansion): splice the FROM source's
@@ -12233,64 +12735,10 @@ def _columns_matcher_fill(q: _Select) -> None:
 
     if not (_has_columns(q.select) or _has_columns(q.where)):
         return
-    # column universe: either the single FROM item, or every join item
-    # in order with alias-qualified names (the reference expands the
-    # matcher over ALL joined sources, 01839)
-    qcols: list[tuple[str, str]] = []
-    f9 = list(q.from_ or [])
-    has_join9 = any(
-        _kw(t) == "JOIN" and _paren_depth_at(f9, k) == 0
-        for k, t in enumerate(f9)
-    )
-    if not has_join9:
-        src = f9
-        if len(src) >= 2 and _kw(src[-2]) == "AS" and _is_ident(src[-1]):
-            src = src[:-2]
-        cols = _from_item_cols(src)
-        if cols is None:
-            return
-        qcols = [(c, c) for c in cols]
-    else:
-        # split at depth-0 JOIN keywords; per item, strip join words,
-        # the ON tail, and pull a trailing alias
-        items9: list[list[str]] = [[]]
-        d9 = 0
-        for t in f9:
-            if t == "(":
-                d9 += 1
-            elif t == ")":
-                d9 -= 1
-            if d9 == 0 and _kw(t) == "JOIN":
-                items9.append([])
-                continue
-            items9[-1].append(t)
-        _JW9 = {"LEFT", "RIGHT", "FULL", "INNER", "OUTER", "CROSS",
-                "ANY", "ALL", "SEMI", "ANTI", "ASOF", "GLOBAL"}
-        for it9 in items9:
-            # drop trailing join-kind words and the ON condition
-            for k9, t9 in enumerate(it9):
-                if _paren_depth_at(it9, k9) == 0 and _kw(t9) == "ON":
-                    it9 = it9[:k9]
-                    break
-            while it9 and _kw(it9[-1]) in _JW9:
-                it9 = it9[:-1]
-            alias9 = ""
-            src9 = list(it9)
-            if len(src9) >= 2 and _kw(src9[-2]) == "AS" and _is_ident(src9[-1]):
-                alias9, src9 = src9[-1], src9[:-2]
-            elif (
-                len(src9) >= 2 and _is_ident(src9[-1])
-                and _kw(src9[-1]) not in _SQL_KEYWORDS
-                and (src9[-2] == ")" or (_is_ident(src9[-2]) and src9[-2] != "."))
-            ):
-                alias9, src9 = src9[-1], src9[:-1]
-            cs9 = _from_item_cols(src9)
-            if cs9 is None:
-                return
-            for c9 in cs9:
-                qcols.append(
-                    (f"{alias9}.{c9}" if alias9 else c9, c9)
-                )
+    uni9 = _qcols_universe(q)
+    if uni9 is None:
+        return
+    qcols: list[tuple[str, str]] = uni9
 
     _OPS9 = {"+", "-", "*", "/", "%", "=", "==", "!=", "<>", "<", ">",
              "<=", ">=", "||"}
@@ -12593,6 +13041,7 @@ def _translate_select_tokens(toks: list[str]) -> tuple[str, dict[str, str]]:
                 raise DialectError("qualified star without FROM")
         if [t for t in q.select if t.strip()] == ["*"]:
             q.select = ["0"]
+    _column_transformers(q)
     _columns_matcher_fill(q)
     _bare_star_fill(q)
     _outer_join_default_fill(q)
@@ -12635,7 +13084,7 @@ def _subq_cols(inner: list[str]) -> dict[str, str]:
         if not item:
             continue
         if len(item) >= 3 and _kw(item[-2]) == "AS" and _is_ident(item[-1]):
-            name, expr = item[-1], item[:-2]
+            name, expr = item[-1].strip("`"), item[:-2]
         elif len(item) == 1 and _is_ident(item[0]):
             name, expr = item[0], item
         elif (
@@ -12656,7 +13105,12 @@ def _subq_cols(inner: list[str]) -> dict[str, str]:
         else:
             continue
         txt = " ".join(expr)
-        if re.search(r"'|toString|concat|substring|String", txt):
+        if re.search(
+            r"groupBitmap\w*State|bitmapBuild|groupArray|groupUniqArray",
+            txt,
+        ):
+            cols[name] = "array()"  # empty set/list, not 0
+        elif re.search(r"'|toString|concat|substring|String", txt):
             cols[name] = "''"
         elif re.search(r"toDate\b", txt):
             cols[name] = "DATE '1970-01-01'"
@@ -13257,7 +13711,15 @@ def _hoist_inner_aliases(toks: list[str]) -> list[str]:
         if t == "(":
             fn = toks[i - 1] if i > 0 and _is_ident(toks[i - 1]) else ""
             sub = i + 1 < n and _kw(toks[i + 1]) in ("SELECT", "WITH")
-            stack.append((sub, _kw(fn)))
+            fnk = _kw(fn)
+            if fnk == "REPLACE" and i >= 2 and (
+                toks[i - 2] in ("*", ")")
+                or _kw(toks[i - 2]) == "STRICT"
+            ):
+                # the column transformer `* REPLACE(expr AS col)` — its
+                # inner AS is the transformer's own syntax, not an alias
+                fnk = "CAST"
+            stack.append((sub, fnk))
             i += 1
             continue
         if t == ")":
