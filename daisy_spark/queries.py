@@ -154,7 +154,11 @@ ORDER BY hour
 
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join + agg + top-k with tiebreakers."""
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    # customer broadcasts: read it plain (the bucketed mirror only helps
+    # a shuffle join; a broadcast build side pays for 32 bucket files)
+    c = _t(spark, sf_dir, "customer", plain=True).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
     )
@@ -194,7 +198,11 @@ LIMIT 10
 def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way star join; dims broadcast (region/nation/
     supplier stay broadcastable at any SF)."""
-    c = _t(spark, sf_dir, "customer")
+    # broadcast build side -> plain parquet read (see load_table: the
+    # custkey-bucketed mirror is the cluster-scale SHUFFLE alternative;
+    # reading it for a broadcast is pure small-file overhead, the r7->r8
+    # region_revenue sf1 regression)
+    c = _t(spark, sf_dir, "customer", plain=True)
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
