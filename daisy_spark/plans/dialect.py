@@ -66,6 +66,7 @@ _TOKEN_RE = re.compile(
     | (?P<comment>--[^\n]*|/\*.*?\*/)
     | (?P<str>'(?:[^'\\]|\\.|'')*')
     | (?P<qid>`(?:[^`]|``)*`|"(?:[^"\\]|\\.|"")*")
+    | (?P<hexfloat>0[xX][0-9a-fA-F]+(?:\.[0-9a-fA-F]*)?[pP][+-]?[0-9]+)
     | (?P<hex>0[xX][0-9a-fA-F]+)
     | (?P<num>[0-9]+(?:\.[0-9]*)?(?:[eE][+-]?[0-9]+)?|\.[0-9]+)
     | (?P<id>[A-Za-z_][A-Za-z0-9_]*)
@@ -76,14 +77,45 @@ _TOKEN_RE = re.compile(
 )
 
 
+def _float_lit(x) -> str:
+    """Shortest float spelling Spark's lexer accepts."""
+    try:
+        f = float(x)
+    except OverflowError:
+        f = float("inf") if x > 0 else float("-inf")
+    return repr(f).replace("e+", "e")
+
+
+def _emit_int_lit(out: list[str], v: int) -> None:
+    """Emit an integer literal the reference's way (ParserNumber):
+    values past UInt64 fall to Float64; a UNARY minus folds into the
+    literal first, so -(v) past Int64's floor is Float64 too (the
+    binary-minus case keeps the exact integer)."""
+    neg_unary = (
+        out and out[-1] == "-"
+        and (len(out) == 1 or not _ends_operand(out[-2]))
+    )
+    if neg_unary and v > (1 << 63):
+        out.pop()
+        out += ["(", "-", _float_lit(v), ")"]
+    elif v > (1 << 64) - 1:
+        out.append(_float_lit(v))
+    else:
+        out.append(str(v))
+
+
 def tokenize(sql_text: str) -> list[str]:
     out: list[str] = []
     for m in _TOKEN_RE.finditer(sql_text):
         if m.lastgroup in ("ws", "comment"):
             continue
+        if m.lastgroup == "hexfloat":
+            # 0x123p4 hex-float literals (always Float64)
+            out.append(_float_lit(float.fromhex(m.group())))
+            continue
         if m.lastgroup == "hex":
             # 0xFF literals -> decimal (Spark SQL has no hex int literals)
-            out.append(str(int(m.group(), 16)))
+            _emit_int_lit(out, int(m.group(), 16))
             continue
         if m.lastgroup == "qid" and m.group().startswith('"'):
             # reference double quotes are ALWAYS identifiers (SQL style);
@@ -97,9 +129,20 @@ def tokenize(sql_text: str) -> list[str]:
                 out.append("`" + inner.replace("`", "``") + "`")
             continue
         if m.lastgroup == "num" and re.match(r"^0[0-9]+$", m.group()):
-            # leading-zero integers are plain decimals in the reference;
-            # Spark's parser rejects them
-            out.append(str(int(m.group(), 10)))
+            # leading-zero integers parse like C strtoull base 0: OCTAL
+            # when the digits allow it and the value fits UInt64 (0377
+            # -> 255); otherwise the strtod fallback reads them as plain
+            # decimals (the 1e308-ish long literals)
+            tok = m.group()
+            if re.fullmatch(r"0[0-7]+", tok) and len(tok) <= 22 and (
+                int(tok, 8) <= (1 << 64) - 1
+            ):
+                _emit_int_lit(out, int(tok, 8))
+            else:
+                _emit_int_lit(out, int(tok, 10))
+            continue
+        if m.lastgroup == "num" and re.fullmatch(r"[0-9]+", m.group()):
+            _emit_int_lit(out, int(m.group()))
             continue
         out.append(m.group())
     return out
@@ -2084,6 +2127,30 @@ def _ch_type_of(toks: list[str], env: dict[str, str]) -> str | None:
             else f"DateTime64({sc_d64})"
         )
         return f"Nullable({base_d64})" if nul_d64 else base_d64
+    # toStartOfSecond keeps its argument's DateTime64 scale; a tz
+    # argument replaces the zone tag (toStartOfSecond.cpp)
+    if (
+        len(toks) >= 3 and toks[1] == "("
+        and _match_paren(toks, 1) == len(toks) - 1
+        and toks[0] == "toStartOfSecond"
+    ):
+        args_ss = _split_top(toks[2:-1], ",")
+        t0_ss = _ch_type_of(args_ss[0], env) if args_ss and args_ss[0] else None
+        mm_ss = re.fullmatch(
+            r"(?:Nullable\()?DateTime64\((\d+)(?:\s*,\s*'([^']*)')?\)\)?",
+            t0_ss or "",
+        )
+        if not mm_ss:
+            return None
+        tz_ss = mm_ss.group(2)
+        if len(args_ss) > 1 and args_ss[1]:
+            cand_ss = [t for t in args_ss[1] if t not in ("(", ")")]
+            if len(cand_ss) == 1 and cand_ss[0].startswith("'"):
+                tz_ss = cand_ss[0].strip("'")
+        return (
+            f"DateTime64({mm_ss.group(1)}, '{tz_ss}')" if tz_ss
+            else f"DateTime64({mm_ss.group(1)})"
+        )
     # bitmap family: builds/States carry their element type; set algebra
     # propagates; cardinalities/min/max are UInt64 (FunctionsBitmap.h)
     if (
@@ -3592,6 +3659,70 @@ def _from_unix_ts64_expr(a: list[str], k: int) -> str:
     frac = f"lpad(CAST(pmod(CAST({a[0]} AS BIGINT), {digits}) AS STRING), {k}, '0')"
     wall = f"from_utc_timestamp(timestamp_seconds({sec}), '{tz}')"
     return f"concat(date_format({wall}, 'yyyy-MM-dd HH:mm:ss'), '.', {frac})"
+
+
+def _has_token_expr(a: list[str], ci: bool = False, or_null: bool = False) -> str:
+    """hasToken[CaseInsensitive][OrNull](haystack, needle)
+    (src/Functions/hasToken.cpp; boundary rules from
+    src/Common/StringSearcher.h TokenSearcher): the needle must be a
+    whole token — neighbours are ASCII non-alphanumerics (non-ASCII
+    bytes are NOT separators).  A needle containing a separator is
+    error 36 (OrNull: NULL)."""
+    if len(a) != 2:
+        raise DialectError("hasToken: wrong number of arguments (42)")
+    nd = _strip_outer_parens_text(a[1])
+    if not (nd.startswith("'") and nd.endswith("'")):
+        raise DialectError("hasToken: needle must be constant (44)")
+    needle = nd[1:-1]
+    if not needle or any(
+        ord(c) < 128 and not c.isalnum() for c in needle
+    ):
+        if or_null:
+            return "CAST(NULL AS INT)"
+        raise DialectError(
+            "hasToken: needle must not contain separators (36)"
+        )
+    sep = r"[\\x00-\\x2F\\x3A-\\x40\\x5B-\\x60\\x7B-\\x7F]"
+    flags = "(?i)" if ci else ""
+    return (
+        f"CAST(regexp_like({a[0]}, "
+        f"'{flags}(^|{sep}){needle}({sep}|$)') AS INT)"
+    )
+
+
+def _to_start_of_second_expr(a: list[str], ap: list[list[str]]) -> str:
+    """toStartOfSecond(dt64[, tz]) -> same-scale DateTime64 with the
+    fraction zeroed (src/Functions/toStartOfSecond.cpp).  Only
+    DateTime64 is legal (error 43); a tz argument re-bases the wall
+    clock from the value's zone (or the server zone) into tz."""
+    if len(a) not in (1, 2):
+        raise DialectError("toStartOfSecond: wrong number of args (42)")
+    if len(a) == 2:
+        t1 = _strip_outer_parens_text(a[1])
+        if not (t1.startswith("'") and t1.endswith("'")):
+            raise DialectError(
+                "toStartOfSecond: timezone must be a const string (43)"
+            )
+    env = _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+    t0 = _ch_type_of(ap[0], env) if ap and ap[0] else None
+    mm = re.fullmatch(
+        r"(?:Nullable\()?DateTime64\((\d+)(?:\s*,\s*'([^']*)')?\)\)?",
+        t0 or "",
+    )
+    if not mm:
+        raise DialectError("toStartOfSecond: illegal argument type (43)")
+    scale, src_tz = int(mm.group(1)), mm.group(2)
+    sec = f"substring(CAST({a[0]} AS STRING), 1, 19)"
+    if len(a) == 2:
+        dst = _strip_outer_parens_text(a[1])[1:-1]
+        sec = (
+            f"date_format(from_utc_timestamp(to_utc_timestamp("
+            f"CAST({sec} AS TIMESTAMP), '{src_tz or _SERVER_TZ}'), "
+            f"'{dst}'), 'yyyy-MM-dd HH:mm:ss')"
+        )
+    if scale:
+        return f"concat({sec}, '.{'0' * scale}')"
+    return sec
 
 
 def _parse_dt64_best_effort(a: list[str], kind: str) -> str:
@@ -5418,6 +5549,12 @@ FUNC_MAP: dict[str, object] = {
         "CAST(reflect('java.lang.Double', 'longBitsToDouble', "
         "CAST({0} AS BIGINT)) AS DOUBLE)"
     ),
+    "hasToken": lambda a: _has_token_expr(a),
+    "hasTokenCaseInsensitive": lambda a: _has_token_expr(a, ci=True),
+    "hasTokenOrNull": lambda a: _has_token_expr(a, or_null=True),
+    "hasTokenCaseInsensitiveOrNull": lambda a: _has_token_expr(
+        a, ci=True, or_null=True
+    ),
     # now64(scale[, tz]): subsecond now, rendered at the given scale
     # (src/Functions/now64.cpp; scale > 9 is error 69).  STRING-shaped:
     # only the rendering is observable in the corpus tier
@@ -6965,11 +7102,14 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
             continue
         # nan / inf literals (Field.h float specials)
         if (
-            t in ("nan", "inf")
+            t.lower() in ("nan", "inf")
             and (i == 0 or toks[i - 1] != ".")
             and (i + 1 >= n or toks[i + 1] != "(")
         ):
-            out.append("double('NaN')" if t == "nan" else "double('Infinity')")
+            out.append(
+                "double('NaN')" if t.lower() == "nan"
+                else "double('Infinity')"
+            )
             i += 1
             continue
         # decimal-point literals are Float64 in the reference; Spark
@@ -7833,6 +7973,10 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 continue
             if t in _BITMAP_FUNCS:
                 out.append(_bitmap_expr(t, args, arg_parts))
+                i = close + 1
+                continue
+            if t == "toStartOfSecond":
+                out.append(_to_start_of_second_expr(args, arg_parts))
                 i = close + 1
                 continue
             # minMap/maxMap/sumMap as REAL aggregates over the group
