@@ -9495,32 +9495,113 @@ _BOOL_LEFT_EDGE = {"(", ",", "AND", "OR", "NOT", "WHEN", "THEN", "ELSE",
 _BOOL_RIGHT_EDGE = {")", ",", "AND", "OR", "AS", "THEN", "ELSE", "END"}
 
 
+#: depth-0 tokens that terminate an AND/OR operand span
+_BOOLIFY_STOP = {
+    ",", "(", ")", "WHEN", "THEN", "ELSE", "END", "CASE", "SELECT",
+    "FROM", "WHERE", "GROUP", "ORDER", "BY", "HAVING", "LIMIT", "AS",
+    "UNION", "SETTINGS", "OVER", "ON", "USING", "JOIN", "INTERVAL",
+    "PREWHERE",
+}
+
+#: span-internal depth-0 markers that prove the operand is ALREADY
+#: boolean-valued (comparisons bind tighter than AND/OR)
+_BOOLIFY_BOOLISH = {
+    "=", "==", "!=", "<>", "<", ">", "<=", ">=", "IN", "LIKE", "ILIKE",
+    "RLIKE", "IS", "EXISTS", "BETWEEN", "NOT",
+}
+
+
 def _boolify_logic_operands(toks: list[str]) -> list[str]:
-    """Reference logic is numeric: ``x AND 1`` is valid (UInt8 truthiness,
-    src/Functions/FunctionsLogical.cpp).  Spark's AND/OR demand booleans —
-    wrap BARE numeric-literal operands of AND/OR as ``(n <> 0)``.  The
-    AND of ``BETWEEN a AND b`` is a binder, not a conjunction."""
-    res = list(toks)
+    """Reference logic is numeric: ``x AND 1`` / ``x1 OR x2`` over UInt8
+    are valid (truthiness, src/Functions/FunctionsLogical.cpp).  Spark's
+    AND/OR demand booleans — wrap each depth-0 AND/OR operand span in
+    ``CAST(... AS BOOLEAN)`` unless the span visibly contains a depth-0
+    comparison/IN/LIKE/IS (already boolean; the cast would be a no-op
+    anyway — skipping just keeps plans textually clean).  The AND of
+    ``BETWEEN a AND b`` is a binder, not a conjunction."""
+    n = len(toks)
+    # fast path: no depth-0 logical separator
+    seps: list[int] = []
+    depth = 0
     between = 0
-    for i, t in enumerate(res):
-        k = _kw(t)
-        if k == "BETWEEN":
-            between += 1
+    for i, t in enumerate(toks):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            k = _kw(t)
+            if k == "BETWEEN":
+                between += 1
+            elif k == "AND" and between:
+                between -= 1
+            elif k in ("AND", "OR"):
+                seps.append(i)
+    if not seps:
+        return list(toks)
+    sepset = set(seps)
+
+    def _span_left(j: int) -> int:
+        """Start of the operand ending at j (inclusive scan leftward)."""
+        d = 0
+        k = j
+        while k >= 0:
+            t = toks[k]
+            if t == ")":
+                d += 1
+            elif t == "(":
+                if d == 0:
+                    return k + 1
+                d -= 1
+            elif d == 0 and (
+                k in sepset or _kw(t) in _BOOLIFY_STOP
+            ):
+                return k + 1
+            k -= 1
+        return 0
+
+    def _span_right(j: int) -> int:
+        """End of the operand starting at j (inclusive scan rightward)."""
+        d = 0
+        k = j
+        while k < n:
+            t = toks[k]
+            if t == "(":
+                d += 1
+            elif t == ")":
+                if d == 0:
+                    return k - 1
+                d -= 1
+            elif d == 0 and (
+                k in sepset or _kw(t) in _BOOLIFY_STOP
+            ):
+                return k - 1
+            k += 1
+        return n - 1
+
+    spans: set[tuple[int, int]] = set()
+    for i in seps:
+        spans.add((_span_left(i - 1), i - 1))
+        spans.add((i + 1, _span_right(i + 1)))
+    # wrap right-to-left so earlier indices stay valid
+    res = list(toks)
+    for lo, hi in sorted(spans, reverse=True):
+        if lo > hi:
             continue
-        if k == "AND" and between:
-            between -= 1
+        seg = toks[lo : hi + 1]
+        d = 0
+        boolish = False
+        for t in seg:
+            if t == "(":
+                d += 1
+            elif t == ")":
+                d -= 1
+            elif d == 0 and _kw(t) in _BOOLIFY_BOOLISH:
+                boolish = True
+                break
+        if boolish:
             continue
-        if k not in ("AND", "OR"):
-            continue
-        for j in (i - 1, i + 1):
-            if not (0 <= j < len(res)):
-                continue
-            if not re.match(r"^[0-9]+(\.[0-9]*)?$", res[j]):
-                continue
-            edge = _BOOL_LEFT_EDGE if j < i else _BOOL_RIGHT_EDGE
-            nb = j - 1 if j < i else j + 1
-            if nb < 0 or nb >= len(res) or _kw(res[nb]) in edge:
-                res[j] = f"({res[j]} <> 0)"
+        res[lo : hi + 1] = ["CAST", "(", *seg, "AS", "BOOLEAN", ")"]
     return res
 
 
