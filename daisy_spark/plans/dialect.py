@@ -117,6 +117,16 @@ def tokenize(sql_text: str) -> list[str]:
             # 0xFF literals -> decimal (Spark SQL has no hex int literals)
             _emit_int_lit(out, int(m.group(), 16))
             continue
+        if m.lastgroup == "qid" and m.group().startswith("`"):
+            # reference backquoted identifiers use backslash escapes
+            # (`concat(str, \'_abc\')` — parseBackQuotedString)
+            inner = m.group()[1:-1]
+            if "\\" in inner:
+                inner = re.sub(r"\\(.)", r"\1", inner)
+                out.append("`" + inner + "`")
+                continue
+            out.append(m.group())
+            continue
         if m.lastgroup == "qid" and m.group().startswith('"'):
             # reference double quotes are ALWAYS identifiers (SQL style);
             # Spark reads them as string literals.  Plain names emit BARE
@@ -13329,9 +13339,17 @@ def _subq_cols(inner: list[str]) -> dict[str, str]:
             name, expr = item[0], item
         else:
             continue
+        if name in cols:
+            # duplicate output names collapse to the FIRST occurrence
+            # (a trailing bare re-reference must not demote a string
+            # column's guessed default to 0)
+            continue
         txt = " ".join(expr)
-        if re.search(
-            r"groupBitmap\w*State|bitmapBuild|groupArray|groupUniqArray",
+        if re.search(r"arrayJoin\s*\(", txt):
+            cols[name] = "0"  # arrayJoin EXPLODES — elements are scalars
+        elif re.search(
+            r"groupBitmap\w*State|bitmapBuild|groupArray|groupUniqArray"
+            r"|range\s*\(|emptyArray|^\s*\[",
             txt,
         ):
             cols[name] = "array()"  # empty set/list, not 0
@@ -13704,6 +13722,177 @@ def _subst_scalar_aliases(
     return out
 
 
+#: clause keywords ending the select list at depth 0
+_SEL_END_KWS = {
+    "FROM", "WHERE", "PREWHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
+    "SETTINGS", "UNION", "INTO", "FORMAT", "WINDOW", "OFFSET",
+}
+
+
+def _alias_subquery_outputs(toks: list[str]) -> list[str]:
+    """The reference names unaliased output columns after the ORIGINAL
+    expression text (IAST::appendColumnName; TreeRewriter.cpp:941,
+    1021-1083), and OUTER queries may reference subquery columns by
+    those names (`` `pow(four, 2)` ``).  Attach that name as an alias to
+    function-call-shaped unaliased items (plus `a || b` -> concat):
+    same-select aliases substitute into the name (``2 AS two`` makes
+    pow(two, 2) name ``pow(2, 2)``); WITH aliases keep their NAME — this
+    runs before scalar-alias inlining, so they are still plain
+    identifiers here.  Items with top-level infix arithmetic are left
+    alone (their reference names are plus(...)-style renders this
+    engine does not reproduce yet)."""
+    # locate the top-level SELECT and its item span
+    depth = 0
+    sel = None
+    for j, t in enumerate(toks):
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif depth == 0:
+            k = _kw(t)
+            if k == "SELECT":
+                sel = j
+                break
+            if k == "UNION":
+                return toks
+    if sel is None:
+        return toks
+    start = sel + 1
+    if start < len(toks) and _kw(toks[start]) == "DISTINCT":
+        start += 1
+    depth = 0
+    end = len(toks)
+    for j in range(start, len(toks)):
+        t = toks[j]
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif depth == 0 and _kw(t) in _SEL_END_KWS:
+            end = j
+            break
+    if any(
+        _paren_depth_at(toks, j) == 0 and _kw(t) == "UNION"
+        for j, t in enumerate(toks[end:], end)
+    ):
+        return toks  # UNION branches share names from the first SELECT
+    items = _split_top(toks[start:end], ",")
+    amap: dict[str, list[str]] = {}
+    for it in items:
+        if len(it) >= 3 and _kw(it[-2]) == "AS" and _is_ident(it[-1]):
+            amap[it[-1].strip("`")] = it[:-2]
+    # duplicate-name elimination (TreeRewriter removeDuplicateColumns):
+    # `SELECT 1 AS x, 2 AS y, x, y` exposes TWO columns — a repeat of an
+    # already-projected name (bare re-reference, or the identical
+    # aliased expression again) collapses away
+    seen9: dict[str, str] = {}
+    dedup9: list[list[str]] = []
+    for it in items:
+        nm9 = None
+        if len(it) == 1 and _is_ident(it[0]) and _kw(it[0]) not in _SQL_KEYWORDS:
+            nm9 = it[0].strip("`")
+        elif len(it) >= 3 and _kw(it[-2]) == "AS" and _is_ident(it[-1]):
+            nm9 = it[-1].strip("`")
+        if nm9 is not None:
+            txt9 = " ".join(it)
+            prev9 = seen9.get(nm9)
+            if prev9 is not None and (len(it) == 1 or prev9 == txt9):
+                continue
+            seen9.setdefault(nm9, txt9)
+        dedup9.append(it)
+    if len(dedup9) != len(items):
+        items = dedup9
+        spliced0: list[str] = []
+        for x9, it in enumerate(items):
+            if x9:
+                spliced0.append(",")
+            spliced0 += it
+        toks = toks[:start] + spliced0 + toks[end:]
+        end = start + len(spliced0)
+
+    def _subst(ts: list[str], depth9: int = 0) -> list[str]:
+        if depth9 > 4:
+            return ts
+        out9: list[str] = []
+        for k9, t9 in enumerate(ts):
+            if (
+                t9 in amap
+                and (k9 == 0 or ts[k9 - 1] != ".")
+                and (k9 + 1 >= len(ts) or ts[k9 + 1] not in (".", "("))
+            ):
+                out9 += _subst(amap[t9], depth9 + 1)
+            else:
+                out9.append(t9)
+        return out9
+
+    _INFIX9 = {"+", "-", "*", "/", "%", "=", "==", "!=", "<>", "<", ">",
+               "<=", ">=", "?", ":", "->"}
+    changed = False
+    new_items: list[list[str]] = []
+    for it in items:
+        if (
+            not it or len(it) == 1 or "*" in it
+            or (len(it) >= 3 and _kw(it[-2]) == "AS" and _is_ident(it[-1]))
+        ):
+            new_items.append(it)
+            continue
+        # depth-0 shape scan: pure call / pure ||-chain qualify
+        d9 = 0
+        bad = False
+        pipes: list[int] = []
+        for k9, t9 in enumerate(it):
+            if t9 in ("(", "["):
+                d9 += 1
+            elif t9 in (")", "]"):
+                d9 -= 1
+            elif d9 == 0:
+                if t9 in _INFIX9 or (
+                    _is_ident(t9) and _kw(t9) in _SQL_KEYWORDS
+                ):
+                    bad = True
+                    break
+                if t9 == "||":
+                    pipes.append(k9)
+        call_shape = (
+            len(it) >= 3 and _is_ident(it[0]) and it[1] == "("
+            and _match_paren(it, 1) == len(it) - 1
+        )
+        if bad or not (call_shape or pipes):
+            new_items.append(it)
+            continue
+        name_toks = _subst(list(it))
+        if pipes:
+            # a || b -> concat(a, b) in the canonical name (the parser
+            # desugars the operator before naming)
+            parts9 = _split_top(name_toks, "||")
+            name_toks = ["concat", "("]
+            for x9, p9 in enumerate(parts9):
+                if x9:
+                    name_toks.append(",")
+                name_toks += p9
+            name_toks.append(")")
+        try:
+            from daisy_spark.chsyntax import ch_expr
+            nm = ch_expr(name_toks)
+        except Exception:  # noqa: BLE001
+            new_items.append(it)
+            continue
+        if not nm or "`" in nm or len(nm) > 200:
+            new_items.append(it)
+            continue
+        new_items.append(list(it) + ["AS", f"`{nm}`"])
+        changed = True
+    if not changed:
+        return toks
+    spliced: list[str] = []
+    for x9, it in enumerate(new_items):
+        if x9:
+            spliced.append(",")
+        spliced += it
+    return toks[:start] + spliced + toks[end:]
+
+
 def _translate_query_text(toks: list[str]) -> str:
     """UNION-aware, WITH-aware entry for a (sub)query token list."""
     tok_d = _QDEPTH.set(_QDEPTH.get() + 1)
@@ -13718,6 +13907,10 @@ def _translate_query_text_inner(toks: list[str]) -> str:
     # hoist in translate() skips subquery bodies, so hoist again at each
     # query scope (no-op when the scope has none)
     toks = _hoist_inner_aliases(toks)
+    if _QDEPTH.get() >= 2:
+        # a SUBQUERY's unaliased outputs are addressable by the
+        # reference's expression-text column names — attach them
+        toks = _alias_subquery_outputs(toks)
     # WITH cte AS (SELECT ...), expr AS name, ... SELECT ...
     if toks and _kw(toks[0]) == "WITH":
         n = len(toks)
