@@ -4030,6 +4030,17 @@ _BITMAP_FUNCS = {
 }
 
 
+def _zip_arrays_struct(a: list[str]) -> str:
+    """Zip N parallel arrays into one array of position structs."""
+    fields = ", ".join(
+        f"element_at({x}, CAST(__zi AS INT)) AS f{k}"
+        for k, x in enumerate(a)
+    )
+    return (
+        f"transform(sequence(1, size({a[0]})), __zi -> struct({fields}))"
+    )
+
+
 def _bm_sort(arr: str) -> str:
     """Sort a bitmap array in UNSIGNED ascending order."""
     return (
@@ -5285,8 +5296,19 @@ FUNC_MAP: dict[str, object] = {
         "CAST(0 AS DOUBLE), (acc, e) -> acc + e))"
     ),
     # flatten-then-distinct inside one agg expression; fine at the SQL
-    # compat scale — the distributed path is functions.states' -Array
-    "uniqArray": "size(array_distinct(flatten(collect_list({0}))))",
+    # compat scale — the distributed path is functions.states' -Array.
+    # Multi-arg forms count distinct POSITION-TUPLES across the
+    # parallel arrays (AggregateFunctionArray.h zips its arguments)
+    "uniqArray": lambda a: (
+        "size(array_distinct(flatten(collect_list("
+        + (a[0] if len(a) == 1 else _zip_arrays_struct(a))
+        + "))))"
+    ),
+    "uniqExactArray": lambda a: (
+        "size(array_distinct(flatten(collect_list("
+        + (a[0] if len(a) == 1 else _zip_arrays_struct(a))
+        + "))))"
+    ),
     "sumMap": "map_from_arrays({0}, {1})",  # see aggregates.sum_map for the real op
     # misc
     "e": "exp(1)", "pi": "pi()", "sqrt": "sqrt({0})", "cbrt": "cbrt({0})",
@@ -6080,7 +6102,6 @@ FUNC_MAP: dict[str, object] = {
         "aggregate(sequence(1, length({0})), 0, "
         "(__h, __i) -> CAST(31 * __h + ascii(substring({0}, __i, 1)) AS INT))"
     ),
-    "uniqExactArray": "size(array_distinct(flatten(collect_list({0}))))",
     "uniqExactIf": "count(DISTINCT CASE WHEN CAST({1} AS BOOLEAN) THEN {0} END)",
     "sumOrNull": "IF(count({0}) = 0, NULL, sum({0}))",
     "minOrNull": "min({0})", "maxOrNull": "max({0})", "avgOrNull": "avg({0})",
@@ -6607,6 +6628,12 @@ PARAMETRIC_MAP: dict[str, object] = {
     "quantileExactExclusive": lambda p, a: _quantile_exclusive_expr(p, a, True),
     "quantilesExactExclusive": lambda p, a: _quantile_exclusive_expr(p, a, False),
     "uniqUpTo": lambda p, a: f"least(count(DISTINCT {', '.join(a)}), {p[0]} + 1)",
+    # -Array form: distinct POSITION-TUPLES across the parallel arrays
+    "uniqUpToArray": lambda p, a: (
+        "least(size(array_distinct(flatten(collect_list("
+        + (a[0] if len(a) == 1 else _zip_arrays_struct(a))
+        + f")))), {p[0]} + 1)"
+    ),
     "groupArraySample": lambda p, a: f"slice(shuffle(collect_list({a[0]})), 1, {p[0]})",
     "groupArray": lambda p, a: f"slice(collect_list({a[0]}), 1, {p[0]})",
     "groupUniqArray": lambda p, a: (
@@ -12189,8 +12216,33 @@ def _render_with_limit_by(q: _Select) -> str:
         if q.order_by
         else "monotonically_increasing_id()"
     )
+    # BY/ORDER BY columns may be pruned by the projection (`SELECT x
+    # ... LIMIT 1 BY y`): carry them through as hidden aliases the
+    # window can reference, excluded again by the outer star
+    hidden: list[str] = []
+    sel2 = list(q.select)
+    if not (
+        len([t for t in q.select if t.strip()]) == 1 and q.select[0] == "*"
+    ):
+        for x9, bi in enumerate(by_items):
+            sel2 += [",", f"({bi}) AS __lb{x9}"]
+            hidden.append(f"__lb{x9}")
+        by_sql = ", ".join(f"__lb{x9}" for x9 in range(len(by_items)))
+        if q.order_by:
+            ords: list[str] = []
+            for x9, oi in enumerate(_split_top(q.order_by, ",")):
+                dirn: list[str] = []
+                while oi and _kw(oi[-1]) in (
+                    "ASC", "DESC", "FIRST", "LAST", "NULLS",
+                ):
+                    dirn.insert(0, _kw(oi.pop()))
+                oe = _emit(_translate_expr(oi))
+                sel2 += [",", f"({oe}) AS __lo{x9}"]
+                hidden.append(f"__lo{x9}")
+                ords.append((f"__lo{x9} " + " ".join(dirn)).strip())
+            ord_sql = ", ".join(ords)
     inner = _Select(
-        select=q.select, distinct=q.distinct, from_=q.from_,
+        select=sel2, distinct=q.distinct, from_=q.from_,
         prewhere=q.prewhere, where=q.where, group_by=q.group_by,
         with_totals=q.with_totals, with_rollup=q.with_rollup,
         with_cube=q.with_cube, having=q.having,
@@ -12206,7 +12258,7 @@ def _render_with_limit_by(q: _Select) -> str:
     else:
         cond = f"__rn <= {n_expr}"
     out = (
-        f"SELECT * EXCEPT (__rn) FROM ("
+        f"SELECT * EXCEPT ({', '.join(['__rn', *hidden])}) FROM ("
         f"SELECT __q.*, row_number() OVER "
         f"(PARTITION BY {by_sql} ORDER BY {ord_sql}) AS __rn "
         f"FROM ( {inner_sql} ) AS __q"
