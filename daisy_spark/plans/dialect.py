@@ -9800,6 +9800,18 @@ def _parse_select(toks: list[str]) -> _Select:
             break
     q.prewhere = bucket.get("PREWHERE", [])
     q.where = bucket.get("WHERE", [])
+    # group-less `... WITH TOTALS` (no GROUP BY clause to suffix): the
+    # keywords trail whatever clause preceded them — FROM, WHERE, or the
+    # select list itself (`SELECT count() WITH TOTALS HAVING ...`)
+    for _lst in (q.from_, q.where, q.select):
+        if (
+            len(_lst) >= 2 and _kw(_lst[-2]) == "WITH"
+            and _kw(_lst[-1]) == "TOTALS"
+            and _paren_depth_at(_lst, len(_lst) - 2) == 0
+        ):
+            q.with_totals = True
+            del _lst[-2:]
+            break
     gb = bucket.get("GROUP BY", [])
     # WITH TOTALS / ROLLUP / CUBE suffixes
     while len(gb) >= 2 and _kw(gb[-2]) == "WITH":
