@@ -2362,6 +2362,48 @@ class ScriptRunner:
             raise DialectError("CREATE TABLE with no columns")
         return cols
 
+    @staticmethod
+    def _int_arith_ch_type(raw: str, env: dict[str, str]) -> str | None:
+        """Reference result type of a simple integer `A op B` DEFAULT
+        expression (NumberTraits.h: + - * promote to the next size up
+        of the wider operand, capped at 64 bits; either side signed —
+        or any subtraction — makes the result signed; / is Float64).
+        The global inferencer deliberately leaves int arithmetic to the
+        runtime; DESCRIBE's declared type needs the reference rule."""
+        from daisy_spark.plans.dialect import (
+            _ch_type_of, _match_paren, _split_top, tokenize,
+        )
+
+        toks = tokenize(raw)
+        depth = 0
+        op_at = None
+        for k, t in enumerate(toks):
+            if t in ("(", "["):
+                depth += 1
+            elif t in (")", "]"):
+                depth -= 1
+            elif depth == 0 and t in ("+", "-", "*", "/") and k > 0:
+                if toks[k - 1] in ("(", "[", ",", "+", "-", "*", "/"):
+                    continue  # unary sign
+                if op_at is not None:
+                    return None  # keep to the single-op shape
+                op_at = (k, t)
+        if op_at is None:
+            return None
+        k, op = op_at
+        sides = []
+        for part in (toks[:k], toks[k + 1 :]):
+            t0 = _ch_type_of(part, env)
+            m = re.fullmatch(r"(U?)Int(8|16|32|64)", t0 or "")
+            if not m:
+                return None
+            sides.append((m.group(1) == "", int(m.group(2))))
+        if op == "/":
+            return "Float64"
+        signed = op == "-" or sides[0][0] or sides[1][0]
+        width = min(max(sides[0][1], sides[1][1]) * 2, 64)
+        return f"{'' if signed else 'U'}Int{width}"
+
     def _infer_untyped(self, cols: list[_Col]) -> None:
         """Columns declared with only DEFAULT/MATERIALIZED/ALIAS take the
         expression's type (a zero-row analyze, no job runs)."""
@@ -2393,6 +2435,8 @@ class ScriptRunner:
                         cht = _ch_type_of(tokenize(c.default_raw), env)
                     except Exception:  # noqa: BLE001
                         cht = None
+                if cht is None and c.default_raw:
+                    cht = self._int_arith_ch_type(c.default_raw, env)
                 c.ch_type = c.ch_type or cht or c.spark_type
                 if cht:
                     env[c.name] = ch_type_canon(cht)
