@@ -4030,6 +4030,13 @@ _BITMAP_FUNCS = {
 }
 
 
+def _seq1(n: str) -> str:
+    """``sequence(1, n)`` that is EMPTY for n < 1 (Spark's sequence
+    COUNTS DOWN when stop < start — sequence(1, 0) is [1, 0], whose 0
+    blows up element_at on empty arrays)."""
+    return f"IF(({n}) < 1, array(), sequence(1, {n}))"
+
+
 def _zip_arrays_struct(a: list[str]) -> str:
     """Zip N parallel arrays into one array of position structs."""
     fields = ", ".join(
@@ -4037,7 +4044,7 @@ def _zip_arrays_struct(a: list[str]) -> str:
         for k, x in enumerate(a)
     )
     return (
-        f"transform(sequence(1, size({a[0]})), __zi -> struct({fields}))"
+        f"transform({_seq1(f'size({a[0]})')}, __zi -> struct({fields}))"
     )
 
 
@@ -4525,7 +4532,7 @@ FUNC_MAP: dict[str, object] = {
                 f"y -> y <=> x)) AS INT))"
             )
         )(
-            "transform(sequence(1, size(" + a[0] + ")), __zi -> struct("
+            "transform(" + _seq1(f"size({a[0]})") + ", __zi -> struct("
             + ", ".join(
                 f"element_at({ak}, CAST(__zi AS INT)) AS f{kk}"
                 for kk, ak in enumerate(a)
@@ -7408,7 +7415,52 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
             )
             close = _match_bracket(toks, i)
             if not is_subscript:
-                out += ["array", "("] + _translate_expr(toks[i + 1 : close]) + [")"]
+                inner_tr = _translate_expr(toks[i + 1 : close])
+                # mixed-scale DateTime64 elements: the array supertype is
+                # the MAX scale and every literal re-renders at it
+                # (getLeastSupertype; 01341: [dt64(3), dt64(6)] prints
+                # the first as '...123000')
+                try:
+                    env_dt = _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+                    scales_dt = []
+                    for p in _split_top(toks[i + 1 : close], ","):
+                        tdt = _ch_type_of(p, env_dt) if p else None
+                        m_dt = re.fullmatch(
+                            r"DateTime64\((\d+)(?:,\s*'[^']*')?\)",
+                            tdt or "",
+                        )
+                        scales_dt.append(
+                            int(m_dt.group(1)) if m_dt else None
+                        )
+                    if (
+                        len(scales_dt) > 1
+                        and all(s is not None for s in scales_dt)
+                        and len(set(scales_dt)) > 1
+                    ):
+                        mx_dt = max(scales_dt)
+                        outp_dt: list[str] = []
+                        for p_toks, s_dt in zip(
+                            _split_top(inner_tr, ","), scales_dt
+                        ):
+                            if (
+                                len(p_toks) == 1
+                                and p_toks[0][:1] == "'"
+                                and s_dt < mx_dt
+                            ):
+                                v_dt = p_toks[0][1:-1]
+                                if "." in v_dt:
+                                    b_dt, f_dt = v_dt.split(".", 1)
+                                    v_dt = b_dt + "." + f_dt.ljust(mx_dt, "0")
+                                else:
+                                    v_dt = v_dt + "." + "0" * mx_dt
+                                p_toks = [f"'{v_dt}'"]
+                            if outp_dt:
+                                outp_dt.append(",")
+                            outp_dt += p_toks
+                        inner_tr = outp_dt
+                except Exception:  # noqa: BLE001
+                    pass
+                out += ["array", "("] + inner_tr + [")"]
                 i = close + 1
                 continue
             # subscript: reference arr[i] is 1-BASED (negative = from the
