@@ -825,8 +825,12 @@ _GRADE_FIRST = [
     "cube", "final_replacing", "final_summing", "final_versioned",
     "histogram", "limit_with_ties", "sample_fraction", "segment_sum",
     "sequence_match", "stats",
-    # changed this round: need a fresh driver row
-    "dialect_sql", "dialect_pipe", "region_revenue",
+    # changed this round: need a fresh driver row (r9: broadcast sides
+    # read plain parquet -> region_revenue + shipping_priority;
+    # dialect.py took the corpus burn-down; script.py the DESCRIBE
+    # promotion + OPTIMIZE retag)
+    "dialect_sql", "dialect_pipe", "region_revenue", "shipping_priority",
+    "limit_by",
 ]
 QUERIES = {
     **{n: QUERIES[n] for n in _GRADE_FIRST},
