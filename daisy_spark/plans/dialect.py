@@ -3683,9 +3683,17 @@ def _has_token_expr(a: list[str], ci: bool = False, or_null: bool = False) -> st
     nd = _strip_outer_parens_text(a[1])
     if not (nd.startswith("'") and nd.endswith("'")):
         raise DialectError("hasToken: needle must be constant (44)")
-    needle = nd[1:-1]
+    try:
+        needle_b = _ch_str_bytes(nd)
+    except Exception:  # noqa: BLE001
+        needle_b = nd[1:-1].encode("utf-8", "ignore")
+    needle = needle_b.decode("utf-8", "ignore")
+    if b"\x00" in needle_b:
+        # a NUL in the needle: the tokenbf index prunes every granule
+        # before the function's separator check could run (01781)
+        return "CAST(NULL AS INT)" if or_null else "CAST(0 AS INT)"
     if not needle or any(
-        ord(c) < 128 and not c.isalnum() for c in needle
+        b < 128 and not chr(b).isalnum() for b in needle_b
     ):
         if or_null:
             return "CAST(NULL AS INT)"
@@ -7375,7 +7383,11 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
             close = _match_paren(toks, i)
             inner = toks[i + 1 : close]
             if _is_query_tokens(inner):
-                out += ["(", _translate_query_text(inner), ")"]
+                tok_es = _EXPR_SUBQ_CTX.set(True)
+                try:
+                    out += ["(", _translate_query_text(inner), ")"]
+                finally:
+                    _EXPR_SUBQ_CTX.reset(tok_es)
                 i = close + 1
                 continue
             parts = _split_top(inner, ",") if inner else [[]]
@@ -9678,9 +9690,19 @@ def _boolify_logic_operands(toks: list[str]) -> list[str]:
         if lo > hi:
             continue
         seg = toks[lo : hi + 1]
+        # scan for boolean-proving markers at the operand's own depth,
+        # stripping outer parens first (`(a = b) AND (t <= u)` — the
+        # conjuncts are parenthesized comparisons, and wrapping them
+        # would hide the shape from the ASOF-ON analyzer)
+        core = list(seg)
+        while (
+            len(core) >= 3 and core[0] == "("
+            and _match_paren(core, 0) == len(core) - 1
+        ):
+            core = core[1:-1]
         d = 0
         boolish = False
-        for t in seg:
+        for t in core:
             if t == "(":
                 d += 1
             elif t == ")":
@@ -10779,7 +10801,11 @@ def _translate_from(toks: list[str]) -> list[str]:
             close = _match_paren(toks, i)
             inner = toks[i + 1 : close]
             if _is_query_tokens(inner):
-                out += ["(", _translate_query_text(inner), ")"]
+                tok_es = _EXPR_SUBQ_CTX.set(False)  # FROM position
+                try:
+                    out += ["(", _translate_query_text(inner), ")"]
+                finally:
+                    _EXPR_SUBQ_CTX.reset(tok_es)
             else:
                 out += ["("] + _translate_expr(inner) + [")"]
             i = close + 1
@@ -13844,6 +13870,14 @@ _SEL_END_KWS = {
     "SETTINGS", "UNION", "INTO", "FORMAT", "WINDOW", "OFFSET",
 }
 
+#: True while translating a subquery that sits in EXPRESSION position
+#: (IN / scalar): those keep their raw column list — the reference only
+#: renames/dedups FROM-position subquery projections
+#: ((1, 1) IN (SELECT 1 AS x, x) needs BOTH columns, 00482)
+_EXPR_SUBQ_CTX: "contextvars.ContextVar[bool]" = contextvars.ContextVar(
+    "daisy_expr_subq", default=False
+)
+
 
 def _alias_subquery_outputs(toks: list[str]) -> list[str]:
     """The reference names unaliased output columns after the ORIGINAL
@@ -13857,6 +13891,8 @@ def _alias_subquery_outputs(toks: list[str]) -> list[str]:
     identifiers here.  Items with top-level infix arithmetic are left
     alone (their reference names are plus(...)-style renders this
     engine does not reproduce yet)."""
+    if _EXPR_SUBQ_CTX.get():
+        return toks  # IN/scalar subqueries keep their raw column list
     # locate the top-level SELECT and its item span
     depth = 0
     sel = None
@@ -13973,6 +14009,9 @@ def _alias_subquery_outputs(toks: list[str]) -> list[str]:
         call_shape = (
             len(it) >= 3 and _is_ident(it[0]) and it[1] == "("
             and _match_paren(it, 1) == len(it) - 1
+            # untuple EXPANDS to several columns — an alias would pin it
+            # to one and break the _ut_N outputs
+            and it[0] != "untuple"
         )
         if bad or not (call_shape or pipes):
             new_items.append(it)
