@@ -12027,12 +12027,21 @@ def _check_agg_memory_cap(q: "_Select") -> None:
                         width = max(width, int(part[0]))
         if width * rows <= _MAX_AGG_MEMORY:
             continue
-        consumed = bool(alias9) and any(
-            t.strip('`"') == alias9 for t in (q.having or []) + (q.order_by or [])
+        # the HAVING/ORDER BY may hold the bare alias, the raw aggregate
+        # call, or (after the alias-visibility pass inlined it) ONE
+        # opaque token containing the TRANSLATED aggregate — all three
+        # mean this scope consumes the array and nothing can prune it.
+        # The original two checks only matched pre-substitution tokens,
+        # which the pipeline never delivers here: the cap sat dead for
+        # three rounds while the statement spilled hundreds of GB.
+        consumers = (q.having or []) + (q.order_by or [])
+        consumed = any(
+            (alias9 is not None and t.strip('`"') == alias9)
+            or t == "groupArray"
+            or ("collect_list(" in t and "repeat" in t)
+            for t in consumers
         )
-        if consumed or any(
-            "groupArray" in (q.having or []) for _ in (1,)
-        ) and "repeat" in (q.having or []):
+        if consumed:
             raise DialectError(
                 "Memory limit (for query) exceeded: aggregation would "
                 "materialize ~%d bytes (reference error 241)"
