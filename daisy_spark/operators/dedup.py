@@ -209,11 +209,16 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact shingle-set Jaccard on candidate pairs only.
 
-    The candidate-pair set is broadcast (LSH banding + the bucket-size
-    guard keep it bounded), so the two joins against the shingled corpus
-    stream map-side — the corpus is scanned, never shuffled, which is the
-    shape that survives a 100 TB corpus.  Output: ``id1, id2, jaccard``
-    above threshold.
+    The candidate pairs join against the shingled corpus with plain
+    equi-joins — no forced broadcast.  Candidate volume is
+    O(corpus × duplicate-rate): on a duplicate-heavy web corpus it is
+    NOT driver/executor-memory sized, so broadcasting it (or the
+    pair×shingle-array intermediate built on it) would OOM every
+    executor at 100 TB.  A shuffle hash join on ``id1``/``id2`` scales
+    with partition count instead; when the candidate set *is* tiny,
+    AQE's runtime size measurement converts the join to a broadcast on
+    its own — the safe direction to be wrong in.  Output:
+    ``id1, id2, jaccard`` above threshold.
 
     The intersection runs on xxhash64-hashed shingles, not the strings:
     long-array intersects measure ~5× faster than string-array ones and
@@ -231,9 +236,9 @@ def jaccard_verify(
     j = (
         inter / (F.size("_s1") + F.size("_s2") - inter)
     ).alias("jaccard")
-    half = s1.join(F.broadcast(candidates), "id1")  # |candidates| rows
+    half = s1.join(candidates, "id1")  # |candidates| rows
     return (
-        s2.join(F.broadcast(half), "id2")
+        s2.join(half, "id2")
         .select("id1", "id2", j)
         .filter(F.col("jaccard") >= threshold)
     )

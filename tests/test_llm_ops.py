@@ -150,3 +150,27 @@ def test_image_header_codec_parses_real_headers():
 
     m = MM.image_header_codec(b"not an image at all")
     assert m["format"] == "unknown" and m["width"] is None
+
+
+def test_jaccard_verify_join_is_not_forced_broadcast(spark):
+    """100-TB guard: the exact-Jaccard verify joins must NOT carry a
+    broadcast hint.  Candidate volume grows with corpus x dup-rate, so a
+    forced broadcast OOMs executors on a duplicate-heavy corpus; the
+    plan must stay a shuffle join when Spark can't prove the side small
+    (auto-broadcast disabled here to simulate a too-big-to-measure-small
+    candidate set — only AQE's runtime measurement may downgrade it)."""
+    rows = [(i, f"doc {i} body words w{i} x{i} y{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    shingled = D.with_shingles(df, "text", k=3).select("doc_id", "shingles")
+    cand = spark.createDataFrame([(0, 1), (2, 3)], ["id1", "id2"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = D.jaccard_verify(cand, shingled, "doc_id", threshold=0.0)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastExchange" not in plan, plan
+    # and the result is still correct on the candidate pairs
+    got = {(r.id1, r.id2) for r in out.collect()}
+    assert got == {(0, 1), (2, 3)}
