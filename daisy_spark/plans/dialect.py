@@ -65,7 +65,7 @@ _TOKEN_RE = re.compile(
       (?P<ws>\s+)
     | (?P<comment>--[^\n]*|/\*.*?\*/)
     | (?P<str>'(?:[^'\\]|\\.|'')*')
-    | (?P<qid>`(?:[^`]|``)*`|"(?:[^"\\]|\\.|"")*")
+    | (?P<qid>`(?:[^`\\]|\\.|``)*`|"(?:[^"\\]|\\.|"")*")
     | (?P<hexfloat>0[xX][0-9a-fA-F]+(?:\.[0-9a-fA-F]*)?[pP][+-]?[0-9]+)
     | (?P<hex>0[xX][0-9a-fA-F]+)
     | (?P<num>[0-9]+(?:\.[0-9]*)?(?:[eE][+-]?[0-9]+)?|\.[0-9]+)
@@ -83,6 +83,10 @@ def _float_lit(x) -> str:
         f = float(x)
     except OverflowError:
         f = float("inf") if x > 0 else float("-inf")
+    if f == float("inf"):
+        return "double('Infinity')"  # repr 'inf' won't lex in Spark
+    if f == float("-inf"):
+        return "double('-Infinity')"
     return repr(f).replace("e+", "e")
 
 
@@ -123,7 +127,9 @@ def tokenize(sql_text: str) -> list[str]:
             inner = m.group()[1:-1]
             if "\\" in inner:
                 inner = re.sub(r"\\(.)", r"\1", inner)
-                out.append("`" + inner + "`")
+                # unescaping may expose a literal backtick (`a\`b`);
+                # Spark doubles inner backticks
+                out.append("`" + inner.replace("`", "``") + "`")
                 continue
             out.append(m.group())
             continue
@@ -9712,6 +9718,13 @@ def _boolify_logic_operands(toks: list[str]) -> list[str]:
                 break
         if boolish:
             continue
+        # a bare string literal operand is the reference's
+        # ILLEGAL_TYPE_OF_ARGUMENT (error 43, FunctionsLogical.cpp) —
+        # Spark's CAST would quietly yield NULL instead
+        if len(core) == 1 and core[0].startswith("'"):
+            raise DialectError(
+                "Illegal type String of argument of AND/OR (error 43)"
+            )
         res[lo : hi + 1] = ["CAST", "(", *seg, "AS", "BOOLEAN", ")"]
     return res
 
@@ -12320,7 +12333,11 @@ def _render_with_limit_by(q: _Select) -> str:
     # window can reference, excluded again by the outer star
     hidden: list[str] = []
     sel2 = list(q.select)
-    if not (
+    # DISTINCT dedups over the projection ALONE (DistinctTransform runs
+    # before LimitByTransform); appending hidden key aliases to the
+    # inner select would widen the dedup key, so for DISTINCT partition
+    # directly over __q's columns instead (keys must be projected)
+    if not q.distinct and not (
         len([t for t in q.select if t.strip()]) == 1 and q.select[0] == "*"
     ):
         for x9, bi in enumerate(by_items):
@@ -12831,6 +12848,33 @@ def _semi_anti_both_sides_rewrite(q: "_Select") -> None:
 
 
 
+def _single_from_names(q: _Select) -> set[str]:
+    """Names a qualified `x.*` matcher may legally use for an un-joined
+    FROM item: the trailing alias if present, else the table's own
+    (undotted) name.  Empty for joins / underivable items."""
+    f = list(q.from_ or [])
+    if any(
+        _kw(t) == "JOIN" and _paren_depth_at(f, k) == 0
+        for k, t in enumerate(f)
+    ):
+        return set()
+    src = f
+    if len(src) >= 2 and _kw(src[-2]) == "AS" and _is_ident(src[-1]):
+        return {src[-1].strip("`")}
+    if (
+        len(src) >= 2 and _is_ident(src[-1])
+        and _kw(src[-1]) not in _SQL_KEYWORDS
+        and (src[-2] == ")" or (_is_ident(src[-2]) and src[-2] != "."))
+    ):
+        return {src[-1].strip("`")}
+    if src and _is_ident(src[-1]):
+        return {src[-1].strip("`")}
+    # a TVF keeps its function name as the qualifier (FROM numbers(3))
+    if len(src) >= 2 and _is_ident(src[0]) and src[1] == "(":
+        return {src[0].strip("`")}
+    return set()
+
+
 def _qcols_universe(q: _Select) -> list[tuple[str, str]] | None:
     """Ordered (qualified, bare) column universe of q's FROM clause:
     the single FROM item, or every join item in order with
@@ -13004,7 +13048,17 @@ def _column_transformers(q: _Select) -> None:
             cols = [(_col_ref_toks(qc), bc) for qc, bc in uni]
         elif it[1] == ".":
             pref = [x for x in uni if x[0].startswith(it[0] + ".")]
-            # an unaliased single table referenced by its own name
+            # an unaliased single table referenced by its own name is
+            # the only legal full-universe fallback; any other
+            # qualifier is the reference's unknown-identifier error
+            # (ASTColumnsTransformers matchers resolve strictly)
+            if not pref and (
+                it[0].strip("`") not in _single_from_names(q)
+            ):
+                raise DialectError(
+                    f"unknown table qualifier in {it[0]}.* "
+                    "(UNKNOWN_IDENTIFIER)"
+                )
             cols = [(_col_ref_toks(qc), bc) for qc, bc in (pref or uni)]
         else:
             inner = it[2 : _match_paren(it, 1)]

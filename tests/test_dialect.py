@@ -308,3 +308,51 @@ def test_multi_if_and_sample_parse(views):
     # SAMPLE translates and runs (row count is probabilistic; just executes)
     n = dsql(views, "SELECT count() AS c FROM events SAMPLE 0.5").collect()[0].c
     assert 0 <= n
+
+
+# --------------------------------------------------------------------------
+# Round-10 ADVICE regression checks
+# --------------------------------------------------------------------------
+
+def test_distinct_limit_by_dedups_projection_alone(spark):
+    """DISTINCT runs before LIMIT BY over the projection ONLY; hidden
+    LIMIT BY key aliases must not widen the dedup key."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW _dlb AS "
+        "SELECT * FROM VALUES (1,10),(1,10),(1,20),(2,30) AS t(x,y)"
+    )
+    got = sorted(
+        r.x for r in dsql(
+            spark, "SELECT DISTINCT x FROM _dlb ORDER BY x LIMIT 1 BY x"
+        ).collect()
+    )
+    assert got == [1, 2]
+
+
+def test_huge_int_literal_becomes_infinity(spark):
+    """An integer literal past float range must evaluate as Float64
+    infinity, not break Spark's lexer with a bare `inf` token."""
+    v = dsql(spark, "SELECT 0x" + "F" * 300 + " AS v").collect()[0].v
+    assert v == float("inf")
+
+
+def test_backquoted_identifier_with_escaped_backtick():
+    out = translate(r"SELECT 1 AS `a\`b`").spark_sql
+    assert "`a``b`" in out
+
+
+def test_string_literal_logic_operand_raises():
+    with pytest.raises(DialectError):
+        translate("SELECT 'str' AND 1")
+
+
+def test_unknown_table_qualifier_in_star_matcher():
+    with pytest.raises(DialectError):
+        translate("SELECT zz.* EXCEPT (number) FROM numbers(3) AS n")
+    # the alias (and the unaliased table's own name) stay legal
+    assert translate(
+        "SELECT n.* APPLY (toString) FROM numbers(3) AS n"
+    ).spark_sql
+    assert translate(
+        "SELECT numbers.* APPLY (toString) FROM numbers(3)"
+    ).spark_sql
