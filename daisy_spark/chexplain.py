@@ -1,0 +1,2043 @@
+"""Canonical EXPLAIN SYNTAX rendering.
+
+Re-implements the reference's formatted-AST output (formatAST with
+hilite off, one_line=false): a recursive-descent parser over the
+dialect tokenizer per src/Parsers/ExpressionListParsers.cpp, the
+formatter per src/Parsers/ASTSelectQuery.cpp:73-199,
+ASTFunction.cpp:190-560, ASTExpressionList.cpp:33-59,
+ASTSubquery.cpp, ASTTablesInSelectQuery.cpp:105-287,
+ASTOrderByElement.cpp and ASTWithAlias.cpp, plus the TreeRewriter
+normalizations visible in the output (src/Interpreters/
+TreeRewriter.cpp): star / COLUMNS / transformer expansion,
+first-table identifier shortening, alias canonicalization, union
+normalization (src/Interpreters/NormalizeSelectWithUnionQueryVisitor
+.cpp) and cross-to-inner rewriting (src/Interpreters/
+CrossToInnerJoinVisitor.cpp).
+
+Everything here is pure text -> text; Spark is never touched.  On any
+construct outside the supported subset the module raises
+ChExplainError and the caller falls back to its previous rendering.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from daisy_spark.plans.dialect import tokenize
+
+
+class ChExplainError(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+class Node:
+    alias: str = ""
+
+    def hashable(self):
+        raise NotImplementedError
+
+
+@dataclass
+class Lit(Node):
+    text: str  # canonical spelling
+    alias: str = ""
+
+    def hashable(self):
+        return ("lit", self.text, self.alias)
+
+
+@dataclass
+class Ident(Node):
+    parts: list[str]
+    alias: str = ""
+
+    def hashable(self):
+        return ("id", tuple(self.parts), self.alias)
+
+
+@dataclass
+class Func(Node):
+    name: str
+    args: list[Node]
+    params: list[Node] | None = None  # parametrized aggregates f(p)(x)
+    alias: str = ""
+    no_empty_args: bool = False  # `now` vs `now()` — reference keeps ()
+
+    def hashable(self):
+        return (
+            "fn", self.name, tuple(a.hashable() for a in self.args),
+            tuple(p.hashable() for p in self.params) if self.params else None,
+            self.alias,
+        )
+
+
+@dataclass
+class Star(Node):
+    prefix: str = ""  # '' for *, 't' for t.*, regex text for COLUMNS
+    kind: str = "star"  # star | qstar | columns | columns_list
+    names: list[str] = field(default_factory=list)  # COLUMNS(i, j)
+    transformers: list[tuple] = field(default_factory=list)
+    alias: str = ""
+
+    def hashable(self):
+        return ("star", self.prefix, self.kind, tuple(self.names))
+
+
+@dataclass
+class Sub(Node):
+    """Scalar / IN-subquery in an expression position."""
+
+    union: "Union"
+    alias: str = ""
+
+    def hashable(self):
+        return ("sub", id(self.union), self.alias)
+
+
+@dataclass
+class OrderElem:
+    expr: Node
+    desc: bool = False
+    nulls: str | None = None  # 'FIRST' | 'LAST'
+    collate: Node | None = None
+    fill: dict | None = None
+
+
+@dataclass
+class TableExpr:
+    kind: str  # 'table' | 'tvf' | 'sub'
+    node: Node | None = None  # Ident | Func
+    sub: "Union | None" = None
+    alias: str = ""
+    final: bool = False
+    sample: tuple | None = None  # (size_node, offset_node|None)
+
+
+@dataclass
+class JoinSpec:
+    kind: str  # comma|cross|inner|left|right|full
+    strictness: str = ""  # ''|ALL|ANY|ASOF|SEMI|ANTI
+    glob: bool = False
+    on: Node | None = None
+    using: list[Node] | None = None
+
+
+@dataclass
+class ArrayJoin:
+    left: bool
+    items: list[Node]
+
+
+@dataclass
+class Select:
+    with_items: list[Node] = field(default_factory=list)
+    distinct: bool = False
+    items: list[Node] = field(default_factory=list)
+    tables: list[tuple[JoinSpec | None, TableExpr]] = field(default_factory=list)
+    array_join: ArrayJoin | None = None
+    prewhere: Node | None = None
+    where: Node | None = None
+    group_by: list[Node] | None = None
+    with_rollup: bool = False
+    with_cube: bool = False
+    with_totals: bool = False
+    having: Node | None = None
+    order_by: list[OrderElem] | None = None
+    limit_by: tuple[Node | None, Node, list[Node]] | None = None
+    limit: Node | None = None
+    limit_offset: Node | None = None
+    with_ties: bool = False
+    settings: list[tuple[str, str]] | None = None
+
+
+@dataclass
+class Union:
+    children: list["Select | Union"]
+    modes: list[str]  # len == len(children) - 1; '' | 'ALL' | 'DISTINCT'
+    normalized_mode: str = ""  # set by normalize_union
+
+
+# ---------------------------------------------------------------------------
+# Literal canonicalization (FieldVisitorToString / writeQuotedString)
+# ---------------------------------------------------------------------------
+
+_STR_UNESC = {
+    "b": "\b", "f": "\f", "n": "\n", "r": "\r", "t": "\t", "0": "\0",
+    "a": "\a", "v": "\v", "\\": "\\", "'": "'", '"': '"', "`": "`",
+    "/": "/", "=": "=",
+}
+_STR_ESC = {
+    "\b": "\\b", "\f": "\\f", "\n": "\\n", "\r": "\\r", "\t": "\\t",
+    "\0": "\\0", "\\": "\\\\", "'": "\\'",
+}
+
+
+def _unquote_string(tok: str) -> str:
+    body = tok[1:-1]
+    out = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            out.append(_STR_UNESC.get(body[i + 1], body[i + 1]))
+            i += 2
+        elif c == "'" and i + 1 < len(body) and body[i + 1] == "'":
+            out.append("'")
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def quote_string(v: str) -> str:
+    return "'" + "".join(_STR_ESC.get(c, c) for c in v) + "'"
+
+
+def canon_number(tok: str) -> str:
+    if re.fullmatch(r"[0-9]+", tok):
+        return str(int(tok))
+    f = float(tok)
+    if f == int(f) and "e" not in tok and "E" not in tok and abs(f) < 1e16:
+        # 1.  ->  1. ;  1.5 -> 1.5  (FieldVisitorToString keeps the dot)
+        r = repr(f)
+        return r
+    return repr(f).replace("e+", "e")
+
+
+_PLAIN_IDENT = re.compile(r"[A-Za-z_][A-Za-z_0-9]*\Z")
+
+
+def write_ident(name: str) -> str:
+    if _PLAIN_IDENT.match(name):
+        return name
+    return "`" + name.replace("`", "\\`") + "`"
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+_KW = {
+    "SELECT", "FROM", "WHERE", "PREWHERE", "GROUP", "ORDER", "BY",
+    "HAVING", "LIMIT", "OFFSET", "SETTINGS", "UNION", "WITH", "AS",
+    "ASC", "DESC", "DESCENDING", "ASCENDING", "NULLS", "FIRST", "LAST",
+    "COLLATE", "TOTALS", "ROLLUP", "CUBE", "TIES", "JOIN", "INNER",
+    "LEFT", "RIGHT", "FULL", "CROSS", "OUTER", "ANY", "ALL", "ASOF",
+    "SEMI", "ANTI", "GLOBAL", "USING", "ON", "FINAL", "SAMPLE",
+    "ARRAY", "DISTINCT", "HAVING", "INTERVAL", "CASE", "WHEN", "THEN",
+    "ELSE", "END", "NOT", "AND", "OR", "BETWEEN", "IN", "LIKE",
+    "ILIKE", "IS", "NULL", "EXISTS", "APPLY", "EXCEPT", "REPLACE",
+    "STRICT", "COLUMNS", "FILL", "STEP", "TO", "STREAM",
+}
+
+_TVF_COLS = {
+    "numbers": ["number"],
+    "numbers_mt": ["number"],
+    "zeros": ["zero"],
+    "zeros_mt": ["zero"],
+}
+
+_SYS_TABLES = {
+    "system.one": ["dummy"],
+    "system.numbers": ["number"],
+    "system.zeros": ["zero"],
+}
+
+
+def _kwu(t: str) -> str:
+    return t.upper() if t and t[0].isalpha() else t
+
+
+class _P:
+    def __init__(self, toks: list[str]):
+        self.t = toks
+        self.i = 0
+
+    def peek(self, off: int = 0) -> str:
+        j = self.i + off
+        return self.t[j] if j < len(self.t) else ""
+
+    def kw(self, off: int = 0) -> str:
+        return _kwu(self.peek(off))
+
+    def next(self) -> str:
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, tok: str) -> None:
+        if _kwu(self.peek()) != tok:
+            raise ChExplainError(f"expected {tok}, got {self.peek()!r}")
+        self.i += 1
+
+    def at_end(self) -> bool:
+        return self.i >= len(self.t)
+
+
+def _is_ident_tok(t: str) -> bool:
+    return bool(t) and (t[0].isalpha() or t[0] == "_" or t[0] == "`")
+
+
+def _ident_name(t: str) -> str:
+    return t[1:-1].replace("\\`", "`").replace("``", "`") if t[:1] == "`" else t
+
+
+# --- expressions -----------------------------------------------------------
+
+_CMP_OPS = {
+    "=": "equals", "==": "equals", "!=": "notEquals", "<>": "notEquals",
+    "<": "less", ">": "greater", "<=": "lessOrEquals",
+    ">=": "greaterOrEquals",
+}
+
+_INTERVAL_UNITS = {
+    "second": "Second", "minute": "Minute", "hour": "Hour", "day": "Day",
+    "week": "Week", "month": "Month", "quarter": "Quarter", "year": "Year",
+}
+
+
+class _ExprParser:
+    def __init__(self, p: _P):
+        self.p = p
+
+    # precedence climbing, low -> high
+    def expr(self) -> Node:
+        return self.lambda_()
+
+    def lambda_(self) -> Node:
+        p = self.p
+        start = p.i
+        # ident -> body   |   (a, b) -> body
+        if _is_ident_tok(p.peek()) and p.peek(1) == "->":
+            x = Ident([_ident_name(p.next())])
+            p.next()
+            body = self.lambda_()
+            return Func("lambda", [Func("tuple", [x]), body])
+        if p.peek() == "(":
+            # try (a, b) ->
+            depth = 0
+            j = p.i
+            ok = True
+            names = []
+            k = j + 1
+            while k < len(p.t):
+                if p.t[k] == ")":
+                    break
+                if not _is_ident_tok(p.t[k]):
+                    ok = False
+                    break
+                names.append(_ident_name(p.t[k]))
+                k += 1
+                if p.t[k] == ",":
+                    k += 1
+                elif p.t[k] == ")":
+                    break
+                else:
+                    ok = False
+                    break
+            if ok and names and k + 1 < len(p.t) and p.t[k + 1] == "->":
+                p.i = k + 2
+                body = self.lambda_()
+                return Func(
+                    "lambda",
+                    [Func("tuple", [Ident([n]) for n in names]), body],
+                )
+            p.i = start
+        return self.ternary()
+
+    def ternary(self) -> Node:
+        cond = self.or_()
+        if self.p.peek() == "?":
+            self.p.next()
+            a = self.or_()
+            self.p.expect(":")
+            b = self.ternary()
+            return Func("if", [cond, a, b])
+        return cond
+
+    def or_(self) -> Node:
+        args = [self.and_()]
+        while self.p.kw() == "OR":
+            self.p.next()
+            args.append(self.and_())
+        return args[0] if len(args) == 1 else Func("or", args)
+
+    def and_(self) -> Node:
+        args = [self.not_()]
+        while self.p.kw() == "AND":
+            self.p.next()
+            args.append(self.not_())
+        return args[0] if len(args) == 1 else Func("and", args)
+
+    def not_(self) -> Node:
+        if self.p.kw() == "NOT":
+            self.p.next()
+            return Func("not", [self.not_()])
+        return self.comparison()
+
+    def comparison(self) -> Node:
+        lhs = self.concat()
+        p = self.p
+        t = p.peek()
+        k = _kwu(t)
+        if t in _CMP_OPS:
+            p.next()
+            return Func(_CMP_OPS[t], [lhs, self.concat()])
+        neg = False
+        if k == "NOT" and _kwu(p.peek(1)) in ("LIKE", "ILIKE", "IN", "BETWEEN"):
+            neg = True
+            p.next()
+            k = _kwu(p.peek())
+        if k == "GLOBAL" and _kwu(p.peek(1)) in ("IN", "NOT"):
+            p.next()
+            if _kwu(p.peek()) == "NOT":
+                neg = True
+                p.next()
+            p.expect("IN")
+            return Func("globalNotIn" if neg else "globalIn",
+                        [lhs, self.concat()])
+        if k in ("LIKE", "ILIKE"):
+            p.next()
+            nm = {"LIKE": "like", "ILIKE": "ilike"}[k]
+            if neg:
+                nm = {"like": "notLike", "ilike": "notILike"}[nm]
+            return Func(nm, [lhs, self.concat()])
+        if k == "IN":
+            p.next()
+            return Func("notIn" if neg else "in", [lhs, self.concat()])
+        if k == "BETWEEN":
+            p.next()
+            lo = self.concat()
+            p.expect("AND")
+            hi = self.concat()
+            ge = Func("greaterOrEquals", [lhs, lo])
+            le = Func("lessOrEquals", [lhs, hi])
+            both = Func("and", [ge, le])
+            return Func("not", [both]) if neg else both
+        if k == "IS":
+            p.next()
+            if _kwu(p.peek()) == "NOT":
+                p.next()
+                p.expect("NULL")
+                return Func("isNotNull", [lhs])
+            p.expect("NULL")
+            return Func("isNull", [lhs])
+        return lhs
+
+    def concat(self) -> Node:
+        args = [self.additive()]
+        while self.p.peek() == "||":
+            self.p.next()
+            args.append(self.additive())
+        return args[0] if len(args) == 1 else Func("concat", args)
+
+    def additive(self) -> Node:
+        lhs = self.multiplicative()
+        while self.p.peek() in ("+", "-"):
+            op = self.p.next()
+            rhs = self.multiplicative()
+            lhs = Func("plus" if op == "+" else "minus", [lhs, rhs])
+        return lhs
+
+    def multiplicative(self) -> Node:
+        lhs = self.unary()
+        while self.p.peek() in ("*", "/", "%"):
+            op = self.p.next()
+            rhs = self.unary()
+            lhs = Func(
+                {"*": "multiply", "/": "divide", "%": "modulo"}[op],
+                [lhs, rhs],
+            )
+        return lhs
+
+    def unary(self) -> Node:
+        if self.p.peek() == "-":
+            self.p.next()
+            arg = self.unary()
+            if isinstance(arg, Lit) and not arg.alias and re.match(
+                r"[0-9.]", arg.text
+            ):
+                # negate folds into a numeric literal (ASTFunction.cpp:243)
+                return Lit("-" + arg.text)
+            return Func("negate", [arg])
+        if self.p.peek() == "+":
+            self.p.next()
+            return self.unary()
+        return self.postfix()
+
+    def postfix(self) -> Node:
+        e = self.atom()
+        p = self.p
+        while True:
+            t = p.peek()
+            if t == "[":
+                p.next()
+                idx = self.expr()
+                p.expect("]")
+                e = Func("arrayElement", [e, idx])
+            elif t == "." and re.fullmatch(r"[0-9]+", p.peek(1) or ""):
+                p.next()
+                e = Func("tupleElement", [e, Lit(p.next())])
+            elif t == "::":
+                p.next()
+                ty = self._type_text()
+                e = Func("CAST", [e, Lit(quote_string(ty))])
+            elif t == "(" and isinstance(e, Func) and e.params is None and not e.args and e.no_empty_args is False and False:
+                break
+            else:
+                break
+        return e
+
+    def _type_text(self) -> str:
+        # a type name possibly with (args): emitted verbatim
+        p = self.p
+        parts = [p.next()]
+        if p.peek() == "(":
+            depth = 0
+            while True:
+                t = p.next()
+                parts.append(t)
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+        out = ""
+        for x in parts:
+            if out and (x[0].isalnum() or x[0] in "_'") and (
+                out[-1].isalnum() or out[-1] in "_'"
+            ):
+                out += " " + x
+            else:
+                out += x
+        return out
+
+    def atom(self) -> Node:
+        p = self.p
+        t = p.peek()
+        k = _kwu(t)
+        if not t:
+            raise ChExplainError("unexpected end of expression")
+        if t.startswith("'"):
+            p.next()
+            return Lit(quote_string(_unquote_string(t)))
+        if re.fullmatch(r"[0-9]+(?:\.[0-9]*)?(?:[eE][+-]?[0-9]+)?|\.[0-9]+", t):
+            p.next()
+            return Lit(canon_number(t))
+        if k == "NULL":
+            p.next()
+            return Lit("NULL")
+        if t == "*":
+            p.next()
+            return self._star_tail(Star())
+        if t == "[":
+            p.next()
+            args = []
+            if p.peek() != "]":
+                args.append(self.expr())
+                while p.peek() == ",":
+                    p.next()
+                    args.append(self.expr())
+            p.expect("]")
+            return Func("array", args)
+        if t == "(":
+            # subquery / tuple / paren expr
+            if _kwu(p.peek(1)) in ("SELECT", "WITH") or p.peek(1) == "(":
+                save = p.i
+                try:
+                    p.next()
+                    u = parse_union(p)
+                    p.expect(")")
+                    return Sub(u)
+                except ChExplainError:
+                    p.i = save
+            p.next()
+            first = self.expr()
+            if p.peek() == ",":
+                args = [first]
+                while p.peek() == ",":
+                    p.next()
+                    args.append(self.expr())
+                p.expect(")")
+                return Func("tuple", args)
+            p.expect(")")
+            # plain parens vanish in the canonical form (the formatter
+            # re-adds them from operator need_parens rules)
+            return first
+        if k == "CASE":
+            return self._case()
+        if k == "INTERVAL":
+            p.next()
+            val = self.additive()
+            unit = p.next().lower()
+            if unit not in _INTERVAL_UNITS:
+                raise ChExplainError(f"bad interval unit {unit}")
+            return Func(f"toInterval{_INTERVAL_UNITS[unit]}", [val])
+        if k == "CAST" and p.peek(1) == "(":
+            save = p.i
+            p.next()
+            p.next()
+            e = self.expr()
+            if _kwu(p.peek()) == "AS":
+                p.next()
+                ty = self._type_text()
+                p.expect(")")
+                return Func("CAST", [e, Lit(quote_string(ty))])
+            p.i = save  # CAST(x, 'T') — fall through to generic call
+        if k == "EXISTS" and p.peek(1) == "(":
+            p.next()
+            p.next()
+            u = parse_union(p)
+            p.expect(")")
+            return Func("exists", [Sub(u)])
+        if k == "COLUMNS" and p.peek(1) == "(":
+            p.next()
+            p.next()
+            if p.peek().startswith("'"):
+                pat = _unquote_string(p.next())
+                p.expect(")")
+                return self._star_tail(Star(prefix=pat, kind="columns"))
+            names = []
+            while True:
+                names.append(_ident_name(p.next()))
+                if p.peek() == ",":
+                    p.next()
+                    continue
+                break
+            p.expect(")")
+            return self._star_tail(Star(kind="columns_list", names=names))
+        if _is_ident_tok(t):
+            # qualified star t.* / db.t.*
+            if p.peek(1) == "." and p.peek(2) == "*":
+                nm = _ident_name(p.next())
+                p.next()
+                p.next()
+                return self._star_tail(Star(prefix=nm, kind="qstar"))
+            # function call?
+            if p.peek(1) == "(":
+                name = _ident_name(p.next())
+                p.next()
+                if _kwu(p.peek()) == "DISTINCT":
+                    # ParserFunction: DISTINCT inside the call renames
+                    # the aggregate (count -> countDistinct)
+                    if name.lower() != "count":
+                        raise ChExplainError(
+                            f"DISTINCT inside {name}() unsupported"
+                        )
+                    p.next()
+                    name = "countDistinct"
+                args = self._call_args()
+                params = None
+                if p.peek() == "(":
+                    p.next()
+                    params, args = args, self._call_args()
+                return Func(name, args, params=params)
+            # dotted identifier
+            parts = [_ident_name(p.next())]
+            while p.peek() == "." and _is_ident_tok(p.peek(1)):
+                p.next()
+                parts.append(_ident_name(p.next()))
+            return Ident(parts)
+        raise ChExplainError(f"unsupported token {t!r}")
+
+    def _call_args(self) -> list[Node]:
+        p = self.p
+        args: list[Node] = []
+        if p.peek() == ")":
+            p.next()
+            return args
+        while True:
+            args.append(self._aliasable())
+            if p.peek() == ",":
+                p.next()
+                continue
+            p.expect(")")
+            return args
+
+    def _aliasable(self) -> Node:
+        """expr [AS alias] — aliases are legal inside call args
+        (`sum(i + 1 AS i)`)."""
+        e = self.expr()
+        p = self.p
+        if _kwu(p.peek()) == "AS" and _is_ident_tok(p.peek(1)):
+            p.next()
+            e.alias = _ident_name(p.next())
+        return e
+
+    def _star_tail(self, s: Star) -> Star:
+        p = self.p
+        while _kwu(p.peek()) in ("APPLY", "EXCEPT", "REPLACE"):
+            kind = _kwu(p.next())
+            strict = False
+            if _kwu(p.peek()) == "STRICT":
+                strict = True
+                p.next()
+            if kind == "APPLY":
+                if p.peek() == "(":
+                    p.next()
+                    fname = _ident_name(p.next())
+                    fparams = None
+                    if p.peek() == "(":
+                        p.next()
+                        fparams = self._call_args()
+                    p.expect(")")
+                    s.transformers.append(("APPLY", fname, fparams))
+                else:
+                    s.transformers.append(("APPLY", _ident_name(p.next()), None))
+            elif kind == "EXCEPT":
+                names = []
+                if p.peek() == "(":
+                    p.next()
+                    while True:
+                        names.append(_ident_name(p.next()))
+                        if p.peek() == ",":
+                            p.next()
+                            continue
+                        break
+                    p.expect(")")
+                else:
+                    names.append(_ident_name(p.next()))
+                s.transformers.append(("EXCEPT", strict, names))
+            else:  # REPLACE
+                reps = []
+                if p.peek() == "(":
+                    p.next()
+                    while True:
+                        e = self.expr()
+                        self.p.expect("AS")
+                        col = _ident_name(p.next())
+                        reps.append((e, col))
+                        if p.peek() == ",":
+                            p.next()
+                            continue
+                        break
+                    p.expect(")")
+                else:
+                    e = self.expr()
+                    self.p.expect("AS")
+                    reps.append((e, _ident_name(p.next())))
+                s.transformers.append(("REPLACE", strict, reps))
+        return s
+
+    def _case(self) -> Node:
+        p = self.p
+        p.expect("CASE")
+        operand = None
+        if _kwu(p.peek()) != "WHEN":
+            operand = self.expr()
+        whens: list[tuple[Node, Node]] = []
+        while _kwu(p.peek()) == "WHEN":
+            p.next()
+            c = self.expr()
+            p.expect("THEN")
+            v = self.expr()
+            whens.append((c, v))
+        els = None
+        if _kwu(p.peek()) == "ELSE":
+            p.next()
+            els = self.expr()
+        p.expect("END")
+        if els is None:
+            els = Lit("NULL")
+        if operand is not None:
+            args: list[Node] = [operand]
+            for c, v in whens:
+                args += [c, v]
+            args.append(els)
+            return Func("caseWithExpression", args)
+        if len(whens) == 1:
+            return Func("if", [whens[0][0], whens[0][1], els])
+        args = []
+        for c, v in whens:
+            args += [c, v]
+        args.append(els)
+        return Func("multiIf", args)
+
+
+def parse_expr_item(p: _P) -> Node:
+    """A select-list / order-by item: expr with optional (bare) alias."""
+    e = _ExprParser(p).expr()
+    k = _kwu(p.peek())
+    if k == "AS" and _is_ident_tok(p.peek(1)):
+        p.next()
+        e.alias = _ident_name(p.next())
+    elif (
+        _is_ident_tok(p.peek())
+        and _kwu(p.peek()) not in _KW
+        and not isinstance(e, Star)
+    ):
+        e.alias = _ident_name(p.next())
+    return e
+
+
+# --- select / union --------------------------------------------------------
+
+
+def parse_union(p: _P) -> "Union":
+    children: list[Select | Union] = []
+    modes: list[str] = []
+    children.append(_parse_union_element(p))
+    while _kwu(p.peek()) == "UNION":
+        p.next()
+        mode = ""
+        if _kwu(p.peek()) in ("ALL", "DISTINCT"):
+            mode = _kwu(p.next())
+        modes.append(mode)
+        children.append(_parse_union_element(p))
+    return Union(children, modes)
+
+
+def _parse_union_element(p: _P) -> "Select | Union":
+    if p.peek() == "(":
+        p.next()
+        u = parse_union(p)
+        p.expect(")")
+        if len(u.children) == 1 and isinstance(u.children[0], Select):
+            return u.children[0]
+        return u
+    return parse_select(p)
+
+
+_CLAUSE_END = {
+    "FROM", "WHERE", "PREWHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
+    "OFFSET", "SETTINGS", "UNION", ")", "", "WITH", "ARRAY", "LEFT",
+    "INNER", "RIGHT", "FULL", "CROSS", "JOIN", "ANY", "ALL", "ASOF",
+    "SEMI", "ANTI", "GLOBAL", "USING", "ON", "FINAL", "SAMPLE", "BY",
+}
+
+
+def parse_select(p: _P) -> Select:
+    sel = Select()
+    if _kwu(p.peek()) == "WITH":
+        p.next()
+        while True:
+            sel.with_items.append(parse_expr_item(p))
+            if p.peek() == ",":
+                p.next()
+                continue
+            break
+    p.expect("SELECT")
+    if _kwu(p.peek()) == "STREAM":
+        raise ChExplainError("SELECT STREAM unsupported in explain")
+    if _kwu(p.peek()) == "DISTINCT":
+        p.next()
+        sel.distinct = True
+    while True:
+        sel.items.append(parse_expr_item(p))
+        if p.peek() == ",":
+            p.next()
+            continue
+        break
+    if _kwu(p.peek()) == "FROM":
+        p.next()
+        sel.tables.append((None, _parse_table_expr(p)))
+        while True:
+            js = _parse_join_spec(p)
+            if js is None:
+                break
+            te = _parse_table_expr(p)
+            if js.kind not in ("comma", "cross"):
+                if _kwu(p.peek()) == "USING":
+                    p.next()
+                    paren = p.peek() == "("
+                    if paren:
+                        p.next()
+                    cols = [parse_expr_item(p)]
+                    while p.peek() == ",":
+                        p.next()
+                        cols.append(parse_expr_item(p))
+                    if paren:
+                        p.expect(")")
+                    js.using = cols
+                elif _kwu(p.peek()) == "ON":
+                    p.next()
+                    js.on = _ExprParser(p).expr()
+            sel.tables.append((js, te))
+    if _kwu(p.peek()) == "LEFT" and _kwu(p.peek(1)) == "ARRAY":
+        p.next()
+        p.next()
+        p.expect("JOIN")
+        sel.array_join = ArrayJoin(True, _parse_item_list(p))
+    elif _kwu(p.peek()) == "ARRAY" and _kwu(p.peek(1)) == "JOIN":
+        p.next()
+        p.next()
+        sel.array_join = ArrayJoin(False, _parse_item_list(p))
+    if _kwu(p.peek()) == "PREWHERE":
+        p.next()
+        sel.prewhere = _ExprParser(p).expr()
+    if _kwu(p.peek()) == "WHERE":
+        p.next()
+        sel.where = _ExprParser(p).expr()
+    if _kwu(p.peek()) == "GROUP":
+        p.next()
+        p.expect("BY")
+        sel.group_by = _parse_item_list(p)
+        while _kwu(p.peek()) == "WITH":
+            p.next()
+            w = _kwu(p.next())
+            if w == "ROLLUP":
+                sel.with_rollup = True
+            elif w == "CUBE":
+                sel.with_cube = True
+            elif w == "TOTALS":
+                sel.with_totals = True
+            else:
+                raise ChExplainError(f"WITH {w}?")
+    if _kwu(p.peek()) == "HAVING":
+        p.next()
+        sel.having = _ExprParser(p).expr()
+    if _kwu(p.peek()) == "ORDER":
+        p.next()
+        p.expect("BY")
+        sel.order_by = []
+        while True:
+            sel.order_by.append(_parse_order_elem(p))
+            if p.peek() == ",":
+                p.next()
+                continue
+            break
+    # LIMIT [o,] n [BY items] — possibly twice (limit-by + limit)
+    while _kwu(p.peek()) == "LIMIT":
+        p.next()
+        n1 = _ExprParser(p).expr()
+        off = None
+        if p.peek() == ",":
+            p.next()
+            off, n1 = n1, _ExprParser(p).expr()
+        if _kwu(p.peek()) == "BY":
+            p.next()
+            sel.limit_by = (off, n1, _parse_item_list(p))
+            continue
+        if _kwu(p.peek()) == "OFFSET":
+            p.next()
+            off = _ExprParser(p).expr()
+        sel.limit = n1
+        sel.limit_offset = off
+        if _kwu(p.peek()) == "WITH":
+            p.next()
+            p.expect("TIES")
+            sel.with_ties = True
+        break
+    if _kwu(p.peek()) == "OFFSET" and sel.limit is None:
+        p.next()
+        sel.limit_offset = _ExprParser(p).expr()
+    if _kwu(p.peek()) == "SETTINGS":
+        p.next()
+        sel.settings = []
+        while True:
+            nm = p.next()
+            p.expect("=")
+            sel.settings.append((nm, p.next()))
+            if p.peek() == ",":
+                p.next()
+                continue
+            break
+    return sel
+
+
+def _parse_item_list(p: _P) -> list[Node]:
+    items = [parse_expr_item(p)]
+    while p.peek() == ",":
+        p.next()
+        items.append(parse_expr_item(p))
+    return items
+
+
+def _parse_order_elem(p: _P) -> OrderElem:
+    e = parse_expr_item(p)
+    el = OrderElem(e)
+    k = _kwu(p.peek())
+    if k in ("ASC", "ASCENDING"):
+        p.next()
+    elif k in ("DESC", "DESCENDING"):
+        p.next()
+        el.desc = True
+    if _kwu(p.peek()) == "NULLS":
+        p.next()
+        el.nulls = _kwu(p.next())
+    if _kwu(p.peek()) == "COLLATE":
+        p.next()
+        el.collate = _ExprParser(p).expr()
+    if _kwu(p.peek()) == "WITH" and _kwu(p.peek(1)) == "FILL":
+        p.next()
+        p.next()
+        el.fill = {}
+        if _kwu(p.peek()) == "FROM":
+            p.next()
+            el.fill["from"] = _ExprParser(p).expr()
+        if _kwu(p.peek()) == "TO":
+            p.next()
+            el.fill["to"] = _ExprParser(p).expr()
+        if _kwu(p.peek()) == "STEP":
+            p.next()
+            el.fill["step"] = _ExprParser(p).expr()
+    return el
+
+
+def _parse_join_spec(p: _P) -> JoinSpec | None:
+    k = _kwu(p.peek())
+    if k == ",":
+        p.next()
+        return JoinSpec("comma")
+    glob = False
+    j = 0
+    if k == "GLOBAL":
+        glob = True
+        j = 1
+        k = _kwu(p.peek(1))
+    strictness = ""
+    kind = ""
+    # [ALL|ANY|ASOF|SEMI|ANTI] [INNER|LEFT|RIGHT|FULL|CROSS] [OUTER] JOIN
+    while True:
+        if k in ("ALL", "ANY", "ASOF", "SEMI", "ANTI") and not strictness:
+            strictness = k
+        elif k in ("INNER", "LEFT", "RIGHT", "FULL", "CROSS") and not kind:
+            kind = k.lower()
+        elif k == "OUTER":
+            pass
+        elif k == "JOIN":
+            for _ in range(j + 1):
+                p.next()
+            return JoinSpec(kind or "inner", strictness, glob)
+        else:
+            return None
+        j += 1
+        k = _kwu(p.peek(j))
+
+
+def _parse_table_expr(p: _P) -> TableExpr:
+    te = TableExpr("table")
+    if p.peek() == "(":
+        p.next()
+        te.kind = "sub"
+        te.sub = parse_union(p)
+        p.expect(")")
+    elif _is_ident_tok(p.peek()):
+        if p.peek(1) == "(":
+            name = _ident_name(p.next())
+            p.next()
+            te.kind = "tvf"
+            te.node = Func(name, _ExprParser(p)._call_args())
+        else:
+            parts = [_ident_name(p.next())]
+            while p.peek() == "." and _is_ident_tok(p.peek(1)):
+                p.next()
+                parts.append(_ident_name(p.next()))
+            te.node = Ident(parts)
+    else:
+        raise ChExplainError(f"bad FROM item at {p.peek()!r}")
+    # alias
+    if _kwu(p.peek()) == "AS" and _is_ident_tok(p.peek(1)):
+        p.next()
+        te.alias = _ident_name(p.next())
+    elif _is_ident_tok(p.peek()) and _kwu(p.peek()) not in _KW:
+        te.alias = _ident_name(p.next())
+    if _kwu(p.peek()) == "FINAL":
+        p.next()
+        te.final = True
+    if _kwu(p.peek()) == "SAMPLE":
+        p.next()
+        size = _ExprParser(p).expr()
+        off = None
+        if _kwu(p.peek()) == "OFFSET":
+            p.next()
+            off = _ExprParser(p).expr()
+        te.sample = (size, off)
+    return te
+
+
+# ---------------------------------------------------------------------------
+# Union normalization (NormalizeSelectWithUnionQueryVisitor.cpp)
+# ---------------------------------------------------------------------------
+
+
+def _collect_selects(node: "Select | Union", out: list) -> None:
+    if isinstance(node, Union):
+        for c in node.children:
+            _collect_selects(c, out)
+    else:
+        out.append(node)
+
+
+def normalize_union(u: Union, default_mode: str = "") -> Union:
+    # bottom-up
+    for idx, c in enumerate(u.children):
+        if isinstance(c, Union):
+            u.children[idx] = normalize_union(c, default_mode)
+    modes = list(u.modes)
+    for i in range(len(modes)):
+        if modes[i] == "":
+            if default_mode in ("ALL", "DISTINCT"):
+                modes[i] = default_mode
+            else:
+                raise ChExplainError(
+                    "UNION without ALL/DISTINCT and empty union_default_mode"
+                )
+    selects: list[Select | Union] = []
+    i = len(modes) - 1
+    while i >= 0:
+        child = u.children[i + 1]
+        if modes[i] == "ALL":
+            if isinstance(child, Union) and child.normalized_mode == "ALL":
+                for sub in reversed(child.children):
+                    selects.append(sub)
+            else:
+                selects.append(child)
+        else:  # DISTINCT: flatten everything to the left plus this child
+            flat: list[Select] = []
+            for j in range(i + 2):
+                _collect_selects(u.children[j], flat)
+            dl = Union(list(flat), ["DISTINCT"] * (len(flat) - 1))
+            dl.normalized_mode = "DISTINCT"
+            selects.append(dl)
+            break
+        i -= 1
+    if i == -1:
+        child = u.children[0]
+        if isinstance(child, Union) and child.normalized_mode == "ALL":
+            for sub in reversed(child.children):
+                selects.append(sub)
+        else:
+            selects.append(child)
+    if len(selects) == 1 and isinstance(selects[0], Union):
+        return selects[0]
+    selects.reverse()
+    res = Union(selects, ["ALL"] * (len(selects) - 1))
+    res.normalized_mode = "ALL"
+    return res
+
+
+# ---------------------------------------------------------------------------
+# TreeRewriter-visible normalization: star expansion + ident shortening
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _Tbl:
+    names: set[str]  # every name this table answers to
+    cols: list[str]
+
+
+class Ctx:
+    """Schema context: table name -> ordered visible columns."""
+
+    def __init__(self, schemas: dict[str, list[str]], settings: dict):
+        self.schemas = dict(_SYS_TABLES)
+        self.schemas.update(schemas or {})
+        self.settings = settings or {}
+
+    def columns_of(self, te: TableExpr) -> list[str] | None:
+        if te.kind == "tvf":
+            assert isinstance(te.node, Func)
+            return list(_TVF_COLS.get(te.node.name, [])) or None
+        if te.kind == "sub":
+            first: list[Select] = []
+            _collect_selects(te.sub, first)
+            out = []
+            for it in first[0].items:
+                nm = _output_name(it)
+                if nm is None:
+                    return None
+                out.append(nm)
+            return out
+        assert isinstance(te.node, Ident)
+        nm = ".".join(te.node.parts)
+        if nm in self.schemas:
+            return list(self.schemas[nm])
+        if te.node.parts[-1] in self.schemas:
+            return list(self.schemas[te.node.parts[-1]])
+        return None
+
+
+def _output_name(item: Node) -> str | None:
+    if item.alias:
+        return item.alias
+    if isinstance(item, Ident):
+        return item.parts[-1]
+    if isinstance(item, Lit):
+        return item.text
+    if isinstance(item, Func):
+        return column_name(item)
+    return None
+
+
+def column_name(n: Node) -> str:
+    """The reference's appendColumnName: canonical one-line text."""
+    return format_expr(n, _Fmt(), indent=0, need_parens=False, with_alias=False)
+
+
+def _table_names(te: TableExpr) -> set[str]:
+    names: set[str] = set()
+    if te.alias:
+        names.add(te.alias)
+        return names
+    if te.kind == "table" and isinstance(te.node, Ident):
+        names.add(".".join(te.node.parts))
+        names.add(te.node.parts[-1])
+    elif te.kind == "tvf" and isinstance(te.node, Func):
+        names.add(te.node.name)
+    return names
+
+
+def normalize_select(sel: Select, ctx: Ctx) -> None:
+    # normalize nested subqueries first
+    for _, te in sel.tables:
+        if te.kind == "sub":
+            te.sub = normalize_union(
+                te.sub, ctx.settings.get("union_default_mode", "")
+            )
+            for s in _walk_selects(te.sub):
+                normalize_select(s, ctx)
+    tbls: list[_Tbl] = []
+    cols_ok = True
+    for _, te in sel.tables:
+        cols = ctx.columns_of(te)
+        if cols is None:
+            cols_ok = False
+            cols = []
+        tbls.append(_Tbl(_table_names(te), cols))
+    # --- star expansion (TreeRewriter expands asterisks in the select
+    # list, GROUP BY and LIMIT BY alike)
+    def _expand_list(items: list[Node]) -> list[Node]:
+        out: list[Node] = []
+        for it in items:
+            if isinstance(it, Star):
+                out.extend(_expand_star(it, tbls, cols_ok))
+            else:
+                out.append(it)
+        return out
+
+    sel.items = _expand_list(sel.items)
+    if sel.group_by is not None:
+        sel.group_by = _expand_list(sel.group_by)
+    if sel.limit_by is not None:
+        off9, n9, by9 = sel.limit_by
+        sel.limit_by = (off9, n9, _expand_list(by9))
+    # --- identifier shortening everywhere
+    for n in _walk_exprs(sel):
+        _shorten_idents(n, tbls)
+    # --- cross-to-inner
+    if ctx.settings.get("cross_to_inner_join", "1") not in ("0", "false"):
+        _cross_to_inner(sel, tbls)
+    # subqueries in expressions
+    for n in _walk_exprs(sel):
+        for sub in _iter_nodes(n):
+            if isinstance(sub, Sub):
+                sub.union = normalize_union(
+                    sub.union, ctx.settings.get("union_default_mode", "")
+                )
+                for s in _walk_selects(sub.union):
+                    normalize_select(s, ctx)
+    # optimizer passes run after this level's children — bottom-up,
+    # mirroring InterpreterSelectQuery's subquery-first analysis
+    _optimize(sel, ctx)
+
+
+def _expand_star(st: Star, tbls: list[_Tbl], cols_ok: bool) -> list[Node]:
+    if not cols_ok or not tbls:
+        raise ChExplainError("star expansion needs source columns")
+    all_cols = [c for t in tbls for c in t.cols]
+    base: list[tuple[Node, str]] = []
+
+    def _ident_for(ti: int, c: str) -> Node:
+        unique = all_cols.count(c) == 1
+        if ti == 0 or unique:
+            return Ident([c])
+        q = sorted(tbls[ti].names, key=len)[0]
+        return Ident([q, c])
+
+    if st.kind == "star":
+        for ti, t in enumerate(tbls):
+            for c in t.cols:
+                base.append((_ident_for(ti, c), c))
+    elif st.kind == "qstar":
+        match = [
+            (ti, t) for ti, t in enumerate(tbls) if st.prefix in t.names
+        ]
+        if not match:
+            raise ChExplainError(f"unknown qualifier {st.prefix}")
+        for ti, t in match:
+            for c in t.cols:
+                base.append((_ident_for(ti, c), c))
+    elif st.kind == "columns":
+        rx = re.compile(st.prefix)
+        for ti, t in enumerate(tbls):
+            for c in t.cols:
+                if rx.search(c):
+                    base.append((_ident_for(ti, c), c))
+    else:  # columns_list
+        for nm in st.names:
+            for ti, t in enumerate(tbls):
+                if nm in t.cols:
+                    base.append((_ident_for(ti, nm), nm))
+                    break
+            else:
+                raise ChExplainError(f"unknown column {nm}")
+    for tr in st.transformers:
+        if tr[0] == "APPLY":
+            _, fname, fparams = tr
+            base = [
+                (Func(fname, [e], params=fparams), f"{fname}({nm})")
+                for e, nm in base
+            ]
+        elif tr[0] == "EXCEPT":
+            _, strict, names = tr
+            if strict:
+                missing = [x for x in names if x not in {nm for _, nm in base}]
+                if missing:
+                    raise ChExplainError(f"EXCEPT STRICT: {missing}")
+            base = [(e, nm) for e, nm in base if nm not in names]
+        else:  # REPLACE
+            _, strict, reps = tr
+            repmap = {}
+            for e, col in reps:
+                if col in repmap:
+                    raise ChExplainError("doubly-replaced column")
+                repmap[col] = e
+            if strict:
+                missing = [
+                    x for x in repmap if x not in {nm for _, nm in base}
+                ]
+                if missing:
+                    raise ChExplainError(f"REPLACE STRICT: {missing}")
+            out = []
+            for e, nm in base:
+                if nm in repmap:
+                    # self-references substitute the CURRENT expression
+                    # (REPLACE(i+1 AS i) twice -> (i + 1) + 1 AS i)
+                    prev = _clone(e)
+                    prev.alias = ""
+                    r2 = _subst_ident(_clone(repmap[nm]), nm, prev)
+                    r2.alias = nm
+                    out.append((r2, nm))
+                else:
+                    out.append((e, nm))
+            base = out
+    if not base:
+        raise ChExplainError("empty column list after transformers")
+    return [e for e, _ in base]
+
+
+def _subst_ident(n: Node, name: str, repl: Node) -> Node:
+    if isinstance(n, Ident) and n.parts == [name] and not n.alias:
+        return _clone(repl)
+    if isinstance(n, Func):
+        n.args = [_subst_ident(a, name, repl) for a in n.args]
+    return n
+
+
+def _clone(n: Node) -> Node:
+    if isinstance(n, Lit):
+        return Lit(n.text, n.alias)
+    if isinstance(n, Ident):
+        return Ident(list(n.parts), n.alias)
+    if isinstance(n, Func):
+        return Func(
+            n.name, [_clone(a) for a in n.args],
+            params=[_clone(x) for x in n.params] if n.params else None,
+            alias=n.alias, no_empty_args=n.no_empty_args,
+        )
+    if isinstance(n, Sub):
+        return Sub(n.union, n.alias)
+    return n
+
+
+def _iter_nodes(n: Node):
+    yield n
+    if isinstance(n, Func):
+        for a in n.args:
+            yield from _iter_nodes(a)
+        for pnode in n.params or []:
+            yield from _iter_nodes(pnode)
+
+
+def _walk_selects(u: "Union | Select"):
+    if isinstance(u, Union):
+        for c in u.children:
+            yield from _walk_selects(c)
+    else:
+        yield u
+
+
+def _walk_exprs(sel: Select):
+    yield from sel.with_items
+    yield from sel.items
+    for js, te in sel.tables:
+        if js:
+            if js.on is not None:
+                yield js.on
+            for u9 in js.using or []:
+                yield u9
+    if sel.array_join:
+        yield from sel.array_join.items
+    for x in (sel.prewhere, sel.where, sel.having, sel.limit,
+              sel.limit_offset):
+        if x is not None:
+            yield x
+    yield from sel.group_by or []
+    for oe in sel.order_by or []:
+        yield oe.expr
+        if oe.collate is not None:
+            yield oe.collate
+    if sel.limit_by:
+        off, n1, items = sel.limit_by
+        if off is not None:
+            yield off
+        yield n1
+        yield from items
+
+
+def _shorten_idents(n: Node, tbls: list[_Tbl]) -> None:
+    all_cols = [c for t in tbls for c in t.cols]
+    for sub in _iter_nodes(n):
+        if isinstance(sub, Ident) and len(sub.parts) >= 2:
+            q = ".".join(sub.parts[:-1])
+            c = sub.parts[-1]
+            for ti, t in enumerate(tbls):
+                if q in t.names and c in t.cols:
+                    if ti == 0 or all_cols.count(c) == 1:
+                        sub.parts = [c]
+                    break
+
+
+def _expr_tables(n: Node, tbls: list[_Tbl]) -> set[int]:
+    """Which table index each column reference resolves to."""
+    out: set[int] = set()
+    for sub in _iter_nodes(n):
+        if isinstance(sub, Ident):
+            if len(sub.parts) >= 2:
+                q = ".".join(sub.parts[:-1])
+                for ti, t in enumerate(tbls):
+                    if q in t.names:
+                        out.add(ti)
+                        break
+            else:
+                for ti, t in enumerate(tbls):
+                    if sub.parts[0] in t.cols:
+                        out.add(ti)
+                        break
+    return out
+
+
+def _cross_to_inner(sel: Select, tbls: list[_Tbl]) -> None:
+    if len(sel.tables) != 2 or sel.where is None:
+        return
+    js, te = sel.tables[1]
+    if js is None or js.kind not in ("comma", "cross") or js.on or js.using:
+        return
+    conjuncts = (
+        list(sel.where.args)
+        if isinstance(sel.where, Func) and sel.where.name == "and"
+        else [sel.where]
+    )
+    on_parts = []
+    for c in conjuncts:
+        if isinstance(c, Func) and c.name == "equals" and len(c.args) == 2:
+            ta = _expr_tables(c.args[0], tbls)
+            tb = _expr_tables(c.args[1], tbls)
+            if (ta, tb) in (({0}, {1}), ({1}, {0})):
+                on_parts.append(_clone(c))
+    if not on_parts:
+        return
+    js.kind = "inner"
+    js.strictness = "ALL"
+    js.on = on_parts[0] if len(on_parts) == 1 else Func("and", on_parts)
+
+
+# ---------------------------------------------------------------------------
+# TreeOptimizer passes (src/Interpreters/TreeOptimizer.cpp:593-680).
+# InterpreterSelectQuery analyzes subqueries before the enclosing level,
+# so every pass runs bottom-up — normalize_select calls _optimize after
+# its subqueries are done, which reproduces that order.
+# ---------------------------------------------------------------------------
+
+#: aggregates registered with .is_order_dependent = true
+_ORDER_DEP_AGGS = {
+    "any", "anyLast", "anyHeavy", "min", "max", "groupArray",
+    "groupArrayInsertAt", "groupArrayMovingSum", "groupArrayMovingAvg",
+    "groupArraySample", "groupUniqArray", "topK", "topKWeighted",
+    "deltaSum", "deltaSumTimestamp",
+}
+_COMBINATORS = (
+    "If", "Array", "OrNull", "OrDefault", "Distinct", "State", "Merge",
+    "ForEach", "Resample", "SimpleState",
+)
+#: IFunction::isStateful() == true
+_STATEFUL_FNS = {
+    "neighbor", "runningAccumulate", "runningDifference",
+    "runningDifferenceStartingWithFirstValue", "rowNumberInBlock",
+    "rowNumberInAllBlocks", "blockNumber", "finalizeAggregation",
+    "runningConcurrency",
+}
+#: one-argument functions whose isInjective({}) is true
+_INJECTIVE_1ARG = {
+    "negate", "bitNot", "toString", "reverse", "reverseUTF8",
+    "concatAssumeInjective", "tuple", "hex", "toFixedString",
+}
+_UNIQS = {
+    "uniq", "uniqExact", "uniqHLL12", "uniqCombined", "uniqCombined64",
+    "uniqTheta",
+}
+
+
+def _setting_on(settings: dict, name: str, default: bool) -> bool:
+    v = str(settings.get(name, "1" if default else "0")).strip().lower()
+    return v not in ("0", "false", "")
+
+
+def _strip_combinators(name: str) -> str:
+    changed = True
+    while changed:
+        changed = False
+        for c in _COMBINATORS:
+            if name.endswith(c) and name[: -len(c)]:
+                name = name[: -len(c)]
+                changed = True
+    return name
+
+
+def _map_expr(n: Node, fn) -> Node:
+    """Bottom-up map over an expression tree (not descending into
+    subqueries, matching needChildVisit == false for ASTSubquery)."""
+    if isinstance(n, Func):
+        n.args = [_map_expr(a, fn) for a in n.args]
+        if n.params:
+            n.params = [_map_expr(a, fn) for a in n.params]
+    return fn(n)
+
+
+def _map_select_exprs(sel: Select, fn) -> None:
+    sel.with_items = [_map_expr(x, fn) for x in sel.with_items]
+    sel.items = [_map_expr(x, fn) for x in sel.items]
+    for js, _ in sel.tables:
+        if js:
+            if js.on is not None:
+                js.on = _map_expr(js.on, fn)
+            if js.using:
+                js.using = [_map_expr(x, fn) for x in js.using]
+    if sel.array_join:
+        sel.array_join.items = [
+            _map_expr(x, fn) for x in sel.array_join.items
+        ]
+    if sel.prewhere is not None:
+        sel.prewhere = _map_expr(sel.prewhere, fn)
+    if sel.where is not None:
+        sel.where = _map_expr(sel.where, fn)
+    if sel.group_by is not None:
+        sel.group_by = [_map_expr(x, fn) for x in sel.group_by]
+    if sel.having is not None:
+        sel.having = _map_expr(sel.having, fn)
+    for oe in sel.order_by or []:
+        oe.expr = _map_expr(oe.expr, fn)
+    if sel.limit_by:
+        off, n1, items = sel.limit_by
+        sel.limit_by = (off, n1, [_map_expr(x, fn) for x in items])
+
+
+def _has_stateful(sel: Select) -> bool:
+    for top in _walk_exprs(sel):
+        for n in _iter_nodes(top):
+            if isinstance(n, Func):
+                base = _strip_combinators(n.name)
+                if base in _ORDER_DEP_AGGS or n.name in _STATEFUL_FNS:
+                    return True
+    return False
+
+
+def _if_chain_fold(n: Node) -> Node:
+    if (
+        isinstance(n, Func) and n.name == "if" and len(n.args) == 3
+        and n.params is None
+    ):
+        e = n.args[2]
+        if (
+            isinstance(e, Func) and e.name in ("if", "multiIf")
+            and not e.alias and e.params is None
+        ):
+            return Func(
+                "multiIf", [n.args[0], n.args[1], *e.args], alias=n.alias
+            )
+    return n
+
+
+def _injective_peel(n: Node) -> Node:
+    if isinstance(n, Func) and n.name in _UNIQS and n.params is None:
+        for i, a in enumerate(n.args):
+            while (
+                isinstance(a, Func) and len(a.args) == 1
+                and a.params is None and a.name in _INJECTIVE_1ARG
+            ):
+                a = a.args[0]
+            n.args[i] = a
+    return n
+
+
+def _simple_subselect(sel: Select) -> Select | None:
+    """getSimpleSubselect (TreeOptimizer.cpp:279): single FROM item,
+    a subquery with exactly one select and no SETTINGS."""
+    if len(sel.tables) != 1:
+        return None
+    te = sel.tables[0][1]
+    if te.kind != "sub":
+        return None
+    sels = list(_walk_selects(te.sub))
+    if len(sels) != 1 or not isinstance(te.sub.children[0], Select):
+        return None
+    if sels[0].settings:
+        return None
+    return sels[0]
+
+
+def _distinct_names(sel: Select) -> set[str]:
+    if not sel.items:
+        return set()
+    names: set[str] = set()
+    implicit: set[str] = set()
+    if not sel.distinct:
+        sub = _simple_subselect(sel)
+        if sub is not None:
+            implicit = _distinct_names(sub)
+        if not implicit:
+            return set()
+    for it in sel.items:
+        if isinstance(it, Ident):
+            nm = it.parts[-1]
+            if sel.distinct or nm in implicit:
+                names.add(it.alias or nm)
+        elif sel.distinct and it.alias:
+            names.add(it.alias)
+    if not sel.distinct and len(names) != len(implicit):
+        return set()
+    return names
+
+
+def _dup_order_by(sel: Select) -> None:
+    if not (sel.order_by or sel.group_by is not None):
+        return
+    if _has_stateful(sel):
+        return
+    if not sel.tables:
+        return
+    te = sel.tables[0][1]
+    if te.kind != "sub":
+        return
+    first = next(iter(_walk_selects(te.sub)), None)
+    if (
+        first is not None and first.order_by
+        and not first.limit_by and first.limit is None
+        and first.limit_offset is None
+    ):
+        first.order_by = None
+
+
+def _dup_distinct(sel: Select) -> None:
+    if not sel.items:
+        return
+    sub = _simple_subselect(sel)
+    if sub is None:
+        return
+    dn = _distinct_names(sub)
+    selected: set[str] = set()
+    for it in sel.items:
+        if not isinstance(it, Ident):
+            return
+        nm = it.parts[-1]
+        if nm not in dn:
+            return
+        selected.add(nm)
+    if len(selected) != len(dn):
+        return
+    sel.distinct = False
+
+
+def _optimize(sel: Select, ctx: Ctx) -> None:
+    s = ctx.settings
+
+    # count(DISTINCT x) -> count_distinct_implementation (TreeRewriter's
+    # CustomizeVisitor, before the optimizer proper)
+    impl = s.get("count_distinct_implementation", "uniqExact")
+
+    def _count_distinct(n: Node) -> Node:
+        if isinstance(n, Func) and n.name == "countDistinct":
+            return Func(impl, n.args, alias=n.alias)
+        return n
+
+    _map_select_exprs(sel, _count_distinct)
+    if _setting_on(s, "optimize_if_chain_to_multiif", False):
+        _map_select_exprs(sel, _if_chain_fold)
+    if _setting_on(s, "optimize_injective_functions_inside_uniq", True):
+        _map_select_exprs(sel, _injective_peel)
+    if _setting_on(s, "optimize_duplicate_order_by_and_distinct", True):
+        _dup_order_by(sel)
+        _dup_distinct(sel)
+    # TreeRewriter::setJoinStrictness: unspecified strictness takes
+    # join_default_strictness (printed explicitly, e.g. ALL INNER JOIN)
+    default_strict = str(s.get("join_default_strictness", "ALL")).upper()
+    for js, _ in sel.tables:
+        if (
+            js is not None and js.kind not in ("cross", "comma")
+            and not js.strictness and default_strict in ("ALL", "ANY")
+        ):
+            js.strictness = default_strict
+
+
+# ---------------------------------------------------------------------------
+# Formatter (formatAST, hilite off, one_line = false)
+# ---------------------------------------------------------------------------
+
+_BIN_OP = {
+    "multiply": " * ", "divide": " / ", "modulo": " % ", "plus": " + ",
+    "minus": " - ", "notEquals": " != ", "lessOrEquals": " <= ",
+    "greaterOrEquals": " >= ", "less": " < ", "greater": " > ",
+    "equals": " = ", "like": " LIKE ", "ilike": " ILIKE ",
+    "notLike": " NOT LIKE ", "notILike": " NOT ILIKE ", "in": " IN ",
+    "notIn": " NOT IN ", "globalIn": " GLOBAL IN ",
+    "globalNotIn": " GLOBAL NOT IN ",
+}
+
+
+class _Fmt:
+    """Shared format state: printed-aliased-subtree dedup
+    (ASTWithAlias::formatImpl printed_asts_with_alias)."""
+
+    def __init__(self):
+        self.printed: set = set()
+        self.select_id: int = 0
+
+
+def format_expr(
+    n: Node, st: _Fmt, indent: int, need_parens: bool,
+    with_alias: bool = True,
+) -> str:
+    alias = n.alias if with_alias else ""
+    if alias:
+        key = (st.select_id, alias, n.hashable())
+        if key in st.printed:
+            return write_ident(alias)
+        st.printed.add(key)
+    body = _format_no_alias(n, st, indent, need_parens and not alias)
+    if alias:
+        out = body + " AS " + write_ident(alias)
+        if need_parens:
+            out = "(" + out + ")"
+        return out
+    return body
+
+
+def _format_no_alias(n: Node, st: _Fmt, indent: int, need_parens: bool) -> str:
+    if isinstance(n, Lit):
+        return n.text
+    if isinstance(n, Ident):
+        return ".".join(write_ident(x) for x in n.parts)
+    if isinstance(n, Star):
+        out = ("" if not n.prefix else n.prefix + ".") + "*"
+        return out
+    if isinstance(n, Sub):
+        pad = "    " * indent
+        inner = format_union(n.union, st, indent + 1)
+        return "(\n" + inner + "\n" + pad + ")"
+    assert isinstance(n, Func), n
+    return _format_func(n, st, indent, need_parens)
+
+
+def _format_func(f: Func, st: _Fmt, indent: int, need_parens: bool) -> str:
+    name, args = f.name, f.args
+    if f.params is None:
+        if len(args) == 1 and name in ("negate", "not"):
+            opch = "-" if name == "negate" else "NOT "
+            lit = isinstance(args[0], Lit)
+            inner = format_expr(args[0], st, indent, True)
+            out = opch + inner
+            if not lit and need_parens:
+                out = "(" + out + ")"
+            return out
+        if len(args) == 2 and name in _BIN_OP:
+            lhs = format_expr(args[0], st, indent, True)
+            # x IN 1 prints as x IN (1)
+            rhs_node = args[1]
+            extra = (
+                name in ("in", "notIn", "globalIn", "globalNotIn")
+                and not isinstance(rhs_node, (Func, Sub))
+            )
+            if extra:
+                rhs = "(" + format_expr(rhs_node, st, indent, False) + ")"
+            else:
+                rhs = format_expr(rhs_node, st, indent, True)
+            out = lhs + _BIN_OP[name] + rhs
+            if need_parens:
+                out = "(" + out + ")"
+            return out
+        if len(args) == 2 and name == "arrayElement":
+            out = (
+                format_expr(args[0], st, indent, True)
+                + "[" + format_expr(args[1], st, indent, False) + "]"
+            )
+            return "(" + out + ")" if need_parens else out
+        if len(args) == 2 and name == "tupleElement" and isinstance(
+            args[1], Lit
+        ) and re.fullmatch(r"[0-9]+", args[1].text):
+            out = (
+                format_expr(args[0], st, indent, True)
+                + "." + args[1].text
+            )
+            return "(" + out + ")" if need_parens else out
+        if len(args) == 2 and name == "lambda":
+            lhs_t = args[0]
+            if (
+                isinstance(lhs_t, Func) and lhs_t.name == "tuple"
+                and len(lhs_t.args) == 1
+            ):
+                lhs = format_expr(lhs_t.args[0], st, indent, True)
+            else:
+                lhs = format_expr(lhs_t, st, indent, True)
+            out = lhs + " -> " + format_expr(args[1], st, indent, True)
+            return "(" + out + ")" if need_parens else out
+        if len(args) >= 2 and name in ("and", "or"):
+            opch = " AND " if name == "and" else " OR "
+            out = opch.join(
+                format_expr(a, st, indent, True) for a in args
+            )
+            if need_parens:
+                out = "(" + out + ")"
+            return out
+        if name == "array":
+            return "[" + ", ".join(
+                format_expr(a, st, indent, False) for a in args
+            ) + "]"
+        if name == "tuple" and len(args) >= 2:
+            return "(" + ", ".join(
+                format_expr(a, st, indent, False) for a in args
+            ) + ")"
+        if name == "map":
+            return "map(" + ", ".join(
+                format_expr(a, st, indent, False) for a in args
+            ) + ")"
+    out = name
+    if f.params is not None:
+        out += "(" + ", ".join(
+            format_expr(a, st, indent, False) for a in f.params
+        ) + ")"
+    out += "(" + ", ".join(
+        format_expr(a, st, indent, False) for a in args
+    ) + ")"
+    return out
+
+
+def _fmt_item_list(
+    items: list[str], head: str, pad: str, inline_single: bool = True
+) -> list[str]:
+    """ASTExpressionList::formatImplMultiline under a clause keyword."""
+    if len(items) == 1 and inline_single:
+        return [head + " " + items[0]]
+    lines = [head]
+    for k, it in enumerate(items):
+        lines.append(pad + "    " + it + ("," if k < len(items) - 1 else ""))
+    return lines
+
+
+def format_select(sel: Select, st: _Fmt, indent: int) -> str:
+    st.select_id += 1
+    pad = "    " * indent
+    lines: list[str] = []
+    if sel.with_items:
+        items = [format_expr(x, st, indent, False) for x in sel.with_items]
+        lines += _fmt_item_list(items, pad + "WITH", pad)
+    head = pad + "SELECT" + (" DISTINCT" if sel.distinct else "")
+    items = [format_expr(x, st, indent, False) for x in sel.items]
+    lines += _fmt_item_list(items, head, pad)
+    if sel.tables:
+        from_line = pad + "FROM"
+        first = True
+        for js, te in sel.tables:
+            if js is not None:
+                if js.kind == "comma":
+                    from_line += ","
+                else:
+                    lines.append(from_line)
+                    from_line = pad
+                    if js.glob:
+                        from_line += "GLOBAL "
+                    if js.kind not in ("cross", "comma") and js.strictness:
+                        from_line += js.strictness + " "
+                    from_line += {
+                        "inner": "INNER JOIN", "left": "LEFT JOIN",
+                        "right": "RIGHT JOIN", "full": "FULL OUTER JOIN",
+                        "cross": "CROSS JOIN",
+                    }[js.kind]
+            # table expression
+            if te.kind == "sub":
+                lines.append(from_line)
+                sub_txt = (
+                    pad + "(\n"
+                    + format_union(te.sub, st, indent + 1)
+                    + "\n" + pad + ")"
+                )
+                if te.alias:
+                    sub_txt += " AS " + write_ident(te.alias)
+                from_line = sub_txt
+            else:
+                t_txt = format_expr(te.node, st, indent, False, with_alias=False)
+                if te.alias:
+                    t_txt += " AS " + write_ident(te.alias)
+                from_line += " " + t_txt
+            if te.final:
+                lines.append(from_line)
+                from_line = pad + "FINAL"
+            if te.sample:
+                lines.append(from_line)
+                from_line = pad + "SAMPLE " + format_expr(
+                    te.sample[0], st, indent, False
+                )
+                if te.sample[1] is not None:
+                    from_line += " OFFSET " + format_expr(
+                        te.sample[1], st, indent, False
+                    )
+            if js is not None and js.kind != "comma":
+                if js.using:
+                    from_line += " USING (" + ", ".join(
+                        format_expr(x, st, indent, False) for x in js.using
+                    ) + ")"
+                elif js.on is not None:
+                    from_line += " ON " + format_expr(
+                        js.on, st, indent, False
+                    )
+            first = False
+        lines.append(from_line)
+    if sel.array_join:
+        aj = sel.array_join
+        head = pad + ("LEFT " if aj.left else "") + "ARRAY JOIN"
+        items = [format_expr(x, st, indent, False) for x in aj.items]
+        lines += _fmt_item_list(items, head, pad)
+    if sel.prewhere is not None:
+        lines.append(
+            pad + "PREWHERE " + format_expr(sel.prewhere, st, indent, False)
+        )
+    if sel.where is not None:
+        lines.append(
+            pad + "WHERE " + format_expr(sel.where, st, indent, False)
+        )
+    if sel.group_by is not None:
+        items = [format_expr(x, st, indent, False) for x in sel.group_by]
+        lines += _fmt_item_list(items, pad + "GROUP BY", pad)
+    if sel.with_rollup:
+        lines.append(pad + "    WITH ROLLUP")
+    if sel.with_cube:
+        lines.append(pad + "    WITH CUBE")
+    if sel.with_totals:
+        lines.append(pad + "    WITH TOTALS")
+    if sel.having is not None:
+        lines.append(
+            pad + "HAVING " + format_expr(sel.having, st, indent, False)
+        )
+    if sel.order_by is not None:
+        items = []
+        for oe in sel.order_by:
+            x = format_expr(oe.expr, st, indent, False)
+            x += " DESC" if oe.desc else " ASC"
+            if oe.nulls:
+                x += " NULLS " + oe.nulls
+            if oe.collate is not None:
+                x += " COLLATE " + format_expr(oe.collate, st, indent, False)
+            if oe.fill is not None:
+                x += " WITH FILL"
+                for kw9, key in (("FROM", "from"), ("TO", "to"),
+                                 ("STEP", "step")):
+                    if key in oe.fill:
+                        x += f" {kw9} " + format_expr(
+                            oe.fill[key], st, indent, False
+                        )
+            items.append(x)
+        lines += _fmt_item_list(items, pad + "ORDER BY", pad)
+    if sel.limit_by is not None:
+        off, n1, by = sel.limit_by
+        head = pad + "LIMIT "
+        if off is not None:
+            head += format_expr(off, st, indent, False) + ", "
+        head += format_expr(n1, st, indent, False) + " BY"
+        items = [format_expr(x, st, indent, False) for x in by]
+        lines += _fmt_item_list(items, head, pad)
+    if sel.limit is not None:
+        line = pad + "LIMIT "
+        if sel.limit_offset is not None:
+            line += format_expr(sel.limit_offset, st, indent, False) + ", "
+        line += format_expr(sel.limit, st, indent, False)
+        lines.append(line)
+        if sel.with_ties:
+            lines.append(pad + " WITH TIES")
+    elif sel.limit_offset is not None:
+        lines.append(
+            pad + "OFFSET " + format_expr(sel.limit_offset, st, indent, False)
+        )
+    if sel.settings:
+        lines.append(
+            pad + "SETTINGS " + ", ".join(
+                f"{k9} = {v9}" for k9, v9 in sel.settings
+            )
+        )
+    return "\n".join(lines)
+
+
+def format_union(u: "Union | Select", st: _Fmt, indent: int) -> str:
+    if isinstance(u, Select):
+        return format_select(u, st, indent)
+    pad = "    " * indent
+    parts: list[str] = []
+    for k, child in enumerate(u.children):
+        if k > 0:
+            mode = (
+                u.normalized_mode if u.normalized_mode else u.modes[k - 1]
+            )
+            parts.append(pad + "UNION" + (" " + mode if mode else ""))
+        if isinstance(child, Union):
+            # nested union prints as a parenthesized subquery block,
+            # preceded by a newline (ASTSelectWithUnionQuery.cpp:52) —
+            # for the FIRST child that newline yields a leading blank
+            # line, faithfully reproduced by the reference client
+            if len(child.children) == 1:
+                parts.append(format_union(child.children[0], st, indent))
+            else:
+                if k == 0:
+                    parts.append("")
+                parts.append(
+                    pad + "(\n" + format_union(child, st, indent + 1)
+                    + "\n" + pad + ")"
+                )
+        else:
+            parts.append(format_select(child, st, indent))
+    return "\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Entry point
+# ---------------------------------------------------------------------------
+
+
+def explain_syntax(
+    query: str,
+    schemas: dict[str, list[str]] | None = None,
+    settings: dict | None = None,
+) -> str:
+    """Render the reference's EXPLAIN SYNTAX output for `query` (the
+    text AFTER the EXPLAIN SYNTAX keywords).  Raises ChExplainError on
+    constructs outside the supported subset."""
+    toks = tokenize(query.strip().rstrip(";"))
+    if not toks:
+        raise ChExplainError("empty")
+    p = _P(toks)
+    u = parse_union(p)
+    if not p.at_end():
+        raise ChExplainError(f"trailing tokens: {p.peek()!r}")
+    ctx = Ctx(schemas or {}, settings or {})
+    u = normalize_union(u, ctx.settings.get("union_default_mode", ""))
+    for s in _walk_selects(u):
+        normalize_select(s, ctx)
+    st = _Fmt()
+    return format_union(u, st, 0)

@@ -576,6 +576,26 @@ class ScriptRunner:
             return None
         return self._execute_core(_emit(toks))
 
+    def _explain_syntax(self, toks: list[str]) -> DataFrame | None:
+        """EXPLAIN SYNTAX: the reference prints the TreeRewriter-
+        normalized query in the canonical formatted-AST rendering
+        (src/Parsers/IAST.h formatImpl family), one output row per
+        line.  Falls back (None) outside chexplain's supported
+        subset so the legacy translation dump still shows."""
+        from daisy_spark.chexplain import ChExplainError, explain_syntax
+
+        schemas = {
+            nm: [c.name for c in t.cols if not c.hidden]
+            for nm, t in self.tables.items()
+        }
+        try:
+            text = explain_syntax(_emit(toks), schemas, self.settings)
+        except ChExplainError:
+            return None
+        return self.spark.createDataFrame(
+            [(ln,) for ln in text.split("\n")], "explain STRING"
+        )
+
     def _execute_core(self, stmt: str) -> DataFrame | None:
         toks = tokenize(stmt.strip().rstrip(";"))
         if not toks:
@@ -584,6 +604,14 @@ class ScriptRunner:
         toks = self._strip_db_quals(toks)
         stmt = _emit(toks)
         if head in ("SELECT", "WITH", "EXPLAIN") or toks[0] == "(":
+            if (
+                head == "EXPLAIN"
+                and len(toks) > 1
+                and _kw(toks[1]) == "SYNTAX"
+            ):
+                df9 = self._explain_syntax(toks[2:])
+                if df9 is not None:
+                    return df9
             if self.live_views:
                 toks = self._resolve_live_views(toks)
                 stmt = _emit(toks)
