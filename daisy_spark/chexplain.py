@@ -1124,6 +1124,8 @@ def normalize_union(u: Union, default_mode: str = "") -> Union:
 class _Tbl:
     names: set[str]  # every name this table answers to
     cols: list[str]
+    #: columns hidden from asterisk expansion (right side of USING)
+    excl: set[str] = field(default_factory=set)
 
 
 class Ctx:
@@ -1198,12 +1200,19 @@ def normalize_select(sel: Select, ctx: Ctx) -> None:
                 normalize_select(s, ctx)
     tbls: list[_Tbl] = []
     cols_ok = True
-    for _, te in sel.tables:
+    for js, te in sel.tables:
         cols = ctx.columns_of(te)
         if cols is None:
             cols_ok = False
             cols = []
-        tbls.append(_Tbl(_table_names(te), cols))
+        excl: set[str] = set()
+        if js is not None and js.using:
+            # USING columns are coalesced: the right table's copies
+            # drop out of asterisk expansion
+            for u9 in js.using:
+                if isinstance(u9, Ident):
+                    excl.add(u9.parts[-1])
+        tbls.append(_Tbl(_table_names(te), cols, excl))
     # --- star expansion (TreeRewriter expands asterisks in the select
     # list, GROUP BY and LIMIT BY alike)
     def _expand_list(items: list[Node]) -> list[Node]:
@@ -1257,6 +1266,8 @@ def _expand_star(st: Star, tbls: list[_Tbl], cols_ok: bool) -> list[Node]:
     if st.kind == "star":
         for ti, t in enumerate(tbls):
             for c in t.cols:
+                if c in t.excl:
+                    continue
                 base.append((_ident_for(ti, c), c))
     elif st.kind == "qstar":
         match = [
@@ -1580,6 +1591,281 @@ def _injective_peel(n: Node) -> Node:
     return n
 
 
+_NONDETERMINISTIC = {
+    "rand", "rand64", "randConstant", "now", "now64", "today",
+    "yesterday", "generateUUIDv4", "randomString", "randomFixedString",
+    "randomPrintableASCII", "randomStringUTF8", "uptime", "hostName",
+    "currentDatabase", "currentUser", "rowNumberInBlock", "fuzzBits",
+}
+_COMMON_AGGS = _ORDER_DEP_AGGS | _UNIQS | {
+    "sum", "count", "avg", "median", "quantile", "quantiles", "corr",
+    "varSamp", "varPop", "stddevSamp", "stddevPop", "argMin", "argMax",
+}
+
+
+def _is_redundant_fn(e: Func, keys: set[str]) -> bool:
+    """RedundantFunctionsInOrderByVisitor.h: every function node in the
+    tree must be deterministic, non-lambda, with arguments that are
+    either functions (checked recursively) or identifiers already
+    present among the previous ORDER BY keys."""
+    for n in _iter_nodes(e):
+        if isinstance(n, Func):
+            if n.name == "lambda" or not n.args or n.params is not None:
+                return False
+            if (
+                n.name in _NONDETERMINISTIC
+                or _strip_combinators(n.name) in _COMMON_AGGS
+            ):
+                return False
+            for a in n.args:
+                if isinstance(a, Func):
+                    continue
+                if isinstance(a, Ident) and ".".join(a.parts) in keys:
+                    continue
+                return False
+    return True
+
+
+def _redundant_order_by(sel: Select) -> None:
+    if not sel.order_by:
+        return
+    prev: set[str] = set()
+    out = []
+    for oe in sel.order_by:
+        e = oe.expr
+        if isinstance(e, Func) and prev and _is_redundant_fn(e, prev):
+            continue
+        if isinstance(e, Ident):
+            prev.add(".".join(e.parts))
+        out.append(oe)
+    if len(out) < len(sel.order_by):
+        sel.order_by = out
+
+
+def _dups_in_order_by(sel: Select) -> None:
+    """optimizeDuplicatesInOrderBy (always on): unique (column-name,
+    collation) pairs, first occurrence wins."""
+    if not sel.order_by:
+        return
+    seen: set = set()
+    out = []
+    for oe in sel.order_by:
+        key = (
+            column_name(oe.expr),
+            column_name(oe.collate) if oe.collate is not None else "",
+        )
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append(oe)
+    if len(out) < len(sel.order_by):
+        sel.order_by = out
+
+
+def _dups_in_limit_by(sel: Select) -> None:
+    if not sel.limit_by:
+        return
+    off, n1, items = sel.limit_by
+    seen: set = set()
+    out = []
+    for it in items:
+        key = column_name(it)
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append(it)
+    if len(out) < len(items):
+        sel.limit_by = (off, n1, out)
+
+
+def _dups_in_using(sel: Select) -> None:
+    for js, _ in sel.tables:
+        if js is not None and js.using:
+            seen: set = set()
+            out = []
+            for u9 in js.using:
+                key = u9.alias or column_name(u9)
+                if key in seen:
+                    continue
+                seen.add(key)
+                out.append(u9)
+            js.using = out
+
+
+def _unquote_canon(text: str) -> str:
+    """Reverse of quote_string on a canonical string literal."""
+    return _unquote_string(text)
+
+
+def _any_out(n: Node) -> Node:
+    """RewriteAnyFunctionVisitor.cpp: any(f(x, y)) -> f(any(x), any(y))
+    — every identifier occurrence wraps in the aggregate, the function
+    moves out; blocked by arrayJoin / lambda / nested aggregates."""
+    if not (
+        isinstance(n, Func) and n.name in ("any", "anyLast")
+        and n.params is None and len(n.args) == 1
+    ):
+        return n
+    inner = n.args[0]
+    if not (isinstance(inner, Func) and inner.args):
+        return n
+
+    ok = True
+
+    def _wrap(m: Node) -> Node:
+        nonlocal ok
+        if isinstance(m, Func):
+            if (
+                m.name in ("arrayJoin", "lambda")
+                or _strip_combinators(m.name) in _COMMON_AGGS
+            ):
+                ok = False
+                return m
+            m.args = [_wrap(a) for a in m.args]
+            return m
+        if isinstance(m, Ident):
+            return Func(n.name, [m])
+        return m
+
+    probe = _clone(inner)
+    probe = _wrap(probe)
+    if not ok:
+        return n
+    probe.alias = n.alias
+    return probe
+
+
+def _strings_to_enum(n: Node) -> Node:
+    """ConvertStringsToEnumVisitor.cpp: transform(x, from, to_strings,
+    other) CASTs the string branches to a shared Enum8.  The `if`
+    branch of the reference checks arguments.size() != 2 and therefore
+    never fires for the 3-argument if — bug-compatible here."""
+    if not (
+        isinstance(n, Func) and n.name == "transform"
+        and n.params is None and len(n.args) == 4
+    ):
+        return n
+    arr, other = n.args[2], n.args[3]
+    if not (
+        isinstance(other, Lit) and other.text.startswith("'")
+        and isinstance(arr, Func) and arr.name == "array" and arr.args
+        and all(
+            isinstance(x, Lit) and x.text.startswith("'")
+            for x in arr.args
+        )
+    ):
+        return n
+    values = sorted(
+        {_unquote_canon(x.text) for x in arr.args}
+        | {_unquote_canon(other.text)}
+    )
+    head = "Enum8(" if len(values) < 255 else "Enum16("
+    enum_s = head + ", ".join(
+        f"'{v}' = {i}" for i, v in enumerate(values, 1)
+    ) + ")"
+    n.args[2] = Func(
+        "CAST", [arr, Lit(quote_string("Array(" + enum_s + ")"))]
+    )
+    n.args[3] = Func("CAST", [other, Lit(quote_string(enum_s))])
+    return n
+
+
+_ARITH_SUPPORTED = {
+    "sum": {"multiply", "divide"},
+    "min": {"multiply", "divide", "plus", "minus"},
+    "max": {"multiply", "divide", "plus", "minus"},
+    "avg": {"multiply", "divide", "plus", "minus"},
+}
+
+
+def _arith_out_once(n: Node) -> Node | None:
+    """ArithmeticOperationsInAgrFuncOptimize.cpp tryExchangeFunctions:
+    agg(x op lit) -> agg(x) op lit (min/max swap under negative
+    multiply/divide); aggregate names resolve case-insensitively and
+    come out canonical lowercase."""
+    if not (
+        isinstance(n, Func) and n.params is None and len(n.args) == 1
+    ):
+        return None
+    lower = n.name.lower()
+    if lower not in _ARITH_SUPPORTED:
+        return None
+    child = n.args[0]
+    if not (
+        isinstance(child, Func) and child.params is None
+        and len(child.args) == 2
+        and child.name in _ARITH_SUPPORTED[lower]
+    ):
+        return None
+    if n.alias or child.alias:
+        return None
+    a0, a1 = child.args
+    lit0, lit1 = isinstance(a0, Lit), isinstance(a1, Lit)
+
+    def _new_name(lit: Lit) -> str:
+        if (
+            lower in ("min", "max")
+            and child.name in ("multiply", "divide")
+            and lit.text.startswith("-")
+        ):
+            return "max" if lower == "min" else "min"
+        return lower
+
+    if lit0 and not lit1:
+        if child.name == "divide":
+            return None
+        return Func(child.name, [a0, Func(_new_name(a0), [a1])])
+    if lit1:
+        return Func(child.name, [Func(_new_name(a1), [a0]), a1])
+    return None
+
+
+def _arith_out(n: Node) -> Node:
+    out = _arith_out_once(n)
+    if out is None:
+        return n
+    # the exchange creates a new inner aggregate that may itself match
+    return _map_expr(out, _arith_out)
+
+
+def _fuse_sum_count(sel: Select) -> None:
+    """TreeRewriter fuseSumCountAggregates: when one argument carries
+    at least two different of sum/count/avg, rewrite them over a shared
+    sumCount() state (sum -> .1, count -> .2, avg -> .1 / .2)."""
+    groups: dict[str, dict[str, list[Func]]] = {}
+    for top in _walk_exprs(sel):
+        for n in _iter_nodes(top):
+            if (
+                isinstance(n, Func) and n.params is None
+                and n.name in ("sum", "count", "avg") and n.args
+            ):
+                key = column_name(n.args[0])
+                groups.setdefault(
+                    key, {"sum": [], "count": [], "avg": []}
+                )[n.name].append(n)
+    for key, g in groups.items():
+        kinds = sum(1 for v in g.values() if v)
+        if kinds < 2:
+            continue
+        for kind in ("sum", "avg", "count"):
+            for fn in g[kind]:
+                arg = _clone(fn.args[0])
+                arg.alias = ""
+                base = Func("sumCount", [arg])
+                if kind in ("sum", "count"):
+                    fn.name = "tupleElement"
+                    fn.args = [base, Lit("1" if kind == "sum" else "2")]
+                else:
+                    fn.name = "divide"
+                    fn.args = [
+                        Func("tupleElement", [base, Lit("1")]),
+                        Func(
+                            "tupleElement",
+                            [Func("sumCount", [_clone(arg)]), Lit("2")],
+                        ),
+                    ]
+
+
 def _simple_subselect(sel: Select) -> Select | None:
     """getSimpleSubselect (TreeOptimizer.cpp:279): single FROM item,
     a subquery with exactly one select and no SETTINGS."""
@@ -1671,13 +1957,28 @@ def _optimize(sel: Select, ctx: Ctx) -> None:
         return n
 
     _map_select_exprs(sel, _count_distinct)
+    if _setting_on(s, "optimize_fuse_sum_count_avg", False):
+        _fuse_sum_count(sel)
     if _setting_on(s, "optimize_if_chain_to_multiif", False):
         _map_select_exprs(sel, _if_chain_fold)
+    if _setting_on(
+        s, "optimize_arithmetic_operations_in_aggregate_functions", True
+    ):
+        _map_select_exprs(sel, _arith_out)
     if _setting_on(s, "optimize_injective_functions_inside_uniq", True):
         _map_select_exprs(sel, _injective_peel)
+    if _setting_on(s, "optimize_move_functions_out_of_any", False):
+        _map_select_exprs(sel, _any_out)
     if _setting_on(s, "optimize_duplicate_order_by_and_distinct", True):
         _dup_order_by(sel)
         _dup_distinct(sel)
+    if _setting_on(s, "optimize_redundant_functions_in_order_by", True):
+        _redundant_order_by(sel)
+    _dups_in_order_by(sel)
+    if _setting_on(s, "optimize_if_transform_strings_to_enum", False):
+        _map_select_exprs(sel, _strings_to_enum)
+    _dups_in_limit_by(sel)
+    _dups_in_using(sel)
     # TreeRewriter::setJoinStrictness: unspecified strictness takes
     # join_default_strictness (printed explicitly, e.g. ALL INNER JOIN)
     default_strict = str(s.get("join_default_strictness", "ALL")).upper()
@@ -2039,5 +2340,22 @@ def explain_syntax(
     u = normalize_union(u, ctx.settings.get("union_default_mode", ""))
     for s in _walk_selects(u):
         normalize_select(s, ctx)
+    # analysis-time arity errors the reference raises before printing
+    # (error 42): EXPLAIN SYNTAX still analyzes the query
+    from daisy_spark.plans.dialect import DialectError
+
+    for s in _walk_selects(u):
+        for top in _walk_exprs(s):
+            for n in _iter_nodes(top):
+                if (
+                    isinstance(n, Func) and n.params is None
+                    and n.name in ("any", "anyLast", "anyHeavy")
+                    and len(n.args) != 1
+                ):
+                    raise DialectError(
+                        f"Number of arguments for aggregate function "
+                        f"{n.name} doesn't match: passed {len(n.args)}, "
+                        "should be 1 (error 42)"
+                    )
     st = _Fmt()
     return format_union(u, st, 0)

@@ -5139,7 +5139,10 @@ FUNC_MAP: dict[str, object] = {
     "avgIf": "avg(CASE WHEN CAST({1} AS BOOLEAN) THEN {0} END)",
     "minIf": "min(CASE WHEN CAST({1} AS BOOLEAN) THEN {0} END)",
     "maxIf": "max(CASE WHEN CAST({1} AS BOOLEAN) THEN {0} END)",
-    "any": "any_value({0})", "anyLast": "any_value({0})",
+    # ClickHouse aggregates over Nullable SKIP null rows
+    # (AggregateFunctionNull.h unary wrapper) — any() latches the first
+    # NON-NULL value, so Spark's ignoreNulls flag is required
+    "any": "any_value({0}, true)", "anyLast": "any_value({0}, true)",
     "anyIf": "any_value(CASE WHEN CAST({1} AS BOOLEAN) THEN {0} END, true)",
     "anyLastIf": (
         "last(CASE WHEN CAST({1} AS BOOLEAN) THEN {0} END, true)"
