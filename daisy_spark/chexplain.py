@@ -117,6 +117,10 @@ class TableExpr:
     alias: str = ""
     final: bool = False
     sample: tuple | None = None  # (size_node, offset_node|None)
+    #: substituted view body (StorageView::replaceWithSubquery): the
+    #: raw stored AST — no TreeRewriter runs on it, and pushed
+    #: predicates stay in HAVING
+    is_view: bool = False
 
 
 @dataclass
@@ -200,15 +204,48 @@ def quote_string(v: str) -> str:
     return "'" + "".join(_STR_ESC.get(c, c) for c in v) + "'"
 
 
+def fmt_float(f: float) -> str:
+    """The reference's Float64 text (FieldVisitorToString -> formatFloat
+    -> double-conversion ToShortest): shortest digits, decimal notation
+    for 1e-6 <= |v| < 1e21 with a trailing point on integral values,
+    exponential otherwise with a bare exponent."""
+    if f != f:
+        return "nan"
+    if f in (float("inf"), float("-inf")):
+        return "inf" if f > 0 else "-inf"
+    if f == 0:
+        return "-0." if repr(f).startswith("-") else "0."
+    sign = "-" if f < 0 else ""
+    s = repr(abs(f))
+    if "e" in s:
+        mant, exp = s.split("e")
+        exp_i = int(exp)
+    else:
+        mant, exp_i = s, 0
+    if "." in mant:
+        int_part, frac = mant.split(".")
+    else:
+        int_part, frac = mant, ""
+    digits = (int_part + frac).lstrip("0")
+    # decimal point position p: value = 0.digits * 10**p
+    p = len(int_part.lstrip("0")) + exp_i if int_part.lstrip("0") else (
+        exp_i - (len(frac) - len(frac.lstrip("0")))
+    )
+    digits = digits.rstrip("0") or "0"
+    if -6 < p <= 21:
+        if p <= 0:
+            return sign + "0." + "0" * (-p) + digits
+        if p >= len(digits):
+            return sign + digits + "0" * (p - len(digits)) + "."
+        return sign + digits[:p] + "." + digits[p:]
+    head = digits[0] + ("." + digits[1:] if len(digits) > 1 else "")
+    return sign + head + "e" + str(p - 1)
+
+
 def canon_number(tok: str) -> str:
     if re.fullmatch(r"[0-9]+", tok):
         return str(int(tok))
-    f = float(tok)
-    if f == int(f) and "e" not in tok and "E" not in tok and abs(f) < 1e16:
-        # 1.  ->  1. ;  1.5 -> 1.5  (FieldVisitorToString keeps the dot)
-        r = repr(f)
-        return r
-    return repr(f).replace("e+", "e")
+    return fmt_float(float(tok))
 
 
 _PLAIN_IDENT = re.compile(r"[A-Za-z_][A-Za-z_0-9]*\Z")
@@ -550,7 +587,7 @@ class _ExprParser:
             return Func("array", args)
         if t == "(":
             # subquery / tuple / paren expr
-            if _kwu(p.peek(1)) in ("SELECT", "WITH") or p.peek(1) == "(":
+            if _kwu(p.peek(1)) in ("SELECT", "WITH"):
                 save = p.i
                 try:
                     p.next()
@@ -568,6 +605,11 @@ class _ExprParser:
                     args.append(self.expr())
                 p.expect(")")
                 return Func("tuple", args)
+            # a parenthesized expression may carry its own alias:
+            # ((SELECT 2) AS subquery)
+            if _kwu(p.peek()) == "AS" and _is_ident_tok(p.peek(1)):
+                p.next()
+                first.alias = _ident_name(p.next())
             p.expect(")")
             # plain parens vanish in the canonical form (the formatter
             # re-adds them from operator need_parens rules)
@@ -1126,15 +1168,48 @@ class _Tbl:
     cols: list[str]
     #: columns hidden from asterisk expansion (right side of USING)
     excl: set[str] = field(default_factory=set)
+    cols_known: bool = True
+
+
+def _build_tbls(sel: Select, ctx: "Ctx") -> list[_Tbl]:
+    tbls: list[_Tbl] = []
+    for js, te in sel.tables:
+        cols = ctx.columns_of(te)
+        known = cols is not None
+        excl: set[str] = set()
+        if js is not None and js.using:
+            # USING columns are coalesced: the right table's copies
+            # drop out of asterisk expansion
+            for u9 in js.using:
+                if isinstance(u9, Ident):
+                    excl.add(u9.parts[-1])
+        tbls.append(_Tbl(_table_names(te), cols or [], excl, known))
+    return tbls
 
 
 class Ctx:
-    """Schema context: table name -> ordered visible columns."""
+    """Schema context: table name -> ordered visible columns.  Values
+    may be plain column lists or dicts with `cols`, `sorting_key`,
+    `mergetree`, `view` metadata."""
 
-    def __init__(self, schemas: dict[str, list[str]], settings: dict):
-        self.schemas = dict(_SYS_TABLES)
-        self.schemas.update(schemas or {})
+    def __init__(self, schemas: dict, settings: dict):
+        self.schemas: dict[str, list[str]] = {
+            k: list(v) for k, v in _SYS_TABLES.items()
+        }
+        self.meta: dict[str, dict] = {}
+        for k, v in (schemas or {}).items():
+            if isinstance(v, dict):
+                self.schemas[k] = list(v.get("cols", []))
+                self.meta[k] = v
+            else:
+                self.schemas[k] = list(v)
         self.settings = settings or {}
+
+    def table_meta(self, te: TableExpr) -> dict | None:
+        if te.kind != "table" or not isinstance(te.node, Ident):
+            return None
+        nm = ".".join(te.node.parts)
+        return self.meta.get(nm) or self.meta.get(te.node.parts[-1])
 
     def columns_of(self, te: TableExpr) -> list[str] | None:
         if te.kind == "tvf":
@@ -1198,21 +1273,8 @@ def normalize_select(sel: Select, ctx: Ctx) -> None:
             )
             for s in _walk_selects(te.sub):
                 normalize_select(s, ctx)
-    tbls: list[_Tbl] = []
-    cols_ok = True
-    for js, te in sel.tables:
-        cols = ctx.columns_of(te)
-        if cols is None:
-            cols_ok = False
-            cols = []
-        excl: set[str] = set()
-        if js is not None and js.using:
-            # USING columns are coalesced: the right table's copies
-            # drop out of asterisk expansion
-            for u9 in js.using:
-                if isinstance(u9, Ident):
-                    excl.add(u9.parts[-1])
-        tbls.append(_Tbl(_table_names(te), cols, excl))
+    tbls = _build_tbls(sel, ctx)
+    cols_ok = all(t.cols_known for t in tbls)
     # --- star expansion (TreeRewriter expands asterisks in the select
     # list, GROUP BY and LIMIT BY alike)
     def _expand_list(items: list[Node]) -> list[Node]:
@@ -1866,6 +1928,498 @@ def _fuse_sum_count(sel: Select) -> None:
                     ]
 
 
+# --- scalar subqueries + early constant folding ---------------------------
+
+
+def _smallest_type(v) -> str:
+    if isinstance(v, str):
+        return "String"
+    if isinstance(v, float) and v != int(v):
+        return "Float64"
+    v = int(v)
+    if v >= 0:
+        for t, hi in (("UInt8", 1 << 8), ("UInt16", 1 << 16),
+                      ("UInt32", 1 << 32), ("UInt64", 1 << 64)):
+            if v < hi:
+                return t
+    else:
+        for t, lo in (("Int8", -(1 << 7)), ("Int16", -(1 << 15)),
+                      ("Int32", -(1 << 31)), ("Int64", -(1 << 63))):
+            if v >= lo:
+                return t
+    return "Int64"
+
+
+def _scalar_subquery(n: Node) -> Node:
+    """ExecuteScalarSubqueriesVisitor: a literal-only scalar subquery
+    executes at analysis time and prints as
+    identity(CAST(value, 'type')) with the alias preserved."""
+    if not isinstance(n, Sub):
+        return n
+    sels = list(_walk_selects(n.union))
+    if len(sels) != 1:
+        return n
+    s = sels[0]
+    if (
+        s.tables or s.where is not None or s.group_by is not None
+        or s.order_by or s.limit is not None or len(s.items) != 1
+        or not isinstance(s.items[0], Lit) or s.distinct
+        or s.with_items or s.having is not None
+    ):
+        return n
+    lit = s.items[0]
+    try:
+        v = (
+            _unquote_canon(lit.text) if lit.text.startswith("'")
+            else float(lit.text)
+        )
+    except ValueError:
+        return n
+    if isinstance(v, float) and v == int(v):
+        v = int(v)
+    return Func(
+        "identity",
+        [Func("CAST", [Lit(lit.text), Lit(quote_string(_smallest_type(v)))])],
+        alias=n.alias,
+    )
+
+
+def _eval_const(n: Node):
+    """Numeric constant evaluation; None when not a constant."""
+    if isinstance(n, Lit):
+        try:
+            f = float(n.text)
+        except ValueError:
+            return None
+        return int(f) if f == int(f) else f
+    if not isinstance(n, Func) or n.params is not None:
+        return None
+    if n.name in ("in", "notIn"):
+        lhs = _eval_const(n.args[0])
+        if lhs is None:
+            return None
+        rhs = n.args[1]
+        elems = rhs.args if isinstance(rhs, Func) and rhs.name in (
+            "tuple", "array"
+        ) else [rhs]
+        vals = [_eval_const(e) for e in elems]
+        if any(v is None for v in vals):
+            return None
+        hit = lhs in vals
+        return int(hit if n.name == "in" else not hit)
+    args = [_eval_const(a) for a in n.args]
+    if any(a is None for a in args):
+        return None
+    try:
+        if n.name == "equals":
+            return int(args[0] == args[1])
+        if n.name == "notEquals":
+            return int(args[0] != args[1])
+        if n.name == "less":
+            return int(args[0] < args[1])
+        if n.name == "greater":
+            return int(args[0] > args[1])
+        if n.name == "lessOrEquals":
+            return int(args[0] <= args[1])
+        if n.name == "greaterOrEquals":
+            return int(args[0] >= args[1])
+        if n.name == "and":
+            return int(all(a != 0 for a in args))
+        if n.name == "or":
+            return int(any(a != 0 for a in args))
+        if n.name == "not":
+            return int(args[0] == 0)
+        if n.name == "plus":
+            return args[0] + args[1]
+        if n.name == "minus":
+            return args[0] - args[1]
+        if n.name == "multiply":
+            return args[0] * args[1]
+        if n.name == "negate":
+            return -args[0]
+    except TypeError:
+        return None
+    return None
+
+
+def _fold_where(sel: Select) -> None:
+    """Early constant folding of the WHERE clause as a whole: an
+    always-true constant drops the clause, a false one prints as its
+    folded literal (WHERE 0)."""
+    if sel.where is None:
+        return
+    v = _eval_const(sel.where)
+    if v is None:
+        return
+    if v != 0:
+        sel.where = None
+    else:
+        sel.where = Lit("0")
+
+
+# --- move WHERE -> PREWHERE (MergeTreeWhereOptimizer.cpp) -----------------
+
+#: KeyCondition::atom_map entry names (primary-key-matchable functions)
+_KEY_ATOMS = {
+    "equals", "notEquals", "less", "greater", "lessOrEquals",
+    "greaterOrEquals", "in", "notIn", "globalIn", "globalNotIn",
+    "like", "notLike", "startsWith", "isNull", "isNotNull", "empty",
+    "notEmpty",
+}
+
+
+def _cond_idents(n: Node) -> set[str]:
+    out: set[str] = set()
+    for sub in _iter_nodes(n):
+        if isinstance(sub, Ident):
+            out.add(sub.parts[-1])
+    return out
+
+
+def _flatten_and(n: Node) -> list[Node]:
+    """analyzeImpl: recurse only through `and` conjunctions."""
+    if isinstance(n, Func) and n.name == "and":
+        out: list[Node] = []
+        for a in n.args:
+            out.extend(_flatten_and(a))
+        return out
+    return [n]
+
+
+def _cannot_be_moved(n: Node, is_final: bool, sorting: set[str]) -> bool:
+    for sub in _iter_nodes(n):
+        if isinstance(sub, Func) and sub.name in (
+            "arrayJoin", "globalIn", "globalNotIn", "indexHint"
+        ):
+            return True
+        if (
+            is_final and isinstance(sub, Ident)
+            and sub.parts[-1] not in sorting
+        ):
+            return True
+    return False
+
+
+def _is_pk_atom(n: Node, first_pk: str) -> bool:
+    if not first_pk or not isinstance(n, Func):
+        return False
+    if n.name in ("not", "and", "or"):
+        return any(_is_pk_atom(a, first_pk) for a in n.args)
+    if n.name not in _KEY_ATOMS or len(n.args) != 2:
+        return False
+    a, b = n.args
+    a_name, b_name = column_name(a), column_name(b)
+    if first_pk == a_name and isinstance(b, Lit):
+        return True
+    if first_pk == b_name and isinstance(a, Lit):
+        return True
+    if first_pk == a_name and n.name in ("in", "notIn", "globalIn",
+                                         "globalNotIn"):
+        return True
+    return False
+
+
+def _is_condition_good(n: Node) -> bool:
+    if not (isinstance(n, Func) and n.name == "equals" and len(n.args) == 2):
+        return False
+    a, b = n.args
+    if not isinstance(a, Ident) and isinstance(b, Ident):
+        a, b = b, a
+    if isinstance(a, Ident) and isinstance(b, Lit):
+        try:
+            return abs(float(b.text)) > 2
+        except ValueError:
+            return False
+    return False
+
+
+def _move_to_prewhere(sel: Select, ctx: Ctx) -> None:
+    if sel.where is None or sel.prewhere is not None or not sel.tables:
+        return
+    te = sel.tables[0][1]
+    meta = ctx.table_meta(te)
+    if not meta or not meta.get("mergetree"):
+        return
+    table_cols = set(meta.get("cols", []))
+    sorting = set(meta.get("sorting_key", []))
+    first_pk = meta["sorting_key"][0] if meta.get("sorting_key") else ""
+    is_final = te.final
+    queried: set[str] = set()
+    for top in _walk_exprs(sel):
+        queried |= _cond_idents(top) & table_cols
+    conds = []
+    for node in _flatten_and(sel.where):
+        ids = _cond_idents(node)
+        viable = (
+            bool(ids)
+            and not _cannot_be_moved(node, is_final, sorting)
+            and not _is_pk_atom(node, first_pk)
+            and ids <= table_cols
+            and len(ids) < len(queried)
+        )
+        good = viable and _is_condition_good(node)
+        conds.append(
+            {"node": node, "ids": ids, "viable": viable, "good": good}
+        )
+    moved: list[dict] = []
+    moved_cols = 0
+    while conds:
+        # no column-size stats here: the compact-parts count fallback
+        # (25% of queried columns) decides when enough has moved
+        best = min(
+            range(len(conds)),
+            key=lambda i: (
+                not conds[i]["viable"], not conds[i]["good"],
+                0, len(conds[i]["ids"]),
+            ),
+        )
+        c = conds[best]
+        if not c["viable"]:
+            break
+        if moved_cols > 0 and (moved_cols + len(c["ids"])) * 4 > len(
+            queried
+        ):
+            break
+        moved.append(c)
+        moved_cols += len(c["ids"])
+        del conds[best]
+        # companions on the identical column set move along
+        conds2 = []
+        for other in conds:
+            if other["viable"] and other["ids"] == c["ids"]:
+                moved.append(other)
+            else:
+                conds2.append(other)
+        conds = conds2
+    if not moved:
+        return
+
+    def _reconstruct(cs: list[dict]) -> Node | None:
+        if not cs:
+            return None
+        if len(cs) == 1:
+            return cs[0]["node"]
+        return Func("and", [c["node"] for c in cs])
+
+    sel.prewhere = _reconstruct(moved)
+    sel.where = _reconstruct(conds)
+
+
+def _fold_prewhere_into_where(sel: Select) -> None:
+    """InterpreterSelectQuery.cpp:451: with both PREWHERE and WHERE
+    present, WHERE becomes and(prewhere, where) — the prewhere
+    condition is re-checked in WHERE for better filtering."""
+    if sel.prewhere is not None and sel.where is not None and not getattr(
+        sel, "_pw_folded", False
+    ):
+        sel.where = Func("and", [_clone(sel.prewhere), sel.where])
+        sel._pw_folded = True
+
+
+# --- predicate pushdown (PredicateExpressionsOptimizer.cpp) ---------------
+
+
+def _split_conjuncts(n: Node | None) -> list[Node]:
+    if n is None:
+        return []
+    if isinstance(n, Func) and n.name == "and" and not n.alias:
+        out: list[Node] = []
+        for a in n.args:
+            out.extend(_split_conjuncts(a))
+        return out
+    return [n]
+
+
+def _and_join(parts: list[Node]) -> Node:
+    res = parts[0]
+    for p in parts[1:]:
+        res = Func("and", [res, p])
+    return res
+
+
+def _expr_flags(n: Node) -> dict:
+    """ExpressionInfoVisitor: stateful / nondeterministic / aggregate /
+    arrayJoin content of one predicate."""
+    f = {"stateful": False, "nondet": False, "agg": False, "aj": False}
+    for sub in _iter_nodes(n):
+        if isinstance(sub, Func):
+            if sub.name in _STATEFUL_FNS:
+                f["stateful"] = True
+            if sub.name in _NONDETERMINISTIC:
+                f["nondet"] = True
+            if sub.name == "arrayJoin":
+                f["aj"] = True
+            if _strip_combinators(sub.name) in _COMMON_AGGS:
+                f["agg"] = True
+    return f
+
+
+def _having_to_where(sel: Select) -> bool:
+    """tryMovePredicatesFromHavingToWhere: non-aggregate HAVING
+    conjuncts move into WHERE (not under ROLLUP/CUBE/TOTALS)."""
+    if sel.having is None or sel.with_cube or sel.with_rollup or (
+        sel.with_totals
+    ):
+        return False
+    where_parts: list[Node] = []
+    having_parts: list[Node] = []
+    for c in _split_conjuncts(sel.having):
+        fl = _expr_flags(c)
+        if fl["stateful"]:
+            return False
+        if fl["agg"]:
+            having_parts.append(c)
+        else:
+            where_parts.append(c)
+    if not where_parts:
+        return False
+    sel.having = _and_join(having_parts) if having_parts else None
+    moved = _and_join(where_parts)
+    sel.where = (
+        moved if sel.where is None else Func("and", [sel.where, moved])
+    )
+    return True
+
+
+def _predicate_tables(n: Node, tbls: list[_Tbl]) -> set[int] | None:
+    """Which tables a predicate references; None when a column can't be
+    resolved (pushdown then aborts)."""
+    out: set[int] = set()
+    for sub in _iter_nodes(n):
+        if isinstance(sub, Ident):
+            if len(sub.parts) >= 2:
+                q = ".".join(sub.parts[:-1])
+                hit = [ti for ti, t in enumerate(tbls) if q in t.names]
+                if hit:
+                    out.add(hit[0])
+                    continue
+            hit = [
+                ti for ti, t in enumerate(tbls)
+                if sub.parts[-1] in t.cols
+            ]
+            if hit:
+                out.add(hit[0])
+            else:
+                return None
+    return out
+
+
+def _push_predicates(sel: Select, tbls: list[_Tbl], ctx: Ctx) -> None:
+    if not sel.tables:
+        return
+    if sel.where is None and sel.prewhere is None:
+        return
+    if sel.array_join is not None:
+        return
+    per_table: list[list[Node]] = [[] for _ in sel.tables]
+    for pred in _split_conjuncts(sel.where) + _split_conjuncts(sel.prewhere):
+        fl = _expr_flags(pred)
+        if fl["stateful"] or fl["nondet"]:
+            return  # nothing is optimized at all
+        if fl["aj"]:
+            continue
+        refs = _predicate_tables(pred, tbls)
+        if refs is None:
+            return
+        if len(refs) == 1:
+            per_table[next(iter(refs))].append(pred)
+        elif not refs:
+            for lst in per_table:
+                lst.append(pred)
+    if not any(per_table):
+        return
+    # right-to-left with the reference's outer-join guards
+    for idx in range(len(sel.tables) - 1, -1, -1):
+        js, te = sel.tables[idx]
+        if js is not None and js.kind == "left":
+            continue
+        if js is not None and js.kind == "full":
+            break
+        _push_into_table(te, per_table[idx], tbls[idx], ctx)
+        if js is not None and js.kind == "right":
+            break
+
+
+def _substitute_view(te: TableExpr, ctx: Ctx) -> None:
+    """StorageView::replaceWithSubquery: the view's stored query AST
+    replaces the table reference, aliased by the explicit alias or the
+    view's name; bare table names inside the body print db-qualified
+    (the stored AST carries the database)."""
+    meta = ctx.table_meta(te)
+    if not meta or not meta.get("view"):
+        return
+    try:
+        toks = tokenize(str(meta["view"]).strip().rstrip(";"))
+        body = parse_union(_P(toks))
+    except ChExplainError:
+        return
+    for s in _walk_selects(body):
+        for _, ite in s.tables:
+            if (
+                ite.kind == "table" and isinstance(ite.node, Ident)
+                and len(ite.node.parts) == 1
+                and ite.node.parts[0] in ctx.meta
+            ):
+                ite.node.parts = ["default", ite.node.parts[0]]
+    if not te.alias and isinstance(te.node, Ident):
+        te.alias = te.node.parts[-1]
+    te.kind = "sub"
+    te.sub = body
+    te.is_view = True
+
+
+def _push_into_table(
+    te: TableExpr, preds: list[Node], tbl: _Tbl, ctx: Ctx
+) -> None:
+    if not preds:
+        return
+    if te.kind == "table":
+        _substitute_view(te, ctx)
+    if te.kind != "sub":
+        return
+    sels = list(_walk_selects(te.sub))
+    if len(sels) != 1:
+        return  # non-first union branches need positional re-aliasing
+    if te.is_view:
+        # the view body is not re-analyzed: predicates stay in HAVING
+        _rewrite_subquery(sels[0], preds, tbl)
+        return
+    sub = sels[0]
+    if _rewrite_subquery(sub, preds, tbl):
+        # the modified subquery is re-analyzed (need_analyze_again):
+        # its own optimizer runs again, moving HAVING down to WHERE and
+        # cascading the pushdown further
+        _optimize(sub, ctx)
+
+
+def _rewrite_subquery(sub: Select, preds: list[Node], tbl: _Tbl) -> bool:
+    if sub.order_by and any(oe.fill for oe in sub.order_by):
+        return False
+    if sub.limit_by or sub.limit is not None or sub.limit_offset is not None:
+        return False
+    for it in sub.items:
+        fl = _expr_flags(it)
+        if fl["stateful"] or fl["nondet"] or fl["aj"]:
+            return False
+    for p in preds:
+        cp = _clone(p)
+
+        def _strip_alias(m: Node) -> Node:
+            if not isinstance(m, Sub):
+                m.alias = ""
+            if isinstance(m, Ident) and len(m.parts) >= 2 and (
+                ".".join(m.parts[:-1]) in tbl.names
+            ):
+                m.parts = [m.parts[-1]]
+            return m
+
+        cp = _map_expr(cp, _strip_alias)
+        sub.having = (
+            cp if sub.having is None else Func("and", [cp, sub.having])
+        )
+    return True
+
+
 def _simple_subselect(sel: Select) -> Select | None:
     """getSimpleSubselect (TreeOptimizer.cpp:279): single FROM item,
     a subquery with exactly one select and no SETTINGS."""
@@ -1957,18 +2511,35 @@ def _optimize(sel: Select, ctx: Ctx) -> None:
         return n
 
     _map_select_exprs(sel, _count_distinct)
+    _map_select_exprs(sel, _scalar_subquery)
+    _fold_where(sel)
     if _setting_on(s, "optimize_fuse_sum_count_avg", False):
         _fuse_sum_count(sel)
     if _setting_on(s, "optimize_if_chain_to_multiif", False):
         _map_select_exprs(sel, _if_chain_fold)
+    # count(*) -> count() (TranslateQualifiedNames)
+    def _count_star(n: Node) -> Node:
+        if (
+            isinstance(n, Func) and n.name.lower() == "count"
+            and n.params is None and len(n.args) == 1
+            and isinstance(n.args[0], Star) and n.args[0].kind == "star"
+            and not n.args[0].transformers
+        ):
+            return Func("count", [], alias=n.alias)
+        return n
+
+    _map_select_exprs(sel, _count_star)
     if _setting_on(
         s, "optimize_arithmetic_operations_in_aggregate_functions", True
     ):
         _map_select_exprs(sel, _arith_out)
-    if _setting_on(s, "optimize_injective_functions_inside_uniq", True):
-        _map_select_exprs(sel, _injective_peel)
+    if _setting_on(s, "enable_optimize_predicate_expression", True):
+        _having_to_where(sel)
+        _push_predicates(sel, _build_tbls(sel, ctx), ctx)
     if _setting_on(s, "optimize_move_functions_out_of_any", False):
         _map_select_exprs(sel, _any_out)
+    if _setting_on(s, "optimize_injective_functions_inside_uniq", True):
+        _map_select_exprs(sel, _injective_peel)
     if _setting_on(s, "optimize_duplicate_order_by_and_distinct", True):
         _dup_order_by(sel)
         _dup_distinct(sel)
@@ -1979,6 +2550,15 @@ def _optimize(sel: Select, ctx: Ctx) -> None:
         _map_select_exprs(sel, _strings_to_enum)
     _dups_in_limit_by(sel)
     _dups_in_using(sel)
+    # storage-level analysis (InterpreterSelectQuery::analyze): move
+    # WHERE to PREWHERE once per select, then re-check the prewhere
+    # condition in WHERE
+    if not getattr(sel, "_pw_tried", False) and _setting_on(
+        s, "optimize_move_to_prewhere", True
+    ):
+        sel._pw_tried = True
+        _move_to_prewhere(sel, ctx)
+    _fold_prewhere_into_where(sel)
     # TreeRewriter::setJoinStrictness: unspecified strictness takes
     # join_default_strictness (printed explicitly, e.g. ALL INNER JOIN)
     default_strict = str(s.get("join_default_strictness", "ALL")).upper()

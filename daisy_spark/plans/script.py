@@ -584,10 +584,20 @@ class ScriptRunner:
         subset so the legacy translation dump still shows."""
         from daisy_spark.chexplain import ChExplainError, explain_syntax
 
-        schemas = {
-            nm: [c.name for c in t.cols if not c.hidden]
-            for nm, t in self.tables.items()
-        }
+        schemas = {}
+        for nm, t in self.tables.items():
+            sk = []
+            for k in t.sort_keys or []:
+                kt = k.replace("`", "").strip()
+                if re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", kt):
+                    sk.append(kt)
+            schemas[nm] = {
+                "cols": [c.name for c in t.cols if not c.hidden],
+                "sorting_key": sk,
+                "mergetree": "MERGETREE"
+                in (t.engine_raw or "").upper().replace(" ", ""),
+                "view": t.view_select_raw or "",
+            }
         try:
             text = explain_syntax(_emit(toks), schemas, self.settings)
         except ChExplainError:
