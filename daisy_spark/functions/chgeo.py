@@ -170,6 +170,20 @@ def register_udfs(spark) -> None:
     )
     spark.udf.register("ch_geo_distance", _mk("wgs84"), "float")
     spark.udf.register("ch_great_circle_angle", _mk("degrees"), "float")
+    spark.udf.register(
+        "ch_geohash_encode",
+        lambda lon, lat, p: (
+            None if lon is None or lat is None
+            else _geohash_encode_py(
+                float(lon), float(lat), 12 if p is None else int(p)
+            )
+        ),
+        "string",
+    )
+    spark.udf.register(
+        "ch_geohash_decode", _geohash_decode_py,
+        "struct<col1:double,col2:double>",
+    )
     spark._daisy_chgeo_udfs = True
 
 _GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
@@ -206,6 +220,38 @@ def _geohash_encode_py(lon: float, lat: float, precision: int) -> str:
             v = (v << 1) | b
         out.append(_GEOHASH_ALPHABET[v])
     return "".join(out)
+
+
+def _geohash_decode_py(s: str | None):
+    """geohashDecode (src/Functions/GeoHash.cpp geohashDecode):
+    bisection midpoint of the decoded cell; empty input -> (0, 0),
+    input truncated at 12 symbols, unknown symbols decode as 0x1F
+    masked bits."""
+    if s is None:
+        return None
+    p = min(len(s), 12)
+    if p == 0:
+        return (0.0, 0.0)
+    bits = []
+    for ch in s[:p]:
+        v = _GEOHASH_ALPHABET.find(ch)
+        v = (0xFF if v < 0 else v) & 0x1F
+        for k in (4, 3, 2, 1, 0):
+            bits.append((v >> k) & 1)
+    lon_bits = bits[0::2]
+    lat_bits = bits[1::2]
+
+    def _dec(bs, lo, hi):
+        mid = (lo + hi) / 2
+        for b in bs:
+            if b:
+                lo = mid
+            else:
+                hi = mid
+            mid = (lo + hi) / 2
+        return mid
+
+    return (_dec(lon_bits, -180.0, 180.0), _dec(lat_bits, -90.0, 90.0))
 
 
 def geohashes_in_box(lon_min, lat_min, lon_max, lat_max, precision):

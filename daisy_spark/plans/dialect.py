@@ -2956,6 +2956,50 @@ def _hash_arg_is_stringish(raw: list[str]) -> bool:
     ) or (raw and raw[0][:1] == "'")
 
 
+_JSON_INT_RANGES = {
+    "UInt8": (0, 255), "UInt16": (0, 65535), "UInt32": (0, 4294967295),
+    "UInt64": (0, 18446744073709551615),
+    "Int8": (-128, 127), "Int16": (-32768, 32767),
+    "Int32": (-2147483648, 2147483647),
+    "Int64": (-9223372036854775808, 9223372036854775807),
+}
+
+
+def _json_extract_typed(a: list[str]) -> str:
+    """JSONExtract(json, key..., 'Type') (FunctionsJSON.h
+    JSONExtractTree): integer targets accept only integral in-range
+    numbers — anything else yields the type default (NULL when the
+    target is Nullable)."""
+    if len(a) < 2:
+        _raise_dialect("JSONExtract: not enough arguments (42)")
+    ty = a[-1].strip().strip("'")
+    keys = a[1:-1]
+    path = "concat('$.', " + ", '.', ".join(keys) + ")" if keys else "'$'"
+    base = f"get_json_object({a[0]}, {path})"
+    nullable = False
+    m9 = re.fullmatch(r"Nullable\((.*)\)", ty)
+    if m9:
+        nullable = True
+        ty = m9.group(1)
+    lty = ty.lower()
+    if lty in ("float", "float32"):
+        return f"CAST({base} AS FLOAT)"
+    if lty in ("double", "float64"):
+        return f"CAST({base} AS DOUBLE)"
+    if lty in ("string",):
+        return base
+    if lty in ("bool", "boolean", "uint8") or ty in _JSON_INT_RANGES:
+        rng = _JSON_INT_RANGES.get(ty, (0, 255))
+        d = f"CAST({base} AS DOUBLE)"
+        ok = (
+            f"({d} = floor({d}) AND {d} >= {float(rng[0])!r} "
+            f"AND {d} <= {float(rng[1])!r})"
+        )
+        val = f"IF({ok}, CAST({d} AS BIGINT), NULL)"
+        return val if nullable else f"coalesce({val}, 0)"
+    _raise_dialect(f"JSONExtract: unsupported target type {ty} (43)")
+
+
 def _exact_hash_call(t: str, arg_parts: list[list[str]], args: list[str]) -> str | None:
     """Lower cityHash64/sipHash64/murmur*/halfMD5 with reference-exact
     values.  All-literal calls fold at translate time (chhash.fold);
@@ -4616,7 +4660,9 @@ FUNC_MAP: dict[str, object] = {
     "toISOYear": "extract(YEAROFWEEK FROM {0})",
     "substringUTF8": lambda a: _substring_expr(a, utf8=True),
     "CRC32": "crc32(CAST({0} AS BINARY))",
-    "CRC32IEEE": "crc32(CAST({0} AS BINARY))",
+    # reference CRC32IEEE is the init-0/no-xorout reflected table, NOT
+    # zlib (src/Functions/CRC.cpp CRCImpl<UInt32, 0xedb88320>)
+    "CRC32IEEE": "ch_crc32ieee({0})",
     "multiSearchAllPositions": (
         "transform({1}, __n -> IF(locate(__n, {0}) = 0, 0, "
         "octet_length(substr({0}, 1, locate(__n, {0}) - 1)) + 1))"
@@ -5769,6 +5815,35 @@ FUNC_MAP: dict[str, object] = {
         "CAST(split({0}, '\\\\.')[3] AS BIGINT))"
     ),
     # ------------------------------------------------------------------
+    # round-10 routine-tail batch (UDFs in functions/chcoding.py /
+    # functions/chgeo.py; reference-exact algorithms, corpus tier)
+    # ------------------------------------------------------------------
+    # CRC32 is zlib's (src/Functions/CRC.cpp CRC32ZLIBImpl) = Spark's
+    # builtin; IEEE/64 use the reference's init-0 reflected tables
+    "crc32": "crc32(CAST({0} AS BINARY))",
+    "crc32ieee": "ch_crc32ieee({0})",
+    "crc64": "ch_crc64({0})",
+    "IPv6NumToString": "ch_ipv6_ntos({0})",
+    "IPv6StringToNum": "ch_ipv6_ston({0})",
+    "INET6_NTOA": "ch_ipv6_ntos({0})",
+    "INET6_ATON": "ch_ipv6_ston({0})",
+    "geohashEncode": lambda a: (
+        "ch_geohash_encode(CAST(" + a[0] + " AS DOUBLE), CAST("
+        + a[1] + " AS DOUBLE), " + (a[2] if len(a) > 2 else "12") + ")"
+    ),
+    "geohashDecode": "ch_geohash_decode({0})",
+    # coalesce: out-of-range arrayElement substitutes the type default
+    # ('' for String) in the reference, not NULL
+    "URLHash": lambda a: (
+        f"ch_urlhash(coalesce({a[0]}, ''), NULL)" if len(a) == 1
+        else f"ch_urlhash(coalesce({a[0]}, ''), {a[1]})"
+    ),
+    "URLHierarchy": "ch_url_hierarchy({0})",
+    # generic typed JSONExtract (src/Functions/FunctionsJSON.h
+    # JSONExtractTree): numeric targets fail (-> type default, or NULL
+    # under Nullable) on fractional or out-of-range doubles
+    "JSONExtract": lambda a: _json_extract_typed(a),
+    # ------------------------------------------------------------------
     # round-4 long-tail batch (corpus burn-down)
     # ------------------------------------------------------------------
     # bit functions (src/Functions/bitAnd.cpp family); UInt64 semantics
@@ -5943,6 +6018,13 @@ FUNC_MAP: dict[str, object] = {
     "javaHash": (
         "aggregate(sequence(1, length({0})), 0, "
         "(__h, __i) -> CAST(31 * __h + ascii(substring({0}, __i, 1)) AS INT))"
+    ),
+    # hiveHash = javaHash with the sign bit cleared (FunctionsHashing.h
+    # HiveHashImpl)
+    "hiveHash": (
+        "(aggregate(sequence(1, length({0})), 0, "
+        "(__h, __i) -> CAST(31 * __h + ascii(substring({0}, __i, 1)) AS INT))"
+        " & 2147483647)"
     ),
     # digits of the UNDERLYING integer: decimals count unscaled digits,
     # zero counts 0 (src/Functions/countDigits.cpp)
@@ -7780,6 +7862,82 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                     )
             # defaultValueOfArgumentType: the TYPE default of the raw
             # argument's inferred type (FunctionDefaultValueOfArgumentType)
+            # IPv6 binary must not transit a Spark string (invalid
+            # UTF-8 bytes get replaced): unwrap toFixedString(x, 16)
+            # and feed the raw binary to the UDF
+            if (
+                t in ("IPv6NumToString", "INET6_NTOA")
+                and len(arg_parts) == 1
+                and len(arg_parts[0]) >= 4
+                and arg_parts[0][0] == "toFixedString"
+                and arg_parts[0][1] == "("
+            ):
+                fs_args = _split_top(arg_parts[0][2:-1], ",")
+                if len(fs_args) == 2:
+                    ei = _emit(_translate_expr(fs_args[0]))
+                    out.append(f"ch_ipv6_ntos({ei})")
+                    i = close + 1
+                    continue
+            # geohashEncode demands a CONST precision (error 44)
+            if (
+                t == "geohashEncode"
+                and len(arg_parts) == 3
+                and arg_parts[2]
+                and arg_parts[2][0].lower() == "materialize"
+            ):
+                _raise_dialect(
+                    "geohashEncode: precision must be constant (44)"
+                )
+            if (
+                t == "bitNot"
+                and len(arg_parts) == 1
+                and any(
+                    tk in ("IPv6StringToNum", "INET6_ATON")
+                    for tk in arg_parts[0]
+                )
+            ):
+                ei0 = _emit(_translate_expr(arg_parts[0]))
+                out.append(f"ch_bin_bitop({ei0}, {ei0}, 'not')")
+                i = close + 1
+                continue
+            # bit ops over FixedString(16) IPv6 values stay binary
+            # (FunctionsCoding.h works on the raw 16 bytes)
+            if (
+                t in ("bitAnd", "bitOr", "bitXor")
+                and len(arg_parts) == 2
+                and any(
+                    tk in ("IPv6StringToNum", "INET6_ATON")
+                    for p9 in arg_parts for tk in p9
+                )
+            ):
+                ei0 = _emit(_translate_expr(arg_parts[0]))
+                ei1 = _emit(_translate_expr(arg_parts[1]))
+                out.append(
+                    f"ch_bin_bitop({ei0}, {ei1}, '{t[3:].lower()}')"
+                )
+                i = close + 1
+                continue
+            # javaHashUTF16LE(convertCharset(x, 'utf-8', 'utf-16le')):
+            # fuse the re-encode into the hash UDF — UTF-16 bytes don't
+            # survive a Spark string column (FunctionsHashing.h
+            # JavaHashUTF16LEImpl + FunctionsConvertCharset)
+            if (
+                t == "javaHashUTF16LE"
+                and len(arg_parts) == 1
+                and len(arg_parts[0]) >= 4
+                and arg_parts[0][0] == "convertCharset"
+                and arg_parts[0][1] == "("
+            ):
+                cs_args = _split_top(arg_parts[0][2:-1], ",")
+                if (
+                    len(cs_args) == 3
+                    and cs_args[1][0].strip("'").lower() == "utf-8"
+                    and cs_args[2][0].strip("'").lower() == "utf-16le"
+                ):
+                    ei = _emit(_translate_expr(cs_args[0]))
+                    out.append(f"ch_javahash_utf16le_utf8({ei})")
+                    i = close + 1
+                    continue
             if t == "defaultValueOfArgumentType" and arg_parts:
                 raw0 = arg_parts[0]
                 tn0 = _type_name_of_raw(raw0)

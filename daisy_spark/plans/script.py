@@ -379,6 +379,9 @@ class ScriptRunner:
         self.spark = spark
         # exact-hash / geo UDFs for dynamic args (functions/chhash.py,
         # functions/chgeo.py; idempotent per session)
+        from daisy_spark.functions.chcoding import (
+            register_udfs as _coding_udfs,
+        )
         from daisy_spark.functions.chgeo import register_udfs as _geo_udfs
         from daisy_spark.functions.chweek import register_udfs as _week_udfs
         from daisy_spark.functions.chh3 import register_udfs as _h3_udfs
@@ -388,6 +391,7 @@ class ScriptRunner:
         from daisy_spark.functions.chtext import register_udfs as _text_udfs
         _text_udfs(spark)
         _stats_udfs(spark)
+        _coding_udfs(spark)
 
         register_udfs(spark)
         _geo_udfs(spark)
