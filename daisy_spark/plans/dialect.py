@@ -1341,6 +1341,14 @@ def _ordefault_value(expr_text: str) -> str:
     return "0"
 
 
+#: DataTypeCustomSimpleAggregateFunction.cpp supported_functions
+_SIMPLE_AGG_BASES = {
+    "any", "anyLast", "min", "max", "sum", "sumWithOverflow",
+    "groupBitAnd", "groupBitOr", "groupBitXor", "groupArrayArray",
+    "groupUniqArrayArray", "sumMap", "minMap", "maxMap",
+}
+
+
 def _agg_combinator_expr(t: str, args: list[str]) -> str | None:
     """Generic -If / -OrNull / -OrDefault combinator synthesis for any
     mapped aggregate (AggregateFunctionOrFill.h: empty input -> NULL /
@@ -2089,6 +2097,21 @@ def _ch_type_of(toks: list[str], env: dict[str, str]) -> str | None:
         toks = inner_t0
     if not toks:
         return None
+    # -SimpleState: SimpleAggregateFunction(base, arg-type)
+    # (DataTypeCustomSimpleAggregateFunction — the stored type IS the
+    # argument type, the tag carries the base aggregate's name)
+    if (
+        len(toks) >= 3 and toks[1] == "("
+        and _match_paren(toks, 1) == len(toks) - 1
+        and toks[0].endswith("SimpleState") and len(toks[0]) > 11
+    ):
+        args_ss = _split_top(toks[2:-1], ",")
+        at_ss = _ch_type_of(args_ss[0], env) if args_ss else None
+        if at_ss is None:
+            return None
+        return (
+            f"SimpleAggregateFunction({toks[0][:-11]}, {at_ss})"
+        )
     # regex group extractors (round 8): fixed result shapes
     if (
         len(toks) >= 3 and toks[1] == "("
@@ -5839,6 +5862,12 @@ FUNC_MAP: dict[str, object] = {
         else f"ch_urlhash(coalesce({a[0]}, ''), {a[1]})"
     ),
     "URLHierarchy": "ch_url_hierarchy({0})",
+    # weeks since epoch, Monday-based, +8 underflow guard, UInt16 wrap
+    # (base/common/DateLUTImpl.h:542 toRelativeWeekNum)
+    "toRelativeWeekNum": (
+        "pmod((datediff(CAST({0} AS DATE), DATE '1970-01-01') + 8 "
+        "- (weekday(CAST({0} AS DATE)) + 1)) div 7, 65536)"
+    ),
     # generic typed JSONExtract (src/Functions/FunctionsJSON.h
     # JSONExtractTree): numeric targets fail (-> type default, or NULL
     # under Nullable) on fractional or out-of-range doubles
@@ -6125,6 +6154,9 @@ FUNC_MAP: dict[str, object] = {
     "toStartOfInterval": lambda a: _to_start_of_interval_expr(a),
     # aggregate combinators (long tail)
     "groupArrayArray": "flatten(collect_list({0}))",
+    "groupUniqArrayArray": (
+        "array_distinct(flatten(collect_list({0})))"
+    ),
     # -Array combinator over TWO-argument argMin/argMax: all element
     # pairs across rows compete (AggregateFunctionArray + argMin)
     "argMinArray": (
@@ -7813,6 +7845,17 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
             arg_parts = (
                 [] if not raw_args else _split_top(raw_args, ",")
             )
+            # -SimpleState: SimpleAggregateFunction stores the PLAIN
+            # aggregate value (DataTypeCustomSimpleAggregateFunction) —
+            # the value translation is the base aggregate's; bases
+            # outside the whitelist are error 36
+            if t.endswith("SimpleState") and len(t) > 11:
+                if t[:-11] not in _SIMPLE_AGG_BASES:
+                    _raise_dialect(
+                        f"{t[:-11]} is not supported in "
+                        "SimpleAggregateFunction (36)"
+                    )
+                t = t[:-11]
             # finalizeAggregation(fooState(..)) ≡ foo(..) — strip State
             # BEFORE translating so parametric quantile states (whose
             # lowered storage form is the raw multiset, params lost)
@@ -7878,6 +7921,95 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                     out.append(f"ch_ipv6_ntos({ei})")
                     i = close + 1
                     continue
+            # toUnixTimestamp on a pre-epoch DateTime64 is out of range
+            # (error 407, DecimalUtils overflow in the reference)
+            if (
+                t == "toUnixTimestamp"
+                and len(arg_parts) == 1
+                and arg_parts[0]
+                and arg_parts[0][0] == "toDateTime64"
+            ):
+                lit_ts = next(
+                    (x for x in arg_parts[0] if x.startswith("'")), ""
+                )
+                if lit_ts[1:5].isdigit() and int(lit_ts[1:5]) < 1970:
+                    _raise_dialect(
+                        "toUnixTimestamp: unix timestamp out of "
+                        "range (407)"
+                    )
+            # runningConcurrency(begin, end): per row, how many of the
+            # rows so far (stream order) are still open — end > begin_i
+            # (src/Functions/runningConcurrency.cpp; type pairing and
+            # constness rules reproduced)
+            if t == "runningConcurrency" and len(arg_parts) == 2:
+                env_rc = _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+                t1_rc = _ch_type_of(arg_parts[0], env_rc)
+                t2_rc = _ch_type_of(arg_parts[1], env_rc)
+
+                def _rc_base(x):
+                    return re.sub(r"\(.*", "", x) if x else x
+
+                for tx_rc in (t1_rc, t2_rc):
+                    if tx_rc is not None and _rc_base(tx_rc) not in (
+                        "Date", "DateTime", "DateTime64",
+                    ):
+                        _raise_dialect(
+                            "runningConcurrency: illegal argument "
+                            "type (43)"
+                        )
+                if (
+                    t1_rc is not None and t2_rc is not None
+                    and _rc_base(t1_rc) != _rc_base(t2_rc)
+                ):
+                    _raise_dialect(
+                        "runningConcurrency: mismatching types (43)"
+                    )
+
+                def _rc_const(p9):
+                    has_aj = any(x == "arrayJoin" for x in p9)
+                    has_col = any(
+                        _is_ident(x)
+                        and _kw(x) not in ("NULL", "TRUE", "FALSE", "AS",
+                                           "CAST", "INTERVAL")
+                        and not (
+                            k9 + 1 < len(p9) and p9[k9 + 1] == "("
+                        )
+                        for k9, x in enumerate(p9)
+                    )
+                    return not has_aj and not has_col
+
+                c1_rc, c2_rc = _rc_const(arg_parts[0]), _rc_const(
+                    arg_parts[1]
+                )
+                b_rc = _emit(_translate_expr(arg_parts[0]))
+                e_rc = _emit(_translate_expr(arg_parts[1]))
+                if c1_rc and c2_rc:
+                    out.append(f"IF({b_rc} > {e_rc}, "
+                               "assert_true(false), 1)")
+                    if "'" in b_rc and "'" in e_rc:
+                        m1_rc = re.search(r"'([^']+)'", b_rc)
+                        m2_rc = re.search(r"'([^']+)'", e_rc)
+                        if m1_rc and m2_rc and m1_rc.group(1) > (
+                            m2_rc.group(1)
+                        ):
+                            _raise_dialect(
+                                "runningConcurrency: begin > end (117)"
+                            )
+                    i = close + 1
+                    continue
+                if c1_rc or c2_rc:
+                    _raise_dialect(
+                        "runningConcurrency: constant columns are not "
+                        "supported (44)"
+                    )
+                out.append(
+                    f"size(filter(collect_list({e_rc}) OVER "
+                    f"(ORDER BY monotonically_increasing_id() "
+                    f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+                    f"__rce -> __rce > {b_rc}))"
+                )
+                i = close + 1
+                continue
             # geohashEncode demands a CONST precision (error 44)
             if (
                 t == "geohashEncode"

@@ -1370,18 +1370,67 @@ class ScriptRunner:
             else:
                 from daisy_spark.chsyntax import spark_to_ch
 
+                # positional ch-types from the SELECT items where the
+                # static inferencer can derive them — this is what keeps
+                # SimpleAggregateFunction(...) tags alive so the
+                # Aggregating merge knows the column's combine function
+                ch_types: dict[int, str] = {}
+                if as_select and _kw(as_select[0]) == "SELECT":
+                    from daisy_spark.plans.dialect import (
+                        _ch_type_of as _cto,
+                        _TYPE_ENV_DEFAULT as _ted,
+                    )
+
+                    body9 = as_select[1:]
+                    for stop9 in ("FROM", "GROUP", "WHERE", "ORDER",
+                                  "HAVING", "LIMIT", "SETTINGS"):
+                        for k9, tk9 in enumerate(body9):
+                            if _kw(tk9) == stop9 and _paren_depth_at(
+                                body9, k9
+                            ) == 0:
+                                body9 = body9[:k9]
+                                break
+                    for k9, it9 in enumerate(_split_top(body9, ",")):
+                        if len(it9) >= 2 and _kw(it9[-2]) == "AS":
+                            it9 = it9[:-2]
+                        elif (
+                            len(it9) >= 2 and _is_ident(it9[-1])
+                            and _kw(it9[-1]) not in _SQL_KEYWORDS
+                            and not it9[-1].startswith("'")
+                            and (it9[-2] == ")" or _is_ident(it9[-2]))
+                        ):
+                            it9 = it9[:-1]
+                        tt9 = _cto(it9, _ted)
+                        if tt9 and tt9.startswith(
+                            "SimpleAggregateFunction("
+                        ):
+                            ch_types[k9] = tt9
                 is_numbers = t.as_tf_raw.startswith("numbers")
                 t.cols = [
                     _Col(
                         f.name, f.dataType.simpleString(),
                         # system.numbers' column is unsigned
                         "UInt64" if is_numbers and f.name == "number"
-                        else spark_to_ch(f.dataType.simpleString()),
+                        else ch_types.get(
+                            k10, spark_to_ch(f.dataType.simpleString())
+                        ),
                         True,
                     )
-                    for f in src.schema.fields
+                    for k10, f in enumerate(src.schema.fields)
                 ]
             t.df = self._sorted_batch(t, src)
+            if t.spec.engine == "AggregatingMergeTree" and not (
+                t.spec.agg_columns
+            ):
+                # AS SELECT columns carry their state tags in ch_type
+                t.spec.agg_columns = {
+                    c.name: m.group(1)
+                    for c in t.cols
+                    if (m := re.match(
+                        r"(?i)(?:Simple)?AggregateFunction\s*\(\s*(\w+)",
+                        c.ch_type or "",
+                    ))
+                }
         if t.df is not None:
             # CREATE ... AS SELECT materializes one initial part; the
             # `_part` virtuals ride a companion view (see _register)
