@@ -12084,20 +12084,25 @@ def _totals_mode_sql(q: _Select, from_sql: str, wheres: list[str]) -> str | None
         k: str(v).strip("'\" ")
         for k, v in (_SETTINGS_CTX.get() or {}).items()
     }
-    mode = st.get("totals_mode", "before_having")
+    # the reference DEFAULT is after_having_exclusive (Settings.h:100);
+    # with no HAVING every mode agrees and the plain plan is used
+    mode = st.get("totals_mode", "after_having_exclusive")
     try:
         maxr = int(st.get("max_rows_to_group_by", "0") or "0")
         bs = int(st.get("max_block_size", "65536") or "65536")
         thr = float(st.get("totals_auto_threshold", "0.5") or "0.5")
     except ValueError:
         return None
-    if mode == "before_having" and maxr == 0:
+    if (mode == "before_having" or not q.having) and maxr == 0:
         return None  # default semantics: existing GROUPING SETS plan
     if maxr > 0 and st.get("group_by_overflow_mode", "throw") != "any":
         return None
     if (
         q.distinct or q.limit_by or q.fill or q.offset or q.lateral
         or q.array_join or not q.from_ or not q.group_by
+        # TOTALS + ROLLUP/CUBE is the reference's NOT_IMPLEMENTED (48)
+        # — fall back to the default plan, which rejects it
+        or q.with_rollup or q.with_cube
     ):
         return None
     if maxr > 0 and not re.search(r"\bnumber\b", from_sql):
@@ -12138,13 +12143,16 @@ def _totals_mode_sql(q: _Select, from_sql: str, wheres: list[str]) -> str | None
     names: list[str] = []
     for i, it in enumerate(items):
         a = item_alias[i]
+        core_it = it[:-2] if (
+            a is not None and len(it) >= 3 and _kw(it[-2]) == "AS"
+        ) else it
         bare = it[0].strip('`"') if len(it) == 1 and _is_ident(it[0]) else None
         if a is not None and a in key_cols:
             sql = f"`{a}`"  # materialized in __rows — group col, not expr
         elif bare is not None:
             sql, a = f"`{bare}`", bare
         else:
-            sql = _emit(_translate_expr(it))
+            sql = _emit(_translate_expr(core_it))
         nm = a or bare or f"__c{i}"
         if nm in names:
             nm = f"__c{i}"
@@ -12545,6 +12553,18 @@ def _render_core(q: _Select) -> str:
         parts.append("LIMIT " + _emit(_translate_expr(q.limit)))
     if q.offset:
         parts.append("OFFSET " + _emit(_translate_expr(q.offset)))
+    if (
+        q.with_totals and not q.group_by
+        and _TOTALS_BLOCK_CTX.get() and _QDEPTH.get() <= 1
+    ):
+        # group-less WITH TOTALS: the global aggregate IS its own
+        # totals — one data row plus an identical totals block
+        # (TotalsHavingTransform over the single overall group)
+        core_t = " ".join(parts)
+        return (
+            f"SELECT *, 0 AS __is_total FROM ( {core_t} ) "
+            f"UNION ALL SELECT *, 1 AS __is_total FROM ( {core_t} )"
+        )
     return " ".join(parts)
 
 
