@@ -820,17 +820,16 @@ ORACLE_SQL.update(ORACLE_SQL_STATS)
 # region_revenue join-path work).  The tail that falls off the cap is
 # then all round-8-green queries.
 _GRADE_FIRST = [
-    # riding round-7 rows
-    "script_engine", "agg_state_merge", "combinators", "cross_join",
-    "cube", "final_replacing", "final_summing", "final_versioned",
-    "histogram", "limit_with_ties", "sample_fraction", "segment_sum",
-    "sequence_match", "stats",
-    # changed this round: need a fresh driver row (r9: broadcast sides
-    # read plain parquet -> region_revenue + shipping_priority;
-    # dialect.py took the corpus burn-down; script.py the DESCRIBE
-    # promotion + OPTIMIZE retag)
-    "dialect_sql", "dialect_pipe", "region_revenue", "shipping_priority",
-    "limit_by",
+    # riding round-8 rows (r9 graded everything else fresh): regrade so
+    # no correctness row is ever more than one round old
+    "quantiles", "top_k", "group_array", "uniq_approx",
+    "logistic_regression", "groups_frame", "ttests", "map_aggs",
+    "moving_sum", "rank_stats", "running_diff", "interval_overlap",
+    "civ", "scalar_coding",
+    # changed this round: need a fresh driver row (r10: jaccard_verify
+    # shuffle joins -> dedup_near + dedup_simhash; dialect.py
+    # DISTINCT/LIMIT BY + any() ignoreNulls -> limit_by, dialect_sql)
+    "dedup_near", "dedup_simhash", "limit_by", "dialect_sql",
 ]
 QUERIES = {
     **{n: QUERIES[n] for n in _GRADE_FIRST},

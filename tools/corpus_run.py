@@ -180,17 +180,29 @@ def main():
                 # ran to completion but output differs: record the first
                 # differing line pair for the burn-down
                 gl, el = got.split("\n"), exp.strip().split("\n")
-                pair = next(
-                    (
-                        (a, b)
-                        for a, b in zip(gl + [""] * len(el), el + [""] * len(gl))
-                        if a != b
-                    ),
-                    ("", ""),
-                )
-                st.setdefault("mismatch", {})[name] = [
-                    len(gl), len(el), pair[0][:160], pair[1][:160]
-                ]
+                if sorted(gl) == sorted(el):
+                    # values all correct, interleaving differs — the
+                    # reference's hash-table iteration order (01671
+                    # class).  Separate bucket so `mismatch` measures
+                    # actionable divergence only.
+                    st.setdefault("order_only", {})[name] = [
+                        len(gl), len(el)
+                    ]
+                    st.setdefault("mismatch", {}).pop(name, None)
+                else:
+                    pair = next(
+                        (
+                            (a, b)
+                            for a, b in zip(
+                                gl + [""] * len(el), el + [""] * len(gl)
+                            )
+                            if a != b
+                        ),
+                        ("", ""),
+                    )
+                    st.setdefault("mismatch", {})[name] = [
+                        len(gl), len(el), pair[0][:160], pair[1][:160]
+                    ]
         except Exception as e:  # noqa: BLE001
             m = next(
                 (ln for ln in str(e).split("\n") if ln.strip()), ""
