@@ -12161,9 +12161,38 @@ def _totals_mode_sql(q: _Select, from_sql: str, wheres: list[str]) -> str | None
     # keys the select list doesn't expose still ride through __g for
     # the pass/fail key sets
     extra = [f"`{k}`" for k in key_cols if k not in names]
+    # alias-visibility inlined key aliases into HAVING as their defining
+    # expressions; inside __g those must reference the GROUPED key
+    # column again (Spark can't prove f(number) constant per k-group)
+    having_toks = list(q.having or [])
+    for nm9, ex9 in alias_def.items():
+        if nm9 not in key_cols:
+            continue
+        flat9 = "".join(x.strip() for x in ex9).replace(" ", "")
+        targets9 = {flat9, "(" + flat9 + ")"}
+        # the alias-visibility pass may have inlined the defining
+        # expression as ONE pre-joined token — compare whitespace-free
+        having_toks = [
+            f"`{nm9}`"
+            if x.replace(" ", "") in targets9
+            else x
+            for x in having_toks
+        ]
+        for cand9 in (["("] + ex9 + [")"], list(ex9)):
+            n9, m9 = len(having_toks), len(cand9)
+            j9 = 0
+            out9: list[str] = []
+            while j9 < n9:
+                if having_toks[j9 : j9 + m9] == cand9:
+                    out9.append(f"`{nm9}`")
+                    j9 += m9
+                else:
+                    out9.append(having_toks[j9])
+                    j9 += 1
+            having_toks = out9
     hv = (
-        "CAST((" + _emit(_translate_expr(q.having)) + ") AS BOOLEAN)"
-        if q.having
+        "CAST((" + _emit(_translate_expr(having_toks)) + ") AS BOOLEAN)"
+        if having_toks
         else "true"
     )
     kl = ", ".join(f"`{k}`" for k in key_cols)

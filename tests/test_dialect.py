@@ -356,3 +356,57 @@ def test_unknown_table_qualifier_in_star_matcher():
     assert translate(
         "SELECT numbers.* APPLY (toString) FROM numbers(3)"
     ).spark_sql
+
+
+def test_totals_default_mode_is_after_having_exclusive(spark):
+    """With HAVING present the totals row covers only HAVING-passing
+    groups (Settings.h totals_mode default after_having_exclusive)."""
+    from daisy_spark.plans.dialect import _TOTALS_BLOCK_CTX
+    from daisy_spark.plans.script import ScriptRunner
+
+    runner = ScriptRunner(spark)
+    try:
+        df = runner.execute(
+            "SELECT number % 2 AS k, count() AS c FROM numbers(10) "
+            "GROUP BY k WITH TOTALS HAVING k = 1"
+        )
+        rows = [tuple(r) for r in df.collect()]
+        totals = list(getattr(df, "_daisy_totals", []) or [])
+        assert rows == [(1, 5)]
+        assert totals == [(0, 5)]  # only the passing group's count
+    finally:
+        runner.close()
+
+
+def test_groupless_totals_emits_totals_block(spark):
+    from daisy_spark.plans.script import ScriptRunner
+
+    runner = ScriptRunner(spark)
+    try:
+        df = runner.execute("SELECT count() AS x WITH TOTALS HAVING x != 0")
+        rows = [tuple(r) for r in df.collect()]
+        totals = list(getattr(df, "_daisy_totals", []) or [])
+        assert rows == [(1,)] and totals == [(1,)]
+    finally:
+        runner.close()
+
+
+def test_url_hash_matches_hierarchy_levels(spark):
+    from daisy_spark.functions.chcoding import url_hash, url_hierarchy
+
+    for url in ("", "http://ya.ru", "http://ya.ru/a/b?"):
+        h = url_hierarchy(url)
+        for lvl in range(3):
+            want = url_hash(h[lvl], None) if lvl < len(h) else url_hash("")
+            assert url_hash(url, lvl) == want, (url, lvl)
+
+
+def test_simple_state_type_and_value():
+    from daisy_spark.plans.dialect import DialectError, translate
+
+    out = translate(
+        "SELECT toTypeName(sumSimpleState(number)) FROM numbers(3)"
+    ).spark_sql
+    assert "SimpleAggregateFunction(sum, UInt64)" in out
+    with pytest.raises(DialectError):
+        translate("SELECT countSimpleState(number) FROM numbers(3)")
