@@ -10,7 +10,9 @@ hot path (the registry queries never call them).
   Spark's built-in crc32).
 - IPv6 text <-> 16-byte binary (src/Functions/FunctionsCoding.h
   IPv6NumToString / IPv6StringToNum): python's ipaddress produces the
-  same RFC 5952 compressed lowercase form the reference emits.
+  reference's RFC 5952 compressed lowercase form except the
+  v4-mapped/compatible dotted-quad tails, which are special-cased in
+  ipv6_ntos; bare IPv4 input maps to ::ffff:a.b.c.d in ipv6_ston.
 - javaHash over UTF-16LE bytes (src/Functions/FunctionsHashing.h
   JavaHashUTF16LEImpl) — fused with the convertCharset(utf-8 ->
   utf-16le) feeding it in the tests, so no binary-in-string transit.
@@ -50,19 +52,47 @@ def crc32ieee(data: bytes) -> int:
 
 
 def ipv6_ntos(b) -> str | None:
+    """formatIPv6 (src/Functions/FunctionsCoding.h formatIPv6.cpp):
+    like inet_ntop, a leading all-zero run of 6 words (v4-compatible)
+    or 5 words followed by 0xffff (v4-mapped) renders the tail as a
+    dotted quad — python's ipaddress prints hex words there instead,
+    so those two classes are special-cased."""
     if b is None:
         return None
     if isinstance(b, str):
         b = b.encode("utf-8", "surrogateescape")
     b = bytes(b)[:16].ljust(16, b"\0")
+    words = [(b[i] << 8) | b[i + 1] for i in range(0, 16, 2)]
+    best_base = best_len = cur_base = cur_len = 0
+    for i in range(9):
+        if i < 8 and words[i] == 0:
+            if cur_len == 0:
+                cur_base = i
+            cur_len += 1
+        else:
+            if cur_len > best_len:
+                best_base, best_len = cur_base, cur_len
+            cur_len = 0
+    if best_base == 0 and (
+        best_len == 6 or (best_len == 5 and words[5] == 0xFFFF)
+    ):
+        quad = ".".join(str(x) for x in b[12:16])
+        return ("::" if best_len == 6 else "::ffff:") + quad
     return str(ipaddress.IPv6Address(b))
 
 
 def ipv6_ston(s: str | None) -> bytes | None:
+    """IPv6StringToNum: bare IPv4 text parses by prefixing '::ffff:'
+    (v4-mapped bytes), mirroring the reference's tryParseIPv4 fallback."""
     if s is None:
         return None
     try:
         return ipaddress.IPv6Address(s).packed
+    except (ipaddress.AddressValueError, ValueError):
+        pass
+    try:
+        v4 = ipaddress.IPv4Address(s)
+        return b"\0" * 10 + b"\xff\xff" + v4.packed
     except (ipaddress.AddressValueError, ValueError):
         return b"\0" * 16
 

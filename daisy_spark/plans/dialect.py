@@ -1985,6 +1985,15 @@ def _hex_expr(a: str) -> str:
     bytes.  Literal floats fold at translate time; dynamic float/decimal
     args use the registered byte-hex UDFs."""
     t = a.strip()
+    # hex over a _unsigned_u64-wrapped hash: strip back to the signed
+    # bigint — its two's-complement bytes equal the UInt64's bytes
+    mu = re.fullmatch(
+        r"\(CAST\(\((?P<i>.*)\) AS DECIMAL\(20, 0\)\) \+ IF\(\((?P=i)\)"
+        r" < 0, CAST\(18446744073709551616 AS DECIMAL\(21, 0\)\), 0\)\)",
+        t, re.S,
+    )
+    if mu:
+        t = a = mu.group("i")
     m = re.fullmatch(r"(?i)(-?\s*\d+(?:\.\d*)?(?:e[+-]?\d+)?)D?", t)
     if m and ("." in t or "e" in t.lower() or "d" in t.lower()):
         v = struct.pack("<d", float(m.group(1).replace(" ", "")))
@@ -3013,7 +3022,13 @@ def _json_extract_typed(a: list[str]) -> str:
         return base
     if lty in ("bool", "boolean", "uint8") or ty in _JSON_INT_RANGES:
         rng = _JSON_INT_RANGES.get(ty, (0, 255))
-        d = f"CAST({base} AS DOUBLE)"
+        # JSONExtractTree accepts JSON booleans for Bool and numeric
+        # targets (true=1/false=0) before the numeric range check
+        b = (
+            f"IF({base} = 'true', '1', "
+            f"IF({base} = 'false', '0', {base}))"
+        )
+        d = f"CAST({b} AS DOUBLE)"
         ok = (
             f"({d} = floor({d}) AND {d} >= {float(rng[0])!r} "
             f"AND {d} <= {float(rng[1])!r})"
@@ -5845,7 +5860,10 @@ FUNC_MAP: dict[str, object] = {
     # builtin; IEEE/64 use the reference's init-0 reflected tables
     "crc32": "crc32(CAST({0} AS BINARY))",
     "crc32ieee": "ch_crc32ieee({0})",
-    "crc64": "ch_crc64({0})",
+    # decimal display is the unsigned UInt64 (hex() strips the wrapper
+    # in _hex_expr — the signed long's two's-complement bytes ARE the
+    # unsigned value's bytes)
+    "crc64": lambda a: _unsigned_u64(f"ch_crc64({a[0]})"),
     "IPv6NumToString": "ch_ipv6_ntos({0})",
     "IPv6StringToNum": "ch_ipv6_ston({0})",
     "INET6_NTOA": "ch_ipv6_ntos({0})",
@@ -12607,6 +12625,11 @@ def _render_core(q: _Select) -> str:
             f"monotonically_increasing_id()) AS __trn "
             f"FROM ( {inner} )) "
             f"WHERE coalesce(__is_total, 1) = 1 OR __trn <= ({n})"
+        )
+    if q.with_ties and q.limit and not q.order_by:
+        # the reference rejects ties without a sort key (error 452)
+        _raise_dialect(
+            "LIMIT WITH TIES without ORDER BY (452)"
         )
     if q.with_ties and q.limit and q.order_by:
         # LIMIT [o,] n WITH TIES (LimitTransform.cpp with_ties): keep

@@ -174,3 +174,59 @@ def test_logistic_regression_learns_separable_boundary(spark):
     ).collect()[0][0]
     assert acc > 0.95
     assert w[0] > 0  # increasing x must raise the probability
+
+
+def test_ipv6_v4_mapped_and_compatible_forms():
+    # formatIPv6.cpp:139-149: dotted-quad tails for the leading-zero
+    # run classes; IPv6StringToNum parses bare IPv4 as ::ffff:a.b.c.d
+    from daisy_spark.functions.chcoding import ipv6_ntos, ipv6_ston
+
+    mapped = b"\0" * 10 + b"\xff\xff" + bytes([192, 168, 0, 1])
+    assert ipv6_ston("192.168.0.1") == mapped
+    assert ipv6_ntos(mapped) == "::ffff:192.168.0.1"
+    assert ipv6_ntos(b"\0" * 12 + bytes([1, 2, 3, 4])) == "::1.2.3.4"
+    # non-v4 classes keep the RFC 5952 compressed form
+    assert ipv6_ntos(b"\0" * 16) == "::"
+    assert ipv6_ntos(b"\0" * 15 + b"\x01") == "::1"
+    assert ipv6_ntos(bytes(range(16))) == "1:203:405:607:809:a0b:c0d:e0f"
+    assert ipv6_ston("not-an-ip") == b"\0" * 16
+
+
+def test_crc64_decimal_prints_unsigned(spark):
+    from daisy_spark.functions.chcoding import crc64
+    from daisy_spark.plans.script import ScriptRunner
+
+    runner = ScriptRunner(spark)
+    try:
+        df = runner.execute("SELECT CRC64('s') AS c, hex(CRC64('s')) AS h")
+        r = df.collect()[0]
+        want = crc64(b"s")
+        assert int(r["c"]) == want  # unsigned UInt64, not signed long
+        assert r["h"] == format(want, "016X")
+    finally:
+        runner.close()
+
+
+def test_json_extract_bool_targets(spark):
+    from daisy_spark.plans.script import ScriptRunner
+
+    runner = ScriptRunner(spark)
+    try:
+        df = runner.execute(
+            "SELECT JSONExtract('{\"a\": true, \"b\": false}', 'a', 'UInt8') AS t,"
+            " JSONExtract('{\"a\": true, \"b\": false}', 'b', 'UInt8') AS f,"
+            " JSONExtract('{\"a\": true}', 'a', 'Nullable(Int64)') AS n"
+        )
+        r = df.collect()[0]
+        assert (r["t"], r["f"], r["n"]) == (1, 0, 1)
+    finally:
+        runner.close()
+
+
+def test_limit_with_ties_requires_order_by():
+    import pytest
+
+    from daisy_spark.plans.dialect import DialectError, translate
+
+    with pytest.raises(DialectError):
+        translate("SELECT number FROM numbers(10) LIMIT 3 WITH TIES")
