@@ -146,6 +146,8 @@ def register_udfs(spark) -> None:
     )
     spark.udf.register("ch_urlhash", url_hash, "long")
     spark.udf.register("ch_url_hierarchy", url_hierarchy, "array<string>")
+    spark.udf.register("ch_cut_fss_custom", cut_to_fss_custom, "string")
+    spark.udf.register("ch_fss_custom", fss_custom, "string")
     spark._daisy_chcoding_udfs = True
 
 
@@ -241,3 +243,88 @@ def url_hierarchy(s: str | None) -> list[str] | None:
             pos += 1
         out.append(b[:pos].decode("utf-8", "replace"))
     return out
+
+
+# --- first-significant-subdomain with a custom TLD list -----------------
+# (src/Functions/URL/ExtractFirstSignificantSubdomain.h executeCustom +
+# FirstSignificantSubdomainCustomImpl.h; the list file is the PUBLIC
+# publicsuffix.org data the reference's test config ships)
+
+_TLD_CACHE: dict[str, frozenset] = {}
+
+
+def _tld_list(name: str) -> frozenset:
+    if name in _TLD_CACHE:
+        return _TLD_CACHE[name]
+    import os
+
+    path = os.environ.get(
+        "DAISY_TLD_LIST_DIR",
+        "/root/reference/tests/config/top_level_domains",
+    ) + f"/{name}.dat"
+    entries = set()
+    try:
+        with open(path, encoding="utf-8") as fh:
+            for ln in fh:
+                ln = ln.strip()
+                if not ln or ln.startswith("//"):
+                    continue
+                # wildcard/exception markers store the base entry
+                entries.add(ln.lstrip("!").removeprefix("*."))
+    except OSError:
+        pass
+    out = frozenset(entries)
+    _TLD_CACHE[name] = out
+    return out
+
+
+def _extract_host(s: str) -> str:
+    """getURLHost + without_www: chars after an optional scheme:// (or
+    //) up to :/?#, leading www. and one trailing dot removed; a host
+    with no dot is not a domain."""
+    import re as _re
+
+    s = _re.sub(r"^([a-zA-Z][a-zA-Z0-9+.\-]*:)?//", "", s)
+    host = _re.split(r"[/:?#]", s, 1)[0]
+    if host.startswith("www."):
+        host = host[4:]
+    if host.endswith("."):
+        host = host[:-1]
+    if "." not in host:
+        return ""
+    return host
+
+
+def cut_to_fss_custom(s: str | None, name: str | None) -> str | None:
+    """cutToFirstSignificantSubdomainCustom: left-to-right dot scan —
+    the first dot whose whole remainder is in the list wins, keeping
+    one label before it (executeCustom), extended to the domain end."""
+    if s is None or name is None:
+        return None
+    tld = _tld_list(str(name))
+    host = _extract_host(str(s))
+    if not host:
+        return ""
+    labels = host.split(".")
+    for i in range(1, len(labels)):
+        if ".".join(labels[i:]) in tld:
+            return ".".join(labels[i - 1:])
+    return host if len(labels) == 2 else ".".join(labels[-2:])
+
+
+def fss_custom(s: str | None, name: str | None) -> str | None:
+    """firstSignificantSubdomainCustom: the default last-3-periods
+    algorithm (ExtractFirstSignificantSubdomain::execute) but with the
+    custom list answering the one 2-label-suffix lookup."""
+    if s is None or name is None:
+        return None
+    tld = _tld_list(str(name))
+    host = _extract_host(str(s))
+    if not host:
+        return ""
+    labels = host.split(".")
+    if len(labels) == 2:
+        return labels[0]
+    if ".".join(labels[-2:]) in tld:
+        return labels[-3]
+    return labels[-2]

@@ -291,6 +291,32 @@ def uuid_num_to_string(b) -> str | None:
     return f"{h[0:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
 
 
+def uuid_mem_image(s) -> bytes | None:
+    """The UUID's in-memory byte image: two little-endian UInt64
+    halves, i.e. each 8-byte half of the canonical big-endian form
+    REVERSED (src/Functions/reinterpretAs.cpp + DataTypeUUID layout)."""
+    if s is None:
+        return None
+    h = str(s).replace("-", "")
+    try:
+        b = bytes.fromhex(h)[:16].ljust(16, b"\x00")
+    except ValueError:
+        return b"\x00" * 16
+    return b[0:8][::-1] + b[8:16][::-1]
+
+
+def reinterpret_as_uuid(b) -> str | None:
+    """reinterpretAsUUID: the first 16 input bytes (zero-padded) are
+    the in-memory image — reverse each half back to canonical form."""
+    if b is None:
+        return None
+    if isinstance(b, str):
+        b = b.encode("latin-1", "replace")
+    b = (bytes(b) + b"\x00" * 16)[:16]
+    h = (b[0:8][::-1] + b[8:16][::-1]).hex()
+    return f"{h[0:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+
+
 def uuid_string_to_num(s) -> bytes | None:
     if s is None:
         return None
@@ -349,6 +375,15 @@ def register_udfs(spark) -> None:
     spark.udf.register(
         "ch_uuid_num_to_string", uuid_num_to_string, "string"
     )
+    spark.udf.register("ch_uuid_mem", uuid_mem_image, "binary")
+    spark.udf.register(
+        "ch_reinterpret_uuid", reinterpret_as_uuid, "string"
+    )
+    spark.udf.register(
+        "ch_binrev",
+        lambda b: None if b is None else bytes(b)[::-1],
+        "binary",
+    )
     spark.udf.register(
         "ch_normalized_query_hash",
         lambda s: normalized_query_hash(s, keep_names=False),
@@ -359,12 +394,9 @@ def register_udfs(spark) -> None:
         lambda s: normalized_query_hash(s, keep_names=True),
         "long",
     )
+    # binary return: the 16-byte image must not transit a Spark string
+    # (invalid-UTF8 bytes would be replaced)
     spark.udf.register(
-        "ch_uuid_string_to_num",
-        lambda s: (
-            None if s is None
-            else uuid_string_to_num(s).decode("latin-1")
-        ),
-        "string",
+        "ch_uuid_string_to_num", uuid_string_to_num, "binary"
     )
     spark._daisy_chtext_udfs = True

@@ -668,6 +668,25 @@ def _first_significant_subdomain_expr(a: list[str]) -> str:
     )
 
 
+def _cut_to_fss_expr(a: list[str]) -> str:
+    """cutToFirstSignificantSubdomain: the host from the first
+    significant subdomain onward (cutToFirstSignificantSubdomain.cpp —
+    ExtractFirstSignificantSubdomain::execute extended to domain_end);
+    same short-second-level approximation as
+    _first_significant_subdomain_expr."""
+    stripped = f"regexp_replace({a[0]}, '^([a-zA-Z][a-zA-Z0-9+.-]*:)?//', '')"
+    host = f"regexp_extract({stripped}, '^([^/:?#]*)', 1)"
+    parts = f"split({host}, '\\\\.')"
+    np = f"size({parts})"
+    return (
+        f"(CASE WHEN locate('.', {host}) = 0 OR endswith({host}, '.') THEN '' "
+        f"WHEN {np} = 2 THEN {host} "
+        f"WHEN element_at({parts}, {np} - 1) IN ({_SHORT_SLD}) "
+        f"THEN concat_ws('.', slice({parts}, {np} - 2, 3)) "
+        f"ELSE concat_ws('.', slice({parts}, {np} - 1, 2)) END)"
+    )
+
+
 def _simple_linreg_expr(xs: str, ys: str) -> str:
     """arrayReduce('simpleLinearRegression', xs, ys) -> (slope, intercept)
     tuple via least squares (src/AggregateFunctions/
@@ -808,6 +827,41 @@ def _dict_get_expr(
         "named_struct("
         + ", ".join(f"'col{x + 1}', {s}" for x, s in enumerate(subs))
         + ")"
+    )
+
+
+def _dict_hierarchy_expr(a: list[str]) -> str:
+    """dictGetHierarchy(dict, key) — the ancestor chain [key, parent,
+    grandparent, ...] walking the HIERARCHICAL attribute until a miss
+    or the 0 null-parent terminator (FunctionsExternalDictionaries.h
+    getHierarchy / HierarchyDictionariesUtils).  Spark-first: one
+    scalar subquery folds the dictionary into a key->parent map and
+    walks it with aggregate() — a bounded 16-hop loop, no driver
+    iteration, broadcast-sized by the dictionary contract."""
+    meta = _dict_lookup(a[0])
+    hier = meta.get("hier")
+    if not hier:
+        _raise_dialect(
+            "dictGetHierarchy: no HIERARCHICAL attribute (36)"
+        )
+    k = meta["keys"][0]
+    karg = a[1]
+    acc0 = (
+        f"named_struct('h', array(CAST(({karg}) AS BIGINT)), "
+        f"'cur', CAST(({karg}) AS BIGINT), 'done', false)"
+    )
+    step = (
+        "(acc, x) -> CASE WHEN acc.done OR NOT map_contains_key(__m, "
+        "acc.cur) OR coalesce(__m[acc.cur], 0L) = 0L "
+        "THEN named_struct('h', acc.h, 'cur', acc.cur, 'done', true) "
+        "ELSE named_struct('h', concat(acc.h, array(__m[acc.cur])), "
+        "'cur', __m[acc.cur], 'done', false) END"
+    )
+    return (
+        f"(SELECT aggregate(sequence(1, 16), {acc0}, {step}, "
+        f"acc -> acc.h) FROM (SELECT map_from_entries(collect_list("
+        f"struct(CAST(`{k}` AS BIGINT), CAST(`{hier}` AS BIGINT)))) "
+        f"AS __m FROM {meta['view']}))"
     )
 
 
@@ -1355,8 +1409,10 @@ def _agg_combinator_expr(t: str, args: list[str]) -> str | None:
     type default; AggregateFunctionIf.h: condition filters rows).
     Returns None when the peeled base is unknown."""
     base, sufs = _peel_combinators(t)
-    if not sufs or "Array" in sufs or "Distinct" in sufs:
+    if not sufs or "Distinct" in sufs:
         return None
+    if "Array" in sufs and "ForEach" not in sufs:
+        return None  # only the ForEach∘Array composition is synthesized
     if "ForEach" in sufs and ("OrNull" in sufs or "OrDefault" in sufs):
         return None
     tmpl = FUNC_MAP.get(base)
@@ -1399,6 +1455,10 @@ def _agg_combinator_expr(t: str, args: list[str]) -> str | None:
                         "groupArray", "uniq", "uniqExact"):
             return None
         col = f"collect_list({vargs[0]})"
+        if "Array" in sufs:
+            # -Array outside the ForEach: each element of the outer
+            # array is one ForEach input row
+            col = f"flatten({col})"
         ml = f"array_max(transform({col}, __fa -> size(__fa)))"
         at_i = "element_at(__fa, CAST(__fi AS INT))"
         vals = (
@@ -4588,7 +4648,16 @@ FUNC_MAP: dict[str, object] = {
     # the reference exposes; Spark's optimizer owns both)
     "materialize": "{0}", "toNullable": "{0}", "assumeNotNullSafe": "{0}",
     # FixedString(n) is \0-padded to its width (DataTypeFixedString)
-    "toFixedString": "rpad(CAST({0} AS STRING), {1}, chr(0))",
+    # a BINARY producer stays binary (casting to STRING would mangle
+    # non-UTF8 bytes); rpad handles (BINARY, INT, BINARY) natively
+    "toFixedString": lambda a: (
+        f"rpad({a[0]}, {a[1]}, X'00')"
+        if re.match(
+            r"(?i)\s*(unhex|ch_uuid_mem|ch_uuid_string_to_num|"
+            r"ch_binrev|ch_ipv6_ston)\s*\(", a[0]
+        )
+        else f"rpad(CAST({a[0]} AS STRING), {a[1]}, chr(0))"
+    ),
     "toLowCardinality": "{0}", "identity": "{0}",
     "ignore": lambda a: "0",
     # sleep caps at 3 seconds (FunctionsMiscellaneous sleep: TOO_SLOW
@@ -4968,8 +5037,18 @@ FUNC_MAP: dict[str, object] = {
     "toStartOfDay": "date_trunc('DAY', {0})",
     "toStartOfHour": "date_trunc('HOUR', {0})",
     "toStartOfMinute": "date_trunc('MINUTE', {0})",
+    # toTime: wall-clock time moved onto 1970-01-02
+    # (src/Functions/DateTimeTransforms.h ToTimeImpl)
+    "toTime": (
+        "CAST(concat('1970-01-02 ', date_format({0}, 'HH:mm:ss')) "
+        "AS TIMESTAMP)"
+    ),
     "toStartOfFiveMinute": "timestamp_seconds(floor(unix_timestamp({0}) / 300) * 300)",
     "toStartOfFifteenMinutes": "timestamp_seconds(floor(unix_timestamp({0}) / 900) * 900)",
+    # partitionId(v): the partition ID string for a value of the
+    # partition expression — a single scalar renders as its text
+    # (MergeTreePartition::getID single-field fast path)
+    "partitionId": "CAST(({0}) AS STRING)",
     "toYYYYMM": "CAST(date_format({0}, 'yyyyMM') AS INT)",
     "toYYYYMMDD": "CAST(date_format({0}, 'yyyyMMdd') AS INT)",
     "now": "current_timestamp()", "today": "current_date()",
@@ -5219,7 +5298,10 @@ FUNC_MAP: dict[str, object] = {
         f"count_if(CAST({a[0]} AS BOOLEAN))" if len(a) == 1
         else f"count(CASE WHEN CAST({a[1]} AS BOOLEAN) THEN {a[0]} END)"
     ),
-    "sumIf": "sum(CASE WHEN CAST({1} AS BOOLEAN) THEN {0} END)",
+    # 0 (the sum default) when no row matches, like the reference
+    "sumIf": (
+        "coalesce(sum(CASE WHEN CAST({1} AS BOOLEAN) THEN {0} END), 0)"
+    ),
     "avgIf": "avg(CASE WHEN CAST({1} AS BOOLEAN) THEN {0} END)",
     "minIf": "min(CASE WHEN CAST({1} AS BOOLEAN) THEN {0} END)",
     "maxIf": "max(CASE WHEN CAST({1} AS BOOLEAN) THEN {0} END)",
@@ -5278,6 +5360,12 @@ FUNC_MAP: dict[str, object] = {
     "maxIntersections": lambda a: _max_intersections_expr(a, False),
     "maxIntersectionsPosition": lambda a: _max_intersections_expr(a, True),
     "firstSignificantSubdomain": _first_significant_subdomain_expr,
+    "cutToFirstSignificantSubdomain": _cut_to_fss_expr,
+    "cutToFirstSignificantSubdomainCustom": "ch_cut_fss_custom({0}, {1})",
+    "cutToFirstSignificantSubdomainCustomWithWWW": (
+        "ch_cut_fss_custom({0}, {1})"
+    ),
+    "firstSignificantSubdomainCustom": "ch_fss_custom({0}, {1})",
     "currentDatabase": lambda a: "'default'",
     # pure display-timezone change; with the session in UTC this renders
     # wall-clock time in the target zone like the reference does
@@ -5353,6 +5441,11 @@ FUNC_MAP: dict[str, object] = {
     "dictGetOrDefault": lambda a: _dict_get_expr(a, or_default=True),
     "dictGetOrNull": lambda a: _dict_get_expr(a, or_null=True),
     "dictHas": _dict_has_expr,
+    "dictGetHierarchy": lambda a: _dict_hierarchy_expr(a),
+    "dictIsIn": lambda a: (
+        f"IF(array_contains({_dict_hierarchy_expr(a[:2])}, "
+        f"CAST(({a[2]}) AS BIGINT)), 1, 0)"
+    ),
     **{
         f"dictGet{t}": (lambda a: _dict_get_expr(a))
         for t in (
@@ -5813,13 +5906,31 @@ FUNC_MAP: dict[str, object] = {
     # malformed-UTF8 byte patterns (most small integers) cannot equal any
     # valid string literal, so they surface as NULL instead of a decode
     # error — equality filters behave exactly like the reference's
-    "reinterpretAsString": (
-        "IF(is_valid_utf8(unhex(concat_ws('', reverse(regexp_extract_all("
-        "lpad(hex({0}), CAST(ceil(length(hex({0})) / 2) * 2 AS INT), '0'), "
-        "'(..)'))))), "
-        "decode(unhex(concat_ws('', reverse(regexp_extract_all("
-        "lpad(hex({0}), CAST(ceil(length(hex({0})) / 2) * 2 AS INT), '0'), "
-        "'(..)')))), 'UTF-8'), NULL)"
+    "reinterpretAsString": lambda a: (
+        # a UUID value exposes its in-memory image (reversed LE halves)
+        f"ch_uuid_mem({a[0]})"
+        if re.match(
+            r"(?i)\s*\(*\s*(uuid\(\)|ch_reinterpret_uuid\(|"
+            r"'[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-"
+            r"[0-9a-f]{12}')",
+            a[0],
+        )
+        else (
+            "IF(is_valid_utf8(unhex(concat_ws('', reverse(regexp_extract_all("
+            "lpad(hex({0}), CAST(ceil(length(hex({0})) / 2) * 2 AS INT), '0'), "
+            "'(..)'))))), "
+            "decode(unhex(concat_ws('', reverse(regexp_extract_all("
+            "lpad(hex({0}), CAST(ceil(length(hex({0})) / 2) * 2 AS INT), '0'), "
+            "'(..)')))), 'UTF-8'), NULL)"
+        ).format(a[0])
+    ),
+    "reinterpretAsUUID": "ch_reinterpret_uuid({0})",
+    # reverse over a binary producer must stay byte-wise (Spark's
+    # reverse only takes string/array)
+    "reverse": lambda a: (
+        f"ch_binrev({a[0]})"
+        if re.match(r"(?i)\s*(ch_uuid_mem|unhex)\s*\(", a[0])
+        else f"reverse({a[0]})"
     ),
     "rand64": "CAST(rand() * 9.223372036854776e18 AS BIGINT)",
     # bar(x, min, max[, width=80]): whole blocks only (the reference
@@ -7179,6 +7290,23 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
     while i < n:
         t = toks[i]
         up = _kw(t)
+        # SET aggregate_functions_null_for_empty=1: the TreeRewriter
+        # appends -OrNull to every aggregate call (appendUnusedOrNull;
+        # -State keeps its state form and is skipped)
+        if (
+            i + 1 < n and toks[i + 1] == "("
+            and str((_SETTINGS_CTX.get() or {}).get(
+                "aggregate_functions_null_for_empty", "0"
+            )).strip("'\" ") == "1"
+            and re.fullmatch(
+                r"(sum|min|max|avg|any|anyLast|count|uniq|uniqExact|"
+                r"uniqCombined|uniqHLL12|groupArray|groupUniqArray)"
+                r"(If|Array|Distinct|ForEach|Merge)*",
+                t,
+            )
+            and not t.endswith(("OrNull", "OrDefault", "State"))
+        ):
+            t = t + "OrNull"
         # tuple element access: expr.2 -> expr.col2 (ColumnTuple fields
         # render as col1..colN via our struct() mapping)
         if (
@@ -9281,6 +9409,119 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 # SQL-compat alias names are case-insensitive in the
                 # reference (EXTRACT, Locate, UCASE, DATE_DIFF, ...)
                 tmpl = FUNC_MAP.get(t.lower())
+            if tmpl is None and t in (
+                "groupUniqArrayStateArray", "groupUniqArrayArrayState",
+            ):
+                # set-aggregate state fed per-element by -Array: the
+                # stored state is one distinct set of all row elements
+                # (00720 — order of -Array vs -State is immaterial here)
+                tmpl = "array_distinct(flatten(collect_list({0})))"
+            if tmpl is None and t in (
+                "sumForEachStateForEachIfArrayIfState",
+                "sumForEachStateForEachIfArrayIfMerge",
+                "sumForEachMergeArray",
+            ):
+                # the 00545 combinator tower over the finalized-state
+                # model: a sumForEachState IS its per-position sum
+                # array, so the ForEach-of-states is an array (position)
+                # of elementwise-summed arrays; -Array unwraps the outer
+                # array, both -Ifs are row masks after the unwrap
+                def _fe_matrix(col9: str) -> str:
+                    ml9 = (
+                        f"array_max(transform({col9}, "
+                        f"__fa -> size(__fa)))"
+                    )
+                    at9 = (
+                        f"filter(transform({col9}, __fa -> "
+                        f"element_at(__fa, CAST(__fi AS INT))), "
+                        f"__fv -> __fv IS NOT NULL)"
+                    )
+                    esum9 = (
+                        f"aggregate({at9}, CAST(NULL AS ARRAY<DOUBLE>), "
+                        f"(__ac, __ar) -> IF(__ac IS NULL, "
+                        f"transform(__ar, __v -> CAST(__v AS DOUBLE)), "
+                        f"zip_with(__ac, __ar, (__x, __y) -> "
+                        f"__x + CAST(__y AS DOUBLE))))"
+                    )
+                    return (
+                        f"transform(sequence(1, {ml9}), __fi -> {esum9})"
+                    )
+
+                if t == "sumForEachStateForEachIfArrayIfState":
+                    tmpl = lambda a: _fe_matrix(  # noqa: E731
+                        f"filter(flatten(collect_list(CASE WHEN "
+                        f"CAST({a[2]} AS BOOLEAN) THEN "
+                        f"zip_with({a[0]}, {a[1]}, (__d, __m) -> "
+                        f"IF(CAST(__m AS BOOLEAN), __d, NULL)) END)), "
+                        f"__kv -> __kv IS NOT NULL)"
+                    )
+                elif t == "sumForEachStateForEachIfArrayIfMerge":
+                    tmpl = lambda a: _fe_matrix(  # noqa: E731
+                        f"collect_list({a[0]})"
+                    )
+                else:  # sumForEachMergeArray ≡ sumForEachArray here
+                    tmpl = lambda a: (  # noqa: E731
+                        _agg_combinator_expr("sumForEachArray", a)
+                    )
+            if tmpl is None and t == "groupUniqArrayForEachStateArray":
+                # per-position set states; -Array unwraps the outer
+                # array so each inner array is a ForEach input
+                col_fs = "flatten(collect_list({0}))"
+                ml_fs = f"array_max(transform({col_fs}, __fa -> size(__fa)))"
+                one_fs = (
+                    f"array_distinct(filter(transform({col_fs}, "
+                    f"__fa -> element_at(__fa, CAST(__fi AS INT))), "
+                    f"__fv -> __fv IS NOT NULL))"
+                )
+                tmpl = (
+                    f"transform(sequence(1, {ml_fs}), __fi -> {one_fs})"
+                )
+            if tmpl is None and re.fullmatch(
+                r"(\w+?)Merge(State|OrNull)", t
+            ):
+                # fooMergeState: merge partials, KEEP the state form;
+                # fooMergeOrNull: merge with NULL for the empty state
+                # (the -OrNull the null_for_empty rewrite appends)
+                m_ms = re.fullmatch(r"(\w+?)Merge(State|OrNull)", t)
+                root_ms, suf_ms = m_ms.group(1), m_ms.group(2)
+                un_ms = "array_distinct(flatten(collect_list({0})))"
+                if root_ms in (
+                    "uniq", "uniqExact", "uniqCombined", "uniqHLL12",
+                ):
+                    tmpl = (
+                        un_ms if suf_ms == "State"
+                        else f"IF(count({{0}}) = 0, NULL, size({un_ms}))"
+                    )
+                elif root_ms == "groupArray":
+                    tmpl = "flatten(collect_list({0}))"
+                elif root_ms == "groupUniqArray":
+                    tmpl = un_ms
+                elif root_ms == "avg":
+                    tmpl = (
+                        "named_struct('s', sum({0}.s), 'c', sum({0}.c))"
+                        if suf_ms == "State"
+                        else "IF(sum({0}.c) = 0, NULL, "
+                             "sum({0}.s) / sum({0}.c))"
+                    )
+                elif root_ms == "count":
+                    tmpl = (
+                        "sum({0})" if suf_ms == "State"
+                        else "IF(count({0}) = 0, NULL, sum({0}))"
+                    )
+                elif root_ms in ("sum", "min", "max", "any", "anyLast"):
+                    # scalar-composable states re-aggregate RAW (no
+                    # coalesce-0): empty states are stored NULL and the
+                    # null-skip must preserve that emptiness through
+                    # -MergeState chains and into -OrNull's NULL
+                    base_ms = (
+                        "any_value({0}, true)"
+                        if root_ms in ("any", "anyLast")
+                        else f"{root_ms}({{0}})"
+                    )
+                    tmpl = (
+                        base_ms if suf_ms == "State"
+                        else f"IF(count({{0}}) = 0, NULL, {base_ms})"
+                    )
             if tmpl is None and t.endswith("State") and len(t) > 5:
                 # fooState(...) + finalizeAggregation -> foo(...); base
                 # may itself be mapped or a passthrough aggregate.
@@ -9320,6 +9561,11 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                     tmpl = lambda a, _t=t[:-5]: (  # noqa: E731
                         _agg_combinator_expr(_t, a) or f"{_t}({', '.join(a)})"
                     )
+                elif base_s in ("sum", "min", "max"):
+                    # RAW aggregate (no coalesce-0): an empty state must
+                    # stay NULL so -Merge chains and -OrNull can still
+                    # see it as empty (01562)
+                    tmpl = f"{base_s}({{0}})"
                 else:
                     tmpl = FUNC_MAP.get(t[:-5], t[:-5] + "({*})")
             if tmpl is None and t.endswith("Merge") and len(t) > 5:
@@ -9368,7 +9614,10 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                         tmpl_arr, p, not root.startswith("quantiles")
                     )
                 elif root in ("sum", "min", "max"):
-                    tmpl = f"{root}({{0}})"
+                    # final -Merge of an all-empty state renders the
+                    # numeric default like the reference (0), while the
+                    # stored state itself stays NULL for chain/OrNull
+                    tmpl = f"coalesce({root}({{0}}), 0)"
                 elif root == "deltaSum":
                     tmpl = lambda a: _delta_sum_fold(  # noqa: E731
                         f"flatten(collect_list({a[0]}))"
@@ -14670,6 +14919,22 @@ def _translate_query_text_inner(toks: list[str]) -> str:
                 # scalar alias: expr AS name — earlier aliases may appear
                 # inside later exprs, so substitute transitively
                 expr = _subst_scalar_aliases(part[:-2], scalars)
+                # the reference's ActionsDAG computes one shared column
+                # for an alias's nondeterministic call, so every use of
+                # the alias sees the SAME value — freeze the call to a
+                # literal at translate time to match (uuid round-trips,
+                # 00396)
+                j9 = 0
+                while j9 < len(expr):
+                    if (
+                        _kw(expr[j9]) == "GENERATEUUIDV4"
+                        and j9 + 1 < len(expr) and expr[j9 + 1] == "("
+                    ):
+                        import uuid as _uuidmod
+
+                        c9 = _match_paren(expr, j9 + 1)
+                        expr[j9 : c9 + 1] = [f"'{_uuidmod.uuid4()}'"]
+                    j9 += 1
                 scalars.append((part[-1], expr))
             else:
                 raise DialectError(

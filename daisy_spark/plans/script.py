@@ -629,6 +629,9 @@ class ScriptRunner:
             if self.live_views:
                 toks = self._resolve_live_views(toks)
                 stmt = _emit(toks)
+            if any(_kw(tk) == "INDEXHINT" for tk in toks):
+                toks = self._rewrite_index_hint(toks)
+                stmt = _emit(toks)
             merge_tables = {
                 nm: t.merge_pattern
                 for nm, t in self.tables.items() if t.merge_pattern
@@ -659,6 +662,20 @@ class ScriptRunner:
                     else:
                         out_t.append(tk)
                 toks = out_t
+                stmt = _emit(toks)
+            # `_partition_id` (MergeTreeData.cpp virtuals) is the part
+            # name's partition prefix — rewrite to a `_part` expression
+            # so the companion-view routing below picks it up
+            if any(tk == "_partition_id" for tk in toks):
+                out9: list[str] = []
+                for tk in toks:
+                    if tk == "_partition_id":
+                        out9 += tokenize(
+                            "substr(_part, 1, position(_part, '_') - 1)"
+                        )
+                    else:
+                        out9.append(tk)
+                toks = out9
                 stmt = _emit(toks)
             # `_part` / `_part_index` virtual columns
             # (MergeTreeData.cpp:4826-4827) live on the companion
@@ -972,6 +989,141 @@ class ScriptRunner:
             name = toks[i + 1]
             i += 2
         return name.strip('`"'), i
+
+    def _rewrite_index_hint(self, toks: list[str]) -> list[str]:
+        """``WHERE indexHint(cond)``: the function itself is constant 1
+        (src/Functions/indexHint.cpp) but its argument still drives
+        partition pruning and primary-key mark selection, so whole
+        granules come back.  Emulated for the single-MergeTree-table
+        case: a partition-key condition applies exactly (pruning is
+        all-or-nothing per partition value); a first-sort-key
+        equality/IN selects every granule whose key range
+        [first_key(g), first_key(g+1)] (last granule: its own max, the
+        final mark) contains a constant — the reference's
+        MergeTreeDataSelectExecutor::markRangesFromPKRange rule.
+        Unsupported shapes degrade to constant 1 (full scan), which is
+        also what the reference does when KeyCondition can't use the
+        argument (e.g. a type-incompatible constant)."""
+        tbl_name = None
+        for j, tk in enumerate(toks):
+            if _kw(tk) == "FROM" and j + 1 < len(toks):
+                nm = toks[j + 1].strip('`"')
+                if nm in self.tables:
+                    tbl_name = nm
+        out = list(toks)
+        i = 0
+        while i < len(out):
+            if (
+                _kw(out[i]) == "INDEXHINT"
+                and i + 1 < len(out) and out[i + 1] == "("
+            ):
+                close = _match_paren(out, i + 1)
+                inner = out[i + 2 : close]
+                repl = None
+                if tbl_name is not None:
+                    try:
+                        repl = self._index_hint_pred(tbl_name, inner)
+                    except Exception:  # noqa: BLE001
+                        repl = None
+                out[i : close + 1] = tokenize(repl or "1")
+                i += 1
+                continue
+            i += 1
+        return out
+
+    def _index_hint_pred(self, tbl_name: str, inner: list[str]) -> str | None:
+        t = self.tables[tbl_name]
+        if not inner or len(inner) < 2:
+            return None
+        col = inner[0].strip('`"')
+        rest = inner[1:]
+        pk = (t.partition_by_raw or "").strip().strip("`\"")
+        if pk and col == pk:
+            return "(" + _emit(inner) + ")"
+        sort0 = t.sort_keys[0].strip("`\" ") if t.sort_keys else ""
+        if col != sort0:
+            return None
+        # constants on the right-hand side
+        consts: list[int] = []
+        if rest[0] == "=":
+            expr = rest[1:]
+            if any(
+                _kw(x) in ("TODATETIME", "TODATE", "TODATETIME64")
+                for x in expr
+            ):
+                # DateTime constant vs integer key: KeyCondition finds
+                # no monotonic chain -> index unused -> full scan
+                return None
+            try:
+                consts = [int(_emit(expr))]
+            except ValueError:
+                r1 = dialect_sql(
+                    self.spark, "SELECT " + _emit(expr)
+                ).collect()
+                consts = [int(r1[0][0])]
+        elif _kw(rest[0]) == "IN" and len(rest) > 1 and rest[1] == "(":
+            in_toks = rest[2 : _match_paren(rest, 1)]
+            if in_toks and _kw(in_toks[0]) in ("SELECT", "WITH"):
+                rows = dialect_sql(self.spark, _emit(in_toks)).collect()
+                consts = [int(r[0]) for r in rows if r[0] is not None]
+            else:
+                consts = [
+                    int(_emit(p)) for p in _split_top(in_toks, ",")
+                ]
+        else:
+            return None
+        if not consts:
+            return "0"
+        m = re.search(
+            r"(?i)index_granularity\s*=\s*(\d+)", t.settings_raw or ""
+        )
+        gran = int(m.group(1)) if m else 8192
+        pp_sql = "0"
+        if pk:
+            pp_sql = _emit(_translate_expr(tokenize(t.partition_by_raw)))
+        col_sql = f"`{col}`"
+        g = self.spark.sql(
+            f"SELECT __pp, floor(__rn / {gran}) AS __g, "
+            f"min(__k) AS f, max(__k) AS l FROM ("
+            f"SELECT {pp_sql} AS __pp, {col_sql} AS __k, "
+            f"row_number() OVER (PARTITION BY {pp_sql} "
+            f"ORDER BY {col_sql}) - 1 AS __rn FROM `{tbl_name}`) "
+            f"GROUP BY __pp, floor(__rn / {gran}) "
+            f"ORDER BY __pp, __g"
+        ).collect()
+        if len(g) > 4096:
+            return None
+        ranges: list[tuple] = []
+        for k, row in enumerate(g):
+            nxt = g[k + 1] if k + 1 < len(g) else None
+            ub = (
+                nxt["f"] if nxt is not None and nxt["__pp"] == row["__pp"]
+                else row["l"]
+            )
+            if any(row["f"] <= c <= ub for c in consts):
+                # merge with the previous selected range when adjacent
+                if (
+                    ranges and ranges[-1][0] == row["__pp"]
+                    and ranges[-1][3] == row["__g"] - 1
+                ):
+                    ranges[-1] = (
+                        row["__pp"], ranges[-1][1], row["l"], row["__g"],
+                    )
+                else:
+                    ranges.append(
+                        (row["__pp"], row["f"], row["l"], row["__g"])
+                    )
+        if not ranges:
+            return "0"
+        if len(ranges) > 64:
+            return None
+        parts = []
+        for pp, lo, hi, _g in ranges:
+            cond = f"{col} >= {lo} AND {col} <= {hi}"
+            if pk:
+                cond = f"({t.partition_by_raw}) = {pp} AND " + cond
+            parts.append("(" + cond + ")")
+        return "(" + " OR ".join(parts) + ")"
 
     def _rewrite_star(self, toks: list[str], stmt: str) -> str:
         """``SELECT *`` must not expand MATERIALIZED/ALIAS columns.
@@ -1481,10 +1633,13 @@ class ScriptRunner:
         # column parser (they are dictionary-specific)
         expressions: dict[str, str] = {}
         cleaned: list[str] = []
+        hier_attr: str | None = None
         for part in _split_top(colpart, ","):
             if not part:
                 continue
             cname = part[0].strip('`"')
+            if any(_kw(x) == "HIERARCHICAL" for x in part):
+                hier_attr = cname
             j, kept = 1, [part[0]]
             while j < len(part):
                 if _kw(part[j]) == "EXPRESSION" and j + 1 < len(part):
@@ -1604,6 +1759,7 @@ class ScriptRunner:
             },
             "range": rng,
             "source": source_tbl,
+            "hier": hier_attr,
         }
         return None
 
