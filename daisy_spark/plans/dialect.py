@@ -380,6 +380,30 @@ def _raise_dialect(msg: str):
     raise DialectError(msg)
 
 
+def _sleep_then_zero(arg: str) -> str:
+    """sleep(n): a real capped wait — data inserted with now() must age
+    relative to a later query's now() (00746).  The per-statement guard
+    keeps re-translations (alias passes retry) from multiplying the
+    wait."""
+    import time
+
+    if _SLEPT_CTX.get():
+        return "0"
+    v = arg.strip().strip("()").rstrip("DF")
+    if re.fullmatch(r"[0-9.]+", v):
+        time.sleep(min(float(v), 3.0))
+        try:
+            _SLEPT_CTX.set(True)
+        except Exception:  # noqa: BLE001
+            pass
+    return "0"
+
+
+_SLEPT_CTX: "contextvars.ContextVar[bool]" = contextvars.ContextVar(
+    "daisy_slept_this_statement", default=False
+)
+
+
 def _bool(cond: str) -> str:
     """Reference truthiness: any nonzero number is true — Spark's
     numeric->boolean cast has exactly those semantics."""
@@ -2921,10 +2945,25 @@ def _subquery_type_env(from_toks: list[str]) -> dict[str, str]:
             continue
         if (
             from_toks[i] == "(" and i + 1 < n
-            and _kw(from_toks[i + 1]) == "SELECT"
+            and _kw(from_toks[i + 1]) in ("SELECT", "WITH")
         ):
             close = _match_paren(from_toks, i)
-            inner = from_toks[i + 2 : close]
+            grp9 = from_toks[i + 1 : close]
+            if _kw(grp9[0]) == "WITH":
+                # skip the WITH prologue to the subquery's SELECT list
+                sel9 = next(
+                    (
+                        k for k, tt in enumerate(grp9)
+                        if _paren_depth_at(grp9, k) == 0
+                        and _kw(tt) == "SELECT"
+                    ),
+                    None,
+                )
+                if sel9 is None:
+                    i = close + 1
+                    continue
+                grp9 = grp9[sel9:]
+            inner = grp9[1:]
             stop = next(
                 (
                     k for k, t in enumerate(inner)
@@ -4661,12 +4700,13 @@ FUNC_MAP: dict[str, object] = {
     "toLowCardinality": "{0}", "identity": "{0}",
     "ignore": lambda a: "0",
     # sleep caps at 3 seconds (FunctionsMiscellaneous sleep: TOO_SLOW
-    # error 160 beyond it); the wait itself is a no-op here
+    # error 160 beyond it); the wait happens at translate time so
+    # now()-relative data actually ages (00746)
     "sleep": lambda a: (
         _raise_dialect("sleep: too long")
         if re.fullmatch(r"[0-9.]+[DF]?", a[0].strip().strip("()"))
         and float(a[0].strip().strip("()").rstrip("DF")) > 3.0
-        else "0"
+        else _sleep_then_zero(a[0])
     ),
     "sleepEachRow": lambda a: (
         _raise_dialect("sleepEachRow: too long")
@@ -6630,10 +6670,13 @@ def _sequence_count_expr(p: list[str], a: list[str]) -> str:
 
 
 def _retention_expr(a: list[str]) -> str:
-    """retention(c1..cn): r[0] = any(c1); r[i] = any(c1) AND any(c_i+1)."""
-    first = f"max(if({a[0]}, 1, 0))"
+    """retention(c1..cn): r[0] = any(c1); r[i] = any(c1) AND any(c_i+1).
+    Conditions are UInt8-truthy in the reference (a literal 1 is
+    valid, 00938) — boolify each."""
+    first = f"max(if({_bool(a[0])}, 1, 0))"
     items = [f"CAST({first} AS INT)"] + [
-        f"CAST(least({first}, max(if({c}, 1, 0))) AS INT)" for c in a[1:]
+        f"CAST(least({first}, max(if({_bool(c)}, 1, 0))) AS INT)"
+        for c in a[1:]
     ]
     return f"array({', '.join(items)})"
 
@@ -7808,15 +7851,20 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 edef = _typed_default_sql(ot[6:-1])
                 if edef is None:
                     out.append(plain)
-                elif idx_lit and int(idx) == 0:
+                elif idx_lit and (
+                    int(idx) == 0 or abs(int(idx)) > 2147483647
+                ):
+                    # 0 and any index beyond INT32 can never address an
+                    # array element — the type default (01657 ubsan)
                     out.append(edef)
                 elif idx_lit:
                     # literal non-zero: only out-of-range needs the default
                     out.append(f"coalesce({plain}, {edef})")
                 else:
                     out.append(
-                        f"if(CAST({idx} AS BIGINT) = 0, {edef}, "
-                        f"coalesce(element_at({arr_sql}, "
+                        f"if(CAST({idx} AS DOUBLE) = 0 OR "
+                        f"abs(CAST({idx} AS DOUBLE)) > 2147483647D, "
+                        f"{edef}, coalesce(element_at({arr_sql}, "
                         f"CAST({idx} AS INT)), {edef}))"
                     )
             elif ot and ot.startswith("Map(") and "," in ot:
@@ -9614,10 +9662,18 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                         tmpl_arr, p, not root.startswith("quantiles")
                     )
                 elif root in ("sum", "min", "max"):
-                    # final -Merge of an all-empty state renders the
+                    # final sumMerge of an all-empty state renders the
                     # numeric default like the reference (0), while the
-                    # stored state itself stays NULL for chain/OrNull
-                    tmpl = f"coalesce({root}({{0}}), 0)"
+                    # stored state itself stays NULL for chain/OrNull;
+                    # min/max stay raw (their states may be TIMESTAMP —
+                    # 00752 — and a 0 coalesce would be ill-typed), and
+                    # combinator-suffixed merges apply -OrNull/-If at
+                    # state time so the NULL must survive (01018)
+                    tmpl = (
+                        "coalesce(sum({0}), 0)"
+                        if root == "sum" and not sufs_m
+                        else f"{root}({{0}})"
+                    )
                 elif root == "deltaSum":
                     tmpl = lambda a: _delta_sum_fold(  # noqa: E731
                         f"flatten(collect_list({a[0]}))"
@@ -9674,8 +9730,128 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
         out.append(t)
         i += 1
     return _tuple_in_pass(
-        _div_zero_pass(_date_arith_pass(_boolify_logic_operands(out)))
+        _array_in_pass(
+            _div_zero_pass(
+                _date_cmp_pass(
+                    _date_arith_pass(
+                        _boolify_logic_operands(_bool_arith_pass(out))
+                    )
+                )
+            )
+        )
     )
+
+
+def _subq_select_arity(inner: list[str]) -> int:
+    """Output-column count of a subquery's token list (0 = not a
+    SELECT); sees through the `SELECT * FROM ( ... ) __in_sq` wrapper."""
+    if not inner or _kw(inner[0]) != "SELECT":
+        return 0
+    stop9 = next(
+        (
+            k for k, x in enumerate(inner)
+            if _paren_depth_at(inner, k) == 0 and k > 0
+            and _kw(x) in ("FROM", "WHERE", "LIMIT", "SETTINGS")
+        ),
+        len(inner),
+    )
+    items9 = [p for p in _split_top(inner[1:stop9], ",") if p]
+    if len(items9) == 1 and items9[0] == ["*"] and stop9 < len(inner):
+        k8 = next(
+            (k for k in range(stop9, len(inner)) if inner[k] == "("),
+            None,
+        )
+        if k8 is not None:
+            c8 = _match_paren(inner, k8)
+            sub9 = _subq_select_arity(inner[k8 + 1 : c8])
+            if sub9:
+                return sub9
+    return len(items9)
+
+
+def _expand_paren_tokens(toks9: list[str]) -> list[str]:
+    """Re-tokenize composite '( a, b )' tokens (rendered tuple texts)
+    so the IN passes can see their members."""
+    out9: list[str] = []
+    for t9 in toks9:
+        if len(t9) > 1 and t9.startswith("(") and (
+            "," in t9 or " " in t9
+        ):
+            try:
+                out9 += tokenize(t9)
+                continue
+            except Exception:  # noqa: BLE001
+                pass
+        out9.append(t9)
+    return out9
+
+
+_ARRAY_IN_RE = re.compile(
+    r"(?is)^[\s(]*(CASE\s+WHEN\b(?=.*\b(?:sequence|slice)\s*\()|"
+    r"sequence\s*\(|slice\s*\(|split\s*\(|array_distinct\s*\(|"
+    r"array_remove\s*\(|array_compact\s*\(|flatten\s*\(|"
+    r"collect_list\s*\(|collect_set\s*\()"
+)
+
+
+def _array_in_pass(toks: list[str]) -> list[str]:
+    """``x IN <array expr>`` is set membership in the reference
+    (range(10), splitByChar, ... feed the IN set: Interpreters/Set.cpp)
+    — lower to array_contains.  A set source that references a column
+    or rand() is rejected like the reference's constant-set
+    requirement (errors 47/36, 00936)."""
+    res = list(toks)
+    i = 0
+    while i < len(res):
+        if _kw(res[i]) != "IN" or i + 1 >= len(res) or res[i + 1] != "(":
+            i += 1
+            continue
+        close = _match_paren(res, i + 1)
+        inner = res[i + 2 : close]
+        items = [p for p in _split_top(inner, ",") if p]
+        if len(items) != 1 or any(
+            _kw(x) in ("SELECT", "WITH") for x in inner
+        ):
+            i = close + 1
+            continue
+        txt = " ".join(items[0])
+        if not _ARRAY_IN_RE.match(txt):
+            i = close + 1
+            continue
+        if "`" in txt or re.search(r"(?i)\brand\s*\(", txt):
+            _raise_dialect(
+                "IN set source must be a constant expression (47)"
+            )
+        neg = False
+        l_end = i - 1
+        if l_end >= 0 and _kw(res[l_end]) == "NOT":
+            neg = True
+            l_end -= 1
+        l_start = l_end
+        left = res[l_end] if l_end >= 0 else ""
+        if left == ")":
+            d9 = 0
+            k9 = l_end
+            while k9 >= 0:
+                if res[k9] == ")":
+                    d9 += 1
+                elif res[k9] == "(":
+                    d9 -= 1
+                    if d9 == 0:
+                        break
+                k9 -= 1
+            if k9 >= 0:
+                l_start = k9
+                left = " ".join(res[k9 : l_end + 1])
+        if not left:
+            i = close + 1
+            continue
+        expr = f"array_contains({txt}, {left})"
+        if neg:
+            expr = f"(NOT {expr})"
+        res[l_start : close + 1] = [expr]
+        i = max(l_start, 0) + 1
+    return res
 
 
 def _tuple_in_pass(toks: list[str]) -> list[str]:
@@ -9685,25 +9861,187 @@ def _tuple_in_pass(toks: list[str]) -> list[str]:
     elementwise equality ORs before the tuple becomes a typed struct;
     a scalar list whose length equals the tuple arity is ONE tuple."""
     res = list(toks)
+    tni = str((_SETTINGS_CTX.get() or {}).get(
+        "transform_null_in", "0"
+    )).strip("'\" ") == "1"
     # scalar IN: drop literal NULL items — the reference's set ignores
     # them (a NULL element never matches; Spark's IN would poison the
-    # whole result to NULL instead)
+    # whole result to NULL instead).  SET transform_null_in=1 flips
+    # this: NULL becomes a matchable set member (null-safe membership,
+    # Interpreters/NullableUtils + Set.cpp transform_null_in)
     i = 0
     while i < len(res):
-        if _kw(res[i]) != "IN" or i + 1 >= len(res) or res[i + 1] != "(":
+        if _kw(res[i]) != "IN" or i + 1 >= len(res):
+            i += 1
+            continue
+        if tni and _kw(res[i + 1]) == "NULL":
+            # `x IN NULL`: the one-element {NULL} set
+            l_end9 = i - 1
+            neg9 = False
+            if l_end9 >= 0 and _kw(res[l_end9]) == "NOT":
+                neg9 = True
+                l_end9 -= 1
+            if l_end9 >= 0:
+                e9 = f"(({res[l_end9]}) IS NULL)"
+                res[l_end9 : i + 2] = [f"(NOT {e9})" if neg9 else e9]
+            i += 1
+            continue
+        if res[i + 1] != "(":
+            nxt9 = res[i + 1]
+            if (
+                len(nxt9) > 1 and nxt9.startswith("(")
+                and nxt9.endswith(")")
+                and not re.match(r"(?is)^\(\s*select\b", nxt9)
+            ):
+                # composite rendered '( ... )' token: reopen it so the
+                # set-membership shapes below can see the members
+                try:
+                    res[i + 1 : i + 2] = tokenize(nxt9)
+                    continue
+                except Exception:  # noqa: BLE001
+                    pass
+            arity9 = 0
+            if re.match(r"(?is)^\(\s*select\b", nxt9):
+                # an already-rendered IN-subquery token
+                try:
+                    sub9t = tokenize(nxt9)
+                    arity9 = _subq_select_arity(sub9t[1:-1])
+                except Exception:  # noqa: BLE001
+                    arity9 = 0
+            if arity9 > 1:
+                l_end9 = i - 1
+                neg9 = False
+                if l_end9 >= 0 and _kw(res[l_end9]) == "NOT":
+                    neg9 = True
+                    l_end9 -= 1
+                if l_end9 >= 0 and res[l_end9] != ")":
+                    left9 = res[l_end9]
+                    e9 = (
+                        "NULL" if _kw(left9) == "NULL" else "(1 = 0)"
+                    )
+                    if neg9 and e9 != "NULL":
+                        e9 = "(1 = 1)"
+                    res[l_end9 : i + 2] = [e9]
+                    i = l_end9 + 1
+                    continue
+            f9 = _tuple_text_fields(nxt9)
+            if f9 is not None:
+                # scalar IN a rendered tuple literal: membership over
+                # the tuple's fields (Set.cpp reads the tuple as a set)
+                l_end9 = i - 1
+                neg9 = False
+                if l_end9 >= 0 and _kw(res[l_end9]) == "NOT":
+                    neg9 = True
+                    l_end9 -= 1
+                if l_end9 >= 0 and res[l_end9] != ")":
+                    left9 = res[l_end9]
+                    eq9s = "<=>" if tni else "="
+                    flds9 = (
+                        f9 if tni else
+                        [x for x in f9 if x.strip().upper() != "NULL"]
+                    )
+                    ors9 = " OR ".join(
+                        f"(({left9}) {eq9s} {x})" for x in flds9
+                    ) or "(1 = 0)"
+                    e9 = f"({ors9})"
+                    res[l_end9 : i + 2] = [
+                        f"(NOT {e9})" if neg9 else e9
+                    ]
+                    i = l_end9 + 1
+                    continue
             i += 1
             continue
         close = _match_paren(res, i + 1)
-        inner = res[i + 2 : close]
+        inner = _expand_paren_tokens(res[i + 2 : close])
+        sub_inner9 = None
+        if inner and _kw(inner[0]) == "SELECT":
+            sub_inner9 = inner
+        elif (
+            inner and len(inner) == 1
+            and re.match(r"(?is)^\(?\s*select\b", inner[0])
+        ):
+            # already-rendered subquery text
+            try:
+                sub_inner9 = tokenize(inner[0])
+                if sub_inner9 and sub_inner9[0] == "(":
+                    sub_inner9 = sub_inner9[1:-1]
+            except Exception:  # noqa: BLE001
+                sub_inner9 = None
+        if sub_inner9 is not None:
+            # scalar IN a MULTI-column subquery: the reference builds a
+            # tuple set no scalar can match — NULL left gives NULL,
+            # anything else no rows (01650/01681); Spark would reject
+            # the arity outright
+            nsel9 = _subq_select_arity(sub_inner9)
+            l_end9 = i - 1
+            neg9 = False
+            if l_end9 >= 0 and _kw(res[l_end9]) == "NOT":
+                neg9 = True
+                l_end9 -= 1
+            lhs_scalar = l_end9 >= 0 and res[l_end9] != ")"
+            if nsel9 > 1 and lhs_scalar:
+                left9 = res[l_end9]
+                e9 = (
+                    "NULL" if _kw(left9) == "NULL" else "(1 = 0)"
+                )
+                if neg9 and e9 != "NULL":
+                    e9 = "(1 = 1)"
+                res[l_end9 : close + 1] = [e9]
+                i = l_end9 + 1
+                continue
         if any(_kw(x) in ("SELECT", "WITH") for x in inner) or not any(
             _kw(x) == "NULL" for x in inner
         ):
             i = close + 1
             continue
+        all_items = [it for it in _split_top(inner, ",") if it]
         items = [
-            it for it in _split_top(inner, ",")
-            if it and not (len(it) == 1 and _kw(it[0]) == "NULL")
+            it for it in all_items
+            if not (len(it) == 1 and _kw(it[0]) == "NULL")
         ]
+        if tni and len(items) != len(all_items):
+            # null-safe membership — but only for a SCALAR left operand
+            # (a multi-element paren group is the tuple pass's job)
+            l_end9 = i - 1
+            neg9 = False
+            if l_end9 >= 0 and _kw(res[l_end9]) == "NOT":
+                neg9 = True
+                l_end9 -= 1
+            l_start9 = l_end9
+            left9 = res[l_end9] if l_end9 >= 0 else ""
+            if left9 == ")":
+                d9 = 0
+                k9 = l_end9
+                while k9 >= 0:
+                    if res[k9] == ")":
+                        d9 += 1
+                    elif res[k9] == "(":
+                        d9 -= 1
+                        if d9 == 0:
+                            break
+                    k9 -= 1
+                if k9 >= 0 and len(
+                    _split_top(res[k9 + 1 : l_end9], ",")
+                ) == 1:
+                    l_start9 = k9
+                    left9 = " ".join(res[k9 : l_end9 + 1])
+                else:
+                    left9 = ""  # tuple LHS: leave for the tuple pass
+            if left9 and left9 != ",":
+                in9 = (
+                    f"({left9}) IN ("
+                    + ", ".join(_emit(it) for it in items) + ")"
+                    if items else "(1 = 0)"
+                )
+                e9 = f"(({in9}) OR ({left9}) IS NULL)"
+                res[l_start9 : close + 1] = [
+                    f"(NOT {e9})" if neg9 else e9
+                ]
+                i = l_start9 + 1
+                continue
+            # tuple LHS: keep the NULL members for the tuple pass
+            i = close + 1
+            continue
         if not items:
             i = close + 1
             continue
@@ -9716,13 +10054,21 @@ def _tuple_in_pass(toks: list[str]) -> list[str]:
         i += 1
     i = 0
     while i < len(res):
-        if res[i] != "(":
-            i += 1
-            continue
-        lclose = _match_paren(res, i)
-        elems = [
-            _emit(p) for p in _split_top(res[i + 1 : lclose], ",") if p
-        ]
+        if res[i] == "(":
+            lclose = _match_paren(res, i)
+            elems = [
+                _emit(p)
+                for p in _split_top(res[i + 1 : lclose], ",") if p
+            ]
+        else:
+            # an already-rendered tuple literal (named_struct token)
+            # is an equally valid tuple LHS (01507/01558)
+            flds_l = _tuple_text_fields(res[i])
+            if not flds_l or len(flds_l) < 2:
+                i += 1
+                continue
+            lclose = i
+            elems = flds_l
         if len(elems) < 2:
             i += 1
             continue
@@ -9739,7 +10085,7 @@ def _tuple_in_pass(toks: list[str]) -> list[str]:
             i += 1
             continue
         close = _match_paren(res, j)
-        inner = res[j + 1 : close]
+        inner = _expand_paren_tokens(res[j + 1 : close])
         if any(_kw(x) in ("SELECT", "WITH") for x in inner):
             i += 1
             continue
@@ -9761,7 +10107,9 @@ def _tuple_in_pass(toks: list[str]) -> list[str]:
         if len(items) == len(elems) and not all(
             _is_tuple_member(it) for it in items
         ):
-            if any(len(it) == 1 and _kw(it[0]) == "NULL" for it in items):
+            if not tni and any(
+                len(it) == 1 and _kw(it[0]) == "NULL" for it in items
+            ):
                 i += 1
                 continue
             row0: list[str] = []
@@ -9825,21 +10173,26 @@ def _tuple_in_pass(toks: list[str]) -> list[str]:
                 if not ok:
                     i += 1
                     continue
-            # set rows carrying literal NULL elements never match
-            rows = [
-                r for r in rows
-                if not any(x.strip().upper() == "NULL" for x in r)
-            ]
+            # set rows carrying literal NULL elements never match —
+            # unless transform_null_in makes NULL a matchable member
+            if not tni:
+                rows = [
+                    r for r in rows
+                    if not any(x.strip().upper() == "NULL" for x in r)
+                ]
+        eq9 = "<=>" if tni else "="
         ors = " OR ".join(
             "(" + " AND ".join(
-                f"({le} = {re_})" for le, re_ in zip(elems, row)
+                f"({le} {eq9} {re_})" for le, re_ in zip(elems, row)
             ) + ")"
             for row in rows
         ) or "(1 = 0)"
-        # a left tuple with a NULL element compares as NULL (the
-        # reference's tuple IN is NULL-propagating on the LEFT side)
-        null_guard = " OR ".join(f"(({e}) IS NULL)" for e in elems)
-        ors = f"CASE WHEN {null_guard} THEN NULL ELSE ({ors}) END"
+        if not tni:
+            # a left tuple with a NULL element compares as NULL (the
+            # reference's tuple IN is NULL-propagating on the LEFT
+            # side); null-safe mode has no propagation
+            null_guard = " OR ".join(f"(({e}) IS NULL)" for e in elems)
+            ors = f"CASE WHEN {null_guard} THEN NULL ELSE ({ors}) END"
         expr = f"(NOT ({ors}))" if neg else f"({ors})"
         res[i : close + 1] = [expr]
         i += 1
@@ -10103,24 +10456,66 @@ def _date_arith_pass(toks: list[str]) -> list[str]:
         if op not in ("+", "-"):
             i += 1
             continue
-        left, right = res[i - 1], res[i + 1]
+        # absorb a parenthesized LEFT group: `( ts ) - n` arrives as
+        # separate tokens after WITH-alias inlining
+        l_start = i - 1
+        left = res[i - 1]
+        if left == ")":
+            d9 = 0
+            k9 = i - 1
+            while k9 >= 0:
+                if res[k9] == ")":
+                    d9 += 1
+                elif res[k9] == "(":
+                    d9 -= 1
+                    if d9 == 0:
+                        break
+                k9 -= 1
+            if k9 >= 0:
+                l_start = k9
+                left = " ".join(res[k9:i])
+        right = res[i + 1]
         r_end = i + 1
+        if right == "(" :
+            c9 = _match_paren(res, i + 1)
+            right = " ".join(res[i + 1 : c9 + 1])
+            r_end = c9
         # higher-precedence chain on the right binds first: absorb
         # `date + b % c` as date + (b % c)
-        if i + 2 < len(res) and res[i + 2] in ("*", "/", "%"):
+        if r_end + 1 < len(res) and res[r_end + 1] in ("*", "/", "%"):
             if _dt_kind(left):
-                j2 = i + 1
+                j2 = r_end
                 while j2 + 2 < len(res) and res[j2 + 1] in ("*", "/", "%"):
                     j2 += 2
+                    if res[j2] == "(":
+                        j2 = _match_paren(res, j2)
                 right = "(" + " ".join(res[i + 1 : j2 + 1]) + ")"
                 r_end = j2
             else:
                 i += 1
                 continue
-        if i - 2 >= 0 and res[i - 2] in ("*", "/", "%"):
+        if l_start - 1 >= 0 and res[l_start - 1] in ("*", "/", "%"):
             i += 1
             continue
         lk, rk = _dt_kind(left), _dt_kind(right)
+        # additive chain ending in an interval literal: `ts - INTERVAL
+        # '10' MINUTE + n` — the chain's kind is its leading operand's
+        if (
+            lk is None
+            and _kw(left) in (
+                "SECOND", "MINUTE", "HOUR", "DAY", "WEEK", "MONTH",
+                "QUARTER", "YEAR",
+            )
+            and l_start >= 4
+            and _kw(res[l_start - 2]) == "INTERVAL"
+            and res[l_start - 3] in ("+", "-")
+        ):
+            lead8 = res[l_start - 4]
+            lk8 = _dt_kind(lead8)
+            if lk8:
+                left = " ".join(res[l_start - 4 : i])
+                l_start = l_start - 4
+                lk = lk8
         repl = None
         if lk and rk and op == "-":
             if lk == "date" and rk == "date":
@@ -10150,10 +10545,132 @@ def _date_arith_pass(toks: list[str]) -> list[str]:
                     f"({right} + make_interval(0, 0, 0, 0, 0, 0, {left}))"
                 )
         if repl is not None:
-            res[i - 1 : r_end + 1] = [repl]
-            i = max(i - 1, 1)
+            res[l_start : r_end + 1] = [repl]
+            i = max(l_start, 1)
         else:
             i += 1
+    return res
+
+
+_CMP_OPS_DT = {"<", ">", "<=", ">=", "=", "==", "!=", "<>"}
+
+
+def _bool_arith_pass(toks: list[str]) -> list[str]:
+    """Reference comparisons are UInt8, so ``(a > b) + 1`` is plain
+    arithmetic (01855) — Spark's boolean can't add.  Wrap a
+    parenthesized group that contains a top-level comparison in
+    CAST(... AS INT) when it is an operand of +|-|*."""
+    res = list(toks)
+
+    def _has_cmp(inner: list[str]) -> bool:
+        d9 = 0
+        for t9 in inner:
+            if t9 == "(":
+                d9 += 1
+            elif t9 == ")":
+                d9 -= 1
+            elif d9 == 0:
+                if t9 in _CMP_OPS_DT:
+                    return True
+                if _kw(t9) in (
+                    "AND", "OR", "CASE", "SELECT", "BETWEEN", ",",
+                ):
+                    return False
+        return False
+
+    i = 1
+    while i < len(res) - 1:
+        if res[i] not in ("+", "-", "*"):
+            i += 1
+            continue
+        if res[i - 1] == ")":
+            d9 = 0
+            k9 = i - 1
+            while k9 >= 0:
+                if res[k9] == ")":
+                    d9 += 1
+                elif res[k9] == "(":
+                    d9 -= 1
+                    if d9 == 0:
+                        break
+                k9 -= 1
+            if k9 >= 0 and _has_cmp(res[k9 + 1 : i - 1]):
+                res[k9 : i] = [
+                    "CAST(" + " ".join(res[k9:i]) + " AS INT)"
+                ]
+                i = k9 + 1
+                continue
+        if i + 1 < len(res) and res[i + 1] == "(":
+            c9 = _match_paren(res, i + 1)
+            if _has_cmp(res[i + 2 : c9]):
+                res[i + 1 : c9 + 1] = [
+                    "CAST(" + " ".join(res[i + 1 : c9 + 1]) + " AS INT)"
+                ]
+        i += 1
+    return res
+
+
+def _date_cmp_pass(toks: list[str]) -> list[str]:
+    """The reference compares a NUMBER with a DateTime against the
+    epoch-seconds value (DateTime IS UInt32) — Spark rejects the mixed
+    comparison.  When one comparison operand is a visible timestamp
+    producer and the other is numeric (by literal shape or inferred
+    reference type), unwrap the timestamp side to unix_timestamp."""
+    res = list(toks)
+    env = _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+    i = 1
+    while i < len(res) - 1:
+        if res[i] not in _CMP_OPS_DT:
+            i += 1
+            continue
+        left, right = res[i - 1], res[i + 1]
+        # Map equality: Spark's EqualTo can't order maps — compare the
+        # sorted entry lists (01803).  A `map ( ... )` literal arrives
+        # as separate tokens; absorb the group
+        if res[i] in ("=", "==", "!=", "<>"):
+            r_is_map = re.match(r"(?i)^map\s*\(", right) or (
+                _kw(right) == "MAP" and i + 2 < len(res)
+                and res[i + 2] == "("
+            )
+            l_is_map = re.match(r"(?i)^map\s*\(", left)
+            if r_is_map or l_is_map:
+                if (
+                    _kw(right) == "MAP" and i + 2 < len(res)
+                    and res[i + 2] == "("
+                ):
+                    c9m = _match_paren(res, i + 2)
+                    rtxt = " ".join(res[i + 1 : c9m + 1])
+                    res[i + 1 : c9m + 1] = [
+                        f"sort_array(map_entries({rtxt}))"
+                    ]
+                else:
+                    res[i + 1] = f"sort_array(map_entries({right}))"
+                res[i - 1] = f"sort_array(map_entries({left}))"
+                i += 1
+                continue
+        lk = _dt_kind(left) == "ts"
+        rk = _dt_kind(right) == "ts"
+        if lk == rk:
+            i += 1
+            continue
+        other = right if lk else left
+        if other[:1] in "'\"":
+            i += 1
+            continue
+        num = bool(re.fullmatch(r"-?\d+(\.\d+)?", other))
+        if not num and _is_ident(other):
+            t9 = _ch_type_of([other], env)
+            num = bool(
+                t9 and re.match(
+                    r"(?:Nullable\()?(UInt|Int|Float|Decimal)", t9
+                )
+            )
+        if not num:
+            i += 1
+            continue
+        j = i - 1 if lk else i + 1
+        res[j] = f"unix_timestamp({res[j]})"
+        i += 1
     return res
 
 
@@ -12802,12 +13319,35 @@ def _render_core(q: _Select) -> str:
         lo = spec["from"] or f"(SELECT min({col}) FROM ( {inner} ))"
         hi = spec["to"] or f"(SELECT max({col}) FROM ( {inner} ))"
         step = spec["step"] or "1"
-        grid = (
-            f"SELECT explode(sequence(CAST(({lo}) AS BIGINT), "
-            f"CAST(({hi}) AS BIGINT), CAST(({step}) AS BIGINT))) AS {col}"
-        )
+        # a Date/DateTime fill key grids over dates (sequence with a
+        # day/second interval step) — casting to BIGINT would make the
+        # join key incomparable with the column (00995/01034)
+        env_g = _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+        tc_g = _ch_type_of(tokenize(col.strip("`")), env_g) or ""
+        base_g = _ch_unwrap(tc_g)
+        if base_g == "Date" or _dt_kind(lo) == "date":
+            grid = (
+                f"SELECT explode(sequence(CAST(({lo}) AS DATE), "
+                f"CAST(({hi}) AS DATE), "
+                f"make_interval(0, 0, 0, CAST(({step}) AS INT)))) AS {col}"
+            )
+        elif base_g.startswith("DateTime") or _dt_kind(lo) == "ts":
+            grid = (
+                f"SELECT explode(sequence(CAST(({lo}) AS TIMESTAMP), "
+                f"CAST(({hi}) AS TIMESTAMP), make_interval(0, 0, 0, 0, "
+                f"0, 0, CAST(({step}) AS INT)))) AS {col}"
+            )
+        else:
+            grid = (
+                f"SELECT explode(sequence(CAST(({lo}) AS BIGINT), "
+                f"CAST(({hi}) AS BIGINT), CAST(({step}) AS BIGINT))) AS {col}"
+            )
         if spec["to"]:
-            grid = f"SELECT {col} FROM ( {grid} ) WHERE {col} < ({spec['to']})"
+            cmp_g = ">" if desc else "<"
+            grid = (
+                f"SELECT {col} FROM ( {grid} ) "
+                f"WHERE {col} {cmp_g} ({spec['to']})"
+            )
         names = _select_out_names(q.select)
         # generated rows carry the TYPE DEFAULT in non-key columns
         # (FillingTransform uses column defaults, not NULL)
@@ -15274,6 +15814,7 @@ def _wrap_in_subqueries(sql_text: str) -> str:
 def sql(spark, query: str):
     """Run reference-dialect SQL on a SparkSession (tables must be
     registered as views, e.g. via Catalog.register_dir)."""
+    _SLEPT_CTX.set(False)
     res = translate(query)
     if res.settings:
         from daisy_spark.session import apply_settings

@@ -208,9 +208,20 @@ _DIGIT_STR = re.compile(r"^'\d+'$")
 def _cast_sql(val: str, spark_type: str) -> str:
     """CH-compatible cast of a translated value expression: an all-digit
     string inserted into DateTime is a unix timestamp (the reference's
-    parseDateTime accepts numeric strings)."""
-    if spark_type.upper() == "TIMESTAMP" and _DIGIT_STR.match(val.strip()):
+    parseDateTime accepts numeric strings); an integer into Date is
+    days-since-epoch mod 2^16 (Date IS a UInt16 day number), an integer
+    into DateTime is unix seconds (FunctionsConversion.h)."""
+    up = spark_type.upper()
+    if up == "TIMESTAMP" and _DIGIT_STR.match(val.strip()):
         return f"timestamp_seconds({val.strip()[1:-1]})"
+    m_int = re.fullmatch(r"[(\s]*(-?\d+)[)\s]*", val)
+    if m_int:
+        if up == "DATE":
+            return (
+                f"DATE_ADD(DATE '1970-01-01', {int(m_int.group(1)) % 65536})"
+            )
+        if up == "TIMESTAMP":
+            return f"timestamp_seconds({m_int.group(1)})"
     return f"CAST(({val}) AS {spark_type})"
 
 
@@ -632,6 +643,43 @@ class ScriptRunner:
             if any(_kw(tk) == "INDEXHINT" for tk in toks):
                 toks = self._rewrite_index_hint(toks)
                 stmt = _emit(toks)
+            if str(self.settings.get(
+                "force_primary_key", "0"
+            )).strip("'\" ") == "1":
+                # SET force_primary_key: reject selects whose WHERE
+                # doesn't constrain the table's primary key (error 277)
+                for j9, tk9 in enumerate(toks):
+                    if _kw(tk9) != "FROM" or j9 + 1 >= len(toks):
+                        continue
+                    t9f = self.tables.get(toks[j9 + 1].strip('`"'))
+                    if t9f is None or not t9f.sort_keys:
+                        continue
+                    w9 = next(
+                        (
+                            k for k, x in enumerate(toks)
+                            if _kw(x) in ("WHERE", "PREWHERE")
+                        ),
+                        None,
+                    )
+                    pk9 = {k.strip('`" ') for k in t9f.sort_keys}
+                    # an ALIAS column defined over a primary-key column
+                    # constrains the key too (01835)
+                    for c9f in t9f.cols:
+                        if (
+                            getattr(c9f, "default_kind", "") == "ALIAS"
+                            and any(
+                                p9 in (c9f.default_raw or "")
+                                for p9 in pk9
+                            )
+                        ):
+                            pk9.add(c9f.name)
+                    if w9 is None or not any(
+                        x.strip('`"') in pk9 for x in toks[w9:]
+                    ):
+                        raise DialectError(
+                            "Primary key is not used and setting "
+                            "force_primary_key is set (277)"
+                        )
             merge_tables = {
                 nm: t.merge_pattern
                 for nm, t in self.tables.items() if t.merge_pattern
@@ -1310,6 +1358,17 @@ class ScriptRunner:
                     # date/sample/granularity args carry no read semantics
                     gi = gran[0]
                     if gi >= 2:
+                        # the leading date column carries BY-MONTH
+                        # partition semantics (legacy MergeTree always
+                        # partitions by toYYYYMM of its first arg) —
+                        # _partition_id must render the 197004 form
+                        d_arg = raw_args[0]
+                        if len(d_arg) == 1 and _is_ident(d_arg[0]):
+                            d9l = d_arg[0].strip('`"')
+                            partition_by = (
+                                f"date_format(`{d9l}`, 'yyyyMM')"
+                            )
+                            partition_by_raw = f"toYYYYMM({d9l})"
                         # pk is the arg just before granularity: a tuple
                         # or a single bare expression (date/sampling
                         # args before it carry partition semantics only)
@@ -2089,8 +2148,74 @@ class ScriptRunner:
             for f in t.df.columns
         ])
 
+    #: conversions with identical in-memory layout — the only MODIFYs
+    #: allow_non_metadata_alters=0 permits (AlterCommands.cpp
+    #: isMetadataOnlyConversion): same type, reinterpret-equal widths,
+    #: and Enum value APPENDS (checked separately)
+    _META_ONLY_PAIRS = {
+        ("UInt16", "Date"), ("Date", "UInt16"),
+        ("UInt32", "DateTime"), ("DateTime", "UInt32"),
+        ("Int32", "UInt32"), ("UInt32", "Int32"),
+        ("Int64", "UInt64"), ("UInt64", "Int64"),
+        ("Int16", "UInt16"), ("UInt16", "Int16"),
+        ("Int8", "UInt8"), ("UInt8", "Int8"),
+    }
+
+    def _check_metadata_only(self, t: _Table, a: list[str]) -> None:
+        """SET allow_non_metadata_alters=0: reject alters that would
+        rewrite data (reference error 524 ALTER_OF_COLUMN_IS_FORBIDDEN);
+        metadata-only conversions and Enum appends pass."""
+        if str(self.settings.get(
+            "allow_non_metadata_alters", "1"
+        )).strip("'\" ") != "0":
+            return
+        op = _kw(a[0])
+        sub = _kw(a[1]) if len(a) > 1 else ""
+        if (op, sub) in (("DROP", "COLUMN"), ("RENAME", "COLUMN")):
+            raise DialectError(
+                "ALTER of column is forbidden: non-metadata alter (524)"
+            )
+        if (op, sub) != ("MODIFY", "COLUMN"):
+            return
+        j = 2
+        if j + 1 < len(a) and _kw(a[j]) == "IF" and _kw(a[j + 1]) == "EXISTS":
+            j += 2
+        cname9 = a[j].strip('`"')
+        rest9 = a[j + 1 :]
+        col9 = next((c for c in t.cols if c.name == cname9), None)
+        if col9 is None or not rest9:
+            return
+        if _kw(rest9[0]) in ("DEFAULT", "MATERIALIZED", "ALIAS", "COMMENT"):
+            return  # default-only change: metadata
+        if any(
+            _kw(x) == "TTL" and _paren_depth_at(rest9, k9) == 0
+            for k9, x in enumerate(rest9)
+        ) and str(self.settings.get(
+            "materialize_ttl_after_modify", "1"
+        )).strip("'\" ") != "0":
+            raise DialectError(
+                "ALTER of column is forbidden: TTL materialization (524)"
+            )
+        _, consumed9 = _map_type(rest9, 0)
+        new_ch = _render_compact(rest9[:consumed9])
+        old_ch = col9.ch_type or ""
+        o9, n9 = old_ch.strip(), new_ch.strip()
+        if o9 == n9 or (o9, n9) in self._META_ONLY_PAIRS:
+            return
+        if o9.startswith("Enum") and n9.startswith("Enum"):
+            olds = dict(re.findall(r"'((?:[^'\\]|\\.)*)'\s*=\s*(-?\d+)", o9))
+            news = dict(re.findall(r"'((?:[^'\\]|\\.)*)'\s*=\s*(-?\d+)", n9))
+            if o9[:5] == n9[:5] and all(
+                news.get(k9e) == v9e for k9e, v9e in olds.items()
+            ):
+                return  # pure value append: metadata-only
+        raise DialectError(
+            "ALTER of column is forbidden: non-metadata conversion (524)"
+        )
+
     def _alter_action(self, t: _Table, a: list[str]) -> None:
         op = _kw(a[0])
+        self._check_metadata_only(t, a)
         j = 1
         if op == "ADD" and j < len(a) and _kw(a[j]) == "COLUMN":
             j += 1
@@ -2242,7 +2367,28 @@ class ScriptRunner:
                     _type_default(spark_type, col.nullable)
                 ).cast(spark_type)
             else:
-                new_val = F.col(f"`{cname}`").cast(spark_type)
+                old_st = next(
+                    (
+                        f.dataType.simpleString()
+                        for f in (t.df.schema if t.df is not None else [])
+                        if f.name == cname
+                    ),
+                    "",
+                )
+                ints_m = ("tinyint", "smallint", "int", "bigint")
+                # integer -> Date/DateTime conversions read day numbers /
+                # unix seconds like the reference (FunctionsConversion.h)
+                if spark_type.lower() == "date" and old_st in ints_m:
+                    new_val = F.expr(
+                        f"DATE_ADD(DATE '1970-01-01', "
+                        f"CAST(pmod(`{cname}`, 65536) AS INT))"
+                    )
+                elif (
+                    spark_type.lower() == "timestamp" and old_st in ints_m
+                ):
+                    new_val = F.expr(f"timestamp_seconds(`{cname}`)")
+                else:
+                    new_val = F.col(f"`{cname}`").cast(spark_type)
             fs = re.match(r"FixedString\((\d+)\)", col.ch_type)
             if fs:
                 # FixedString(n) pads stored values to width with NULs
@@ -2764,13 +2910,47 @@ class ScriptRunner:
             # position); rename first so duplicate source column names
             # (e.g. `toString(x) AS s, s`) can't make F.col ambiguous
             src = src.toDF(*[f"__ins{x}" for x in range(len(src.columns))])
-            sel = [
-                F.col(f"__ins{x}").cast(by_name[tc].spark_type).alias(tc)
-                for x, tc in zip(range(len(src.columns)), target_cols)
-            ]
+            ints9 = ("tinyint", "smallint", "int", "bigint")
+            sel = []
+            for x, tc in zip(range(len(src.columns)), target_cols):
+                ty9 = by_name[tc].spark_type.lower()
+                st9 = src.schema[x].dataType.simpleString()
+                # integer sources into Date/DateTime follow the
+                # reference's day-number / unix-seconds reading
+                if ty9 == "date" and st9 in ints9:
+                    sel.append(F.expr(
+                        f"DATE_ADD(DATE '1970-01-01', "
+                        f"CAST(pmod(`__ins{x}`, 65536) AS INT))"
+                    ).alias(tc))
+                elif ty9 == "timestamp" and st9 in ints9:
+                    sel.append(
+                        F.expr(f"timestamp_seconds(`__ins{x}`)").alias(tc)
+                    )
+                else:
+                    sel.append(
+                        F.col(f"__ins{x}").cast(by_name[tc].spark_type)
+                        .alias(tc)
+                    )
             batch = self._fill_defaults(t, src.select(*sel), target_cols)
         else:
             raise DialectError("INSERT requires VALUES or SELECT")
+        # an inserted now()/rand()/uuid expression must FREEZE at insert
+        # time — lazy plans would re-evaluate it at every later query
+        # (00746: rows inserted with now() must age)
+        if any(
+            _kw(x) in (
+                "NOW", "NOW64", "TODAY", "YESTERDAY", "RAND", "RAND64",
+                "RANDCONSTANT", "GENERATEUUIDV4", "RANDOMSTRING",
+                "RANDOMFIXEDSTRING", "RANDOMSTRINGUTF8", "FUZZBITS",
+            )
+            for x in toks
+        ):
+            try:
+                batch = batch.localCheckpoint(eager=True)
+            except Exception:  # noqa: BLE001
+                batch = self.spark.createDataFrame(
+                    batch.collect(), batch.schema
+                )
         for cexpr in t.constraints:
             from daisy_spark.plans.dialect import _translate_expr
 
@@ -2912,6 +3092,17 @@ class ScriptRunner:
         insertion order preserved on ties (MergeTreeDataWriter sorts each
         block stably by the sorting key)."""
         keys = [k for k in t.sort_keys if k and k != "tuple ( )"]
+        # a Map sorting key is unsortable in Spark — sort by its entry
+        # list instead (same key order semantics at this granularity)
+        map_cols = {
+            f.name for f in batch.schema
+            if f.dataType.simpleString().startswith("map<")
+        }
+        keys = [
+            f"sort_array(map_entries(`{k9s}`))"
+            if (k9s := k.strip('`" ')) in map_cols else k
+            for k in keys
+        ]
         batch = batch.coalesce(1)
         if keys:
             batch = (

@@ -472,7 +472,7 @@ ORACLE_DIALECT_SQL = """
 SELECT hour, purchases, hot_value FROM (
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
            count(*) FILTER (event_type = 'purchase') AS purchases,
-           round(sum(value) FILTER (CAST(json_extract_string(props, '$.k') AS BIGINT) > 50), 2) AS hot_value,
+           round(coalesce(sum(value) FILTER (CAST(json_extract_string(props, '$.k') AS BIGINT) > 50), 0), 2) AS hot_value,
            row_number() OVER (PARTITION BY count(*) FILTER (event_type = 'purchase')
                               ORDER BY count(*) FILTER (event_type = 'purchase') DESC,
                                        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')) AS rn
