@@ -3419,6 +3419,111 @@ def _array_resize(a: list[str]) -> str:
     )
 
 
+def _neighbor_expr(a: list[str]) -> str:
+    """neighbor(x, offset[, default]) — src/Functions/neighbor.cpp."""
+    if len(a) < 2 or len(a) > 3:
+        _raise_dialect("neighbor: wrong argument count (42)")
+    off = a[1].strip()
+    if re.search(r"(?i)\bNULL\b", off):
+        # the reference rejects Nullable offsets (error 43)
+        _raise_dialect("neighbor: offset must not be Nullable (43)")
+    if len(a) > 2 and a[2].strip().startswith("'"):
+        t9n = _ch_type_of(
+            [a[0].strip().strip("`")],
+            _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT,
+        )
+        if t9n and re.match(r"(?:Nullable\()?(UInt|Int|Float)", t9n):
+            # string default for a numeric source (error 386)
+            _raise_dialect("neighbor: default type mismatch (386)")
+    if len(a) > 2 and re.fullmatch(r"\(*\s*-\s*\d+\s*\)*", a[2].strip()):
+        t9n = _ch_type_of(
+            [a[0].strip().strip("`")],
+            _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT,
+        )
+        if t9n and _ch_unwrap(t9n).startswith("UInt"):
+            # negative default for an unsigned source: no common
+            # supertype (error 386)
+            _raise_dialect("neighbor: no common supertype (386)")
+    # no explicit default: the TYPE default — NULL when the source is
+    # visibly nullable, else 0
+    dflt = (
+        a[2] if len(a) > 2
+        else ("NULL" if re.search(r"(?i)\bNULL\b", a[0]) else "0")
+    )
+    m = re.fullmatch(r"\(*\s*(-?\s*\d+)\s*\)*", off)
+    if m:
+        k9 = int(m.group(1).replace(" ", ""))
+        if abs(k9) > 2147483647:
+            # offsets beyond the block bound (error 69, 01353)
+            _raise_dialect("neighbor: offset out of bounds (69)")
+        fn9 = "lead" if k9 >= 0 else "lag"
+        return (
+            f"{fn9}({a[0]}, {abs(k9)}, {dflt}) OVER "
+            f"(ORDER BY monotonically_increasing_id())"
+        )
+    if re.search(r"(?i)\brand(64)?\s*\(", off):
+        # a rand-driven offset exceeds the bound almost surely —
+        # the reference rejects it the same way (01353)
+        _raise_dialect("neighbor: offset out of bounds (69)")
+    # dynamic offset: index into the full column (struct-wrapped so
+    # collect_list keeps NULL elements)
+    full = (
+        f"collect_list(named_struct('v', {a[0]})) OVER "
+        f"(ORDER BY monotonically_increasing_id() "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    )
+    rn = "row_number() OVER (ORDER BY monotonically_increasing_id())"
+    pos = f"({rn} + CAST({off} AS BIGINT))"
+    return (
+        f"IF({pos} >= 1 AND {pos} <= size({full}), "
+        f"element_at({full}, CAST({pos} AS INT)).v, {dflt})"
+    )
+
+
+def _array_split_expr_c(a: list[str], reverse: bool) -> str:
+    """arraySplit / arrayReverseSplit (src/Functions/array/arraySplit.cpp):
+    a true lambda value starts a new piece at that element (split on the
+    LEFT); the Reverse form ends the piece there (split on the RIGHT)."""
+    lam = a[0]
+    arrs = a[1:]
+    if len(arrs) == 1:
+        flags = f"transform({arrs[0]}, {lam})"
+    elif len(arrs) == 2:
+        flags = f"zip_with({arrs[0]}, {arrs[1]}, {lam})"
+    else:
+        flags = (
+            f"transform(sequence(1, size({arrs[0]})), __zi -> "
+            + _inline_lambda(lam, *[
+                f"element_at({x}, CAST(__zi AS INT))" for x in arrs
+            ]) + ")"
+        )
+    arr = arrs[0]
+    n = f"size({arr})"
+    fl = f"CAST(element_at({flags}, CAST(__si AS INT)) AS BOOLEAN)"
+    if not reverse:
+        starts = f"filter(sequence(1, {n}), __si -> __si = 1 OR {fl})"
+        at = f"element_at({starts}, CAST(__sk AS INT))"
+        nxt = (
+            f"IF(__sk < size({starts}), "
+            f"element_at({starts}, CAST(__sk AS INT) + 1), {n} + 1)"
+        )
+        return (
+            f"IF({n} = 0, array(), "
+            f"transform(sequence(1, size({starts})), __sk -> "
+            f"slice({arr}, {at}, {nxt} - {at})))"
+        )
+    ends = f"filter(sequence(1, {n}), __si -> __si = {n} OR {fl})"
+    at = f"element_at({ends}, CAST(__sk AS INT))"
+    prev = (
+        f"IF(__sk = 1, 0, element_at({ends}, CAST(__sk AS INT) - 1))"
+    )
+    return (
+        f"IF({n} = 0, array(), "
+        f"transform(sequence(1, size({ends})), __sk -> "
+        f"slice({arr}, {prev} + 1, {at} - {prev})))"
+    )
+
+
 def _inline_lambda(lam: str, *exprs: str) -> str:
     """Inline a translated SQL lambda ``(x, y) -> body`` by substituting
     the given expressions for its parameters (word-boundary replace)."""
@@ -5207,7 +5312,20 @@ FUNC_MAP: dict[str, object] = {
     "has": "exists({0}, __hb -> __hb = {1})", "indexOf": "array_position({0}, {1})",
     "countEqual": "size(filter({0}, __e -> __e <=> {1}))",
     "arrayJoin": "explode({0})",
-    "arrayMap": "transform({1}, {0})",
+    # multi-array arrayMap zips (ArrayMapped in the reference); 3+
+    # arrays index-walk with the lambda inlined per element
+    "arrayMap": lambda a: (
+        f"transform({a[1]}, {a[0]})" if len(a) == 2
+        else f"zip_with({a[1]}, {a[2]}, {a[0]})" if len(a) == 3
+        else (
+            f"transform(sequence(1, size({a[1]})), __zi -> "
+            + _inline_lambda(a[0], *[
+                f"element_at({x}, CAST(__zi AS INT))" for x in a[1:]
+            ]) + ")"
+        )
+    ),
+    "arraySplit": lambda a: _array_split_expr_c(a, reverse=False),
+    "arrayReverseSplit": lambda a: _array_split_expr_c(a, reverse=True),
     # reference HOF predicates return UInt8 — Spark's demand BOOLEAN, so
     # the lambda body gets a boolean cast (FunctionsHigherOrder.h)
     "arrayFilter": lambda a: f"filter({a[1]}, {_bool_lambda(a[0])})",
@@ -5876,17 +5994,9 @@ FUNC_MAP: dict[str, object] = {
         else f"ch_yandex_hash(CAST({a[0]} AS STRING), CAST({a[1]} AS INT))"
     ),
     # neighbor(x, offset[, default]): value offset rows away in stream
-    # order (src/Functions/neighbor.cpp)
-    "neighbor": lambda a: (
-        f"lead({a[0]}, {a[1]}, {a[2] if len(a) > 2 else '0'}) OVER "
-        f"(ORDER BY monotonically_increasing_id())"
-        if not a[1].lstrip("(").startswith("-")
-        else (
-            f"lag({a[0]}, {a[1].strip('()').lstrip('-')}, "
-            f"{a[2] if len(a) > 2 else '0'}) OVER "
-            f"(ORDER BY monotonically_increasing_id())"
-        )
-    ),
+    # order (src/Functions/neighbor.cpp); a non-constant offset indexes
+    # into the whole collected column (lead/lag demand a constant)
+    "neighbor": lambda a: _neighbor_expr(a),
     "runningAccumulate": lambda a: (
         # set states (collect_set/collect_list renderings) accumulate by
         # running union; numeric states by running sum
@@ -6738,7 +6848,9 @@ def _quantile_exclusive_expr(p: list[str], a: list[str], single: bool) -> str:
     return f"array({', '.join(one(lv) for lv in p)})"
 
 
-def _quantile_exact_weighted_expr(p: list[str], a: list[str], single: bool) -> str:
+def _quantile_exact_weighted_expr(
+    p: list[str], a: list[str], single: bool, from_arrays: bool = False
+) -> str:
     """quantileExactWeighted (QuantileExactWeighted.h:75-123): DISCRETE
     selection — sort by value, threshold = ceil(level * total_weight),
     return the first value whose cumulative weight reaches the threshold
@@ -6746,10 +6858,19 @@ def _quantile_exact_weighted_expr(p: list[str], a: list[str], single: bool) -> s
     weights (1,1) at level 0.5 give 1, not 1.5.  The scan yields a 1-based
     index so the accumulator needs no value-typed NULL; the element keeps
     its input type (the reference returns Value, not Float64)."""
-    s = (
-        f"array_sort(collect_list(named_struct("
-        f"'v', {a[0]}, 'w', CAST({a[1]} AS DOUBLE))))"
-    )
+    if from_arrays:
+        # -Array combinator: each row contributes its (values, weights)
+        # array pair element-wise
+        s = (
+            f"array_sort(flatten(collect_list(zip_with({a[0]}, {a[1]}, "
+            f"(__qv, __qw) -> named_struct("
+            f"'v', __qv, 'w', CAST(__qw AS DOUBLE)))))) "
+        ).strip()
+    else:
+        s = (
+            f"array_sort(collect_list(named_struct("
+            f"'v', {a[0]}, 'w', CAST({a[1]} AS DOUBLE))))"
+        )
     n = f"size({s})"
     total = f"aggregate({s}, CAST(0 AS DOUBLE), (acc, e) -> acc + e.w)"
 
@@ -6908,6 +7029,12 @@ PARAMETRIC_MAP: dict[str, object] = {
     "quantilesExact": lambda p, a: _quantile_exact_expr(p, a, False),
     "quantileExactWeighted": lambda p, a: _quantile_exact_weighted_expr(p, a, True),
     "quantilesExactWeighted": lambda p, a: _quantile_exact_weighted_expr(p, a, False),
+    "quantileExactWeightedArray": lambda p, a: (
+        _quantile_exact_weighted_expr(p, a, True, from_arrays=True)
+    ),
+    "quantilesExactWeightedArray": lambda p, a: (
+        _quantile_exact_weighted_expr(p, a, False, from_arrays=True)
+    ),
     # Deterministic = hash-determined reservoir sample; below the sample
     # cap it degenerates to the exact quantile, so the determinator
     # argument carries no information here
@@ -7350,6 +7477,13 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
             and not t.endswith(("OrNull", "OrDefault", "State"))
         ):
             t = t + "OrNull"
+        # GLOBAL IN / GLOBAL NOT IN: the distribution modifier is a
+        # no-op on a single node (Interpreters/GlobalSubqueriesVisitor)
+        if up == "GLOBAL" and i + 1 < n and _kw(toks[i + 1]) in (
+            "IN", "NOT",
+        ):
+            i += 1
+            continue
         # tuple element access: expr.2 -> expr.col2 (ColumnTuple fields
         # render as col1..colN via our struct() mapping)
         if (
@@ -7706,6 +7840,14 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
             prev_kw = _kw(toks[i - 1]) if i > 0 else ""
             next_kw = _kw(toks[close + 1]) if close + 1 < n else ""
             if (
+                len(parts) > 1
+                and close + 1 < n and toks[close + 1] == "->"
+                and all(len(p) == 1 and _is_ident(p[0]) for p in parts)
+            ):
+                # (x, y) -> ...: a LAMBDA parameter list, not a tuple —
+                # keep Spark's native multi-param form (00650/01015)
+                out.append("(" + ", ".join(p[0] for p in parts) + ")")
+            elif (
                 len(parts) > 1
                 and not in_list
                 and prev_kw not in ("IN", "OVER")
@@ -10871,6 +11013,11 @@ def _parse_select(toks: list[str]) -> _Select:
             and any(_kw(x) == "FILL" for x in bucket.get("ORDER BY", ()))
         ):
             return None
+        if u == "OFFSET" and j > 0 and (
+            _kw(toks[j - 1]) == "AS" or toks[j - 1] == ","
+            or toks[j - 1] == "("
+        ):
+            return None  # `... AS offset` — an identifier, not a clause
         if u in ("FROM", "PREWHERE", "WHERE", "HAVING", "SETTINGS", "OFFSET"):
             return u
         if u in ("GROUP", "ORDER") and j + 1 < n and _kw(toks[j + 1]) == "BY":
@@ -11167,6 +11314,35 @@ def _parse_select(toks: list[str]) -> _Select:
     q.offset = bucket.get("OFFSET", [])
     q.settings = bucket.get("SETTINGS", [])
     lim = bucket.get("LIMIT", [])
+    # standard fetch clause: OFFSET n ROW[S] [FETCH FIRST|NEXT m ROW[S]
+    # (ONLY | WITH TIES)] (ParserSelectQuery OFFSET/FETCH, 01525)
+    if q.offset and any(
+        _kw(x) in ("ROW", "ROWS", "FETCH") for x in q.offset
+    ):
+        fi9 = next(
+            (k for k, x in enumerate(q.offset) if _kw(x) == "FETCH"),
+            len(q.offset),
+        )
+        fetch9 = q.offset[fi9 + 1 :]
+        q.offset = [
+            x for x in q.offset[:fi9] if _kw(x) not in ("ROW", "ROWS")
+        ]
+        if fetch9:
+            if _kw(fetch9[0]) in ("FIRST", "NEXT"):
+                fetch9 = fetch9[1:]
+            if (
+                len(fetch9) >= 2 and _kw(fetch9[-2]) == "WITH"
+                and _kw(fetch9[-1]) == "TIES"
+            ):
+                q.with_ties = True
+                fetch9 = fetch9[:-2]
+            elif fetch9 and _kw(fetch9[-1]) == "ONLY":
+                fetch9 = fetch9[:-1]
+            fetch9 = [
+                x for x in fetch9 if _kw(x) not in ("ROW", "ROWS")
+            ]
+            if fetch9 and not lim:
+                lim = fetch9
     if (
         len(lim) >= 2 and _kw(lim[-2]) == "WITH"
         and _kw(lim[-1]) == "TIES"

@@ -1524,6 +1524,22 @@ class ScriptRunner:
             return None
         if as_select is not None:
             nxt = _kw(as_select[0]) if as_select else ""
+            head2 = _emit(as_select[:3]).replace(" ", "")
+            if (
+                head2.startswith(("system.numbers", "system.one"))
+                and "(" not in head2
+            ):
+                # CREATE TABLE t AS system.numbers|one [ENGINE = ...]:
+                # clone the system table's SCHEMA, start empty
+                # (StorageSystemNumbers/StorageSystemOne)
+                t.cols = (
+                    [_Col("dummy", "smallint", "UInt8")]
+                    if head2.startswith("system.one")
+                    else [_Col("number", "bigint", "UInt64")]
+                )
+                self.tables[name] = t
+                self._register(t)
+                return None
             if nxt in ("SELECT", "WITH") or (as_select and as_select[0] == "("):
                 src = dialect_sql(self.spark, _emit(as_select))
             elif self._table_name(as_select, 0)[0] in self.tables:
