@@ -643,6 +643,23 @@ class ScriptRunner:
             if any(_kw(tk) == "INDEXHINT" for tk in toks):
                 toks = self._rewrite_index_hint(toks)
                 stmt = _emit(toks)
+            # SELECT * FROM (sub WITH TOTALS): the totals block
+            # propagates through a transparent projection
+            # (TotalsHavingStep sits below the outer plan, 00152) —
+            # equivalent to running the subquery directly
+            if (
+                len(toks) > 5
+                and _kw(toks[0]) == "SELECT" and toks[1] == "*"
+                and _kw(toks[2]) == "FROM" and toks[3] == "("
+                and _match_paren(toks, 3) == len(toks) - 1
+            ):
+                sub9 = toks[4:-1]
+                if any(
+                    _kw(x) == "TOTALS" and _paren_depth_at(sub9, k) == 0
+                    for k, x in enumerate(sub9)
+                ):
+                    toks = sub9
+                    stmt = _emit(toks)
             if str(self.settings.get(
                 "force_primary_key", "0"
             )).strip("'\" ") == "1":
