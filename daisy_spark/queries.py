@@ -820,16 +820,18 @@ ORACLE_SQL.update(ORACLE_SQL_STATS)
 # region_revenue join-path work).  The tail that falls off the cap is
 # then all round-8-green queries.
 _GRADE_FIRST = [
-    # riding round-8 rows (r9 graded everything else fresh): regrade so
+    # riding round-9 rows (r10 graded everything else fresh): regrade so
     # no correctness row is ever more than one round old
-    "quantiles", "top_k", "group_array", "uniq_approx",
-    "logistic_regression", "groups_frame", "ttests", "map_aggs",
-    "moving_sum", "rank_stats", "running_diff", "interval_overlap",
-    "civ", "scalar_coding",
-    # changed this round: need a fresh driver row (r10: jaccard_verify
-    # shuffle joins -> dedup_near + dedup_simhash; dialect.py
-    # DISTINCT/LIMIT BY + any() ignoreNulls -> limit_by, dialect_sql)
-    "dedup_near", "dedup_simhash", "limit_by", "dialect_sql",
+    "final_replacing", "final_summing", "final_collapsing",
+    "final_versioned", "cube", "limit_with_ties", "sample_fraction",
+    "sequence_match", "histogram", "segment_sum", "stats",
+    "combinators", "cross_join", "agg_state_merge",
+    # changed this round: need a fresh driver row (r11: sumIf
+    # 0-for-empty + its oracle -> dialect_sql; State/Merge raw
+    # aggregates -> agg_state_merge/combinators already above;
+    # json_extract bool targets; quantilesExactWeightedArray ->
+    # quantiles above; script-engine inserts/alters -> script_engine)
+    "dialect_sql", "json_extract", "script_engine", "quantiles",
 ]
 QUERIES = {
     **{n: QUERIES[n] for n in _GRADE_FIRST},
