@@ -917,6 +917,24 @@ _SETTINGS_CTX: "contextvars.ContextVar[dict | None]" = contextvars.ContextVar(
     "daisy_session_settings", default=None
 )
 
+#: Distributed-table names whose cluster has >1 local shard, mapped to
+#: their LOCAL target table.  Under distributed_product_mode='local'
+#: a distributed query localizes distr references inside subqueries —
+#: each shard runs the subquery against its own local table
+#: (src/Interpreters/InJoinSubqueriesPreprocessor.cpp) — while the
+#: top-level read still unions all shards (the N× view).
+_DIST_LOCAL_CTX: "contextvars.ContextVar[dict | None]" = contextvars.ContextVar(
+    "daisy_dist_local", default=None
+)
+
+#: >0 when the current statement runs with distributed_group_by_no_merge
+#: over a Distributed table: the value is the shard count and the final
+#: SQL is duplicated that many times (each shard streams its complete
+#: local result, no initiator merge)
+_DIST_NO_MERGE: "contextvars.ContextVar[int]" = contextvars.ContextVar(
+    "daisy_dist_no_merge", default=0
+)
+
 #: script-engine table schemas for the active ScriptRunner statement:
 #: name -> [(col, spark_type, default_sql)].  Lets the ASOF union+window
 #: rewrite fill unmatched LEFT rows with the reference's type defaults.
@@ -14078,6 +14096,102 @@ def _item_src_alias(item: list[str]) -> tuple[list[str], str]:
     return src, alias
 
 
+def _orig_table_alias_rewrite(q: _Select) -> None:
+    """The reference lets a qualified column use the ORIGINAL table
+    name even when the table carries an alias (`FROM t AS l ... SELECT
+    t.x` — TranslateQualifiedNamesMatcher::canRewriteTable /
+    DatabaseAndTableWithAlias): rewrite `t.x` -> `l.x` so Spark's
+    resolver (which hides the base name behind the alias) accepts it.
+    Names that appear under two different aliases (self-join) stay
+    untouched — the reference errors there too."""
+    f = q.from_
+    if not f or "." not in (
+        q.select + q.where + q.prewhere + q.group_by + q.having
+        + q.order_by
+    ):
+        return
+    pairs: dict[str, set[str]] = {}
+    aliases: set[str] = set()
+    depth = 0
+    for j, t in enumerate(f):
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif depth == 0 and _kw(t) == "AS" and 0 < j < len(f) - 1:
+            alias = f[j + 1].strip("`")
+            aliases.add(alias)
+            if not _is_ident(f[j - 1]) or f[j - 1] == ")":
+                continue
+            name = f[j - 1].strip("`")
+            if _kw(f[j - 1]) in _SQL_KEYWORDS:
+                continue
+            # subquery alias: `( ... ) AS x` — nothing to map
+            if j >= 2 and f[j - 2] == ")":
+                continue
+            pairs.setdefault(name, set()).add(alias)
+            # db-qualified source: map `db.name` too
+            if j >= 3 and f[j - 2] == "." and _is_ident(f[j - 3]):
+                pairs.setdefault(
+                    f[j - 3].strip("`") + "." + name, set()
+                ).add(alias)
+    remap = {
+        n: next(iter(al)) for n, al in pairs.items()
+        if len(al) == 1 and n not in aliases
+        and next(iter(al)) != n
+    }
+    if not remap:
+        return
+
+    def subst(ts: list[str]) -> list[str]:
+        res: list[str] = []
+        j = 0
+        while j < len(ts):
+            t = ts[j]
+            prev = res[-1] if res else ""
+            name = t.strip("`")
+            hit = None
+            # db . name . col
+            if (
+                j + 4 < len(ts) and ts[j + 1] == "." and ts[j + 3] == "."
+                and _is_ident(ts[j + 2])
+                and name + "." + ts[j + 2].strip("`") in remap
+                and prev != "." and _kw(prev) != "AS"
+            ):
+                hit = (remap[name + "." + ts[j + 2].strip("`")], 3)
+            elif (
+                j + 2 < len(ts) and ts[j + 1] == "."
+                and name in remap
+                and (_is_ident(ts[j + 2]) or ts[j + 2] == "*")
+                and prev != "." and _kw(prev) != "AS"
+                # not itself a db qualifier of something else
+                and not (
+                    j + 4 < len(ts) and ts[j + 3] == "."
+                    and _is_ident(ts[j + 2])
+                )
+            ):
+                hit = (remap[name], 1)
+            if hit is not None:
+                # replace the (possibly db-qualified) table name with
+                # the alias; the `. col` tail copies on the next loops
+                res.append(hit[0])
+                j += hit[1]
+            else:
+                res.append(t)
+                j += 1
+        return res
+
+    q.select = subst(q.select)
+    q.where = subst(q.where)
+    q.prewhere = subst(q.prewhere)
+    q.group_by = subst(q.group_by)
+    q.having = subst(q.having)
+    q.order_by = subst(q.order_by)
+    # JOIN ON conditions may use the original names too; the definition
+    # sites (`name AS alias`) are immune — their next token is AS
+    q.from_ = subst(q.from_)
+
+
 def _qualify_ambiguous(q: _Select) -> None:
     """Unqualified column names that exist on BOTH sides of a join
     resolve to the LEFT side in the reference
@@ -14897,6 +15011,7 @@ def _translate_select_tokens(toks: list[str]) -> tuple[str, dict[str, str]]:
         for t in q.select + q.where + q.group_by + q.having + q.order_by
     ):
         q.from_ = ["system", ".", "one"]
+    _orig_table_alias_rewrite(q)
     _using_alias_rewrite(q)
     _qualify_ambiguous(q)
     _apply_array_join(q)
@@ -15794,6 +15909,7 @@ def translate(query: str) -> TranslateResult:
     ):
         toks = toks[1:-1]
     toks = _hoist_inner_aliases(toks)
+    toks = _dist_localize_subqueries(toks)
     stages = _split_top(toks, "|")
     if len(stages) > 1:
         sql_text, settings = _translate_pipe(stages)
@@ -15809,9 +15925,86 @@ def translate(query: str) -> TranslateResult:
             sql_text = _translate_query_text(toks)
     else:
         raise DialectError(f"unsupported statement start: {toks[0]!r}")
+    n_shards = _DIST_NO_MERGE.get()
+    if n_shards > 1:
+        sql_text = " UNION ALL ".join(
+            [f"SELECT * FROM ( {sql_text} )"] * n_shards
+        )
     return TranslateResult(
         _wrap_in_subqueries(sql_text), settings, is_stream, explain_mode
     )
+
+
+def _dist_localize_subqueries(toks: list[str]) -> list[str]:
+    """distributed_product_mode='local': in a distributed query (the
+    TOP level reads a multi-shard Distributed table), every Distributed
+    reference INSIDE a subquery resolves to its LOCAL shard table —
+    each shard runs the subquery against its own data
+    (src/Interpreters/InJoinSubqueriesPreprocessor.cpp) — while the
+    top-level read still unions all shards (the N-times view).
+    Statement-level token pass so the engine's later wrapper
+    subqueries don't re-trigger it."""
+    _DIST_NO_MERGE.set(0)
+    dist_local = _DIST_LOCAL_CTX.get()
+    if not dist_local:
+        return toks
+    sess = _SETTINGS_CTX.get() or {}
+    mode_local = str(sess.get(
+        "distributed_product_mode", ""
+    )).strip("'\" ") == "local"
+    no_merge = str(sess.get(
+        "distributed_group_by_no_merge", ""
+    )).strip("'\" ") == "1"
+    # a trailing statement-level SETTINGS clause also counts
+    for j, t in enumerate(toks):
+        if t == "distributed_group_by_no_merge" and toks[
+            j + 1 : j + 3
+        ] == ["=", "1"]:
+            no_merge = True
+        if t == "distributed_product_mode" and j + 2 < len(toks) and str(
+            toks[j + 2]
+        ).strip("'\" ") == "local":
+            mode_local = True
+    if not (mode_local or no_merge):
+        return toks
+    top_has_dist = False
+    depth = 0
+    for j, t in enumerate(toks):
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif (
+            depth == 0 and t.strip("`") in dist_local
+            and (j == 0 or toks[j - 1] != ".")
+            and (j + 1 >= len(toks) or toks[j + 1] != ".")
+        ):
+            top_has_dist = True
+    if not top_has_dist:
+        return toks
+    out: list[str] = []
+    depth = 0
+    shards = 2  # every multi-shard test cluster has two local shards
+    for j, t in enumerate(toks):
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        nm = t.strip("`")
+        if (depth > 0 or no_merge) and nm in dist_local:
+            if out and out[-1] == "." and len(out) >= 2 and _is_ident(
+                out[-2]
+            ):
+                out = out[:-2]  # drop a `db .` qualifier
+            out.append(dist_local[nm])
+        else:
+            out.append(t)
+    if no_merge:
+        # the initiator skips final merging: each shard streams its own
+        # complete local result (StorageDistributed — the setting turns
+        # the initiator into a pass-through)
+        _DIST_NO_MERGE.set(shards)
+    return out
 
 
 def _hoist_inner_aliases(toks: list[str]) -> list[str]:

@@ -314,6 +314,12 @@ class _Table:
     sort_keys: list[str] = field(default_factory=list)
     df: DataFrame | None = None
     aka: list[str] = field(default_factory=list)  # Buffer proxy names
+    #: Distributed proxy names whose cluster has N>1 (local) shards:
+    #: reads through the name see the target's rows N times
+    #: (programs/server/config.xml remote_servers
+    #: test_cluster_two_shards_localhost — both shards are localhost,
+    #: so a distributed read unions the same local table twice)
+    shard_views: dict[str, int] = field(default_factory=dict)
     sample_by: str = ""  # SAMPLE BY key expression (translated)
     partition_by: str = ""  # PARTITION BY expression (translated)
     merge_pattern: str = ""  # ENGINE = Merge(db, 'regex') member regex
@@ -519,6 +525,14 @@ class ScriptRunner:
             for name, t in self.tables.items()
         }
         token2 = _SCRIPT_SCHEMAS_CTX.set(schemas)
+        from daisy_spark.plans.dialect import _DIST_LOCAL_CTX
+
+        dist_local = {
+            dname: t.name
+            for t in self.tables.values()
+            for dname in t.shard_views
+        }
+        token9 = _DIST_LOCAL_CTX.set(dist_local)
         from daisy_spark.plans.dialect import _SCRIPT_CHTYPES_CTX
 
         chtypes = {}
@@ -561,6 +575,7 @@ class ScriptRunner:
             return self._execute(stmt)
         finally:
             _AGG_COLS_CTX.reset(token7)
+            _DIST_LOCAL_CTX.reset(token9)
             _SCRIPT_CHTYPES_BY_TABLE_CTX.reset(token8b)
             _SCRIPT_CHTYPES_CTX.reset(token8)
             _SCRIPT_SCHEMAS_CTX.reset(token2)
@@ -1236,6 +1251,13 @@ class ScriptRunner:
             final.createOrReplaceTempView(name + "__final")
             if vparts is not None:
                 vparts.createOrReplaceTempView(name + "__vparts")
+        for name, n in t.shard_views.items():
+            mdf, mfinal = df, final
+            for _ in range(n - 1):
+                mdf = mdf.unionAll(df)
+                mfinal = mfinal.unionAll(final)
+            mdf.createOrReplaceTempView(name)
+            mfinal.createOrReplaceTempView(name + "__final")
 
     def _drop_views(self, name: str) -> None:
         for v in (name, name + "__final"):
@@ -1313,6 +1335,7 @@ class ScriptRunner:
         partition_by = ""
         as_select: list[str] | None = None
         buffer_target: str | None = None
+        dist_shards = 1
         merge_pattern = ""
         n = len(toks)
         while i < n:
@@ -1363,6 +1386,8 @@ class ScriptRunner:
                 if engine == "Distributed":
                     if len(raw_args) > 2:
                         buffer_target = raw_args[2][0].strip('`"\'')
+                    if raw_args and "two_shards" in raw_args[0][0]:
+                        dist_shards = 2
                     engine_args = []
                     continue
                 gran = [
@@ -1468,7 +1493,10 @@ class ScriptRunner:
         if engine in ("Buffer", "Distributed"):
             if buffer_target and buffer_target in self.tables:
                 other = self.tables[buffer_target]
-                other.aka.append(name)
+                if dist_shards > 1:
+                    other.shard_views[name] = dist_shards
+                else:
+                    other.aka.append(name)
                 self.tables[name] = other
                 self._register(other)
                 return None
@@ -1566,8 +1594,14 @@ class ScriptRunner:
                 if "BUFFER" in tail[:4] or "DISTRIBUTED" in tail[:4]:
                     # CREATE TABLE t AS target ENGINE = Buffer/Distributed:
                     # reads see the target (+ in-flight buffer rows) and
-                    # writes flush through -- a pure proxy here
-                    other.aka.append(name)
+                    # writes flush through -- a pure proxy, except a
+                    # multi-shard all-localhost cluster reads rows twice
+                    if "DISTRIBUTED" in tail[:4] and any(
+                        "two_shards" in x for x in as_select[j : j + 8]
+                    ):
+                        other.shard_views[name] = 2
+                    else:
+                        other.aka.append(name)
                     self.tables[name] = other
                     self._register(other)
                     return None
@@ -3171,6 +3205,8 @@ class ScriptRunner:
         t = self.tables.pop(name, None)
         if t is not None and t.name != name and name in t.aka:
             t.aka.remove(name)  # dropping a Buffer proxy, not the target
+        if t is not None and t.name != name and name in t.shard_views:
+            del t.shard_views[name]
         self._drop_views(name)
         return None
 
