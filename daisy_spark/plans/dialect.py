@@ -1031,6 +1031,9 @@ def _int_div_expr(a: list[str], or_zero: bool) -> str:
         if ri == 0 or (li in _CH_INT_MINS and ri == -1):
             if or_zero:
                 return "0"
+            raise DialectError(
+                "Division by zero (ILLEGAL_DIVISION, reference error 153)"
+            )
         else:
             q = abs(li) // abs(ri)
             return str(-q if (li < 0) != (ri < 0) else q)
@@ -7833,6 +7836,14 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 out += ["IN", "(", ", ".join(members), ")"]
                 i = close + 1
                 continue
+            if _is_ident(nxt) and nxt.strip("`") in (
+                _SCRIPT_SCHEMAS_CTX.get() or {}
+            ):
+                # x IN table_name: the table IS the set
+                # (ExpressionAnalyzer makeSetsForIndex / StorageSet)
+                out += ["IN", "(", f"SELECT * FROM {nxt}", ")"]
+                i += 2
+                continue
             rhs = _emit(_translate_expr([nxt]))
             flds = _tuple_text_fields(rhs)
             if flds is not None:
@@ -7879,6 +7890,16 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 )
                 out.append(f"named_struct({fields})")
             elif prev_kw == "IN":
+                if (
+                    len(inner) == 1 and _is_ident(inner[0])
+                    and inner[0].strip("`") in (
+                        _SCRIPT_SCHEMAS_CTX.get() or {}
+                    )
+                ):
+                    # x IN (table_name): the table IS the set
+                    out += ["(", f"SELECT * FROM {inner[0]}", ")"]
+                    i = close + 1
+                    continue
                 # IN list: elements may be row constructors — keep parens
                 # (the structural tuple-IN semantics resolve in
                 # _tuple_in_pass over the translated tokens)
@@ -9891,13 +9912,13 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
         i += 1
     return _tuple_in_pass(
         _array_in_pass(
-            _div_zero_pass(
+            _div_zero_pass(_intdiv_zero_guard(
                 _date_cmp_pass(
                     _date_arith_pass(
                         _boolify_logic_operands(_bool_arith_pass(out))
                     )
                 )
-            )
+            ))
         )
     )
 
@@ -10488,6 +10509,18 @@ def _dt_kind(tok: str) -> str | None:
         elif d == 0 and ch in "+-" and k > 0 and t[k - 1] == " ":
             return _dt_kind(t[:k].strip())
     return None
+
+
+def _intdiv_zero_guard(toks: list[str]) -> list[str]:
+    """Integer division/modulo by a CONSTANT zero raises in the
+    reference (ILLEGAL_DIVISION 153, DivisionUtils.h) where Spark's
+    non-ANSI DIV/% return NULL."""
+    for j, t in enumerate(toks):
+        if (_kw(t) == "DIV" or t == "%") and toks[j + 1 : j + 2] == ["0"]:
+            raise DialectError(
+                "Division by zero (ILLEGAL_DIVISION, reference error 153)"
+            )
+    return toks
 
 
 def _div_zero_pass(toks: list[str]) -> list[str]:
@@ -11703,7 +11736,22 @@ def _apply_array_join(q: _Select) -> None:
         exprs.append((_emit(_translate_expr(it)), name))
     fn = "posexplode_outer" if left else "posexplode"
     e0, n0 = exprs[0]
-    q.lateral = f"LATERAL VIEW {fn}({e0}) __aj AS __aj_pos, __aj_v0"
+    # an explicit user alias names the element column itself (so OUTER
+    # selects over this subquery can reference it); fall back to the
+    # synthetic name when the alias would shadow a source column
+    v0 = "__aj_v0"
+    alias0 = items[0][-1] if (
+        len(items[0]) >= 3 and _kw(items[0][-2]) == "AS"
+        and _is_ident(items[0][-1])
+    ) else None
+    if alias0 and isinstance(n0, str):
+        src0 = list(q.from_)
+        if len(src0) >= 2 and _kw(src0[-2]) == "AS":
+            src0 = src0[:-2]
+        cols0 = _from_item_cols(src0) or {}
+        if alias0.strip("`") not in cols0:
+            v0 = alias0
+    q.lateral = f"LATERAL VIEW {fn}({e0}) __aj AS __aj_pos, {v0}"
     # `SELECT *` with ARRAY JOIN: the reference replaces each joined
     # column by its ELEMENT in the star — expand the star from the FROM
     # item's schema so the substitutions below can apply
@@ -11741,7 +11789,7 @@ def _apply_array_join(q: _Select) -> None:
     if isinstance(n0, tuple):
         dotted_subs[n0] = _fill_aj("__aj_v0", 0)
     elif n0:
-        subs[n0] = _fill_aj("__aj_v0", 0)
+        subs[n0] = _fill_aj(v0, 0)
     for k9, (ek, nk) in enumerate(exprs[1:], start=1):
         repl = _fill_aj(f"element_at({ek}, __aj_pos + 1)", k9)
         if isinstance(nk, tuple):
@@ -12396,10 +12444,18 @@ def _translate_from(toks: list[str]) -> list[str]:
                 k = fc + 1
             else:
                 name_parts = []
-                while k < n and (
-                    _is_ident(toks[k]) and _kw(toks[k]) not in _SQL_KEYWORDS
+                while k < n and _is_ident(toks[k]) and (
+                    _kw(toks[k]) not in _SQL_KEYWORDS
+                    # a declared table may shadow a keyword (a table
+                    # literally named `join` / `set` — 00475)
+                    or toks[k].strip("`") in (
+                        _SCRIPT_SCHEMAS_CTX.get() or {}
+                    )
                 ):
-                    name_parts.append(toks[k])
+                    name_parts.append(
+                        toks[k] if _kw(toks[k]) not in _SQL_KEYWORDS
+                        else "`" + toks[k].strip("`") + "`"
+                    )
                     k += 1
                     # dotted continuation only (db.table); a bare ident
                     # after the name is the ALIAS, not part of the name
@@ -14192,6 +14248,50 @@ def _orig_table_alias_rewrite(q: _Select) -> None:
     q.from_ = subst(q.from_)
 
 
+def _on_alias_rewrite(q: _Select) -> None:
+    """SELECT-list aliases are visible inside JOIN ON in the reference
+    (`select t1.a t1_a ... join t2 on t1_a = t2.a` — QueryNormalizer
+    resolves aliases query-wide); Spark's ON scope has no projection
+    aliases, so inline the defining expression."""
+    f = q.from_
+    if not f or not q.select:
+        return
+    on_at = [
+        j for j, t in enumerate(f)
+        if _kw(t) == "ON" and _paren_depth_at(f, j) == 0
+    ]
+    if not on_at:
+        return
+    amap: dict[str, list[str]] = {}
+    for it in _split_top(q.select, ","):
+        if len(it) >= 3 and _kw(it[-2]) == "AS" and _is_ident(it[-1]):
+            amap[it[-1].strip("`")] = it[:-2]
+        elif (
+            len(it) >= 2 and _is_ident(it[-1]) and it[-2] != "."
+            and _kw(it[-1]) not in _SQL_KEYWORDS
+            and not (it[-1] in amap)
+        ):
+            # implicit trailing alias: `t1.a t1_a`
+            amap[it[-1].strip("`")] = it[:-1]
+    if not amap:
+        return
+    start = min(on_at)
+    head, tail = f[:start], f[start:]
+    out: list[str] = []
+    for j, t in enumerate(tail):
+        nm = t.strip("`")
+        prev = out[-1] if out else (head[-1] if head else "")
+        nxt = tail[j + 1] if j + 1 < len(tail) else ""
+        if (
+            nm in amap and _is_ident(t) and prev != "."
+            and _kw(prev) != "AS" and nxt not in (".", "(")
+        ):
+            out += ["(", *amap[nm], ")"]
+        else:
+            out.append(t)
+    q.from_ = head + out
+
+
 def _qualify_ambiguous(q: _Select) -> None:
     """Unqualified column names that exist on BOTH sides of a join
     resolve to the LEFT side in the reference
@@ -14977,6 +15077,8 @@ def _stream_order_join_rewrite(
                 alias = ["AS", f"__jw_{idcol[-1]}"]
             else:
                 bare = "".join(x.strip("`") for x in src).split(".")[-1]
+                if _kw(bare) in _SQL_KEYWORDS:
+                    bare = "`" + bare + "`"  # table named like a keyword
                 alias = ["AS", bare] if _is_ident(bare) else ["AS", "__jw"]
         return (
             ["(", "SELECT", "*", ",", "monotonically_increasing_id", "(",
@@ -15011,7 +15113,21 @@ def _translate_select_tokens(toks: list[str]) -> tuple[str, dict[str, str]]:
         for t in q.select + q.where + q.group_by + q.having + q.order_by
     ):
         q.from_ = ["system", ".", "one"]
+    # a declared table may shadow a keyword (a table literally named
+    # `join` / `set` — 00475): backquote it right after JOIN so the
+    # join-splitting passes don't read it as another join keyword
+    schemas0 = _SCRIPT_SCHEMAS_CTX.get() or {}
+    if schemas0:
+        for j0 in range(1, len(q.from_)):
+            t0 = q.from_[j0]
+            if (
+                _kw(q.from_[j0 - 1]) == "JOIN"
+                and _kw(t0) in _SQL_KEYWORDS
+                and t0.strip("`") in schemas0
+            ):
+                q.from_[j0] = "`" + t0.strip("`") + "`"
     _orig_table_alias_rewrite(q)
+    _on_alias_rewrite(q)
     _using_alias_rewrite(q)
     _qualify_ambiguous(q)
     _apply_array_join(q)
@@ -15203,7 +15319,9 @@ def _join_fill_cols(
             k = close + 1
         elif k < n and _is_ident(toks[k]) and _kw(toks[k]) not in _SQL_KEYWORDS:
             tname = toks[k]
-            schema = (_SCRIPT_SCHEMAS_CTX.get() or {}).get(tname)
+            schema = (_SCRIPT_SCHEMAS_CTX.get() or {}).get(
+                tname.strip("`")
+            )
             if schema:
                 cols = {c: d for c, _, d in schema}
                 ralias = tname  # a bare table stays addressable by name

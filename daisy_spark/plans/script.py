@@ -1386,6 +1386,8 @@ class ScriptRunner:
                 if engine == "Distributed":
                     if len(raw_args) > 2:
                         buffer_target = raw_args[2][0].strip('`"\'')
+                        if raw_args[1][0].strip('`"\'') == "system":
+                            buffer_target = "system." + buffer_target
                     if raw_args and "two_shards" in raw_args[0][0]:
                         dist_shards = 2
                     engine_args = []
@@ -1491,6 +1493,31 @@ class ScriptRunner:
             join_keys = engine_args[2:] or engine_args[-1:]
             engine, engine_args = "Memory", []
         if engine in ("Buffer", "Distributed"):
+            if buffer_target in ("system.numbers", "system.one"):
+                # Distributed over a system generator: each shard reads
+                # the same generator — a bounded slice is enough for the
+                # point-filter + LIMIT shapes the tests use
+                if buffer_target.endswith("numbers"):
+                    one = self.spark.range(1 << 20).toDF("number")
+                else:
+                    one = self.spark.sql("SELECT CAST(0 AS SMALLINT) dummy")
+                df9 = one
+                for _ in range(dist_shards - 1):
+                    df9 = df9.unionAll(one)
+                cols9 = [
+                    _Col("number", "bigint", "UInt64")
+                    if buffer_target.endswith("numbers")
+                    else _Col("dummy", "smallint", "UInt8")
+                ]
+                t9 = _Table(
+                    name=name, cols=cols9,
+                    spec=TableSpec(name=name, path="", engine="MergeTree"),
+                    df=df9,
+                )
+                t9.engine_raw = engine_raw or "Memory"
+                self.tables[name] = t9
+                self._register(t9)
+                return None
             if buffer_target and buffer_target in self.tables:
                 other = self.tables[buffer_target]
                 if dist_shards > 1:
