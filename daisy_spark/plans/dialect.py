@@ -11070,6 +11070,14 @@ def _parse_select(toks: list[str]) -> _Select:
         ):
             return None  # `... AS offset` — an identifier, not a clause
         if u in ("FROM", "PREWHERE", "WHERE", "HAVING", "SETTINGS", "OFFSET"):
+            # a table may be NAMED like a clause keyword (a table called
+            # `prewhere` — 00140): the token straight after FROM is the
+            # table, not a new clause
+            if (
+                cur == "FROM" and not bucket.get("FROM")
+                and toks[j].strip("`") in (_SCRIPT_SCHEMAS_CTX.get() or {})
+            ):
+                return None
             return u
         if u in ("GROUP", "ORDER") and j + 1 < n and _kw(toks[j + 1]) == "BY":
             return u + " BY"
@@ -11744,7 +11752,7 @@ def _apply_array_join(q: _Select) -> None:
         len(items[0]) >= 3 and _kw(items[0][-2]) == "AS"
         and _is_ident(items[0][-1])
     ) else None
-    if alias0 and isinstance(n0, str):
+    if alias0 and isinstance(n0, str) and "." not in alias0:
         src0 = list(q.from_)
         if len(src0) >= 2 and _kw(src0[-2]) == "AS":
             src0 = src0[:-2]
@@ -11788,14 +11796,38 @@ def _apply_array_join(q: _Select) -> None:
 
     if isinstance(n0, tuple):
         dotted_subs[n0] = _fill_aj("__aj_v0", 0)
+    elif n0 and "." in n0.strip("`"):
+        # a DOTTED user alias (`... AS \`PP.Key2\`` — 00819) is
+        # referenced as a qual.member pair downstream
+        dotted_subs[tuple(n0.strip("`").split(".", 1))] = _fill_aj(v0, 0)
     elif n0:
         subs[n0] = _fill_aj(v0, 0)
     for k9, (ek, nk) in enumerate(exprs[1:], start=1):
         repl = _fill_aj(f"element_at({ek}, __aj_pos + 1)", k9)
         if isinstance(nk, tuple):
             dotted_subs[nk] = repl
+        elif nk and "." in nk.strip("`"):
+            dotted_subs[tuple(nk.strip("`").split(".", 1))] = repl
         elif nk:
             subs[nk] = repl
+    # a select item that IS a bare joined name keeps that name on the
+    # OUTPUT (outer queries reference it — 00808/00977): alias the
+    # substituted element expression back to the original name
+    if subs and q.select:
+        items_s = _split_top(q.select, ",")
+        rebuilt: list[str] = []
+        for it_s in items_s:
+            if rebuilt:
+                rebuilt.append(",")
+            nm_s = it_s[0].strip("`") if len(it_s) == 1 else None
+            if (
+                nm_s in subs and subs[nm_s] != nm_s
+                and not (len(it_s) >= 2 and _kw(it_s[-2]) == "AS")
+            ):
+                rebuilt += [subs[nm_s], "AS", it_s[0]]
+            else:
+                rebuilt += it_s
+        q.select = rebuilt
     for attr in (
         "select", "prewhere", "where", "group_by", "having", "order_by",
     ):
@@ -14248,6 +14280,59 @@ def _orig_table_alias_rewrite(q: _Select) -> None:
     q.from_ = subst(q.from_)
 
 
+def _dotted_column_rewrite(q: _Select) -> None:
+    """A flattened Nested member is ONE column whose name contains a
+    dot (`c.d Array(Date)` — NestedUtils.h flatten): a `c . d` token
+    triple that matches such a column is that column, not a table
+    qualification.  Backquote it so Spark reads the literal name.
+    Qualifiers that are actual FROM aliases are left alone."""
+    dotted = _dotted_cols()
+    if not dotted or not q.from_:
+        return
+    quals = {d.split(".", 1)[0] for d in dotted}
+    # FROM aliases shadow the Nested qualifier
+    aliases: set[str] = set()
+    f = q.from_
+    for j, t in enumerate(f):
+        if _kw(t) == "AS" and j + 1 < len(f):
+            aliases.add(f[j + 1].strip("`"))
+    # ARRAY JOIN items joust with these refs — that path has its own
+    # dotted handling (_apply_array_join/_subst_dotted)
+    aj_names: set[str] = set()
+    if q.array_join:
+        for p in _split_top(q.array_join[1], ","):
+            for t in p:
+                aj_names.add(t.strip("`"))
+
+    def subst(ts: list[str]) -> list[str]:
+        res: list[str] = []
+        j = 0
+        while j < len(ts):
+            t = ts[j]
+            nm = t.strip("`")
+            if (
+                nm in quals and nm not in aliases and nm not in aj_names
+                and j + 2 < len(ts) and ts[j + 1] == "."
+                and _is_ident(ts[j + 2])
+                and f"{nm}.{ts[j + 2].strip('`')}" in dotted
+                and (not res or res[-1] != ".")
+                and (j + 3 >= len(ts) or ts[j + 3] != "(")
+            ):
+                res.append(f"`{nm}.{ts[j + 2].strip('`')}`")
+                j += 3
+            else:
+                res.append(t)
+                j += 1
+        return res
+
+    q.select = subst(q.select)
+    q.where = subst(q.where)
+    q.prewhere = subst(q.prewhere)
+    q.group_by = subst(q.group_by)
+    q.having = subst(q.having)
+    q.order_by = subst(q.order_by)
+
+
 def _on_alias_rewrite(q: _Select) -> None:
     """SELECT-list aliases are visible inside JOIN ON in the reference
     (`select t1.a t1_a ... join t2 on t1_a = t2.a` — QueryNormalizer
@@ -14290,6 +14375,93 @@ def _on_alias_rewrite(q: _Select) -> None:
         else:
             out.append(t)
     q.from_ = head + out
+
+
+def _using_qualified_rewrite(q: _Select) -> None:
+    """Spark's USING join hides the non-surviving side's qualified key
+    (`X.id` after `X RIGHT JOIN Y USING (id)` is unresolvable); the
+    reference keeps every side addressable.  When the select references
+    a qualified KEY (or a qualified star) over a single USING join,
+    lower USING to the equivalent ON condition — the default-fill and
+    ambiguity passes then supply the reference's left-biased, type-
+    default-filled semantics."""
+    parts = _split_single_join(q.from_)
+    if not parts:
+        return
+    left, words, right, tail = parts
+    if not tail or _kw(tail[0]) != "USING":
+        return
+    if any(_kw(w) in ("ANY", "ASOF", "SEMI", "ANTI", "CROSS") for w in words):
+        return
+    j = 1
+    keys: list[str] = []
+    if j < len(tail) and tail[j] == "(":
+        close = _match_paren(tail, j)
+        seg = tail[j + 1 : close]
+        rest = tail[close + 1 :]
+    else:
+        seg = []
+        while j < len(tail) and (
+            (_is_ident(tail[j]) and _kw(tail[j]) not in _SQL_KEYWORDS)
+            or tail[j] == ","
+        ):
+            seg.append(tail[j])
+            j += 1
+        rest = tail[j:]
+    for p in _split_top(seg, ","):
+        if len(p) == 1 and _is_ident(p[0]):
+            keys.append(p[0].strip("`"))
+        else:
+            return  # USING with expressions/AS keys: other machinery
+    if not keys:
+        return
+    lsrc, lalias = _item_src_alias(left)
+    rsrc, ralias = _item_src_alias(right)
+    if not lalias or not ralias or lalias == ralias:
+        return
+    want = False
+    for ts in (q.select, q.where, q.group_by, q.having, q.order_by):
+        for k2, t2 in enumerate(ts):
+            if (
+                t2.strip("`") in (lalias, ralias)
+                and k2 + 2 < len(ts) and ts[k2 + 1] == "."
+                and (ts[k2 + 2] == "*" or ts[k2 + 2].strip("`") in keys)
+                and (k2 == 0 or ts[k2 - 1] != ".")
+            ):
+                want = True
+    if not want:
+        return
+    # a BARE key reference needs the ambiguity pass after the rewrite,
+    # which needs both column lists derivable — otherwise keep USING
+    # (Spark resolves the bare name there natively)
+    bare_key = any(
+        t2.strip("`") in keys
+        and (k2 == 0 or (ts[k2 - 1] != "." and _kw(ts[k2 - 1]) != "AS"))
+        and (k2 + 1 >= len(ts) or ts[k2 + 1] not in (".", "("))
+        for ts in (q.select, q.where, q.group_by, q.having, q.order_by)
+        for k2, t2 in enumerate(ts)
+    )
+    if bare_key and (
+        _from_item_cols(lsrc) is None or _from_item_cols(rsrc) is None
+    ):
+        return
+    # `select *` would change shape under ON (keys no longer deduped)
+    d0 = 0
+    for k2, t2 in enumerate(q.select):
+        if t2 in ("(", "["):
+            d0 += 1
+        elif t2 in (")", "]"):
+            d0 -= 1
+        elif t2 == "*" and d0 == 0 and (
+            k2 == 0 or q.select[k2 - 1] != "."
+        ):
+            return
+    cond: list[str] = []
+    for k3 in keys:
+        if cond:
+            cond.append("AND")
+        cond += [lalias, ".", f"`{k3}`", "=", ralias, ".", f"`{k3}`"]
+    q.from_ = left + words + right + ["ON", *cond, *rest]
 
 
 def _qualify_ambiguous(q: _Select) -> None:
@@ -15007,9 +15179,17 @@ def _stream_order_join_rewrite(
     if _QDEPTH.get() > 1 or not _TOTALS_BLOCK_CTX.get():
         return None
     if (
-        q.order_by or q.group_by or q.having or q.distinct or q.limit_by
+        q.group_by or q.having or q.distinct or q.limit_by
         or q.with_totals or q.with_rollup or q.with_cube or q.array_join
         or q.aj_hoists or q.fill or q.lateral or q.is_stream
+    ):
+        return None
+    # an explicit ORDER BY: the reference sorts STABLY over the join's
+    # stream order — append the stream ids as tiebreakers instead of
+    # replacing the sort (00702 right/full tie groups)
+    with_order = bool(q.order_by)
+    if with_order and any(
+        _kw(t) in ("COLLATE", "FILL") for t in q.order_by
     ):
         return None
     parts = _split_single_join(q.from_)
@@ -15096,6 +15276,10 @@ def _stream_order_join_rewrite(
     if [t for t in q.select if t.strip()] != ["*"]:
         for c in ids:
             q.select = q.select + [",", c]
+    if with_order:
+        for c in ids:
+            q.order_by = q.order_by + [",", c]
+        return ids, None, None
     lim, off = q.limit, q.offset
     q.limit, q.offset = [], []
     return ids, lim, off
@@ -15127,8 +15311,10 @@ def _translate_select_tokens(toks: list[str]) -> tuple[str, dict[str, str]]:
             ):
                 q.from_[j0] = "`" + t0.strip("`") + "`"
     _orig_table_alias_rewrite(q)
+    _dotted_column_rewrite(q)
     _on_alias_rewrite(q)
     _using_alias_rewrite(q)
+    _using_qualified_rewrite(q)
     _qualify_ambiguous(q)
     _apply_array_join(q)
     _semi_anti_both_sides_rewrite(q)
@@ -15191,15 +15377,24 @@ def _translate_select_tokens(toks: list[str]) -> tuple[str, dict[str, str]]:
     if stash is not None:
         ids, lim, off = stash
         id_list = ", ".join(ids)
-        order = ", ".join(f"{c} NULLS LAST" for c in ids)
-        sql_text = (
-            f"SELECT * EXCEPT ({id_list}) FROM ( {sql_text} ) AS __jord "
-            f"ORDER BY {order}"
-        )
-        if lim:
-            sql_text += " LIMIT " + _emit(_translate_expr(lim))
-        if off:
-            sql_text += " OFFSET " + _emit(_translate_expr(off))
+        if lim is None and off is None:
+            # user ORDER BY kept inside (ids appended as tiebreakers):
+            # the wrapper only strips the id columns — a narrow
+            # projection preserves the inner sort
+            sql_text = (
+                f"SELECT * EXCEPT ({id_list}) FROM ( {sql_text} ) "
+                f"AS __jord"
+            )
+        else:
+            order = ", ".join(f"{c} NULLS LAST" for c in ids)
+            sql_text = (
+                f"SELECT * EXCEPT ({id_list}) FROM ( {sql_text} ) "
+                f"AS __jord ORDER BY {order}"
+            )
+            if lim:
+                sql_text += " LIMIT " + _emit(_translate_expr(lim))
+            if off:
+                sql_text += " OFFSET " + _emit(_translate_expr(off))
     return sql_text, settings
 
 
@@ -15222,6 +15417,30 @@ def _subq_cols(inner: list[str]) -> dict[str, str]:
         body.append(tk)
     for item in _split_top(body, ","):
         if not item:
+            continue
+        if item == ["*"]:
+            # bare star over a single named table: expand from its
+            # registered schema (enables alias passes over
+            # `( select * from X ) AS s` items — 00702)
+            f9 = inner[len(body) + 1 :]
+            if f9 and _kw(f9[0]) == "FROM":
+                k9 = 1
+                nm9: list[str] = []
+                while k9 < len(f9) and (
+                    (_is_ident(f9[k9]) and _kw(f9[k9]) not in _SQL_KEYWORDS)
+                    or f9[k9] == "."
+                ):
+                    nm9.append(f9[k9].strip("`"))
+                    k9 += 1
+                if (k9 >= len(f9) or _kw(f9[k9]) in (
+                    "WHERE", "ORDER", "LIMIT", "SETTINGS",
+                )) and nm9:
+                    schema9 = (_SCRIPT_SCHEMAS_CTX.get() or {}).get(
+                        "".join(nm9)
+                    )
+                    if schema9:
+                        for c9, _t9, d9 in schema9:
+                            cols.setdefault(c9, d9)
             continue
         if len(item) >= 3 and _kw(item[-2]) == "AS" and _is_ident(item[-1]):
             name, expr = item[-1].strip("`"), item[:-2]

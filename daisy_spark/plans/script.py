@@ -2805,8 +2805,35 @@ class ScriptRunner:
                     tok_env = _TYPE_ENV_CTX.set(
                         {**(_TYPE_ENV_CTX.get() or {}), **env}
                     )
+                    # a flattened Nested member is one dotted-name column
+                    # (`dcount ALIAS length(c.d)` — 01521): merge the
+                    # `c . d` triple into its backquoted column name
+                    dot_names = {c.name for c in cols if "." in c.name}
+                    expr_toks = list(part[j + 1 : k])
+                    if dot_names:
+                        merged: list[str] = []
+                        m9 = 0
+                        while m9 < len(expr_toks):
+                            t9 = expr_toks[m9]
+                            if (
+                                m9 + 2 < len(expr_toks)
+                                and expr_toks[m9 + 1] == "."
+                                and f"{t9.strip('`')}."
+                                f"{expr_toks[m9 + 2].strip('`')}"
+                                in dot_names
+                                and (not merged or merged[-1] != ".")
+                            ):
+                                merged.append(
+                                    f"`{t9.strip('`')}."
+                                    f"{expr_toks[m9 + 2].strip('`')}`"
+                                )
+                                m9 += 3
+                            else:
+                                merged.append(t9)
+                                m9 += 1
+                        expr_toks = merged
                     try:
-                        default = _emit(_translate_expr(part[j + 1 : k]))
+                        default = _emit(_translate_expr(expr_toks))
                     finally:
                         _TYPE_ENV_CTX.reset(tok_env)
                     default_raw = ch_expr(part[j + 1 : k])
