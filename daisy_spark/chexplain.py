@@ -1704,6 +1704,42 @@ def _redundant_order_by(sel: Select) -> None:
         sel.order_by = out
 
 
+#: single-arg functions whose positive monotonicity lets ORDER BY peel
+#: them (src/Interpreters/MonotonicityCheckVisitor.h — any order
+#: sorted by the argument is also sorted by the function)
+_MONOTONE_POS = {
+    "toDate", "toDateTime", "toDateTime64", "toStartOfDay",
+    "toStartOfHour", "toStartOfMinute", "toStartOfFiveMinute",
+    "toStartOfTenMinutes", "toStartOfFifteenMinutes", "toStartOfMonth",
+    "toStartOfQuarter", "toStartOfYear", "toStartOfWeek",
+    "toYYYYMM", "toYYYYMMDD", "toYYYYMMDDhhmmss", "toUnixTimestamp",
+}
+
+
+def _monotonous_order_by(sel: Select, ctx: Ctx) -> None:
+    """optimize_monotonous_functions_in_order_by
+    (src/Interpreters/TreeOptimizer.cpp optimizeMonotonousFunctionsInOrderBy):
+    replace a positively-monotone function call in ORDER BY with its
+    argument — UNLESS the storage's sorting key can already supply the
+    order (the rewrite would defeat read-in-order)."""
+    if not sel.order_by:
+        return
+    if (
+        sel.tables
+        and sel.tables[0][0] is None and len(sel.tables) == 1
+        and _plan_sort_prefix(sel, ctx) > 0
+    ):
+        return
+    for oe in sel.order_by:
+        e = oe.expr
+        while (
+            isinstance(e, Func) and e.params is None
+            and e.name in _MONOTONE_POS and len(e.args) == 1
+        ):
+            e = e.args[0]
+        oe.expr = e
+
+
 def _dups_in_order_by(sel: Select) -> None:
     """optimizeDuplicatesInOrderBy (always on): unique (column-name,
     collation) pairs, first occurrence wins."""
@@ -2545,6 +2581,8 @@ def _optimize(sel: Select, ctx: Ctx) -> None:
         _dup_distinct(sel)
     if _setting_on(s, "optimize_redundant_functions_in_order_by", True):
         _redundant_order_by(sel)
+    if _setting_on(s, "optimize_monotonous_functions_in_order_by", False):
+        _monotonous_order_by(sel, ctx)
     _dups_in_order_by(sel)
     if _setting_on(s, "optimize_if_transform_strings_to_enum", False):
         _map_select_exprs(sel, _strings_to_enum)
@@ -2939,3 +2977,154 @@ def explain_syntax(
                     )
     st = _Fmt()
     return format_union(u, st, 0)
+
+
+# ---------------------------------------------------------------------------
+# EXPLAIN [PLAN]: query-plan step rendering
+# (src/Parsers/ASTExplainQuery.h:14-20 QueryPlan kind;
+#  src/Processors/QueryPlan/QueryPlan.cpp explainPlan — each step prints
+#  "Name (description)" indented one level per child;
+#  src/Interpreters/InterpreterSelectQuery.cpp executeImpl orders the
+#  steps, and QueryPlanOptimizations merges adjacent Expression steps
+#  into "((A + B))" labels)
+# ---------------------------------------------------------------------------
+
+
+def _expr_canon(n: Node) -> str:
+    """Canonical one-line rendering for sort-key comparison."""
+    return format_expr(n, _Fmt(), 0, False, with_alias=False)
+
+
+def _sorting_key_canon(meta: dict | None) -> list[str]:
+    """Canonical per-element renderings of a table's raw ORDER BY
+    clause (the reference's CH-syntax text, e.g.
+    ``(toDate(timestamp), key)`` or ``tuple()``)."""
+    if not meta or not meta.get("mergetree"):
+        return []
+    raw = str(meta.get("sorting_key_raw") or "").strip()
+    if not raw:
+        return []
+    try:
+        kp = _P(tokenize(raw))
+        key = _ExprParser(kp).expr()
+    except Exception:  # noqa: BLE001 — unparseable key = no read-in-order
+        return []
+    elems = (
+        key.args if isinstance(key, Func) and key.name == "tuple" else [key]
+    )
+    return [_expr_canon(e) for e in elems]
+
+
+def _plan_sort_prefix(sel: Select, ctx: Ctx) -> int:
+    """Length of the ORDER BY prefix the storage's sorting key can
+    supply (ReadInOrderOptimizer::getInputOrder — exact expression
+    match per position, ASC only).  0 = full sort needed."""
+    te = sel.tables[0][1]
+    canon_keys = _sorting_key_canon(ctx.table_meta(te))
+    k = 0
+    for oe, key in zip(sel.order_by or [], canon_keys):
+        if oe.desc or oe.fill or oe.collate or oe.nulls:
+            break
+        if _expr_canon(oe.expr) != key:
+            break
+        k += 1
+    return k
+
+
+def _plan_select(sel: Select, ctx: Ctx, lines: list[str], ind: int) -> None:
+    if (
+        sel.array_join or sel.prewhere or sel.where or sel.having
+        or sel.limit_by or sel.with_totals or sel.with_rollup
+        or sel.with_cube or sel.distinct or sel.with_items
+    ):
+        raise ChExplainError("plan: unsupported select feature")
+    if len(sel.tables) > 1 or (
+        sel.tables and sel.tables[0][0] is not None
+    ):
+        raise ChExplainError("plan: joins unsupported")
+    if sel.limit is not None and not sel.order_by:
+        raise ChExplainError("plan: LIMIT without ORDER BY unsupported")
+    # source step
+    if not sel.tables:
+        read = "ReadFromStorage (SystemOne)"
+    else:
+        te = sel.tables[0][1]
+        meta = ctx.table_meta(te)
+        if te.kind == "table" and meta and meta.get("mergetree"):
+            read = "ReadFromMergeTree"
+        elif (
+            te.kind == "table" and isinstance(te.node, Ident)
+            and ".".join(te.node.parts) in ("system.one", "one")
+        ):
+            read = "ReadFromStorage (SystemOne)"
+        else:
+            raise ChExplainError("plan: unsupported storage")
+    # bottom-up step stack
+    steps: list[str] = [read]
+    steps.append(
+        "SettingQuotaAndLimits "
+        "(Set limits and quota after reading from storage)"
+    )
+    if sel.group_by is not None:
+        steps.append("Expression (Before GROUP BY)")
+        steps.append("Aggregating")
+    if sel.order_by:
+        steps.append("Expression (Before ORDER BY)")
+        if _plan_sort_prefix(sel, ctx) > 0 and str(
+            ctx.settings.get("optimize_read_in_order", "1")
+        ).strip("'\" ") != "0":
+            steps.append("FinishSorting")
+        else:
+            steps.append("PartialSorting (Sort each block for ORDER BY)")
+            steps.append("MergeSorting (Merge sorted blocks for ORDER BY)")
+            steps.append(
+                "MergingSorted (Merge sorted streams for ORDER BY)"
+            )
+        if sel.limit is not None:
+            steps.append("Limit (preliminary LIMIT)")
+        steps.append("Expression (Projection)")
+    else:
+        steps.append("Expression ((Projection + Before ORDER BY))")
+    for lvl, step in enumerate(reversed(steps)):
+        lines.append("  " * (ind + lvl) + step)
+
+
+def _plan_union(
+    u: "Union | Select", ctx: Ctx, lines: list[str], ind: int
+) -> None:
+    if isinstance(u, Select):
+        _plan_select(u, ctx, lines, ind)
+        return
+    if len(u.children) == 1:
+        _plan_union(u.children[0], ctx, lines, ind)
+        return
+    if u.normalized_mode == "DISTINCT":
+        lines.append("  " * ind + "Distinct")
+        ind += 1
+    lines.append("  " * ind + "Union")
+    for c in u.children:
+        _plan_union(c, ctx, lines, ind + 1)
+
+
+def explain_plan(
+    query: str,
+    schemas: dict[str, list[str]] | None = None,
+    settings: dict | None = None,
+) -> str:
+    """Render the reference's EXPLAIN [PLAN] output for `query` (the
+    text AFTER the EXPLAIN [PLAN] keywords).  Raises ChExplainError on
+    constructs outside the supported subset."""
+    toks = tokenize(query.strip().rstrip(";"))
+    if not toks:
+        raise ChExplainError("empty")
+    p = _P(toks)
+    u = parse_union(p)
+    if not p.at_end():
+        raise ChExplainError(f"trailing tokens: {p.peek()!r}")
+    ctx = Ctx(schemas or {}, settings or {})
+    u = normalize_union(u, ctx.settings.get("union_default_mode", ""))
+    for s in _walk_selects(u):
+        normalize_select(s, ctx)
+    lines: list[str] = []
+    _plan_union(u, ctx, lines, 0)
+    return "\n".join(lines)

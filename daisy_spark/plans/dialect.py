@@ -12465,6 +12465,15 @@ def _translate_from(toks: list[str]) -> list[str]:
             # dedups the right like LEFT, then FULL-joins
             any_right = "RIGHT" in dirs
             any_full = "FULL" in dirs
+            if any_full and str((_SETTINGS_CTX.get() or {}).get(
+                "any_join_distinct_right_table_keys", "0"
+            )).strip("'\" ") != "1":
+                # reference error 48 NOT_IMPLEMENTED (HashJoin: ANY FULL
+                # needs the legacy distinct-right-keys semantics)
+                raise DialectError(
+                    "ANY FULL JOINs are not implemented "
+                    "(any_join_distinct_right_table_keys = 0)"
+                )
             k = j + 1
             if k < n and toks[k] == "(":
                 fc = _match_paren(toks, k)
@@ -15110,7 +15119,7 @@ def _bare_star_fill(q: _Select) -> None:
         return
     left, words, right, tail = parts
     kws = {_kw(w) for w in words}
-    if not ({"LEFT", "FULL"} & kws) or {"SEMI", "ANTI"} & kws:
+    if {"SEMI", "ANTI", "CROSS", "ASOF"} & kws:
         return
     lsrc = list(left)
     if len(lsrc) >= 2 and _kw(lsrc[-2]) == "AS":
@@ -15151,10 +15160,42 @@ def _bare_star_fill(q: _Select) -> None:
             break
     if not keys:
         return  # ON joins keep NULL semantics here
-    # plain names — _outer_join_default_fill adds the coalesce fills
+    dups = [c for c in rcols if c not in keys and c in lcols]
+    if not ({"LEFT", "FULL"} & kws) and not dups:
+        return  # inner/right joins need no fill unless names collide
+    if not dups:
+        # plain names — _outer_join_default_fill adds the coalesce fills
+        items = list(keys)
+        items += [c for c in lcols if c not in keys]
+        items += [c for c in rcols if c not in keys]
+        q.select = tokenize(", ".join(items))
+        return
+    # both sides expose the same non-key NAME (00819: `b` on both):
+    # qualify every non-key column by side, giving alias-less sides an
+    # alias first.  A right column whose name also exists on the left
+    # shows the LEFT value in the reference's star (old-analyzer name
+    # flattening — 00819_full_join_wrong_columns_in_block locks this
+    # quirk in for every join kind, inner/ANY included).
+    _, lalias = _item_src_alias(left)
+    _, ralias = _item_src_alias(right)
+    new_left, new_right = list(left), list(right)
+    if not lalias:
+        lalias = "__sl"
+        new_left += ["AS", "__sl"]
+    if not ralias:
+        ralias = "__sr"
+        new_right += ["AS", "__sr"]
+    if new_left != left or new_right != right:
+        q.from_ = new_left + words + new_right + tail
     items = list(keys)
-    items += [c for c in lcols if c not in keys]
-    items += [c for c in rcols if c not in keys]
+    items += [
+        f"{lalias}.`{c}` AS `{c}`" for c in lcols if c not in keys
+    ]
+    items += [
+        (f"{lalias}.`{c}` AS `{c}`" if c in lcols
+         else f"{ralias}.`{c}` AS `{c}`")
+        for c in rcols if c not in keys
+    ]
     q.select = tokenize(", ".join(items))
 
 

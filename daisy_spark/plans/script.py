@@ -606,14 +606,7 @@ class ScriptRunner:
             return None
         return self._execute_core(_emit(toks))
 
-    def _explain_syntax(self, toks: list[str]) -> DataFrame | None:
-        """EXPLAIN SYNTAX: the reference prints the TreeRewriter-
-        normalized query in the canonical formatted-AST rendering
-        (src/Parsers/IAST.h formatImpl family), one output row per
-        line.  Falls back (None) outside chexplain's supported
-        subset so the legacy translation dump still shows."""
-        from daisy_spark.chexplain import ChExplainError, explain_syntax
-
+    def _explain_schemas(self) -> dict:
         schemas = {}
         for nm, t in self.tables.items():
             sk = []
@@ -624,12 +617,41 @@ class ScriptRunner:
             schemas[nm] = {
                 "cols": [c.name for c in t.cols if not c.hidden],
                 "sorting_key": sk,
+                "sorting_key_raw": t.order_by_raw or "",
                 "mergetree": "MERGETREE"
                 in (t.engine_raw or "").upper().replace(" ", ""),
                 "view": t.view_select_raw or "",
             }
+        return schemas
+
+    def _explain_syntax(self, toks: list[str]) -> DataFrame | None:
+        """EXPLAIN SYNTAX: the reference prints the TreeRewriter-
+        normalized query in the canonical formatted-AST rendering
+        (src/Parsers/IAST.h formatImpl family), one output row per
+        line.  Falls back (None) outside chexplain's supported
+        subset so the legacy translation dump still shows."""
+        from daisy_spark.chexplain import ChExplainError, explain_syntax
+
         try:
-            text = explain_syntax(_emit(toks), schemas, self.settings)
+            text = explain_syntax(
+                _emit(toks), self._explain_schemas(), self.settings
+            )
+        except ChExplainError:
+            return None
+        return self.spark.createDataFrame(
+            [(ln,) for ln in text.split("\n")], "explain STRING"
+        )
+
+    def _explain_plan(self, toks: list[str]) -> DataFrame | None:
+        """EXPLAIN [PLAN]: query-plan step rendering
+        (src/Processors/QueryPlan/QueryPlan.cpp explainPlan).  Falls
+        back (None) outside chexplain's supported subset."""
+        from daisy_spark.chexplain import ChExplainError, explain_plan
+
+        try:
+            text = explain_plan(
+                _emit(toks), self._explain_schemas(), self.settings
+            )
         except ChExplainError:
             return None
         return self.spark.createDataFrame(
@@ -644,12 +666,17 @@ class ScriptRunner:
         toks = self._strip_db_quals(toks)
         stmt = _emit(toks)
         if head in ("SELECT", "WITH", "EXPLAIN") or toks[0] == "(":
-            if (
-                head == "EXPLAIN"
-                and len(toks) > 1
-                and _kw(toks[1]) == "SYNTAX"
-            ):
-                df9 = self._explain_syntax(toks[2:])
+            if head == "EXPLAIN" and len(toks) > 1:
+                k1 = _kw(toks[1])
+                df9 = None
+                if k1 == "SYNTAX":
+                    df9 = self._explain_syntax(toks[2:])
+                elif k1 == "PLAN":
+                    df9 = self._explain_plan(toks[2:])
+                elif k1 in ("SELECT", "WITH") or toks[1] == "(":
+                    # bare EXPLAIN defaults to the PLAN kind
+                    # (ASTExplainQuery.h QueryPlan)
+                    df9 = self._explain_plan(toks[1:])
                 if df9 is not None:
                     return df9
             if self.live_views:
@@ -743,6 +770,80 @@ class ScriptRunner:
                         out_t.append(tk)
                 toks = out_t
                 stmt = _emit(toks)
+            # `_partition_value` (MergeTreeData.cpp virtuals): a tuple of
+            # the table's partition-key expressions, computed per-row —
+            # rewrite to an inline tuple so element access / comparisons
+            # ride the existing tuple paths.  Tables without a partition
+            # key have no such column (reference error 16, 01848).
+            if any(tk.strip('`"') == "_partition_value" for tk in toks):
+                t_pv = None
+                for j3, tk in enumerate(toks):
+                    if (
+                        j3 > 0 and _kw(toks[j3 - 1]) in ("FROM", "JOIN")
+                        and tk.strip('`"') in self.tables
+                    ):
+                        t_pv = self.tables[tk.strip('`"')]
+                        break
+                if t_pv is not None:
+                    praw = (t_pv.partition_by_raw or "").strip()
+                    if not praw or praw in ("tuple()", "tuple ( )"):
+                        raise DialectError(
+                            "There is no column _partition_value in "
+                            f"table {t_pv.name} (error 16)"
+                        )
+                    inner = (
+                        praw[1:-1]
+                        if praw.startswith("(") and praw.endswith(")")
+                        else praw
+                    )
+                    pk_elems = [
+                        p for p in _split_top(tokenize(inner), ",") if p
+                    ]
+                    out9: list[str] = []
+                    j3 = 0
+                    while j3 < len(toks):
+                        if toks[j3].strip('`"') != "_partition_value":
+                            out9.append(toks[j3])
+                            j3 += 1
+                            continue
+                        nxt = toks[j3 + 1] if j3 + 1 < len(toks) else ""
+                        nxt2 = toks[j3 + 2] if j3 + 2 < len(toks) else ""
+                        if nxt == "." and nxt2.isdigit():
+                            # tupleElement access -> the N-th key expr
+                            # (scalar comparisons then coerce normally)
+                            idx = int(nxt2)
+                            if not 1 <= idx <= len(pk_elems):
+                                raise DialectError(
+                                    "_partition_value tuple element "
+                                    f"{idx} out of range (error 127)"
+                                )
+                            out9 += ["("] + pk_elems[idx - 1] + [")"]
+                            j3 += 3
+                            continue
+                        if nxt == "=" and nxt2 == "(":
+                            close9 = _match_paren(toks, j3 + 2)
+                            lits = [
+                                p for p in _split_top(
+                                    toks[j3 + 3 : close9], ","
+                                ) if p
+                            ]
+                            if len(lits) == len(pk_elems):
+                                conj = []
+                                for pe, le in zip(pk_elems, lits):
+                                    if conj:
+                                        conj.append("AND")
+                                    conj += (
+                                        ["(", "("] + pe + [")", "="]
+                                        + ["("] + le + [")", ")"]
+                                    )
+                                out9 += ["("] + conj + [")"]
+                                j3 = close9 + 1
+                                continue
+                        # bare reference: an inline tuple of the keys
+                        out9 += ["("] + tokenize(f"tuple({inner})") + [")"]
+                        j3 += 1
+                    toks = out9
+                    stmt = _emit(toks)
             # `_partition_id` (MergeTreeData.cpp virtuals) is the part
             # name's partition prefix — rewrite to a `_part` expression
             # so the companion-view routing below picks it up
@@ -2501,9 +2602,24 @@ class ScriptRunner:
             )
             old = "".join(x.strip('`"') for x in a[j:sep])
             new = "".join(x.strip('`"') for x in a[sep + 1 :])
+
+            def _ren_expr(expr: str | None) -> str | None:
+                # the reference rewrites references to the renamed
+                # column inside other columns' DEFAULT/MATERIALIZED
+                # expressions (AlterCommands::apply → renameColumn —
+                # 01275/01276 lock this in)
+                if not expr or old not in expr:
+                    return expr
+                expr = re.sub(
+                    rf"(?<![\w`]){re.escape(old)}(?![\w`])", new, expr
+                )
+                return expr.replace(f"`{old}`", f"`{new}`")
+
             for c in t.cols:
                 if c.name == old:
                     c.name = new
+                c.default = _ren_expr(c.default)
+                c.default_raw = _ren_expr(c.default_raw)
             t.df = t.df.withColumnRenamed(old, new)
             return
         if op == "CLEAR" and j < len(a) and _kw(a[j]) == "COLUMN":
