@@ -399,4 +399,88 @@ def register_udfs(spark) -> None:
     spark.udf.register(
         "ch_uuid_string_to_num", uuid_string_to_num, "binary"
     )
+    spark.udf.register("ch_enum_ranked", ch_enum_ranked_json, "string")
     spark._daisy_chtext_udfs = True
+
+
+# ---------------------------------------------------------------------------
+# arrayEnumerateUniqRanked / arrayEnumerateDenseRanked core
+# (src/Functions/array/arrayEnumerateRanked.h executeMethodImpl: walk
+# the zipped arrays to the maximum effective depth, enumerate key
+# tuples, resetting the counter at each element of depth clear_depth-1;
+# shallower args are stretched by duplication)
+# ---------------------------------------------------------------------------
+
+
+def _er_freeze(v):
+    if isinstance(v, list):
+        return tuple(_er_freeze(x) for x in v)
+    return v
+
+
+def enum_ranked(clear: int, args: list, depths: list[int], dense: bool):
+    """Nested-list result for one row; raises ValueError('190') on
+    size mismatches (SIZES_OF_ARRAYS_DOESNT_MATCH)."""
+    md = max(depths)
+    counter: dict = {}
+    next_rank = [0]
+
+    def rec(subs, level):
+        n = None
+        for s, d in zip(subs, depths):
+            if d >= level:
+                if not isinstance(s, list):
+                    raise ValueError("190")
+                if n is None:
+                    n = len(s)
+                elif len(s) != n:
+                    raise ValueError("190")
+        out = []
+        for i in range(n or 0):
+            if level == clear - 1:
+                counter.clear()
+                next_rank[0] = 0
+            nsubs = [
+                s[i] if d >= level else s for s, d in zip(subs, depths)
+            ]
+            if level == md:
+                key = tuple(
+                    _er_freeze(x) for x in nsubs
+                )
+                if dense:
+                    if key not in counter:
+                        next_rank[0] += 1
+                        counter[key] = next_rank[0]
+                    out.append(counter[key])
+                else:
+                    counter[key] = counter.get(key, 0) + 1
+                    out.append(counter[key])
+            else:
+                out.append(rec(nsubs, level + 1))
+        return out
+
+    return rec(args, 1)
+
+
+def ch_enum_ranked_json(spec: str, data: str) -> str:
+    """Runtime bridge: spec = {clear, depths (null = use the value's
+    own nesting depth), dense}; data = to_json(named_struct(a0..aN)).
+    Returns the COMPACT rendering — byte-equal to the reference's
+    Array(UInt32) TSV text."""
+    import json
+
+    sp = json.loads(spec)
+    d = json.loads(data)
+    args = [d.get(f"a{i}") for i in range(len(sp["depths"]))]
+
+    def vdepth(v):
+        if not isinstance(v, list):
+            return 0
+        return 1 + max((vdepth(x) for x in v), default=0)
+
+    depths = [
+        dp if dp is not None else max(vdepth(a), 1)
+        for dp, a in zip(sp["depths"], args)
+    ]
+    res = enum_ranked(sp["clear"], args, depths, bool(sp["dense"]))
+    return json.dumps(res, separators=(",", ":"))

@@ -368,6 +368,10 @@ def to_start_of_five_minute(x):
     return to_start_of_interval_seconds(x, 300)
 
 
+def to_start_of_ten_minutes(x):
+    return to_start_of_interval_seconds(x, 600)
+
+
 def to_start_of_fifteen_minutes(x):
     return to_start_of_interval_seconds(x, 900)
 
@@ -1495,6 +1499,7 @@ FUNCTIONS: dict[str, Callable] = {
     "toStartOfDay": to_start_of_day, "toStartOfHour": to_start_of_hour,
     "toStartOfMinute": to_start_of_minute,
     "toStartOfFiveMinute": to_start_of_five_minute,
+    "toStartOfTenMinutes": to_start_of_ten_minutes,
     "toStartOfFifteenMinutes": to_start_of_fifteen_minutes,
     "toYYYYMM": to_yyyymm, "toYYYYMMDD": to_yyyymmdd,
     "now": now, "today": today, "yesterday": yesterday,

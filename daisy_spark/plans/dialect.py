@@ -45,6 +45,7 @@ LEFT/INNER only).
 from __future__ import annotations
 
 import contextvars
+import json
 import re
 import struct
 from dataclasses import dataclass, field
@@ -1454,6 +1455,13 @@ def _agg_combinator_expr(t: str, args: list[str]) -> str | None:
     type default; AggregateFunctionIf.h: condition filters rows).
     Returns None when the peeled base is unknown."""
     base, sufs = _peel_combinators(t)
+    if base.lower() in (
+        "sum", "min", "max", "avg", "count", "any",
+    ) and base != base.lower():
+        # case-insensitively registered bases keep resolving under
+        # combinators: SumOrNull / SUMOrNullIf (01560,
+        # AggregateFunctionFactory.cpp case-insensitive registry)
+        base = base.lower()
     if not sufs or "Distinct" in sufs:
         return None
     if "Array" in sufs and "ForEach" not in sufs:
@@ -2162,6 +2170,13 @@ def _ch_supertype(a: str | None, b: str | None) -> str | None:
         res = ua
     elif ua == ub:
         res = ua
+    elif ua.startswith("Array(") and ub.startswith("Array("):
+        # recurse on the element type ([[], [1]] = Array(Array(UInt8)):
+        # getLeastSupertype.cpp Array branch)
+        inner = _ch_supertype(ua[6:-1], ub[6:-1])
+        if inner is None:
+            return None
+        res = f"Array({inner})"
     elif ua in ("Float32", "Float64") or ub in ("Float32", "Float64"):
         fa, fb = ua in ("Float32", "Float64"), ub in ("Float32", "Float64")
         if fa and fb:
@@ -2186,6 +2201,68 @@ def _ch_supertype(a: str | None, b: str | None) -> str | None:
     else:
         return None
     return _ch_wrap(res) if nullable else res
+
+
+_CH_NUM_PARTS = {
+    "UInt8": (False, False, 1), "UInt16": (False, False, 2),
+    "UInt32": (False, False, 4), "UInt64": (False, False, 8),
+    "UInt128": (False, False, 16), "UInt256": (False, False, 32),
+    "Int8": (True, False, 1), "Int16": (True, False, 2),
+    "Int32": (True, False, 4), "Int64": (True, False, 8),
+    "Int128": (True, False, 16), "Int256": (True, False, 32),
+    "Float32": (False, True, 4), "Float64": (False, True, 8),
+    "Bool": (False, False, 1),
+}
+
+_CH_CONSTRUCT = {
+    (False, False, 1): "UInt8", (False, False, 2): "UInt16",
+    (False, False, 4): "UInt32", (False, False, 8): "UInt64",
+    (False, False, 16): "UInt128", (False, False, 32): "UInt256",
+    (True, False, 1): "Int8", (True, False, 2): "Int16",
+    (True, False, 4): "Int32", (True, False, 8): "Int64",
+    (True, False, 16): "Int128", (True, False, 32): "Int256",
+}
+
+
+def _ch_num_promote(op: str, lt: str, rt: str) -> str | None:
+    """src/DataTypes/NumberTraits.h: the reference's binary-arithmetic
+    result types (NOT C++ rules) — result sign is the OR of the
+    operands' (subtraction: always signed), float if either side
+    floats, size nextSize(max) = min(2*max, 8)-or-big-int; `/` is
+    always Float64; `%` takes the divisor's size (widened when the
+    dividend is signed)."""
+    pl = _CH_NUM_PARTS.get(_ch_unwrap(lt))
+    pr = _CH_NUM_PARTS.get(_ch_unwrap(rt))
+    if pl is None or pr is None:
+        return None
+    nullable = lt.startswith("Nullable(") or rt.startswith("Nullable(")
+
+    def next_size(s: int) -> int:
+        return s * 2 if s < 8 else s
+
+    def construct(signed: bool, floating: bool, size: int) -> str | None:
+        if floating:
+            return "Float32" if size <= 4 else "Float64"
+        return _CH_CONSTRUCT.get((signed, False, size))
+
+    sl, fl, zl = pl
+    sr, fr, zr = pr
+    if op == "/":
+        res = "Float64"
+    elif op in ("+", "*"):
+        res = construct(sl or sr, fl or fr, next_size(max(zl, zr)))
+    elif op == "-":
+        res = construct(True, fl or fr, next_size(max(zl, zr)))
+    elif op == "%":
+        if fl or fr:
+            res = "Float64"
+        else:
+            res = construct(sl, False, next_size(zr) if sl else zr)
+    else:
+        return None
+    if res is None:
+        return None
+    return f"Nullable({res})" if nullable else res
 
 
 def _ch_type_of(toks: list[str], env: dict[str, str]) -> str | None:
@@ -2583,6 +2660,10 @@ def _ch_type_of(toks: list[str], env: dict[str, str]) -> str | None:
                     prec = cls
                     break
             return f"Decimal({prec}, {scale})"
+        if lt0 and rt0:
+            prom = _ch_num_promote(op, lt0, rt0)
+            if prom is not None:
+                return prom
     head = _kw(toks[0])
     call = (
         len(toks) >= 3 and toks[1] == "("
@@ -2910,6 +2991,19 @@ _TYPE_ENV_CTX: "contextvars.ContextVar[dict | None]" = contextvars.ContextVar(
     "daisy_type_env", default=None
 )
 
+#: constness of inlined-alias opaque tokens ({rendered text: bool}) —
+#: toColumnTypeName needs the ORIGINAL raw expression's constness,
+#: which the pre-rendered substitution otherwise erases
+_CONST_ENV_CTX: "contextvars.ContextVar[dict | None]" = (
+    contextvars.ContextVar("daisy_const_env", default=None)
+)
+
+#: literal array VALUES of subquery aliases ({name: nested list}) —
+#: dumpColumnStructure sizes the const data column from the value
+_LITVAL_ENV_CTX: "contextvars.ContextVar[dict | None]" = (
+    contextvars.ContextVar("daisy_litval_env", default=None)
+)
+
 #: per-TABLE reference column types ({table: {col: ch_type}}) — the flat
 #: _SCRIPT_CHTYPES_CTX merges same-named columns across tables (last one
 #: wins), which mistypes e.g. `start` when four fixture tables reuse the
@@ -3001,6 +3095,25 @@ def _subquery_type_env(from_toks: list[str]) -> dict[str, str]:
                 if stop < len(inner) else dict(_TYPE_ENV_DEFAULT)
             )
             for item in _split_top(inner[:stop], ","):
+                # literal-array items (AS or bare alias): record the
+                # VALUE for dumpColumnStructure's size walk, and the
+                # bare-alias type the AS branch below won't see
+                expr9 = None
+                if len(item) >= 3 and _is_ident(item[-1]) and item[0] == "[":
+                    if _kw(item[-2]) == "AS" and item[-3] == "]":
+                        expr9, bare9 = item[:-2], False
+                    elif item[-2] == "]":
+                        expr9, bare9 = item[:-1], True
+                if expr9 is not None:
+                    lv9 = _raw_array_literal(expr9)
+                    if lv9 is not None:
+                        venv9 = dict(_LITVAL_ENV_CTX.get() or {})
+                        venv9[item[-1].strip('`"')] = lv9
+                        _LITVAL_ENV_CTX.set(venv9)
+                        if bare9:
+                            tl9 = _ch_type_of(expr9, sub_env)
+                            if tl9:
+                                env[item[-1].strip('`"')] = tl9
                 if (
                     len(item) >= 3 and _kw(item[-2]) == "AS"
                     and _is_ident(item[-1])
@@ -3071,6 +3184,290 @@ def _raw_elems_are_arrays(raw: list[str], env: dict | None) -> bool:
 def _type_name_of_raw(toks: list[str]) -> str | None:
     env = _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
     return _ch_type_of(toks, env)
+
+
+def _raw_const_expr(raw: list[str]) -> bool:
+    """Translate-time constness of an expression: a ColumnConst
+    survives only pure-literal trees — any materialize() call or bare
+    column reference (an identifier NOT heading a function call)
+    de-consts it (src/Functions/materialize.cpp; ColumnConst)."""
+    if len(raw) == 1:
+        cenv = _CONST_ENV_CTX.get() or {}
+        if raw[0] in cenv:
+            return cenv[raw[0]]
+    for k, tk in enumerate(raw):
+        if _kw(tk) == "MATERIALIZE":
+            return False
+        if _is_ident(tk) and _kw(tk) not in _SQL_KEYWORDS:
+            nxt = raw[k + 1] if k + 1 < len(raw) else ""
+            if nxt != "(" and tk.strip('`"') not in (
+                _LITVAL_ENV_CTX.get() or {}
+            ):
+                return False
+    return True
+
+
+def _ch_type_tree(text: str):
+    """Parse a CH type NAME into (head, [children]) for the wrappers
+    the column dump walks (Array/Nullable); everything else is a leaf
+    carrying its full text."""
+    for head in ("Array", "Nullable", "LowCardinality"):
+        if text.startswith(head + "(") and text.endswith(")"):
+            return (head, [_ch_type_tree(text[len(head) + 1:-1])])
+    return (text, [])
+
+
+def _raw_array_literal(raw: list[str]):
+    """Parse a bare (possibly nested) array-literal token stream into a
+    nested python list whose leaves are literal placeholders; None when
+    the stream is anything else."""
+    if not raw or raw[0] != "[" or raw[-1] != "]":
+        return None
+    def parse(i):
+        # raw[i] == '['
+        out = []
+        i += 1
+        while i < len(raw) and raw[i] != "]":
+            if raw[i] == "[":
+                sub, i = parse(i)
+                if sub is None:
+                    return None, i
+                out.append(sub)
+            elif raw[i] == ",":
+                i += 1
+            elif _is_ident(raw[i]) and _kw(raw[i]) not in (
+                "NULL", "TRUE", "FALSE",
+            ):
+                lv = (_LITVAL_ENV_CTX.get() or {}).get(
+                    raw[i].strip('`"')
+                )
+                if lv is None:
+                    return None, i  # column ref: value unknown
+                out.append(lv)
+                i += 1
+            else:
+                out.append(raw[i])
+                i += 1
+        return out, i + 1
+    val, end = parse(0)
+    return val if end == len(raw) else None
+
+
+def _ch_unescape_str(tok: str) -> str:
+    """Basic ClickHouse single-quoted literal unescape."""
+    s = tok[1:-1]
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            n = s[i + 1]
+            rep = {
+                "0": "\x00", "n": "\n", "t": "\t", "r": "\r",
+                "b": "\b", "f": "\f", "'": "'", '"': '"', "\\": "\\",
+            }.get(n)
+            if rep is not None:
+                out.append(rep)
+                i += 2
+                continue
+            if n == "x" and i + 3 < len(s):
+                out.append(chr(int(s[i + 2:i + 4], 16)))
+                i += 4
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _const_nested_value(toks: list[str]):
+    """Literal (possibly nested) array tokens -> python value; a
+    sentinel None when any element is not a literal."""
+    _MISS = object()
+
+    def atom(tk: str):
+        if tk.startswith("'"):
+            return _ch_unescape_str(tk)
+        if _kw(tk) == "NULL":
+            return None
+        try:
+            return int(tk)
+        except ValueError:
+            try:
+                return float(tk)
+            except ValueError:
+                return _MISS
+
+    def parse(ts: list[str]):
+        if ts and ts[0] == "[" and ts[-1] == "]":
+            vals = []
+            for p in _split_top(ts[1:-1], ","):
+                v = parse(p)
+                if v is _MISS:
+                    return _MISS
+                vals.append(v)
+            return vals
+        if len(ts) == 1:
+            return atom(ts[0])
+        if len(ts) == 2 and ts[0] == "-":
+            v = atom(ts[1])
+            return -v if isinstance(v, (int, float)) else _MISS
+        return _MISS
+
+    v = parse(toks)
+    return None if v is _MISS else (v,)
+
+
+def _enum_ranked_call(
+    t: str, arg_parts: list[list[str]], args: list[str]
+) -> str:
+    """arrayEnumerate{Uniq,Dense}Ranked: argument-list parsing per
+    src/Functions/array/arrayEnumerateRanked.cpp getArraysDepths
+    (errors 42/36/170 at analysis), then either translate-time
+    evaluation (all-literal arrays) or a JSON-bridged runtime UDF —
+    corpus-only exotica, never a hot path."""
+    dense = t == "arrayEnumerateDenseRanked"
+    if not arg_parts or arg_parts == [[]]:
+        _raise_dialect(
+            f"Number of arguments for function {t} doesn't match: "
+            "passed 0, should be at least 1. (42)"
+        )
+    # classify each argument
+    kinds = []  # ("array", depth, literal_or_None, sql) | ("const", v)
+    for raw, sql in zip(arg_parts, args):
+        lit = _const_nested_value(raw)
+        if lit is not None and isinstance(lit[0], list):
+            d = 1
+            probe = lit[0]
+            while probe and all(isinstance(x, list) for x in probe):
+                d += 1
+                nxt = [x for sub in probe for x in sub]
+                probe = nxt
+            kinds.append(("array", d, lit[0], sql))
+            continue
+        if lit is not None and isinstance(lit[0], (int, float)):
+            kinds.append(("const", lit[0]))
+            continue
+        if lit is not None:  # string / NULL constant
+            _raise_dialect(
+                f"{t}: cannot get depth value from argument (170)"
+            )
+        ct = _type_name_of_raw(raw)
+        d = 0
+        u = _ch_unwrap(ct or "")
+        while u.startswith("Array("):
+            d += 1
+            u = _ch_unwrap(u[6:-1])
+        # an unresolvable expression is assumed array-valued with its
+        # depth resolved at runtime (the C++ reads the input type; our
+        # static env can miss nested-union aliases)
+        kinds.append(("array", d or None, None, sql))
+    # getArraysDepths
+    clear_depth = 1
+    depths: list = []
+    arrays: list[tuple] = []
+    prev_depth = 0
+    for i, k in enumerate(kinds):
+        if k[0] == "array":
+            if len(depths) < len(arrays) and prev_depth != 0:
+                depths.append(prev_depth)
+            prev_depth = k[1]
+            arrays.append(k)
+        else:
+            v = k[1]
+            if isinstance(v, float) or v < 0:
+                _raise_dialect(
+                    f"{t}: depth argument must be a non-negative "
+                    "integer constant (170)"
+                )
+            if v == 0:
+                _raise_dialect(
+                    f"Incorrect arguments for function {t}: depth "
+                    f"({v}) cannot be less or equal 0. (36)"
+                )
+            if i == 0:
+                clear_depth = v
+            else:
+                if len(depths) >= len(arrays):
+                    _raise_dialect(
+                        f"Incorrect arguments for function {t}: depth "
+                        f"({v}) for missing array. (36)"
+                    )
+                if prev_depth is not None and v > prev_depth:
+                    _raise_dialect(
+                        f"Arguments for function {t} incorrect: depth="
+                        f"{v} for array with depth={prev_depth}. (36)"
+                    )
+                depths.append(v)
+    if len(depths) < len(arrays):
+        depths.append(prev_depth)
+    if not depths:
+        _raise_dialect(
+            f"Incorrect arguments for function {t}: at least one "
+            "array should be passed. (36)"
+        )
+    if all(d is not None for d in depths):
+        max_depth = max(depths)
+        if clear_depth > max_depth:
+            _raise_dialect(
+                f"Incorrect arguments for function {t}: clear_depth "
+                f"({clear_depth}) can't be larger than max_array_depth "
+                f"({max_depth}). (36)"
+            )
+    from daisy_spark.functions.chtext import enum_ranked
+
+    if all(a[2] is not None for a in arrays):
+        try:
+            res = enum_ranked(
+                clear_depth, [a[2] for a in arrays], depths, dense
+            )
+        except ValueError:
+            _raise_dialect(
+                f"Arrays passed to {t} aren't of the same size (190)"
+            )
+
+        def _spark_arr(v) -> str:
+            if isinstance(v, list):
+                return "array(" + ", ".join(_spark_arr(x) for x in v) + ")"
+            return str(v)
+
+        schema = "ARRAY<" * max_depth + "INT" + ">" * max_depth
+        return f"CAST({_spark_arr(res)} AS {schema})"
+    # runtime (table-column) path: JSON-bridge UDF returning the
+    # rendered text — identical to the reference's array TSV rendering
+    # for UInt32 arrays
+    spec = json.dumps(
+        {"clear": clear_depth, "depths": depths, "dense": int(dense)}
+    )
+    fields = ", ".join(
+        f"'a{k}', {a[3]}" for k, a in enumerate(arrays)
+    )
+    return (
+        f"ch_enum_ranked('{spec}', to_json(named_struct({fields})))"
+    )
+
+
+def _dump_structure(tree, vals) -> str:
+    """IColumn::dumpStructure for a const data column: each level
+    prints name(size = N, children...) — Array carries its UInt64
+    offsets column, Nullable its UInt8 null map
+    (src/Columns/ColumnArray.h / ColumnNullable.h getName +
+    IColumn::dumpStructure)."""
+    head, kids = tree
+    n = len(vals)
+    if head == "Array" and kids:
+        flat = []
+        for v in vals:
+            flat.extend(v if isinstance(v, list) else [])
+        return (
+            f"Array(size = {n}, UInt64(size = {n}), "
+            f"{_dump_structure(kids[0], flat)})"
+        )
+    if head == "Nullable" and kids:
+        return (
+            f"Nullable(size = {n}, {_dump_structure(kids[0], vals)}, "
+            f"UInt8(size = {n}))"
+        )
+    return f"{head}(size = {n})"
 
 
 def _hash_arg_is_stringish(raw: list[str]) -> bool:
@@ -5210,6 +5607,7 @@ FUNC_MAP: dict[str, object] = {
         "AS TIMESTAMP)"
     ),
     "toStartOfFiveMinute": "timestamp_seconds(floor(unix_timestamp({0}) / 300) * 300)",
+    "toStartOfTenMinutes": "timestamp_seconds(floor(unix_timestamp({0}) / 600) * 600)",
     "toStartOfFifteenMinutes": "timestamp_seconds(floor(unix_timestamp({0}) / 900) * 900)",
     # partitionId(v): the partition ID string for a value of the
     # partition expression — a single scalar renders as its text
@@ -8655,6 +9053,56 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                     out.append("'" + tn.replace("'", "\\'") + "'")
                     i = close + 1
                     continue
+            if t in (
+                "arrayEnumerateUniqRanked", "arrayEnumerateDenseRanked",
+            ):
+                out.append(
+                    _enum_ranked_call(t, arg_parts, args)
+                )
+                i = close + 1
+                continue
+            if t == "toColumnTypeName" and arg_parts:
+                # the column implementation name: the type name, with a
+                # Const(...) wrapper for pure-literal expression trees
+                # (src/Functions/toColumnTypeName.cpp; ColumnConst
+                # getName)
+                tn = _type_name_of_raw(arg_parts[0])
+                if tn is not None and "?" not in tn:
+                    if _raw_const_expr(arg_parts[0]):
+                        tn = f"Const({tn})"
+                    out.append("'" + tn.replace("'", "\\'") + "'")
+                    i = close + 1
+                    continue
+                _raise_dialect(
+                    "toColumnTypeName: unresolvable argument type (43)"
+                )
+            if t == "dumpColumnStructure" and arg_parts:
+                # "<type name>, <column dumpStructure>" for a CONST
+                # argument (src/Functions/dumpColumnStructure.cpp).
+                # The outer Const(size = N) is the runtime block size —
+                # a window count; debug/corpus-only, never a hot path.
+                tn = _type_name_of_raw(arg_parts[0])
+                if (
+                    tn is not None and "?" not in tn
+                    and _raw_const_expr(arg_parts[0])
+                ):
+                    tree = _ch_type_tree(tn)
+                    val = _raw_array_literal(arg_parts[0])
+                    if val is not None or "Array" not in tn:
+                        dump = _dump_structure(
+                            tree, [val if val is not None else None]
+                        )
+                        pre = f"{tn}, Const(size = ".replace("'", "\\'")
+                        post = f", {dump})".replace("'", "\\'")
+                        out.append(
+                            f"concat('{pre}', CAST(count(*) OVER () "
+                            f"AS STRING), '{post}')"
+                        )
+                        i = close + 1
+                        continue
+                _raise_dialect(
+                    "dumpColumnStructure: unsupported argument (43)"
+                )
             # timezone-argument forms.  DateTime('tz') values are
             # represented SHIFTED to that zone's wall clock (the session
             # stays UTC), tracked through _ch_type_of as DateTime('tz'):
@@ -10400,6 +10848,9 @@ _TZ_FNS = {
     "toStartOfHour": "date_trunc('HOUR', {0})",
     "toStartOfDay": "date_trunc('DAY', {0})",
     "toStartOfMinute": "date_trunc('MINUTE', {0})",
+    "toStartOfFiveMinute": "timestamp_seconds(floor(unix_timestamp({0}) / 300) * 300)",
+    "toStartOfTenMinutes": "timestamp_seconds(floor(unix_timestamp({0}) / 600) * 600)",
+    "toStartOfFifteenMinutes": "timestamp_seconds(floor(unix_timestamp({0}) / 900) * 900)",
     "toStartOfMonth": "CAST(date_trunc('MONTH', {0}) AS DATE)",
     "toStartOfQuarter": "CAST(date_trunc('QUARTER', {0}) AS DATE)",
     "toStartOfYear": "CAST(date_trunc('YEAR', {0}) AS DATE)",
@@ -11216,6 +11667,8 @@ def _parse_select(toks: list[str]) -> _Select:
         q.select = _subst_aliases_into_typefns(q.select)
     # length/empty/runningAccumulate/toTypeName all dispatch on the
     # raw argument's inferred type — keep the env current for every query
+    _CONST_ENV_CTX.set(None)
+    _LITVAL_ENV_CTX.set(None)
     try:
         _TYPE_ENV_CTX.set(
             _subquery_type_env(q.from_) if q.from_ else None
@@ -11278,6 +11731,11 @@ def _parse_select(toks: list[str]) -> _Select:
     for it in _split_top(q.select, ","):
         if len(it) >= 3 and _kw(it[-2]) == "AS" and _is_ident(it[-1]):
             alias_subs[it[-1]] = "( " + _emit(_translate_expr(it[:-2])) + " )"
+            # the rendered token erases the raw tree — record the raw
+            # expression's constness for toColumnTypeName
+            cenv = dict(_CONST_ENV_CTX.get() or {})
+            cenv[alias_subs[it[-1]]] = _raw_const_expr(it[:-2])
+            _CONST_ENV_CTX.set(cenv)
     # aliases may reference EARLIER aliases (`a AS x, x AS y, f(y)`):
     # resolve transitively so every inlined copy is closed
     for _ in range(len(alias_subs)):
@@ -14369,21 +14827,38 @@ def _on_alias_rewrite(q: _Select) -> None:
             amap[it[-1].strip("`")] = it[:-1]
     if not amap:
         return
-    start = min(on_at)
-    head, tail = f[:start], f[start:]
-    out: list[str] = []
-    for j, t in enumerate(tail):
+    # substitute ONLY inside ON expression spans — a bare ident in
+    # relation position (the alias in `) d ON ...` / `tbl d`) must
+    # survive (00917: `d.ANIMAL d` must not eat subquery alias d)
+    jch = {
+        "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "OUTER", "CROSS",
+        "SEMI", "ANTI", "ASOF", "ANY", "ALL", "GLOBAL", "USING",
+        "ARRAY", "WHERE", "PREWHERE",
+    }
+    spans: list[tuple[int, int]] = []
+    for j in on_at:
+        k = j + 1
+        while k < len(f):
+            if _paren_depth_at(f, k) == 0 and (
+                _kw(f[k]) in jch or f[k] == ","
+            ):
+                break
+            k += 1
+        spans.append((j + 1, k))
+    res: list[str] = []
+    for j, t in enumerate(f):
         nm = t.strip("`")
-        prev = out[-1] if out else (head[-1] if head else "")
-        nxt = tail[j + 1] if j + 1 < len(tail) else ""
+        prev = f[j - 1] if j else ""
+        nxt = f[j + 1] if j + 1 < len(f) else ""
         if (
-            nm in amap and _is_ident(t) and prev != "."
+            any(a <= j < b for a, b in spans)
+            and nm in amap and _is_ident(t) and prev != "."
             and _kw(prev) != "AS" and nxt not in (".", "(")
         ):
-            out += ["(", *amap[nm], ")"]
+            res += ["(", *amap[nm], ")"]
         else:
-            out.append(t)
-    q.from_ = head + out
+            res.append(t)
+    q.from_ = res
 
 
 def _using_qualified_rewrite(q: _Select) -> None:
@@ -16255,6 +16730,155 @@ _EXPLAIN_MODES = {"AST": "EXTENDED", "PLAN": "FORMATTED", "PIPELINE": "FORMATTED
                   "SYNTAX": None, "ESTIMATE": "COST"}
 
 
+def _ch_int_hash64(x: int) -> int:
+    """The reference's intHash64 finalizer (base/base/... intHash64,
+    used by DefaultHash<UInt64>): murmur-style avalanche."""
+    m = (1 << 64) - 1
+    x &= m
+    x ^= x >> 33
+    x = (x * 0xFF51AFD7ED558CCD) & m
+    x ^= x >> 33
+    x = (x * 0xC4CEB9FE1A85EC53) & m
+    x ^= x >> 33
+    return x
+
+
+def _uniq_elem_state(v: int | None) -> bytes:
+    """Serialized uniq state over ONE Nullable element: null-adaptor
+    flag (always written — uniq returns default on only-null:
+    AggregateFunctionNull.h serialize), then UniquesHashSet::write =
+    skip_degree 0, varint size, 4-byte LE truncated DefaultHash64
+    values (src/AggregateFunctions/UniquesHashSet.h)."""
+    if v is None:
+        return b"\x01\x00\x00"
+    h = _ch_int_hash64(v) & 0xFFFFFFFF
+    return b"\x01\x00\x01" + h.to_bytes(4, "little")
+
+
+_CH_BYTE_ESC = {
+    0: b"\\0", 8: b"\\b", 9: b"\\t", 10: b"\\n", 12: b"\\f",
+    13: b"\\r", 0x27: b"\\'", 0x5C: b"\\\\",
+}
+
+
+def _ch_escape_bytes(bs: bytes) -> bytes:
+    """writeEscapedString byte escaping (IO/WriteHelpers.h)."""
+    out = bytearray()
+    for b in bs:
+        e = _CH_BYTE_ESC.get(b)
+        out += e if e else bytes([b])
+    return bytes(out)
+
+
+def _uniq_state_elems(arr: list[str]) -> list[int | None] | None:
+    """Constant array argument -> element values (None = NULL); None
+    when any element is not a plain integer/NULL literal."""
+    if len(arr) < 2 or arr[0] != "[" or arr[-1] != "]":
+        return None
+    vals: list[int | None] = []
+    for part in _split_top(arr[1:-1], ","):
+        if len(part) != 1:
+            return None
+        if _kw(part[0]) == "NULL":
+            vals.append(None)
+        elif part[0].isdigit():
+            vals.append(int(part[0]))
+        else:
+            return None
+    return vals
+
+
+def _rewrite_uniq_state_consts(toks: list[str]) -> list[str]:
+    """uniqStateForEach[State] over CONSTANT arrays (01381): the state
+    BYTES are fully determined at translate time — fold the recognized
+    hex/toString/finalizeAggregation compositions into literals.  The
+    ForEach state is writeBinary(UInt64 count) + per-element nested
+    states (AggregateFunctionForEach.h serialize)."""
+    if "uniqStateForEach" not in toks and "uniqStateForEachState" not in toks:
+        return toks
+    out: list[str] = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        t = toks[i]
+        # hex(toString(uniqStateForEach[State]([...])))
+        if (
+            _kw(t) == "HEX" and i + 5 < n and toks[i + 1] == "("
+            and _kw(toks[i + 2]) == "TOSTRING" and toks[i + 3] == "("
+            and toks[i + 4] in (
+                "uniqStateForEach", "uniqStateForEachState",
+            )
+            and toks[i + 5] == "("
+        ):
+            c_in = _match_paren(toks, i + 5)
+            c_ts = _match_paren(toks, i + 3)
+            c_hex = _match_paren(toks, i + 1)
+            elems = (
+                _uniq_state_elems(toks[i + 6:c_in])
+                if c_ts == c_in + 1 and c_hex == c_ts + 1 else None
+            )
+            if elems is not None:
+                states = [_uniq_elem_state(v) for v in elems]
+                if toks[i + 4] == "uniqStateForEachState":
+                    blob = len(states).to_bytes(8, "little") + b"".join(
+                        states
+                    )
+                else:
+                    blob = (
+                        b"[" + b",".join(
+                            b"'" + _ch_escape_bytes(s) + b"'"
+                            for s in states
+                        ) + b"]"
+                    )
+                out.append("'" + blob.hex().upper() + "'")
+                i = c_hex + 1
+                continue
+        # arrayMap(x -> BODY, finalizeAggregation(uniqStateForEachState([...])))
+        if (
+            _kw(t) == "ARRAYMAP" and i + 1 < n and toks[i + 1] == "("
+        ):
+            c_am = _match_paren(toks, i + 1)
+            parts = _split_top(toks[i + 2:c_am], ",")
+            if len(parts) == 2:
+                lam, src = parts
+                elems = None
+                if (
+                    len(src) >= 5
+                    and _kw(src[0]) == "FINALIZEAGGREGATION"
+                    and src[1] == "(" and src[2] == "uniqStateForEachState"
+                    and src[3] == "(" and src[-2] == ")" and src[-1] == ")"
+                ):
+                    elems = _uniq_state_elems(src[4:-2])
+                if elems is not None and len(lam) >= 3 and lam[1] == "->":
+                    var = lam[0]
+                    body = lam[2:]
+                    states = [_uniq_elem_state(v) for v in elems]
+                    repl = None
+                    if body == [
+                        "hex", "(", "toString", "(", var, ")", ")",
+                    ]:
+                        repl = ["["] + sum(
+                            (
+                                ["'" + s.hex().upper() + "'", ","]
+                                for s in states
+                            ), [],
+                        )[:-1] + ["]"]
+                    elif body == ["finalizeAggregation", "(", var, ")"]:
+                        repl = ["["] + sum(
+                            (
+                                [str(0 if v is None else 1), ","]
+                                for v in elems
+                            ), [],
+                        )[:-1] + ["]"]
+                    if repl is not None:
+                        out += repl
+                        i = c_am + 1
+                        continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def translate(query: str) -> TranslateResult:
     """Reference-dialect SQL -> Spark SQL (+ extracted SETTINGS, stream flag)."""
     _ARRAY_LAMBDA_VARS.set(frozenset())
@@ -16286,6 +16910,7 @@ def translate(query: str) -> TranslateResult:
         and _match_paren(toks, 0) == len(toks) - 1
     ):
         toks = toks[1:-1]
+    toks = _rewrite_uniq_state_consts(toks)
     toks = _hoist_inner_aliases(toks)
     toks = _dist_localize_subqueries(toks)
     stages = _split_top(toks, "|")

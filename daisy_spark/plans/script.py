@@ -702,6 +702,9 @@ class ScriptRunner:
                 ):
                     toks = sub9
                     stmt = _emit(toks)
+            df150 = self._totals_under_join(toks)
+            if df150 is not None:
+                return df150
             if str(self.settings.get(
                 "force_primary_key", "0"
             )).strip("'\" ") == "1":
@@ -1263,6 +1266,15 @@ class ScriptRunner:
         if pk:
             pp_sql = _emit(_translate_expr(tokenize(t.partition_by_raw)))
         col_sql = f"`{col}`"
+        # bound BEFORE materializing: a table past the granule cap must
+        # not pay the global row_number() window nor a driver-side
+        # collect of the whole granule list — count first (cheap
+        # map-side agg), and cap the collect at 4097 rows regardless
+        n_rows = self.spark.sql(
+            f"SELECT count(*) FROM `{tbl_name}`"
+        ).collect()[0][0]
+        if n_rows > 4096 * gran:
+            return None
         g = self.spark.sql(
             f"SELECT __pp, floor(__rn / {gran}) AS __g, "
             f"min(__k) AS f, max(__k) AS l FROM ("
@@ -1271,7 +1283,7 @@ class ScriptRunner:
             f"ORDER BY {col_sql}) - 1 AS __rn FROM `{tbl_name}`) "
             f"GROUP BY __pp, floor(__rn / {gran}) "
             f"ORDER BY __pp, __g"
-        ).collect()
+        ).limit(4097).collect()
         if len(g) > 4096:
             return None
         ranges: list[tuple] = []
@@ -2704,6 +2716,168 @@ class ScriptRunner:
             t.parts = [p for p in t.parts if p[0] != dropped]
             return
         raise DialectError(f"unsupported ALTER action {_emit(a[:2])}")
+
+    @staticmethod
+    def _totals_fix_row(fields, r) -> tuple:
+        """NULLs in a totals row become type defaults
+        (Processors/Transforms/TotalsHavingTransform.cpp)."""
+        vals = []
+        for f, v in zip(fields, r):
+            if v is None:
+                t = f.dataType.simpleString()
+                if t in (
+                    "tinyint", "smallint", "int", "bigint",
+                    "double", "float",
+                ) or t.startswith("decimal"):
+                    v = 0
+                elif t == "string":
+                    v = ""
+            vals.append(v)
+        return tuple(vals)
+
+    @staticmethod
+    def _ch_literal(v) -> str | None:
+        """Render a collected Python value as a ClickHouse literal for
+        the totals-under-join replay; None = unrepresentable (caller
+        falls back to no-totals)."""
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "1" if v else "0"
+        if isinstance(v, int):
+            return str(v)
+        if isinstance(v, float):
+            return repr(v)
+        if isinstance(v, str):
+            esc = v.replace("\\", "\\\\").replace("'", "\\'")
+            return f"'{esc}'"
+        return None
+
+    _JOIN_MODS = {
+        "ANY", "ALL", "LEFT", "RIGHT", "FULL", "INNER", "OUTER",
+        "SEMI", "ANTI", "ASOF", "GLOBAL", "CROSS", "JOIN",
+    }
+
+    def _totals_under_join(self, toks: list[str]) -> DataFrame | None:
+        """WITH TOTALS inside joined subqueries (00150): the reference
+        runs the two sides' totals blocks through the same join, a side
+        without TOTALS contributing a row of column defaults
+        (src/Processors/QueryPlan/TotalsHavingStep.cpp; HashJoin
+        joinTotals).  Emulated by re-running the outer join with each
+        subquery replaced by a one-row literal SELECT of that side's
+        totals (or defaults) block."""
+        if _kw(toks[0]) != "SELECT":
+            return None
+        depth = 0
+        fr = None
+        for i, t in enumerate(toks):
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and _kw(t) == "FROM":
+                fr = i
+                break
+        if fr is None or fr + 1 >= len(toks) or toks[fr + 1] != "(":
+            return None
+        close_a = _match_paren(toks, fr + 1)
+        sub_a = toks[fr + 2:close_a]
+        # optional alias + join-modifier words, then the second subquery
+        j = close_a + 1
+        while j < len(toks) and _kw(toks[j]) != "JOIN":
+            if _kw(toks[j]) in self._JOIN_MODS or _kw(toks[j]) == "AS" \
+                    or _is_ident(toks[j]):
+                j += 1
+            else:
+                return None
+        if j >= len(toks) or j + 1 >= len(toks) or toks[j + 1] != "(":
+            return None
+        mid = toks[close_a + 1:j + 1]
+        close_b = _match_paren(toks, j + 1)
+        sub_b = toks[j + 2:close_b]
+        tail = toks[close_b + 1:]
+
+        def _has_totals(sub: list[str]) -> bool:
+            return any(
+                _kw(x) == "TOTALS" and _paren_depth_at(sub, k) == 0
+                for k, x in enumerate(sub)
+            )
+
+        def _strip_totals(sub: list[str]) -> list[str]:
+            out = []
+            k = 0
+            while k < len(sub):
+                if (
+                    _kw(sub[k]) == "WITH" and k + 1 < len(sub)
+                    and _kw(sub[k + 1]) == "TOTALS"
+                    and _paren_depth_at(sub, k) == 0
+                ):
+                    k += 2
+                    continue
+                out.append(sub[k])
+                k += 1
+            return out
+
+        ta, tb = _has_totals(sub_a), _has_totals(sub_b)
+        if not (ta or tb):
+            return None
+        if any(
+            _kw(x) == "JOIN" and _paren_depth_at(tail, k) == 0
+            for k, x in enumerate(tail)
+        ):
+            return None  # >2-way joins: out of scope, keep regular path
+        sa, sb = _strip_totals(sub_a), _strip_totals(sub_b)
+        regular = self._execute_core(_emit(
+            toks[:fr + 1] + ["("] + sa + [")"] + mid
+            + ["("] + sb + [")"] + tail
+        ))
+        if regular is None:
+            return None
+
+        def _side_literal(sub: list[str], has: bool) -> list[str] | None:
+            """One-row literal SELECT of the side's totals (or
+            defaults) block, in ClickHouse syntax.  `sub` keeps its
+            TOTALS when present (the recursive execute splits the block
+            onto `_daisy_totals`); a totals-less side only contributes
+            its schema for the defaults row."""
+            df_s = self._execute_core(_emit(sub))
+            if df_s is None:
+                return None
+            fields = df_s.schema.fields
+            if has:
+                trows = getattr(df_s, "_daisy_totals", None)
+                if not trows:
+                    return None
+                row = trows[0]
+            else:
+                row = self._totals_fix_row(
+                    fields, tuple(None for _ in fields)
+                )
+            items = []
+            for f, v in zip(fields, row):
+                lit = self._ch_literal(v)
+                if lit is None:
+                    return None
+                items.append(f"{lit} AS `{f.name}`")
+            return tokenize("SELECT " + ", ".join(items))
+
+        lit_a = _side_literal(sub_a, ta)
+        lit_b = _side_literal(sub_b, tb)
+        if lit_a is None or lit_b is None:
+            regular._daisy_totals = []  # type: ignore[attr-defined]
+            return regular
+        tot_df = self._execute_core(_emit(
+            toks[:fr + 1] + ["("] + lit_a + [")"] + mid
+            + ["("] + lit_b + [")"] + tail
+        ))
+        if tot_df is None:
+            return regular
+        fixed = [
+            self._totals_fix_row(tot_df.schema.fields, tuple(r))
+            for r in tot_df.collect()
+        ]
+        regular._daisy_totals = fixed  # type: ignore[attr-defined]
+        return regular
 
     def _split_totals(self, df: DataFrame | None) -> DataFrame | None:
         """WITH TOTALS: the dialect tags the totals row with a hidden

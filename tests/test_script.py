@@ -191,3 +191,64 @@ def test_summing_map_merge_integer_width(runner):
     runner.execute("INSERT INTO smw VALUES (1, [7], [1])")
     got = rows(runner.execute("SELECT `vMap.val` FROM smw FINAL"))
     assert got == [([big + 1],)]
+
+
+def test_index_hint_census_early_out_on_big_table(runner):
+    # the granule census must count BEFORE materializing: past the
+    # 4096-granule cap no global row_number() window or driver-side
+    # collect may run — the predicate degrades to full-scan (None)
+    # without touching the census query (plans/script.py
+    # _index_hint_pred; src/Functions/indexHint.cpp KeyCondition
+    # degrade path)
+    runner.execute(
+        "CREATE TABLE ih_big (x UInt32) ENGINE = MergeTree ORDER BY x "
+        "SETTINGS index_granularity = 1"
+    )
+    runner.execute(
+        "INSERT INTO ih_big SELECT number FROM numbers(4097)"
+    )
+    calls = []
+    orig = runner.spark.sql
+
+    def spy(q, *a, **kw):
+        calls.append(q)
+        return orig(q, *a, **kw)
+
+    runner.spark.sql = spy
+    try:
+        assert runner._index_hint_pred("ih_big", ["x", "=", "5"]) is None
+    finally:
+        runner.spark.sql = orig
+    # only the bounding count ran — never the window census
+    assert any("count(*)" in q for q in calls)
+    assert not any("row_number" in q for q in calls)
+
+
+def test_index_hint_census_still_prunes_small_table(runner):
+    runner.execute(
+        "CREATE TABLE ih_small (x UInt32) ENGINE = MergeTree ORDER BY x "
+        "SETTINGS index_granularity = 8192"
+    )
+    runner.execute(
+        "INSERT INTO ih_small SELECT number FROM numbers(100)"
+    )
+    pred = runner._index_hint_pred("ih_small", ["x", "=", "5"])
+    assert pred is not None
+
+
+def test_totals_under_join_blocks(runner):
+    # 00150: the joined subqueries' totals rows run through the same
+    # join; a totals-less side contributes a defaults row
+    # (TotalsHavingStep.cpp + HashJoin joinTotals)
+    runner.settings["joined_subquery_requires_alias"] = "0"
+    df = runner.execute(
+        "SELECT k, s1, s2 FROM (SELECT intDiv(number, 3) AS k, "
+        "sum(number) AS s1 FROM (SELECT * FROM system.numbers LIMIT 10) "
+        "GROUP BY k WITH TOTALS) ANY LEFT JOIN (SELECT intDiv(number, 4) "
+        "AS k, sum(number) AS s2 FROM (SELECT * FROM system.numbers "
+        "LIMIT 10) GROUP BY k) USING k ORDER BY k"
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        (0, 3, 6), (1, 12, 22), (2, 21, 17), (3, 9, 0),
+    ]
+    assert df._daisy_totals == [(0, 45, 0)]
