@@ -669,13 +669,16 @@ class _ExprParser:
                 p.next()
                 if _kwu(p.peek()) == "DISTINCT":
                     # ParserFunction: DISTINCT inside the call renames
-                    # the aggregate (count -> countDistinct)
-                    if name.lower() != "count":
-                        raise ChExplainError(
-                            f"DISTINCT inside {name}() unsupported"
-                        )
+                    # the aggregate (count -> countDistinct; fooIf ->
+                    # fooDistinctIf — the -Distinct combinator slots in
+                    # before -If)
                     p.next()
-                    name = "countDistinct"
+                    if name.lower() == "count":
+                        name = "countDistinct"
+                    elif name.endswith("If"):
+                        name = name[:-2] + "DistinctIf"
+                    else:
+                        name = name + "Distinct"
                 args = self._call_args()
                 params = None
                 if p.peek() == "(":
@@ -2544,6 +2547,8 @@ def _optimize(sel: Select, ctx: Ctx) -> None:
     def _count_distinct(n: Node) -> Node:
         if isinstance(n, Func) and n.name == "countDistinct":
             return Func(impl, n.args, alias=n.alias)
+        if isinstance(n, Func) and n.name == "countDistinctIf":
+            return Func(impl + "If", n.args, alias=n.alias)
         return n
 
     _map_select_exprs(sel, _count_distinct)

@@ -45,6 +45,7 @@ LEFT/INNER only).
 from __future__ import annotations
 
 import contextvars
+import functools
 import json
 import re
 import struct
@@ -63,7 +64,7 @@ class DialectError(ValueError):
 
 _TOKEN_RE = re.compile(
     r"""
-      (?P<ws>\s+)
+      (?P<ws>[\s\u0085\u00a0\u180e\u2000-\u200d\u2028\u2029\u202f\u205f\u2060\u3000\ufeff]+)
     | (?P<comment>--[^\n]*|/\*.*?\*/)
     | (?P<str>'(?:[^'\\]|\\.|'')*')
     | (?P<qid>`(?:[^`\\]|\\.|``)*`|"(?:[^"\\]|\\.|"")*")
@@ -2582,17 +2583,25 @@ def _ch_type_of(toks: list[str], env: dict[str, str]) -> str | None:
             _ch_type_of(toks[qpos + 1 : cpos], env),
             _ch_type_of(toks[cpos + 1 :], env),
         )
-    # top-level comparison / logical => UInt8
+    # top-level comparison / logical => UInt8 (Nullable when either
+    # comparison operand is Nullable — 01055)
     depth = 0
     for k, t in enumerate(toks):
         if t in ("(", "["):
             depth += 1
         elif t in (")", "]"):
             depth -= 1
-        elif depth == 0 and (
-            t in ("=", "==", "!=", "<>", "<", ">", "<=", ">=")
-            or _kw(t) in ("AND", "OR", "NOT", "LIKE", "IN")
+        elif depth == 0 and t in (
+            "=", "==", "!=", "<>", "<", ">", "<=", ">=",
         ):
+            lt_c = _ch_type_of(toks[:k], env)
+            rt_c = _ch_type_of(toks[k + 1:], env)
+            if (lt_c or "").startswith("Nullable(") or (
+                rt_c or ""
+            ).startswith("Nullable("):
+                return "Nullable(UInt8)"
+            return "UInt8"
+        elif depth == 0 and _kw(t) in ("AND", "OR", "NOT", "LIKE", "IN"):
             return "UInt8"
     # top-level decimal arithmetic: the reference keeps the DECIMAL
     # CLASS (Decimal32/64/128 by max precision) and max scale through
@@ -2815,6 +2824,27 @@ def _ch_type_of(toks: list[str], env: dict[str, str]) -> str | None:
                 type_text = _compact_type_text(inner_toks[as_idx + 1 :])
             elif len(parts) == 2 and len(parts[1]) == 1 and parts[1][0][:1] == "'":
                 type_text = parts[1][0][1:-1]
+            if type_text and type_text.startswith("Enum"):
+                # canonical class: bare Enum resolves to Enum8 when
+                # every value fits Int8, else Enum16
+                # (DataTypeEnum.cpp create)
+                et = type_text.replace("\\'", "'").replace("\\\\", "\\")
+                me = re.match(r"Enum(8|16)?\((.*)\)$", et, re.S)
+                if me:
+                    pairs_e = re.findall(
+                        r"'((?:[^'\\]|\\.)*)'\s*=\s*(-?\d+)", me.group(2)
+                    )
+                    if pairs_e:
+                        w = me.group(1) or (
+                            "8" if all(
+                                -128 <= int(v) <= 127 for _, v in pairs_e
+                            ) else "16"
+                        )
+                        body_e = ", ".join(
+                            f"'{lab}' = {int(v)}" for lab, v in pairs_e
+                        )
+                        return f"Enum{w}({body_e})"
+                return et
             if type_text and re.match(
                 r"(?:Nullable\(|LowCardinality\(|Array\(|Tuple\(|FixedString\(|"
                 r"Decimal|UInt|Int|Float|String|Date|Enum)",
@@ -2879,6 +2909,8 @@ def _ch_type_of(toks: list[str], env: dict[str, str]) -> str | None:
             return _ch_wrap(r) if t.startswith("Nullable(") else r
         if head in ("MIN", "MAX", "ANY", "ANYLAST") and parts:
             return _ch_type_of(parts[0], env)
+        if head == "DEFAULTVALUEOFARGUMENTTYPE" and parts:
+            return _ch_type_of(parts[0], env)
         if head == "COUNT":
             return "UInt64"
         if head in ("LEAST", "GREATEST") and len(parts) == 2:
@@ -2921,6 +2953,13 @@ def _ch_type_of(toks: list[str], env: dict[str, str]) -> str | None:
         return "Float64"
     if len(toks) == 1 and _is_ident(toks[0]) and toks[0].strip("`") in env:
         return env[toks[0].strip("`")]
+    # dotted Nested ref (`statusMap.revenue` as three tokens)
+    if (
+        len(toks) == 3 and toks[1] == "." and _is_ident(toks[0])
+        and _is_ident(toks[2])
+        and f"{toks[0].strip('`')}.{toks[2].strip('`')}" in env
+    ):
+        return env[f"{toks[0].strip('`')}.{toks[2].strip('`')}"]
     # opaque pre-rendered tokens (inlined sibling aliases) are registered
     # in the env under their full rendered text
     if len(toks) == 1 and toks[0] in env:
@@ -4661,7 +4700,9 @@ def _map_add_sub_expr(
     )
 
 
-def _agg_map_expr(a: list[str], ap: list[list[str]], fn: str) -> str:
+def _agg_map_expr(
+    a: list[str], ap: list[list[str]], fn: str, overflow: bool = False
+) -> str:
     """minMap/maxMap/sumMap(keys, vals | (keys, vals)) as a real
     aggregate (AggregateFunctionSumMap.h): per distinct key, fold the
     values across rows; NULL values are skipped; sumMap drops zero
@@ -4680,6 +4721,11 @@ def _agg_map_expr(a: list[str], ap: list[list[str]], fn: str) -> str:
             raise DialectError(f"{fn}Map: values of type Nothing (43)")
         k9, v9 = f"({a[0]}).col1", f"({a[0]}).col2"
         nullable = "null" in a[0].lower() or "Nullable" in (at9 or "")
+        vet9 = None
+        if at9 and at9.startswith("Tuple("):
+            parts9t = _split_top(tokenize(at9[6:-1]), ",")
+            if len(parts9t) == 2:
+                vet9 = _emit(parts9t[1]).replace(" ", "")
     elif len(a) == 2:
         vt9 = None
         try:
@@ -4690,6 +4736,8 @@ def _agg_map_expr(a: list[str], ap: list[list[str]], fn: str) -> str:
             raise DialectError(f"{fn}Map: values of type Nothing (43)")
         k9, v9 = a[0], a[1]
         nullable = "null" in a[1].lower() or "Nullable" in (vt9 or "")
+        vet9 = (vt9 or "").replace(" ", "")
+        vet9 = vet9[6:-1] if vet9.startswith("Array(") else None
     else:
         raise DialectError(f"{fn}Map: wrong number of arguments")
     ks9 = f"array_sort(array_distinct(flatten(collect_list({k9}))))"
@@ -4703,10 +4751,32 @@ def _agg_map_expr(a: list[str], ap: list[list[str]], fn: str) -> str:
         f"AND __p.v IS NOT NULL), __p -> __p.v)"
     )
     if fn == "sum":
-        per9 = (
-            f"aggregate({vk9}, CAST(0 AS BIGINT), "
-            f"(__a, __x) -> __a + CAST(__x AS BIGINT))"
+        # accumulator type follows the value element type: Decimal
+        # keeps its scale (promoted to the wide class), floats sum as
+        # DOUBLE, integers as BIGINT (AggregateFunctionSumMap.h)
+        ve9 = _ch_unwrap(vet9) if vet9 else ""
+        md9 = re.fullmatch(
+            r"Decimal(?:32|64|128|256)?\((?:(\d+),\s*)?(\d+)\)", ve9
         )
+        if md9:
+            acc9 = f"DECIMAL(38, {md9.group(2)})"
+        elif ve9.startswith("Float"):
+            acc9 = "DOUBLE"
+        else:
+            acc9 = "BIGINT"
+        per9 = (
+            f"aggregate({vk9}, CAST(0 AS {acc9}), "
+            f"(__a, __x) -> __a + CAST(__x AS {acc9}))"
+        )
+        if overflow and re.fullmatch(r"U?Int(8|16|32)", ve9):
+            # -WithOverflow keeps the ARGUMENT type: wrap modulo 2^bits
+            bits9 = int(re.sub(r"\D", "", ve9))
+            m9 = 1 << bits9
+            if ve9.startswith("U"):
+                per9 = f"pmod({per9}, {m9})"
+            else:
+                h9 = m9 >> 1
+                per9 = f"(pmod(({per9}) + {h9}, {m9}) - {h9})"
         sums9 = f"transform({ks9}, __mkk -> {per9})"
         keep9 = (
             f"filter(zip_with({ks9}, {sums9}, "
@@ -5837,7 +5907,13 @@ FUNC_MAP: dict[str, object] = {
         "array()" if a[0].replace(" ", "") == "array()" else f"flatten({a[0]})"
     ),
     "arrayUniq": "size(array_distinct({0}))",
-    "arrayIntersect": "array_intersect({0}, {1})",
+    # variadic; a single argument dedups (arrayIntersect.cpp — 00932)
+    "arrayIntersect": lambda a: (
+        f"array_distinct({a[0]})" if len(a) == 1
+        else functools.reduce(
+            lambda x, y: f"array_intersect({x}, {y})", a
+        )
+    ),
     "arrayEnumerate": "sequence(1, size({0}))",
     "emptyArrayToSingle": "(CASE WHEN size({0}) = 0 THEN array(NULL) ELSE {0} END)",
     "emptyArrayUInt8": lambda a: "CAST(array() AS ARRAY<SMALLINT>)",
@@ -5916,7 +5992,13 @@ FUNC_MAP: dict[str, object] = {
         else f"approx_count_distinct(struct({', '.join(a)}))"
     ),
     "uniqExact": "count(DISTINCT {*})",
-    "groupArray": "collect_list({0})", "groupUniqArray": "collect_set({0})",
+    # groupArray over a literal NULL (Nullable(Nothing)) is the Null
+    # adaptor's only-null result: NULL, not [] (00529)
+    "groupArray": lambda a: (
+        "NULL" if a and a[0].strip().upper() == "NULL"
+        else f"collect_list({a[0]})"
+    ),
+    "groupUniqArray": "collect_set({0})",
     # non-parametric call forms of the parametric aggregates
     "topK": lambda a: _topk_expr(["10"], a),
     "topKWeighted": lambda a: _topk_expr(["10"], a),
@@ -7437,6 +7519,45 @@ def _quantile_timing_weighted_expr(p: list[str], a: list[str], single: bool) -> 
 
 #: parametric aggregates fn(params)(args)
 PARAMETRIC_MAP: dict[str, object] = {
+    # sumMapFiltered(keys_to_keep)(keys, vals): sumMap restricted to
+    # the parameter key set (AggregateFunctionSumMap.h
+    # AggregateFunctionSumMapFiltered) — pre-filter each row's pairs,
+    # then the normal sumMap fold
+    "sumMapFiltered": lambda p, a: _agg_map_expr(
+        [
+            (
+                f"transform(filter(zip_with({a[0]}, {a[1]}, "
+                f"(__fk, __fv) -> struct(__fk AS k, __fv AS v)), "
+                f"__fp -> array_contains({p[0]}, __fp.k)), __fp -> __fp.k)"
+            ),
+            (
+                f"transform(filter(zip_with({a[0]}, {a[1]}, "
+                f"(__fk, __fv) -> struct(__fk AS k, __fv AS v)), "
+                f"__fp -> array_contains({p[0]}, __fp.k)), __fp -> __fp.v)"
+            ),
+        ],
+        [],
+        "sum",
+    ),
+    # groupArrayInsertAt(default[, length])(x, pos): x placed at index
+    # pos, gaps/padding filled with default; an explicit length fixes
+    # the result size (AggregateFunctionGroupArrayInsertAt.h)
+    "groupArrayInsertAt": lambda p, a: (
+        (lambda pairs, width, dflt: (
+            f"transform(IF(({width}) < 1, array(), "
+            f"sequence(0, ({width}) - 1)), __gi -> coalesce("
+            f"element_at(filter({pairs}, __gs -> __gs.p = __gi), 1).v, "
+            f"{dflt}))"
+        ))(
+            f"array_sort(collect_list(struct(CAST({a[1]} AS INT) AS p, "
+            f"{a[0]} AS v)))",
+            p[1] if len(p) > 1 else (
+                f"element_at(array_sort(collect_list(struct("
+                f"CAST({a[1]} AS INT) AS p, {a[0]} AS v))), -1).p + 1"
+            ),
+            p[0] if p else "NULL",
+        )
+    ),
     "quantileTiming": lambda p, a: _quantile_timing_expr(p, a, True),
     "quantilesTiming": lambda p, a: _quantile_timing_expr(p, a, False),
     "quantileTimingWeighted": lambda p, a: _quantile_timing_weighted_expr(p, a, True),
@@ -8510,6 +8631,78 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                     f"try_cast(({e}) AS INT)), CAST(({e}) AS STRING))"
                 )
 
+            def _tz_dt_cast(expr_toks, type_toks) -> str | None:
+                # CAST(x, "DateTime('tz')") routes through the
+                # toDateTime tz machinery (shifted wall-clock model)
+                if (
+                    len(type_toks) == 4
+                    and _kw(type_toks[0]) in ("DATETIME", "DATETIME32")
+                    and type_toks[1] == "("
+                    and type_toks[2].startswith("'")
+                    and type_toks[3] == ")"
+                ):
+                    return _emit(_translate_expr(
+                        ["toDateTime", "("] + list(expr_toks)
+                        + [",", type_toks[2], ")"]
+                    ))
+                return None
+
+            def _enum_to_int_cast(expr_toks, type_toks) -> str | None:
+                # CAST(enum_col, 'Int8'): the enum VALUE, not the label
+                # (DataTypeEnum -> number conversion, 00962)
+                if len(type_toks) != 1 or _kw(type_toks[0]) not in (
+                    "INT8", "INT16", "INT32", "INT64",
+                    "UINT8", "UINT16", "UINT32", "UINT64",
+                ):
+                    return None
+                try:
+                    st = _ch_type_of(
+                        expr_toks, _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+                    )
+                except Exception:  # noqa: BLE001
+                    st = None
+                m = re.match(
+                    r"Enum(?:8|16)?\((.*)\)$", _ch_unwrap(st or ""), re.S
+                )
+                if not m:
+                    return None
+                pairs = re.findall(
+                    r"'((?:[^'\\]|\\.)*)'\s*=\s*(-?\d+)", m.group(1)
+                )
+                if not pairs:
+                    return None
+                e = _emit(_translate_expr(expr_toks))
+                mp = ", ".join(
+                    f"'{lab}', {int(v)}" for lab, v in pairs
+                )
+                return (
+                    f"coalesce(element_at(map({mp}), "
+                    f"CAST({e} AS STRING)), try_cast({e} AS INT))"
+                )
+
+            def _int_date_cast(expr_toks, type_toks) -> str | None:
+                # CAST(int, 'Date') is a DAY NUMBER, wrapped UInt16
+                # (FunctionsConversion.h; Spark rejects INT->DATE)
+                if len(type_toks) != 1 or _kw(type_toks[0]) != "DATE":
+                    return None
+                try:
+                    st = _ch_type_of(
+                        expr_toks, _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+                    )
+                except Exception:  # noqa: BLE001
+                    st = None
+                u = _ch_unwrap(st or "")
+                if not (
+                    u.startswith(("UInt", "Int"))
+                    and not u.startswith("Interval")
+                ):
+                    return None
+                e = _emit(_translate_expr(expr_toks))
+                return (
+                    f"date_add(DATE '1970-01-01', "
+                    f"CAST(pmod({e}, 65536) AS INT))"
+                )
+
             # find top-level AS
             depth = 0
             as_idx = None
@@ -8528,7 +8721,10 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                     and len(parts[1]) == 1
                     and parts[1][0][:1] == "'"
                 ):
-                    type_toks = tokenize(parts[1][0][1:-1])
+                    type_toks = tokenize(
+                        parts[1][0][1:-1]
+                        .replace("\\'", "'").replace("\\\\", "\\")
+                    )
                     fl = _fixed_len(type_toks)
                     if fl is not None:
                         e = _emit(_translate_expr(parts[0]))
@@ -8548,6 +8744,15 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                     )
                     if ntc is not None:
                         out.append(ntc)
+                        i = close + 1
+                        continue
+                    idc = _int_date_cast(parts[0], type_toks)
+                    if idc is None:
+                        idc = _tz_dt_cast(parts[0], type_toks)
+                    if idc is None:
+                        idc = _enum_to_int_cast(parts[0], type_toks)
+                    if idc is not None:
+                        out.append(idc)
                         i = close + 1
                         continue
                     typ, _ = _map_type(type_toks, 0)
@@ -8578,6 +8783,15 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 )
                 if ntc is not None:
                     out.append(ntc)
+                    i = close + 1
+                    continue
+                idc = _int_date_cast(inner[:as_idx], type_toks)
+                if idc is None:
+                    idc = _tz_dt_cast(inner[:as_idx], type_toks)
+                if idc is None:
+                    idc = _enum_to_int_cast(inner[:as_idx], type_toks)
+                if idc is not None:
+                    out.append(idc)
                     i = close + 1
                     continue
                 typ, _ = _map_type(type_toks, 0)
@@ -9053,6 +9267,28 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                     out.append("'" + tn.replace("'", "\\'") + "'")
                     i = close + 1
                     continue
+            if (
+                t in (
+                    "count", "countIf", "sumIf", "avgIf", "minIf",
+                    "maxIf",
+                )
+                and arg_parts and arg_parts[0]
+                and _kw(arg_parts[0][0]) == "DISTINCT"
+            ):
+                # agg(DISTINCT <rewritten expr>): the DISTINCT must
+                # stay OUTSIDE the rewritten expression (ternary/CASE —
+                # 01315, 01259); -If folds its condition inside
+                e0 = _emit(_translate_expr(arg_parts[0][1:]))
+                base0 = t[:-2] if t.endswith("If") else t
+                if t.endswith("If") and len(args) > 1:
+                    out.append(
+                        f"{base0}(DISTINCT CASE WHEN CAST({args[1]} AS "
+                        f"BOOLEAN) THEN {e0} END)"
+                    )
+                else:
+                    out.append(f"{base0}(DISTINCT {e0})")
+                i = close + 1
+                continue
             if t in (
                 "arrayEnumerateUniqRanked", "arrayEnumerateDenseRanked",
             ):
@@ -9202,13 +9438,20 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                 out.append(_to_start_of_second_expr(args, arg_parts))
                 i = close + 1
                 continue
-            # minMap/maxMap/sumMap as REAL aggregates over the group
-            # (the -State/-Merge combinator forms take other paths)
-            if t in ("minMap", "maxMap", "sumMap", "sumMapWithOverflow"):
+            # minMap/maxMap/sumMap as REAL aggregates over the group.
+            # In the finalized-state model -State IS the aggregate
+            # result (the (keys, values) tuple) and -Merge re-folds the
+            # stored tuples — both are the same fold (00502, 01630)
+            if t in (
+                "minMap", "maxMap", "sumMap", "sumMapWithOverflow",
+                "minMapState", "maxMapState", "sumMapState",
+                "minMapMerge", "maxMapMerge", "sumMapMerge",
+            ):
                 out.append(
                     _agg_map_expr(
                         args, arg_parts,
                         "sum" if t.startswith("sum") else t[:3],
+                        overflow="WithOverflow" in t,
                     )
                 )
                 i = close + 1
@@ -11622,6 +11865,45 @@ def _parse_select(toks: list[str]) -> _Select:
             break
     q.prewhere = bucket.get("PREWHERE", [])
     q.where = bucket.get("WHERE", [])
+    # the reference allows `WHERE expr AS alias` / `HAVING ... AS x`
+    # (aliases are settable on any expression — 00529, 01055); Spark
+    # has no alias slot there, so strip the trailing AS and make the
+    # alias visible to the select list as the expression
+    for attr9 in ("prewhere", "where"):
+        lst9 = getattr(q, attr9)
+        if (
+            len(lst9) >= 3 and _kw(lst9[-2]) == "AS"
+            and _is_ident(lst9[-1])
+            and _paren_depth_at(lst9, len(lst9) - 2) == 0
+        ):
+            al9 = lst9[-1]
+            expr9w = lst9[:-2]
+            setattr(q, attr9, expr9w)
+            # substitute bare references to the alias in the select
+            # list with the (parenthesized) expression
+            if any(tk == al9 for tk in q.select):
+                q.select = [
+                    tk if tk != al9 or (
+                        k9 > 0 and (
+                            q.select[k9 - 1] == "."
+                            # alias-target positions stay (1 AS x)
+                            or _kw(q.select[k9 - 1]) == "AS"
+                            or _is_ident(q.select[k9 - 1])
+                            or q.select[k9 - 1] in (")", "]")
+                            or q.select[k9 - 1][:1] in "0123456789'"
+                        )
+                    ) else "__ALIAS9__"
+                    for k9, tk in enumerate(q.select)
+                ]
+                out9: list[str] = []
+                for tk in q.select:
+                    if tk == "__ALIAS9__":
+                        out9 += (
+                            ["("] + expr9w + [")", "AS", al9]
+                        )
+                    else:
+                        out9.append(tk)
+                q.select = out9
     # group-less `... WITH TOTALS` (no GROUP BY clause to suffix): the
     # keywords trail whatever clause preceded them — FROM, WHERE, or the
     # select list itself (`SELECT count() WITH TOTALS HAVING ...`)
@@ -11658,6 +11940,14 @@ def _parse_select(toks: list[str]) -> _Select:
             gb = gb[2:close_g]
     q.group_by = gb
     q.having = bucket.get("HAVING", [])
+    if (
+        len(q.having) >= 3 and _kw(q.having[-2]) == "AS"
+        and _is_ident(q.having[-1])
+        and _paren_depth_at(q.having, len(q.having) - 2) == 0
+    ):
+        # `HAVING expr AS x` (00529) — the alias slot doesn't exist in
+        # Spark; drop it
+        q.having = q.having[:-2]
     q.order_by = bucket.get("ORDER BY", [])
     if any(_kw(t) == "FILL" for t in q.order_by):
         q.order_by, q.fill = _extract_fill(q.order_by)
@@ -11675,6 +11965,27 @@ def _parse_select(toks: list[str]) -> _Select:
         )
     except Exception:  # noqa: BLE001
         _TYPE_ENV_CTX.set(None)
+    # FixedHashMap iteration order: a GROUP BY over a single 8/16-bit
+    # unsigned key with no ORDER BY streams back in KEY order (the
+    # reference's fixed-size hash table is a direct-indexed array —
+    # HashMap.h FixedHashMap; 01259)
+    if (
+        q.group_by and not q.order_by and not q.with_totals
+        and not any(
+            _kw(x) in ("ROLLUP", "CUBE", "GROUPING", "TOTALS")
+            for x in q.group_by
+        )
+    ):
+        items_g = _split_top(q.group_by, ",")
+        if len(items_g) == 1:
+            try:
+                tg = _ch_type_of(
+                    items_g[0], _TYPE_ENV_CTX.get() or _TYPE_ENV_DEFAULT
+                )
+            except Exception:  # noqa: BLE001
+                tg = None
+            if tg in ("UInt8", "UInt16"):
+                q.order_by = list(items_g[0])
     if q.aj_hoists:
         # re-merge the hoisted arrayJoin placeholders' element types —
         # the FROM-derived env above clobbered the entries _hoist_aj set
@@ -14510,6 +14821,9 @@ def _split_single_join(f: list[str]) -> tuple[
             or f[k] == "."
         ):
             k += 1
+        # table-function args: numbers(3) / values(...) (01117)
+        if k < n and f[k] == "(" and k > join_at + 1:
+            k = _match_paren(f, k) + 1
     if k < n and _kw(f[k]) == "AS":
         k += 1
         if k < n:
@@ -15826,6 +16140,29 @@ def _translate_select_tokens(toks: list[str]) -> tuple[str, dict[str, str]]:
                 and t0.strip("`") in schemas0
             ):
                 q.from_[j0] = "`" + t0.strip("`") + "`"
+    # duplicate names inside USING (a, a, b, b, a) dedup to first
+    # occurrence (TreeRewriter normalization — 00702)
+    f9u = q.from_
+    out9u: list[str] = []
+    j9u = 0
+    while j9u < len(f9u):
+        if (
+            _kw(f9u[j9u]) == "USING" and j9u + 1 < len(f9u)
+            and f9u[j9u + 1] == "("
+            and _paren_depth_at(f9u, j9u) == 0
+        ):
+            c9u = _match_paren(f9u, j9u + 1)
+            keys9u: list[str] = []
+            for part in _split_top(f9u[j9u + 2:c9u], ","):
+                k9u = _emit(part)
+                if k9u not in keys9u:
+                    keys9u.append(k9u)
+            out9u += ["USING", "("] + tokenize(", ".join(keys9u)) + [")"]
+            j9u = c9u + 1
+            continue
+        out9u.append(f9u[j9u])
+        j9u += 1
+    q.from_ = out9u
     _orig_table_alias_rewrite(q)
     _dotted_column_rewrite(q)
     _on_alias_rewrite(q)
@@ -15961,7 +16298,7 @@ def _subq_cols(inner: list[str]) -> dict[str, str]:
         if len(item) >= 3 and _kw(item[-2]) == "AS" and _is_ident(item[-1]):
             name, expr = item[-1].strip("`"), item[:-2]
         elif len(item) == 1 and _is_ident(item[0]):
-            name, expr = item[0], item
+            name, expr = item[0].strip("`"), item
         elif (
             len(item) >= 2 and _is_ident(item[-1])
             and _kw(item[-1]) not in _SQL_KEYWORDS
@@ -15973,7 +16310,7 @@ def _subq_cols(inner: list[str]) -> dict[str, str]:
             )
         ):
             # implicit alias (`a s_a`, `count(x) cnt`)
-            name, expr = item[-1], item[:-1]
+            name, expr = item[-1].strip("`"), item[:-1]
         elif len(item) == 1 and re.fullmatch(r"-?\d+", item[0]):
             # bare literal column: its NAME is its text (`SELECT 1, 3 y`)
             name, expr = item[0], item

@@ -1501,7 +1501,15 @@ class ScriptRunner:
                         buffer_target = raw_args[2][0].strip('`"\'')
                         if raw_args[1][0].strip('`"\'') == "system":
                             buffer_target = "system." + buffer_target
-                    if raw_args and "two_shards" in raw_args[0][0]:
+                    # all-localhost clusters read the SAME local table
+                    # once per shard (rows double); different-databases
+                    # clusters collapse to one table that already holds
+                    # every shard's rows (db quals are stripped), so a
+                    # second read would double-count (01231, 01487)
+                    if (
+                        raw_args and "two_shards" in raw_args[0][0]
+                        and "different_databases" not in raw_args[0][0]
+                    ):
                         dist_shards = 2
                     engine_args = []
                     continue
@@ -1737,7 +1745,9 @@ class ScriptRunner:
                     # writes flush through -- a pure proxy, except a
                     # multi-shard all-localhost cluster reads rows twice
                     if "DISTRIBUTED" in tail[:4] and any(
-                        "two_shards" in x for x in as_select[j : j + 8]
+                        "two_shards" in x
+                        and "different_databases" not in x
+                        for x in as_select[j : j + 8]
                     ):
                         other.shard_views[name] = 2
                     else:
