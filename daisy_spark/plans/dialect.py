@@ -9285,6 +9285,12 @@ def _translate_expr(toks: list[str], in_list: bool = False) -> list[str]:
                         f"{base0}(DISTINCT CASE WHEN CAST({args[1]} AS "
                         f"BOOLEAN) THEN {e0} END)"
                     )
+                elif t == "count" and len(arg_parts) > 1:
+                    # count(DISTINCT x, y) = uniqExact over the tuple
+                    # (00350): all args form the distinct key
+                    out.append(
+                        f"count(DISTINCT struct({', '.join([e0] + args[1:])}))"
+                    )
                 else:
                     out.append(f"{base0}(DISTINCT {e0})")
                 i = close + 1
