@@ -500,27 +500,17 @@ def embedding_dedup_pairs(
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
 
-    if max_bucket_size is not None:
-        sizes = banded.groupBy("band", "bv").agg(F.count(F.lit(1)).alias("_n"))
-        banded = banded.join(
-            sizes.filter(F.col("_n") <= max_bucket_size).drop("_n"),
-            on=["band", "bv"],
-            how="left_semi",
-        )
-
     # candidate id pairs, deduped BEFORE the expensive cosine: a pair
-    # colliding in k bands must score once, not k times
-    a, b = banded.alias("a"), banded.alias("b")
+    # colliding in k bands must score once, not k times.  16-bit band
+    # keys make buckets FINE-grained (≲ handfuls of ids), so the
+    # MinHash-style in-row expansion applies: ONE hash aggregation
+    # collects each bucket's members with the size guard free on the
+    # same aggregation, then pairs expand inside the bucket row — two
+    # shuffles (bucket agg + distinct) where the former size-count +
+    # semi-join + self-join chain paid four.
+    pairs = _bucket_pairs(banded, ["band", "bv"], F.col(id_col), max_bucket_size)
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
-        )
+        pairs.select(F.col("p.a").alias("id1"), F.col("p.b").alias("id2"))
         .distinct()
     )
 

@@ -250,13 +250,39 @@ def aggregating_final(
 
 def collapsing_final(df: DataFrame, key: Sequence[str], sign: str) -> DataFrame:
     """CollapsingSortedAlgorithm.cpp: +1/-1 rows cancel; a key survives when
-    sum(sign) > 0 (unbalanced +1 remains)."""
-    w = Window.partitionBy(*key)
-    out = df.withColumn("__s", F.sum(sign).over(w))
+    sum(sign) > 0 (unbalanced +1 remains).
+
+    ONE hash aggregation: the sign-sum and a representative +1 row
+    (``max_by`` over the packed non-key struct, ordered by a
+    +1-rows-only marker so -1 rows never win) come out of the same
+    groupBy — map-side partial aggregation, a single shuffle.  The
+    window + dropDuplicates form this replaces paid two shuffles and a
+    full per-key sort, and could not partially aggregate."""
+    # the surviving row is a +1 row, so its sign column IS +1
+    # (CollapsingSortedAlgorithm requires sign ∈ {1, -1}) — reconstruct
+    # it as a literal instead of carrying it through max_by; with no
+    # other payload the whole aggregation then stays primitive-typed
+    # (HashAggregate; a struct-valued max_by falls back to the
+    # sort-based aggregate and re-introduces per-partition sorts)
+    payload = [c for c in df.columns if c not in key and c != sign]
+    one = F.lit(1).cast(df.schema[sign].dataType).alias(sign)
+    if not payload:
+        out = df.groupBy(*key).agg(F.sum(sign).alias("__s"))
+        return (
+            out.filter(F.col("__s") > 0)
+            .select(*key, one)
+            .select(*df.columns)
+        )
+    packed = F.struct(*[F.col(c) for c in payload])
+    plus_only = F.when(F.col(sign) > 0, F.lit(1))
+    out = df.groupBy(*key).agg(
+        F.sum(sign).alias("__s"),
+        F.max_by(packed, plus_only).alias("__row"),
+    )
     return (
-        out.filter((F.col("__s") > 0) & (F.col(sign) > 0))
-        .drop("__s")
-        .dropDuplicates(list(key))
+        out.filter(F.col("__s") > 0)
+        .select(*key, one, *[F.col("__row")[c].alias(c) for c in payload])
+        .select(*df.columns)
     )
 
 
@@ -264,12 +290,38 @@ def versioned_collapsing_final(
     df: DataFrame, key: Sequence[str], sign: str, version: str
 ) -> DataFrame:
     """VersionedCollapsingAlgorithm.cpp: cancel (+1,-1) pairs per
-    (key, version); keep latest surviving state row."""
-    w = Window.partitionBy(*(list(key) + [version]))
+    (key, version); keep latest surviving state row.
+
+    Stage 1 is ONE hash aggregation per (key, version) — sign-sum plus
+    a representative +1 row via ``max_by`` — instead of the previous
+    window-sum + filter, which shuffled AND fully sorted every row and
+    could not partially aggregate; it also feeds
+    :func:`replacing_final` one row per (key, version) rather than
+    every surviving +1 row, shrinking the second shuffle."""
+    keyv = list(key) + [version]
+    payload = [c for c in df.columns if c not in keyv and c != sign]
+    one = F.lit(1).cast(df.schema[sign].dataType).alias(sign)
+    if not payload:
+        # sign-only table: both stages are primitive hash aggregations
+        # (sum per (key, version); max version per key) — no
+        # struct-valued max_by, so no sort-based aggregate anywhere
+        per_ver = df.groupBy(*keyv).agg(F.sum(sign).alias("__s"))
+        out = (
+            per_ver.filter(F.col("__s") > 0)
+            .groupBy(*key)
+            .agg(F.max(version).alias(version))
+        )
+        return out.select(*key, F.col(version), one).select(*df.columns)
+    packed = F.struct(*[F.col(c) for c in payload])
+    plus_only = F.when(F.col(sign) > 0, F.lit(1))
+    per_ver = df.groupBy(*keyv).agg(
+        F.sum(sign).alias("__s"),
+        F.max_by(packed, plus_only).alias("__row"),
+    )
     survivors = (
-        df.withColumn("__s", F.sum(sign).over(w))
-        .filter((F.col("__s") > 0) & (F.col(sign) > 0))
-        .drop("__s")
+        per_ver.filter(F.col("__s") > 0)
+        .select(*keyv, one, *[F.col("__row")[c].alias(c) for c in payload])
+        .select(*df.columns)
     )
     return replacing_final(survivors, key, version)
 

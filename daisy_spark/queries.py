@@ -464,28 +464,35 @@ def q_sample_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     user count (exact), that every sampled user is fully in or fully out,
     and that the sample is a nonempty proper subset."""
     e = _t(spark, sf_dir, "events")
-    totals = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("total"))
-    scnt = (
-        M.sample_by_key(e, fraction=0.5, key_cols=["user_id"])
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    # single aggregation pass: tag full-scan rows 0 and operator-sampled
+    # rows 1, union, then ONE groupBy(user_id) counts both sides — the
+    # former totals⋈sampled join (two shuffles + a join) collapses into
+    # one shuffle with map-side partial aggregation.  The sampled side
+    # still flows through the REAL operator, so the all-in-or-all-out
+    # invariant keeps its checking power.
+    tagged = e.select("user_id", F.lit(0).alias("__in")).unionByName(
+        M.sample_by_key(e, fraction=0.5, key_cols=["user_id"]).select(
+            "user_id", F.lit(1).alias("__in")
+        )
     )
-    # both aggregates come out hash-partitioned on user_id, so the join
-    # needs no extra shuffle; one lazy job, no driver collects
-    joined = totals.join(scnt, on="user_id", how="left")
-    return joined.agg(
+    per_user = tagged.groupBy("user_id").agg(
+        F.sum(1 - F.col("__in")).alias("total"),
+        F.sum("__in").alias("cnt"),
+    )
+    return per_user.agg(
         F.count(F.lit(1)).alias("n_users"),
         (
             F.sum(
                 F.when(
-                    F.col("cnt").isNotNull() & (F.col("cnt") != F.col("total")),
+                    (F.col("cnt") > 0) & (F.col("cnt") != F.col("total")),
                     1,
                 ).otherwise(0)
             )
             == 0
         ).alias("partitions_complete"),
         (
-            (F.count("cnt") > 0) & (F.count("cnt") < F.count(F.lit(1)))
+            (F.sum((F.col("cnt") > 0).cast("int")) > 0)
+            & (F.sum((F.col("cnt") > 0).cast("int")) < F.count(F.lit(1)))
         ).alias("proper_subset"),
     )
 

@@ -386,10 +386,9 @@ def q_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("double").alias("x"),
         (F.col("value") > 500).cast("int").alias("y"),
     )
-    # iterative GD pays per-task scheduling overhead every iteration; the
-    # 2-column projection is tiny, so train on a handful of partitions
-    # (on a cluster you'd size this to keep each partition 100-500 MB)
-    w, b = ST.logistic_regression_df(e.coalesce(8), ["x"], "y", iters=12)
+    # histogram-compressed trainer: two distributed passes total
+    # (range + binned cells), Newton runs driver-side on ≤4096 cells
+    w, b = ST.logistic_regression_df(e, ["x"], "y", iters=12)
     p = ST.logistic_predict(w, b, ["x"])
     return e.agg(
         F.count(F.lit(1)).alias("n"),

@@ -50,7 +50,13 @@ DEFAULT_CONF = {
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     # our query shapes are agg-heavy; partial aggregation pushdown helps
     "spark.sql.parquet.aggregatePushdown": "true",
-    "spark.sql.shuffle.partitions": str(os.cpu_count() or 8),
+    # track the ACTUAL local core budget ($SPARK_GRAFT_CPUS — the bench
+    # also runs at reduced core counts), not the machine's: shuffle
+    # parallelism should follow the execution slots, and on a real
+    # cluster AQE coalescing makes the initial number mostly moot
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)
+    ),
     # test data carries TIMESTAMP(NANOS) parquet columns which Spark has no
     # native type for; read as long and convert at the catalog layer
     # (catalog.load_tables / queries normalize to µs timestamps)
