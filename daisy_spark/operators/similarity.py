@@ -220,11 +220,18 @@ def lsh_ann_topk(
     colliding buckets.
     """
     rows_per_band = planes // bands
-    band_expr = (
-        f"transform(sequence(0, {bands - 1}), b -> named_struct('band', b, "
-        f"'bv', aggregate(sequence(0, {rows_per_band - 1}), 0L, "
-        f"(acc, i) -> acc + shiftleft(element_at(_hp_sig, b * {rows_per_band} + i + 1), i))))"
-    )
+    # flat literal-index band values: higher-order functions over
+    # sequence() run interpreted per row (see dedup.with_simhash) —
+    # the spelled-out shift/add chain stays in whole-stage codegen
+    band_expr = "array(" + ", ".join(
+        f"named_struct('band', {b}, 'bv', cast("
+        + " + ".join(
+            f"shiftleft(element_at(_hp_sig, {b * rows_per_band + i + 1}), {i})"
+            for i in range(rows_per_band)
+        )
+        + " as bigint))"
+        for b in range(bands)
+    ) + ")"
 
     def banded(df: DataFrame, idc: str, vecc: str) -> DataFrame:
         # ids only — the corpus-side band explode must not carry the
