@@ -127,13 +127,21 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daisy time-series convention: toStartOfHour bucketing on the _time
     column (TableRestRouterHandler.cpp granularity 'H')."""
     e = _t(spark, sf_dir, "events")
+    # group on the truncated TIMESTAMP and render the string after the
+    # aggregation: the group keys hash as longs (not per-row formatted
+    # strings), and date_format runs once per hour bucket instead of
+    # once per event — same output (hour -> string is bijective and
+    # ISO-ordered)
     return (
-        e.groupBy(
-            F.date_format(S.to_start_of_hour(F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour")
-        )
+        e.groupBy(S.to_start_of_hour(F.col("ts")).alias("__hour_ts"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("__hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "cnt",
+            "sum_value",
         )
         .orderBy("hour")
     )
