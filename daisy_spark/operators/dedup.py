@@ -123,10 +123,16 @@ def with_minhash_signature(
     interpreted rather than compiled; same trap as SimHash, see
     :func:`with_simhash`.)
     """
-    ex = (
-        df.select(F.col(id_col), F.explode_outer(F.col(shingle_col)).alias("_s"))
-        .withColumn("_h", F.xxhash64("_s"))
-    )
+    from pyspark.sql import types as T
+
+    ex = df.select(F.col(id_col), F.explode_outer(F.col(shingle_col)).alias("_s"))
+    if isinstance(df.schema[shingle_col].dataType.elementType, T.LongType):
+        # pre-hashed shingles (the pipeline persists xxhash64(s) arrays):
+        # the exploded element already IS the base hash — skip re-hashing
+        # and never ship the shingle strings through the explode
+        ex = ex.withColumn("_h", F.col("_s"))
+    else:
+        ex = ex.withColumn("_h", F.xxhash64("_s"))
     aggs = [
         F.min(F.xxhash64("_h", F.lit(i))).alias(f"_m{i}")
         for i in range(num_hashes)
@@ -296,14 +302,15 @@ def minhash_dedup_pairs(
         with_shingles(df, text_col, k=shingle_k)
         .select(
             id_col,
-            "shingles",
             F.array_distinct(
                 F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
             ).alias("hshingles"),
         )
         .persist()
     )
-    sig = with_minhash_signature(shingled, id_col, num_hashes=num_hashes).persist()
+    sig = with_minhash_signature(
+        shingled, id_col, shingle_col="hshingles", num_hashes=num_hashes
+    ).persist()
     cand = minhash_candidates(
         sig,
         id_col,

@@ -578,10 +578,13 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ARRAY JOIN + HOF parity: split document text into tokens, explode
     (arrayJoin), filter short tokens (arrayFilter), count per token."""
     d = _t(spark, sf_dir, "documents")
+    # filter AFTER the explode: explode(filter(arr, p)) ≡
+    # explode(arr).where(p), but the array-filter lambda runs
+    # interpreted while the row-level WHERE stays in codegen
     tokens = d.select(
         "doc_id",
-        F.explode(F.filter(F.split("text", " "), lambda t: F.length(t) >= 5)).alias("token"),
-    )
+        F.explode(F.split("text", " ")).alias("token"),
+    ).filter(F.length("token") >= 5)
     return (
         tokens.groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"), F.countDistinct("doc_id").alias("docs"))
