@@ -147,19 +147,27 @@ def logistic_regression_df(
     proxy, touch the data a constant number of times.  The driver
     holds only the bounded cell table, never data rows.  Features are
     standardized internally; returned weights are de-standardized.
-    ``iters``/``lr`` keep their meaning as optimizer caps (iteration
-    bound, step-norm bound); ``tol`` is the gradient stopping
-    threshold.
+    ``lr`` keeps its meaning as a step-norm bound and ``tol`` is the
+    gradient stopping threshold; the driver-side Newton loop runs
+    ``max(iters, 50)`` iterations at most — on ≤ 4096 cells extra
+    driver iterations are microseconds, so small ``iters`` values are
+    treated as a convergence hint, not a hard cap (tol-based early exit
+    normally stops the loop long before the bound).
 
     Returns ``(weights, bias)`` for p = sigmoid(w·x + b).
     """
     import math
 
     k = len(x_cols)
+    # rows with a NULL feature or label are excluded from training (the
+    # pre-r12 full-batch form dropped them implicitly via avg()'s null
+    # propagation; the binning form must drop them explicitly — a NULL
+    # would otherwise land in the top bin via least() and an all-NULL
+    # cell crashes the float() on its NULL mean)
     proj = df.select(
         *[F.col(c).cast("double").alias(f"_x{i}") for i, c in enumerate(x_cols)],
         F.col(label_col).cast("double").alias("_y"),
-    )
+    ).na.drop()
     # cells per feature: joint grid bounded at ~4096 cells total, the
     # histogram resolution GBDT trainers use per feature
     bins = max(int(round(4096 ** (1.0 / k))), 2)
@@ -193,6 +201,11 @@ def logistic_regression_df(
         .collect()
     )
     import numpy as np
+
+    if not cells:
+        # no trainable rows (empty input or every row had a NULL
+        # feature/label) -> zero model rather than a numpy shape error
+        return [0.0] * k, 0.0
 
     # deterministic driver-side order (float summation order fixed)
     cells.sort(key=lambda r: tuple(r[f"_b{i}"] for i in range(k)))

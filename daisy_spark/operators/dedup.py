@@ -147,6 +147,73 @@ def with_minhash_signature(
     )
 
 
+def minhash_signature_pandas(
+    df: DataFrame,
+    id_col: str,
+    shingle_col: str = "hshingles",
+    out_col: str = "minhash",
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signature from PRE-HASHED (long) shingle arrays via one
+    Arrow-batched pandas UDF — bit-identical to
+    :func:`with_minhash_signature`'s explode+groupBy form (the hash
+    family is the same ``xxhash64(h, i)``; functions/nphash.py replicates
+    Spark's hash bit-exactly, pinned by tests).
+
+    Why: the explode+groupBy form pays an explode to |shingles| rows,
+    64 JVM hash calls per shingle row, a 64-column aggregation buffer
+    and one SHUFFLE on the id.  This form is a narrow per-row map — no
+    explode, no exchange (guide §2.4 "remove shuffles outright"), and
+    the 64×|shingles| hashing runs as vectorized uint64 numpy per batch
+    (guide §4.2).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _sig(arrs: "pd.Series") -> "pd.Series":
+        import numpy as np
+
+        from daisy_spark.functions.nphash import hash_int, hash_long
+
+        if len(arrs) == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+        flat = (
+            np.concatenate([np.asarray(a, dtype=np.int64) for a in arrs])
+            if lens.sum()
+            else np.empty(0, dtype=np.int64)
+        )
+        starts = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        base = hash_long(flat.view(np.uint64), np.uint64(42))
+        nonempty = lens > 0
+        sig = np.empty((len(arrs), num_hashes), dtype=np.int64)
+        for i in range(num_hashes):
+            # the JVM family index is F.lit(i) — an IntegerType child,
+            # hashed through XXH64's 4-byte path
+            hi = hash_int(np.uint64(i), base).view(np.int64)
+            if nonempty.all():
+                sig[:, i] = np.minimum.reduceat(hi, starts)
+            else:
+                # explode_outer emits one NULL row for an empty array;
+                # xxhash64 skips null children, so that row's hash is
+                # hashInt(i, 42) — mirror it exactly
+                filled = np.full(
+                    len(arrs),
+                    hash_int(np.uint64(i), np.uint64(42)).view(np.int64),
+                )
+                if nonempty.any():
+                    filled[nonempty] = np.minimum.reduceat(
+                        hi, starts[nonempty]
+                    )[: int(nonempty.sum())]
+                sig[:, i] = filled
+        return pd.Series(list(sig))
+
+    _sig.__annotations__ = {"arrs": pd.Series, "return": pd.Series}
+    udf = pandas_udf(_sig, "array<long>")
+    return df.select(F.col(id_col), udf(F.col(shingle_col)).alias(out_col))
+
+
 def _bucket_pairs(
     banded: DataFrame,
     bucket_cols: list[str],
@@ -255,6 +322,15 @@ def jaccard_verify(
     transform is skipped: that transform is a higher-order function, so
     it runs interpreted, and evaluating it once per join side doubled
     the cost.
+
+    PRECONDITION (pre-hashed path): the long arrays must hold DISTINCT
+    elements — |A∪B| is derived as |A|+|B|−|A∩B|, which is only correct
+    for sets.  Both internal callers materialize
+    ``array_distinct(transform(...))``; external callers passing raw
+    (non-deduped) hashed shingles would get silently inflated union
+    sizes.  (Re-applying array_distinct here would re-pay a collection
+    scan per row per side on every pipeline, so the precondition is
+    documented rather than re-enforced.)
     """
     from pyspark.sql import types as T
 
@@ -308,9 +384,14 @@ def minhash_dedup_pairs(
         )
         .persist()
     )
-    sig = with_minhash_signature(
+    # signature via the Arrow-batched numpy path: no explode, no
+    # signature shuffle (the explode+groupBy form paid one exchange +
+    # 64 JVM hash calls per shingle row); bit-identical hash family
+    # (tests/test_optimizations_r13.py pins it).  No persist: the
+    # signature has exactly one consumer since the r12 guard fusion.
+    sig = minhash_signature_pandas(
         shingled, id_col, shingle_col="hshingles", num_hashes=num_hashes
-    ).persist()
+    )
     cand = minhash_candidates(
         sig,
         id_col,
@@ -592,30 +673,34 @@ def embedding_dedup_pairs(
         .distinct()
     )
 
-    # pre-normalize each vector ONCE (norm per id, not per pair); cosine
-    # of unit vectors is a plain dot product
-    nrm = (
-        f"sqrt(aggregate(transform({vec_col}, x -> cast(x as double) * x), "
-        "cast(0 as double), (acc, x) -> acc + x))"
-    )
-    unit = (
-        df.select(F.col(id_col), F.col(vec_col))
-        .withColumn("_n", F.expr(f"nullif({nrm}, 0.0)"))
-        .select(
-            F.col(id_col),
-            F.expr(f"transform({vec_col}, x -> cast(x as double) / _n)").alias("_uv"),
-        )
-    )
+    # exact-cosine verify on the candidate pairs via the Arrow-batched
+    # numpy scorer (guide §4.1/§4.2): the joins carry the RAW float
+    # vectors (half the bytes of the double unit vectors the previous
+    # normalize-then-fold-dot form shipped), and the per-pair work is
+    # one einsum per batch instead of an interpreted fold per row.
+    # Rounding safety vs the oracle: tools/cosine_tolerance.py.
+    from daisy_spark.operators.similarity import cosine_pandas
+
+    # the threshold filter references the UDF's output column, which
+    # the optimizer answers by evaluating the UDF below the pushed
+    # filter AND again in the projection (two ArrowEvalPython nodes —
+    # guide §4.4); asNondeterministic() pins a single evaluation (the
+    # scorer is in fact deterministic; the marker is an optimizer fence)
+    score = cosine_pandas().asNondeterministic()
+    vecs = df.select(F.col(id_col), F.col(vec_col))
     return (
-        cand.join(unit.select(F.col(id_col).alias("id1"), F.col("_uv").alias("_uv1")), "id1")
-        .join(unit.select(F.col(id_col).alias("id2"), F.col("_uv").alias("_uv2")), "id2")
+        cand.join(
+            vecs.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("_v1")),
+            "id1",
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("_v2")),
+            "id2",
+        )
         .select(
             "id1",
             "id2",
-            F.expr(
-                "aggregate(zip_with(_uv1, _uv2, (x, y) -> x * y), "
-                "cast(0 as double), (acc, x) -> acc + x)"
-            ).alias("cosine"),
+            score(F.col("_v1"), F.col("_v2")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -40,8 +40,52 @@ def _norm(a: str) -> str:
 
 
 def cosine_expr(a: str, b: str) -> F.Column:
-    """Cosine similarity between two array columns as a single expression."""
+    """Cosine similarity between two array columns as a single expression.
+
+    Higher-order-function folds run INTERPRETED in Catalyst — fine for
+    tiny inputs (the IVF centroid probe: |queries| × |cells| rows), but
+    the bulk scoring paths use :func:`cosine_pandas` (Arrow-batched
+    numpy) instead: one einsum per batch measured ~3-5× faster per row
+    than the interpreted fold (r13; the bit-identical literal-chain
+    alternative was measured and REJECTED in r12 — 64-term chains blow
+    the JVM 64 KB codegen limit and ran ~40% slower)."""
     return F.expr(f"{_dot(a, b)} / ({_norm(a)} * {_norm(b)})")
+
+
+def cosine_pandas() -> "F.udf":
+    """Arrow-batched cosine scorer: numpy row-wise dot/norms per batch
+    (guide §4.1/§4.2 — hand whole batches to vectorized native code).
+
+    Float semantics vs the JVM fold: elements are widened float32 →
+    float64 exactly as ``cast(x as double)`` does; only the SUMMATION
+    ORDER differs (einsum reassociates).  The measured perturbation is
+    ≤ ~1e-15 while the declared queries' 6-dp rounding boundaries,
+    rank gaps and thresholds sit ≥ 1e-7 away (tools/cosine_tolerance.py,
+    committed in OPTIMIZATION_r13.md) — no observable output can flip.
+
+    Vectors within a batch must share one dimensionality (np.stack), as
+    every embedding column in the pipeline does.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _cos(a: "pd.Series", b: "pd.Series") -> "pd.Series":
+        import numpy as np
+
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(a.to_numpy()).astype(np.float64, copy=False)
+        B = np.stack(b.to_numpy()).astype(np.float64, copy=False)
+        num = np.einsum("ij,ij->i", A, B)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+                np.einsum("ij,ij->i", B, B)
+            )
+            out = num / den
+        return pd.Series(out)
+
+    _cos.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return pandas_udf(_cos, "double")
 
 
 def cosine_topk(
@@ -65,10 +109,10 @@ def cosine_topk(
             F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec")
         )
     )
-    scored = corpus.join(q).select(
+    scored = corpus.select(corpus_id, corpus_vec).join(q).select(
         F.col("_qid").alias(query_id),
         F.col(corpus_id),
-        cosine_expr("_qvec", corpus_vec).alias("cosine"),
+        cosine_pandas()(F.col("_qvec"), F.col(corpus_vec)).alias("cosine"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col(corpus_id)
@@ -137,11 +181,13 @@ def ivf_topk(
         .filter(F.col("_pr") <= n_probe)
         .select("_qid", "_qvec", cell_col)
     )
-    scored = corpus.join(F.broadcast(probes), on=cell_col).select(
+    scored = corpus.select(cell_col, corpus_id, corpus_vec).join(
+        F.broadcast(probes), on=cell_col
+    ).select(
         F.col("_qid").alias(query_id),
         F.col(corpus_id),
         F.col(cell_col),
-        cosine_expr("_qvec", corpus_vec).alias("cosine"),
+        cosine_pandas()(F.col("_qvec"), F.col(corpus_vec)).alias("cosine"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col(corpus_id)
@@ -262,7 +308,7 @@ def lsh_ann_topk(
     scored = cand.select(
         F.col("_qid").alias(query_id),
         F.col(corpus_id),
-        cosine_expr("_qvec", corpus_vec).alias("cosine"),
+        cosine_pandas()(F.col("_qvec"), F.col(corpus_vec)).alias("cosine"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col(corpus_id)

@@ -1,7 +1,8 @@
 """Capture .explain("formatted") for every registry query.
 
 Usage: python tools/explain_all.py <tag> [query ...]
-Writes plans/r12/<query>_<tag>.txt for each query (default: all).
+Writes $SPARK_GRAFT_PLANS_DIR/<query>_<tag>.txt for each query
+(default dir: plans/r13; default: all queries).
 Mirrors bench.py's storage-side prep (bucketed mirror) so the captured
 plan is the one the bench actually runs.
 """
@@ -25,7 +26,13 @@ def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     only = set(sys.argv[2:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+    out_dir = os.environ.get(
+        "SPARK_GRAFT_PLANS_DIR",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "plans", "r13",
+        ),
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("daisy_spark_explain")
     spark.sparkContext.setLogLevel("ERROR")
