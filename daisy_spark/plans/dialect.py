@@ -58,6 +58,14 @@ class DialectError(ValueError):
     pass
 
 
+#: Row cap emulating the reference's unbounded system.numbers /
+#: generateRandom streams (which callers always LIMIT).  2^25 ≈ 33.5M:
+#: 3.3× the largest bound any reference corpus case reads (10,000,010),
+#: while plans that cannot early-out of the scan (TakeOrdered over the
+#: join-order column, decorrelated-subquery joins) pay 30× less than
+#: the previous 1e9 cap.
+_NUMBERS_CAP = 33554432
+
 # ---------------------------------------------------------------------------
 # Tokenizer
 # ---------------------------------------------------------------------------
@@ -12750,7 +12758,7 @@ def _generate_random_tvf(args: list[str]) -> str:
         h = f"xxhash64(id, '{cname}', {seed})"
         exprs.append(f"{_rand_expr_for_type(spark_type, h)} AS `{cname}`")
     return (
-        f"(SELECT {', '.join(exprs)} FROM range(1000000000))"
+        f"(SELECT {', '.join(exprs)} FROM range({_NUMBERS_CAP}))"
     )
 
 
@@ -13040,14 +13048,20 @@ def _translate_from(toks: list[str]) -> list[str]:
             i += 3
             continue
         # system.numbers — the unbounded integer sequence; a capped lazy
-        # range (the reference's own tests always LIMIT it)
+        # range (the reference's own tests always LIMIT it).  Cap sized
+        # 2^25 ≈ 33.5M: the largest bound any corpus case reads is
+        # 10,000,010 (LIMIT sweep over every system.numbers use, r13),
+        # and an oversized cap is pure scan cost wherever the plan
+        # cannot early-out (e.g. LIMIT over the join-order column
+        # compiles to TakeOrdered, which scans the whole range — the
+        # old 1e9 cap made one corpus join case pay a 1e9-row scan).
         if (
             _kw(t.strip('`"')) == "SYSTEM"
             and i + 2 < n
             and toks[i + 1] == "."
             and _kw(toks[i + 2].strip('`"')) in ("NUMBERS", "NUMBERS_MT")
         ):
-            out.append("(SELECT id AS number FROM range(1000000000))")
+            out.append(f"(SELECT id AS number FROM range({_NUMBERS_CAP}))")
             if i + 3 >= n or not (
                 _is_ident(toks[i + 3])
                 and _kw(toks[i + 3]) not in _SQL_KEYWORDS
@@ -14297,14 +14311,14 @@ def _render_core(q: _Select) -> str:
             _TYPE_ENV_CTX.set(_subquery_type_env(q.from_))
         except Exception:  # noqa: BLE001
             _TYPE_ENV_CTX.set(None)
-        # system.numbers expands to a 1e9-row lazy range; when a plain
+        # system.numbers expands to a capped lazy range; when a plain
         # integer LIMIT is the only row-consuming clause, push it into
         # the range bound — correlated subqueries in the select list
         # (e.g. dictGet) decorrelate into joins ABOVE the scan, through
         # which Spark's limit does not push, so the full cap would be
         # scanned (JVM-killing) for a 5-row query
         if (
-            "range(1000000000)" in from_sql
+            f"range({_NUMBERS_CAP})" in from_sql
             and len(q.limit) == 1 and q.limit[0].isdigit()
             and not (
                 q.where or q.prewhere or q.group_by or q.having
@@ -14312,7 +14326,7 @@ def _render_core(q: _Select) -> str:
             )
         ):
             from_sql = from_sql.replace(
-                "range(1000000000)", f"range({q.limit[0]})", 1
+                f"range({_NUMBERS_CAP})", f"range({q.limit[0]})", 1
             )
         frm = "FROM " + from_sql
         if lateral:

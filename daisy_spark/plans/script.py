@@ -328,6 +328,16 @@ class _Table:
     # Part naming mirrors the reference: {partition}_{min}_{max}_{level}
     # with block numbers from 1 (Replicated* allocates from 0).
     parts: list[tuple[str, int, int, int]] = field(default_factory=list)
+    #: SORT-FREE twin of ``df`` for the __final view: per-key FINAL
+    #: outcomes depend only on the RELATIVE order of same-key rows,
+    #: which the stable per-insert primary-key sort preserves — so the
+    #: FINAL read may skip that single-partition sort entirely (each
+    #: insert contributes coalesce(1) in insertion order).  Valid only
+    #: while ``df_final_src_of is df`` (object identity): any mutation
+    #: path that rebinds ``df`` (ALTER/OPTIMIZE/DELETE/...) silently
+    #: invalidates the twin and the __final view falls back to ``df``.
+    df_final_src: DataFrame | None = None
+    df_final_src_of: DataFrame | None = None
     next_block: int = 1
     # SHOW CREATE fidelity: clause texts in canonical reference spelling
     order_by_raw: str = ""
@@ -1355,8 +1365,21 @@ class ScriptRunner:
         if "_part" in df.columns:
             vparts = df
             df = df.drop("_part", "_part_index")
+        # FINAL reads skip the per-insert primary-key sort when the
+        # sort-free twin is still valid (see _Table.df_final_src): the
+        # stable sort never reorders same-key rows, and every per-key
+        # FINAL outcome (max_by version winner, summing first-row
+        # fields, collapsing sign pairing) depends only on same-key
+        # relative order — so the twin yields byte-identical results
+        # while sparing a full single-task sort per FINAL-reading query.
+        fsrc = df
+        if (
+            t.df_final_src is not None
+            and t.df_final_src_of is t.df
+        ):
+            fsrc = t.df_final_src
         try:
-            final = read_final(df, t.spec)
+            final = read_final(fsrc, t.spec)
         except Exception:  # noqa: BLE001 - exotic keys: FINAL view = raw
             final = df
         for name in [t.name, *t.aka]:
@@ -3391,11 +3414,30 @@ class ScriptRunner:
                     f"Constraint violated on INSERT into {name}"
                 )
         if t.spec.engine != "Null":
+            prev_df = t.df
             sb = self._sorted_batch(t, batch)
             sb = self._record_parts(t, sb)
             t.df = sb if t.df is None else t.df.unionByName(
                 sb, allowMissingColumns=True
             )
+            # maintain the sort-free twin for the __final view: same
+            # rows, same per-insert partition (coalesce(1)), just no
+            # primary-key sort.  Extendable only while the twin tracked
+            # df (identity check) — any other mutation since last
+            # insert reverts FINAL reads to the sorted lineage.
+            ub = batch.coalesce(1)
+            if prev_df is None:
+                t.df_final_src = ub
+            elif (
+                t.df_final_src is not None
+                and t.df_final_src_of is prev_df
+            ):
+                t.df_final_src = t.df_final_src.unionByName(
+                    ub, allowMissingColumns=True
+                )
+            else:
+                t.df_final_src = None
+            t.df_final_src_of = t.df
             self._register(t)
         # materialized views fire per inserted block — also for Null
         # sources, whose own data is discarded
