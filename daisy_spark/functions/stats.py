@@ -159,21 +159,26 @@ def logistic_regression_df(
     import math
 
     k = len(x_cols)
-    # rows with a NULL feature or label are excluded from training (the
+    proj_all = df.select(
+        *[F.col(c).cast("double").alias(f"_x{i}") for i, c in enumerate(x_cols)],
+        F.col(label_col).cast("double").alias("_y"),
+    )
+    # rows with a NULL feature or label are excluded from TRAINING (the
     # pre-r12 full-batch form dropped them implicitly via avg()'s null
     # propagation; the binning form must drop them explicitly — a NULL
     # would otherwise land in the top bin via least() and an all-NULL
-    # cell crashes the float() on its NULL mean)
-    proj = df.select(
-        *[F.col(c).cast("double").alias(f"_x{i}") for i, c in enumerate(x_cols)],
-        F.col(label_col).cast("double").alias("_y"),
-    ).na.drop()
+    # cell crashes the float() on its NULL mean).  The range pass stays
+    # UNFILTERED: min/max skip NULLs natively, so the filter buys
+    # nothing there and only costs row evaluation (bin edges from
+    # column-wise ranges can only widen vs row-dropped ranges, which
+    # keeps every retained row in-bounds)
+    proj = proj_all.na.drop()
     # cells per feature: joint grid bounded at ~4096 cells total, the
     # histogram resolution GBDT trainers use per feature
     bins = max(int(round(4096 ** (1.0 / k))), 2)
 
     # pass 1: per-feature value range (bin edges must be global)
-    stat = proj.agg(
+    stat = proj_all.agg(
         *[F.min(f"_x{i}").alias(f"mn{i}") for i in range(k)],
         *[F.max(f"_x{i}").alias(f"mx{i}") for i in range(k)],
     ).collect()[0]

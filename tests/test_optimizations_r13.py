@@ -295,3 +295,63 @@ def test_stopword_count_escapes_metachars(spark):
     expr = _stopword_count_sql("text", ("c++", "(x)", "'q'"))
     got = df.select(F.expr(expr).alias("got")).collect()[0]["got"]
     assert got == 3
+
+
+# ---------------------------------------------------------------------------
+# final_collapsing / final_versioned: single-scan explode feed == the
+# previous union-of-filtered-scans feed (queries_ext.py)
+# ---------------------------------------------------------------------------
+
+
+def test_final_fused_feed_matches_union_feed(spark, sf_dir):
+    from daisy_spark.catalog import load_table
+    from daisy_spark.operators import final as FIN
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    # old 3-scan union feed
+    v1_plus = o.withColumn("sign", F.lit(1)).withColumn("ver", F.lit(1))
+    v1_minus = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("sign", F.lit(-1)).withColumn("ver", F.lit(1))
+    )
+    v2_plus = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("sign", F.lit(1)).withColumn("ver", F.lit(2))
+    )
+    union_feed = v1_plus.unionByName(v1_minus).unionByName(v2_plus)
+    old = FIN.versioned_collapsing_final(
+        union_feed, ["o_orderkey"], "sign", "ver"
+    ).select("o_orderkey", "ver")
+
+    from daisy_spark.queries_ext import q_final_versioned
+
+    new = q_final_versioned(spark, sf_dir).select("o_orderkey", "ver")
+    a = sorted(tuple(r) for r in old.collect())
+    b = sorted(tuple(r) for r in new.collect())
+    assert a == b and len(a) > 0
+
+
+def test_final_collapsing_fused_matches_union(spark, sf_dir):
+    from daisy_spark.catalog import load_table
+    from daisy_spark.operators import final as FIN
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    plus = o.withColumn("sign", F.lit(1))
+    minus = (
+        o.filter(F.col("o_orderkey") % 2 == 0).withColumn("sign", F.lit(-1))
+    )
+    old = FIN.collapsing_final(
+        plus.unionByName(minus), ["o_orderkey"], "sign"
+    ).agg(
+        F.count(F.lit(1)).alias("survivors"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+    from daisy_spark.queries_ext import q_final_collapsing
+
+    new = q_final_collapsing(spark, sf_dir)
+    assert [tuple(r) for r in old.collect()] == [
+        tuple(r) for r in new.collect()
+    ]
