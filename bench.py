@@ -7,8 +7,19 @@ JSON line: {"metric": ..., "value": hot_total_sec, "unit": "sec",
 Each query runs twice; the reported timing is the HOT (second) run, so
 the number compares like-for-like with the reference baseline's hot
 timings (BASELINE.md) instead of folding Spark's one-time JIT/codegen
-cost into every query.  Timing = full execution to a count (materializes
-the result without driver-transfer overhead dominating).
+cost into every query.
+
+Timed action (r13 measurement fix, optimization guide §1.4): the HOT
+run writes to the NOOP SINK, which evaluates every output column.  The
+previous `df.count()` action let Catalyst PRUNE row-preserving final
+projections — for per-document/per-row metric queries (text_stats,
+lang_fingerprint, window families) the timed plan degenerated to
+counting scan rows and the query's actual compute never ran (measured
+up to ~40x under-timing at the sf1 lane; see
+plans/r13/prune_audit.json and OPTIMIZATION_r13.md).  The old
+count-based hot series is STILL measured and reported verbatim under
+"queries_count_method" so round-over-round comparisons against
+pre-r13 artifacts stay apples-to-apples.
 """
 
 from __future__ import annotations
@@ -53,6 +64,15 @@ def _ensure_sf1(spark, src_dir: str, dst_dir: str) -> None:
         df = spark.read.parquet(f"{src_dir}/{t}.parquet")
         if t in _SF1_BIG:
             df = df.crossJoin(spark.range(10).select("id")).drop("id")
+            # file layout = scan parallelism (guide §6): the crossJoin
+            # inherits the single-split source layout, so without this
+            # the whole 10x table lands in ONE file and every scan-heavy
+            # stage serializes into one task regardless of cores (r13
+            # measured lang_fingerprint 9.9 s single-task).  32 files
+            # matches the bucketed mirror's fixed bucket count; at real
+            # scale ingest writes many files per table as a matter of
+            # course.
+            df = df.repartition(32)
         df.write.mode("overwrite").parquet(f"{dst_dir}/{t}.parquet")
     with open(marker, "w") as f:
         f.write("ok")
@@ -73,6 +93,7 @@ def _sf1_lane(spark, src_dir: str, budget_s: float) -> dict:
     if os.environ.get("SPARK_GRAFT_BUCKET", "1") != "0":
         build_bucketed_mirror(spark, dst)
     out["gen_sec"] = round(time.perf_counter() - t_start, 2)
+    out["queries_count_method"] = {}
     for name in SF1_QUERIES:
         if name not in QUERIES:
             continue
@@ -84,7 +105,20 @@ def _sf1_lane(spark, src_dir: str, budget_s: float) -> dict:
             QUERIES[name](spark, dst).count()  # cold/JIT
             t1 = time.perf_counter()
             QUERIES[name](spark, dst).count()
-            out["queries"][name] = round(time.perf_counter() - t1, 4)
+            out["queries_count_method"][name] = round(
+                time.perf_counter() - t1, 4
+            )
+            # noop sink evaluates every output column (§1.4) — warm its
+            # (differently-pruned) plan once, then time it hot
+            QUERIES[name](spark, dst).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            spark.catalog.clearCache()
+            t2 = time.perf_counter()
+            QUERIES[name](spark, dst).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            out["queries"][name] = round(time.perf_counter() - t2, 4)
         except Exception as exc:  # noqa: BLE001
             out["errors"][name] = f"{type(exc).__name__}: {exc}"[:200]
     if out["queries"]:
@@ -136,6 +170,7 @@ def main() -> None:
         build_bucketed_mirror(spark, sf_dir)
 
     hot: dict[str, float] = {}
+    hot_count: dict[str, float] = {}
     cold: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in QUERIES.items():
@@ -150,7 +185,17 @@ def main() -> None:
             cold[name] = round(time.perf_counter() - t0, 4)
             t1 = time.perf_counter()
             assert fn(spark, sf_dir).count() >= 0
-            hot[name] = round(time.perf_counter() - t1, 4)
+            hot_count[name] = round(time.perf_counter() - t1, 4)
+            # r13 fix (§1.4): the primary hot timing uses the noop sink,
+            # which evaluates every output column where count() prunes
+            # row-preserving final projections.  Warm the noop plan once
+            # (its pruning differs from count's, so it JIT/codegens
+            # separately), then time it hot.
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
+            t2 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            hot[name] = round(time.perf_counter() - t2, 4)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:400]
     total = round(sum(hot.values()), 4)
@@ -173,6 +218,16 @@ def main() -> None:
                 "queries": hot,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "geomean": geomean,
+                # legacy count()-action hot series, unchanged methodology
+                # vs pre-r13 artifacts (see module docstring)
+                "queries_count_method": hot_count,
+                "geomean_count_method": round(
+                    math.exp(
+                        sum(math.log(max(t, 1e-4)) for t in hot_count.values())
+                        / max(len(hot_count), 1)
+                    ),
+                    4,
+                ),
                 "cold_total": round(sum(cold.values()), 4),
                 "n_queries": len(hot),
                 "errors": errors,
