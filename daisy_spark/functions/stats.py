@@ -25,6 +25,22 @@ def _gw(group_cols: list[str]):
     return Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
 
 
+def avg_rank(col: str, group_cols: list[str]):
+    """Average rank with ties (the reference's fractional ranks):
+    rank() + (tie_run_length - 1) / 2.
+
+    The tie-run length comes from a RANGE frame (currentRow, currentRow)
+    on the SAME window spec as the rank — the frame spans exactly the
+    rows tying on the order key, so no second window partitioned by
+    (group, col) is needed (that form cost an extra exchange + sort per
+    ranked column; removed r13, byte-identical by construction)."""
+    w = _gw(group_cols).orderBy(F.col(col).cast("double"))
+    ties = F.count(F.lit(1)).over(
+        w.rangeBetween(Window.currentRow, Window.currentRow)
+    )
+    return F.rank().over(w) + (ties - 1) / 2.0
+
+
 def mann_whitney_u_test_df(
     df: DataFrame,
     value: str,
@@ -41,15 +57,7 @@ def mann_whitney_u_test_df(
     normal approximation of u0.
     """
     group_cols = group_cols or []
-    v = F.col(value).cast("double")
-    # average rank with ties: rank() gives the first position; the average
-    # rank of a tie run of length L starting at r is r + (L-1)/2
-    w = _gw(group_cols).orderBy(v)
-    ranked = df.withColumn(
-        "__avgrank",
-        F.rank().over(w)
-        + (F.count(F.lit(1)).over(_gw(group_cols + [value])) - 1) / 2.0,
-    )
+    ranked = df.withColumn("__avgrank", avg_rank(value, group_cols))
     g = F.col(sample_index).cast("int")
     agg = ranked.groupBy(*group_cols).agg(
         F.sum(F.when(g == 0, F.col("__avgrank"))).alias("__r0"),
@@ -82,13 +90,9 @@ def rank_corr_df(
     shuffles spill; no per-key buffer. Returns ``group_cols + [rank_corr]``.
     """
     group_cols = group_cols or []
-    def avg_rank(col: str):
-        w = _gw(group_cols).orderBy(F.col(col).cast("double"))
-        return (
-            F.rank().over(w)
-            + (F.count(F.lit(1)).over(_gw(group_cols + [col])) - 1) / 2.0
-        )
-    ranked = df.withColumn("__rx", avg_rank(x)).withColumn("__ry", avg_rank(y))
+    ranked = df.withColumn("__rx", avg_rank(x, group_cols)).withColumn(
+        "__ry", avg_rank(y, group_cols)
+    )
     return ranked.groupBy(*group_cols).agg(
         F.corr("__rx", "__ry").alias("rank_corr")
     )

@@ -135,21 +135,40 @@ WHERE rn <= 5 ORDER BY user_id, rn
 # --- mannWhitneyUTest + rankCorr (rank statistics, df-level scale path) -----
 
 def q_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FUSED single lineage (r13, guide §2.4): the previous form ran
+    # mann_whitney_u_test_df and rank_corr_df as separate pipelines —
+    # two scans of events, the value-rank window computed twice, two
+    # aggregations joined back on event_type.  Both statistics need the
+    # same fractional value-ranks, so compute the ranked projection
+    # ONCE (both windows share the event_type exchange; tie counts ride
+    # the same sort via a RANGE frame) and emit every statistic from
+    # ONE hash aggregation — no join.  Same math, oracle-identical.
     e = _t(spark, sf_dir, "events")
-    e2 = e.withColumn("s", (F.col("user_id") % 2).cast("int"))
-    mw = ST.mann_whitney_u_test_df(e2, "value", "s", ["event_type"])
-    rc = ST.rank_corr_df(e, "value", "user_id", ["event_type"])
-    return (
-        mw.join(rc, "event_type")
-        .select(
-            "event_type",
-            F.round("u0", 2).alias("u0"),
-            F.round("u1", 2).alias("u1"),
-            _r6(F.col("z")).alias("z"),
-            _r6(F.col("rank_corr")).alias("rank_corr"),
-        )
-        .orderBy("event_type")
+    ranked = (
+        e.select("event_type", "value", "user_id")
+        .withColumn("s", (F.col("user_id") % 2).cast("int"))
+        .withColumn("__rv", ST.avg_rank("value", ["event_type"]))
+        .withColumn("__ru", ST.avg_rank("user_id", ["event_type"]))
     )
+    g = F.col("s")
+    agg = ranked.groupBy("event_type").agg(
+        F.sum(F.when(g == 0, F.col("__rv"))).alias("__r0"),
+        F.count(F.when(g == 0, F.lit(1))).alias("__n0"),
+        F.count(F.when(g == 1, F.lit(1))).alias("__n1"),
+        F.corr("__rv", "__ru").alias("rank_corr"),
+    )
+    n0, n1 = F.col("__n0").cast("double"), F.col("__n1").cast("double")
+    u0 = F.col("__r0") - n0 * (n0 + 1) / 2.0
+    u1 = n0 * n1 - u0
+    mean_u = n0 * n1 / 2.0
+    sd_u = F.sqrt(n0 * n1 * (n0 + n1 + 1) / 12.0)
+    return agg.select(
+        "event_type",
+        F.round(u0, 2).alias("u0"),
+        F.round(u1, 2).alias("u1"),
+        _r6((u0 - mean_u) / sd_u).alias("z"),
+        _r6(F.col("rank_corr")).alias("rank_corr"),
+    ).orderBy("event_type")
 
 
 ORACLE_RANK_STATS = """

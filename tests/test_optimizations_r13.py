@@ -355,3 +355,43 @@ def test_final_collapsing_fused_matches_union(spark, sf_dir):
     assert [tuple(r) for r in old.collect()] == [
         tuple(r) for r in new.collect()
     ]
+
+
+# ---------------------------------------------------------------------------
+# rank_stats: fused single-lineage == two-pipeline join composition
+# ---------------------------------------------------------------------------
+
+
+def test_rank_stats_fused_matches_two_pipeline(spark, sf_dir):
+    from daisy_spark.catalog import load_table
+    from daisy_spark.functions import stats as ST
+    from daisy_spark.queries_stats import q_rank_stats
+
+    e = load_table(spark, sf_dir, "events")
+    e2 = e.withColumn("s", (F.col("user_id") % 2).cast("int"))
+    mw = ST.mann_whitney_u_test_df(e2, "value", "s", ["event_type"])
+    rc = ST.rank_corr_df(e, "value", "user_id", ["event_type"])
+    old = mw.join(rc, "event_type").select(
+        "event_type",
+        F.round("u0", 2).alias("u0"),
+        F.round("u1", 2).alias("u1"),
+        F.round(F.col("z"), 6).alias("z"),
+        F.round(F.col("rank_corr"), 6).alias("rank_corr"),
+    )
+    a = sorted(tuple(r) for r in old.collect())
+    b = sorted(tuple(r) for r in q_rank_stats(spark, sf_dir).collect())
+    assert a == b and len(a) > 0
+
+
+def test_avg_rank_range_frame_ties(spark):
+    from daisy_spark.functions.stats import avg_rank
+
+    # value 5.0 appears 3x -> ranks 2,3,4 average 3.0; singletons keep
+    # their integer rank
+    rows = [("g", 1.0), ("g", 5.0), ("g", 5.0), ("g", 5.0), ("g", 9.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = sorted(
+        (r["v"], r["ar"])
+        for r in df.withColumn("ar", avg_rank("v", ["g"])).collect()
+    )
+    assert got == [(1.0, 1.0), (5.0, 3.0), (5.0, 3.0), (5.0, 3.0), (9.0, 5.0)]
