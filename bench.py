@@ -57,8 +57,13 @@ def _ensure_sf1(spark, src_dir: str, dst_dir: str) -> None:
     Timing-only data: rows are replicated verbatim — the lane measures
     scan/shuffle/agg throughput, not oracle correctness."""
     marker = os.path.join(dst_dir, "_DONE")
+    # v2 = 32-file layout for the big tables; a v1 ("ok") mirror kept
+    # the crossJoin's single-split layout and must be regenerated.
+    layout = "v2-32files"
     if os.path.exists(marker):
-        return
+        with open(marker) as f:
+            if f.read().strip() == layout:
+                return
     os.makedirs(dst_dir, exist_ok=True)
     for t in _SF1_TABLES:
         df = spark.read.parquet(f"{src_dir}/{t}.parquet")
@@ -75,7 +80,7 @@ def _ensure_sf1(spark, src_dir: str, dst_dir: str) -> None:
             df = df.repartition(32)
         df.write.mode("overwrite").parquet(f"{dst_dir}/{t}.parquet")
     with open(marker, "w") as f:
-        f.write("ok")
+        f.write(layout)
 
 
 def _sf1_lane(spark, src_dir: str, budget_s: float) -> dict:

@@ -12746,6 +12746,15 @@ def _generate_random_tvf(args: list[str]) -> str:
     over a lazy range; the LIMIT-pushdown in _render bounds the scan."""
     if not args or not args[0].startswith("'"):
         _raise_dialect("generateRandom needs a quoted schema string")
+    if len(args) > 4:
+        # reference signature: (schema[, seed, max_string_len, max_array_len])
+        # — NUMBER_OF_ARGUMENTS_DOESNT_MATCH (error 42).  Raising here
+        # fails fast; without it the bogus call built a full
+        # range(2^25) random frame before dying downstream.
+        _raise_dialect(
+            "generateRandom takes at most 4 arguments, got "
+            f"{len(args)}"
+        )
     seed = args[1] if len(args) > 1 and re.match(r"^\d+$", args[1]) else "42"
     schema_toks = tokenize(args[0][1:-1])
     parts = _split_top(schema_toks, ",")

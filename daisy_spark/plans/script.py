@@ -443,6 +443,10 @@ class ScriptRunner:
         #: SET statement state (join_use_nulls etc.) — published to the
         #: dialect during execute()
         self.settings: dict[str, str] = {}
+        #: DataFrames persisted by _sorted_batch (one per materialized
+        #: part); released in close() so corpus runs don't accumulate
+        #: blocks across ~1200 cases in one JVM
+        self._persisted: list[DataFrame] = []
         # the reference wraps on overflow, nulls on bad casts, and yields
         # defaults/NULL on out-of-range subscripts — Spark's non-ANSI
         # mode is the matching behavior set.  Session-scoped for the
@@ -1066,6 +1070,12 @@ class ScriptRunner:
                 )
         except Exception:  # noqa: BLE001
             pass
+        for df in self._persisted:
+            try:
+                df.unpersist(blocking=False)
+            except Exception:  # noqa: BLE001
+                pass
+        self._persisted.clear()
         for name in list(self.tables):
             self._drop_views(name)
         for name in list(self.dictionaries):
@@ -1869,7 +1879,7 @@ class ScriptRunner:
                     )
                     for k10, f in enumerate(src.schema.fields)
                 ]
-            t.df = self._sorted_batch(t, src)
+            t.df = self._sorted_batch(t, src, heavy=True)
             if t.spec.engine == "AggregatingMergeTree" and not (
                 t.spec.agg_columns
             ):
@@ -3415,7 +3425,7 @@ class ScriptRunner:
                 )
         if t.spec.engine != "Null":
             prev_df = t.df
-            sb = self._sorted_batch(t, batch)
+            sb = self._sorted_batch(t, batch, heavy=(kw != "VALUES"))
             sb = self._record_parts(t, sb)
             t.df = sb if t.df is None else t.df.unionByName(
                 sb, allowMissingColumns=True
@@ -3550,10 +3560,32 @@ class ScriptRunner:
         # backticks: Nested member columns carry dots in their NAMES
         return df.select(*[f"`{c.name}`" for c in t.cols])
 
-    def _sorted_batch(self, t: _Table, batch: DataFrame) -> DataFrame:
+    def _sorted_batch(
+        self, t: _Table, batch: DataFrame, heavy: bool = False
+    ) -> DataFrame:
         """One insert = one part: single partition, primary-key sorted,
         insertion order preserved on ties (MergeTreeDataWriter sorts each
-        block stably by the sorting key)."""
+        block stably by the sorting key).
+
+        ``heavy`` (INSERT..SELECT / table rebuilds): assign ``__seq``
+        BEFORE a repartition shuffle instead of ``coalesce(1)``-ing the
+        whole upstream into one task.  coalesce(1) concatenates source
+        partitions in partition order, and ``monotonically_increasing_id``
+        on the multi-partition source is increasing in exactly that
+        (partition, offset) order — so the stable sort by
+        ``(keys, __seq)`` reproduces the identical total row order while
+        the source scan/projection keeps its parallelism (a 1M-row
+        INSERT..SELECT was a single task end-to-end before this).
+        VALUES batches are driver-local — nothing to parallelize, and
+        the extra shuffle would only add per-insert latency.
+
+        The returned part is PERSISTED (memory-and-disk, released in
+        ``close()``): every later SELECT re-executes ``t.df``'s whole
+        union-of-parts lineage otherwise — a case that inserts 1M rows
+        and then runs four SELECTs paid the generation + single-task
+        sort five times.  Persisting also pins one materialization the
+        way the reference does (parts are physical), so lazy
+        re-evaluation can never disagree with itself."""
         keys = [k for k in t.sort_keys if k and k != "tuple ( )"]
         # a Map sorting key is unsortable in Spark — sort by its entry
         # list instead (same key order semantics at this granularity)
@@ -3566,13 +3598,24 @@ class ScriptRunner:
             if (k9s := k.strip('`" ')) in map_cols else k
             for k in keys
         ]
-        batch = batch.coalesce(1)
-        if keys:
+        if keys and heavy:
             batch = (
                 batch.withColumn("__seq", F.monotonically_increasing_id())
+                .repartition(1, F.col("__seq"))
                 .sortWithinPartitions(*[F.expr(k) for k in keys], F.col("__seq"))
                 .drop("__seq")
             )
+        elif keys:
+            batch = (
+                batch.coalesce(1)
+                .withColumn("__seq", F.monotonically_increasing_id())
+                .sortWithinPartitions(*[F.expr(k) for k in keys], F.col("__seq"))
+                .drop("__seq")
+            )
+        else:
+            batch = batch.coalesce(1)
+        batch = batch.persist()
+        self._persisted.append(batch)
         return batch
 
     # -- maintenance -----------------------------------------------------
@@ -3748,7 +3791,7 @@ class ScriptRunner:
             )
             if "DEDUPLICATE" in kws9:
                 df = df.dropDuplicates()
-            df = self._sorted_batch(t, df)
+            df = self._sorted_batch(t, df, heavy=True)
             if vcols:
                 head9 = next(
                     (p for p in t.parts if p[0] == pid_filter), None
@@ -3768,7 +3811,7 @@ class ScriptRunner:
         df = read_final(base, t.spec)
         if "DEDUPLICATE" in kws9:
             df = df.dropDuplicates()
-        t.df = self._sorted_batch(t, df)
+        t.df = self._sorted_batch(t, df, heavy=True)
         if vcols and t.parts:
             # full-table OPTIMIZE leaves exactly one part per partition
             # (every multi-part group merged), so the registry head per

@@ -1000,7 +1000,100 @@ def _run_case(spark, txt: str):
         runner.close()
 
 
-@pytest.mark.parametrize("name", CORPUS)
+#: r13 suite-runtime fix: the corpus is CPU-bound on per-statement
+#: Spark overhead (~18k statements through parse/analyze/execute) and
+#: one serial stream of 1193 cases took 36+ min — past the external
+#: driver's pytest window (r12 `tests_ok: false`).  The default mode
+#: shards the corpus across _LANES parallel worker JVMs
+#: (tests/corpus_worker.py; local[8] each, ≤_CHUNK cases per process so
+#: process exit IS the JVM recycle), asserting the same byte-parity on
+#: every case and retrying stragglers once on a fresh JVM — identical
+#: coverage, ~4× the wall-clock.  DAISY_CORPUS_MODE=inline restores the
+#: one-case-per-pytest-test path for debugging a single file.
+_INLINE = os.environ.get("DAISY_CORPUS_MODE", "sharded") == "inline"
+_LANES = int(os.environ.get("DAISY_CORPUS_LANES", "4"))
+
+
+def _spawn_worker(names: list[str]) -> dict[str, str]:
+    import json
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".json", delete=False
+    ) as f:
+        json.dump(names, f)
+        lst = f.name
+    try:
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(os.path.dirname(__file__), "corpus_worker.py"),
+                "--list",
+                lst,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+    finally:
+        os.unlink(lst)
+    for line in proc.stdout.splitlines():
+        if line.startswith("CORPUSJSON:"):
+            return json.loads(line[len("CORPUSJSON:"):])
+    return {
+        n: f"WORKER-DIED: rc={proc.returncode} {proc.stderr[-200:]!r}"
+        for n in names
+    }
+
+
+@pytest.mark.skipif(_INLINE, reason="DAISY_CORPUS_MODE=inline")
+def test_reference_corpus_sharded(spark_manager):
+    import threading
+
+    if not os.path.isdir(CORPUS_DIR):
+        pytest.skip("reference corpus not available")
+    # free the shared JVM's heap for the worker fleet
+    spark_manager.recycle()
+    results: dict[str, str] = {}
+    lock = threading.Lock()
+
+    def lane(files: list[str]) -> None:
+        for i in range(0, len(files), _CHUNK):
+            got = _spawn_worker(files[i : i + _CHUNK])
+            with lock:
+                results.update(got)
+
+    threads = [
+        threading.Thread(target=lane, args=(CORPUS[k::_LANES],))
+        for k in range(_LANES)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # one retry pass on a fresh JVM for anything not cleanly ok —
+    # the same poisoned-JVM insurance the inline path carries
+    bad = [n for n in CORPUS if results.get(n) != "ok"]
+    if bad:
+        print(
+            f"\n[corpus] retry pass for {len(bad)} cases: {bad[:10]}",
+            file=sys.stderr,
+            flush=True,
+        )
+        for i in range(0, len(bad), _CHUNK):
+            results.update(_spawn_worker(bad[i : i + _CHUNK]))
+    failures = {
+        n: results.get(n, "missing") for n in CORPUS
+        if results.get(n) != "ok"
+    }
+    assert not failures, (
+        f"{len(failures)} corpus cases failed: "
+        f"{dict(list(failures.items())[:10])}"
+    )
+
+
+@pytest.mark.parametrize("name", CORPUS if _INLINE else [])
 def test_reference_case(spark_manager, name):
     path = os.path.join(CORPUS_DIR, name)
     if not os.path.exists(path):
